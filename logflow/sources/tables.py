@@ -1,0 +1,31 @@
+"""Parquet table source (batch analog of the Kafka topic scan, SURVEY §2 S1).
+
+Reads are plain ``spark.read.parquet`` so Catalyst gets the native parquet
+scan: column pruning + predicate pushdown reach the file footer
+(verify with ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logflow.model import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one driver-provided table (TESTDATA.md) as a DataFrame."""
+    return spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
