@@ -1,5 +1,705 @@
 """Relational operator queries over the TPC-H-ish tables (SURVEY.md §2.2).
 
-Populated incrementally: joins (broadcast/SMJ/semi/anti/range/as-of), aggs
-(rollup/cube/distinct), windows, sort/limit, set ops, scalar functions.
+Coverage: broadcast/shuffle joins, semi/anti, range (theta), as-of;
+hash aggregation, rollup/cube/grouping sets, exact+approx distinct;
+ranking/analytic windows; sort/limit top-k; set operations; scalar
+string/json/datetime functions; sessionization; tumbling windows; dedup.
+
+All aggregates follow the cross-engine determinism rules in
+logflow/queries/__init__.py (decimal-exact sums → round → double).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logflow.operators.joins import asof_join, broadcast_dim_join
+from logflow.queries import register
+from logflow.sources.tables import load_table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def _money(sum_col: F.Column, ndigits: int = 2) -> F.Column:
+    """Exact decimal sum → rounded double (cross-engine stable)."""
+    return F.round(sum_col, ndigits).cast("double")
+
+
+def _ratio(num: F.Column, den: F.Column, ndigits: int = 4) -> F.Column:
+    """Exact numerator/denominator → identical IEEE quotient → round."""
+    return F.round(num.cast("double") / den.cast("double"), ndigits)
+
+
+# --------------------------------------------------------------------------
+# Aggregation: TPC-H Q1-style pricing summary (hash agg, partial+final)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))
+                      * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary: filter→hash agg w/ partial aggregation",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    price = _dec("l_extendedprice")
+    disc_f = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    tax_f = (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _money(F.sum(price)).alias("sum_base_price"),
+            _money(F.sum(price * disc_f)).alias("sum_disc_price"),
+            _money(F.sum(price * disc_f * tax_f)).alias("sum_charge"),
+            _ratio(F.sum(_dec("l_quantity")), n).alias("avg_qty"),
+            _ratio(F.sum(price), n).alias("avg_price"),
+            _ratio(F.sum(F.col("l_discount").cast("decimal(8,2)")), n).alias("avg_disc"),
+            n.cast("long").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3: fact⋈fact⋈dim joins + agg + deterministic top-10",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_revenue",
+    """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+""",
+    doc="TPC-H Q5-style multi-way join (2 facts + 4 broadcast dims) + agg",
+)
+def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        _money(revenue).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    """
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="Broadcast hash join chain: fact ⋈ dim ⋈ dim, zero fact shuffle before agg",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    dim = broadcast_dim_join(nation, region, nation.n_regionkey == region.r_regionkey)
+    return (
+        broadcast_dim_join(cust, dim, cust.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _money(F.sum(_dec("c_acctbal"))).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_semi_buyers",
+    """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY c_mktsegment
+""",
+    doc="Left-semi join: customers with ≥1 recent order",
+)
+def join_semi_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_buyers"))
+    )
+
+
+@register(
+    "join_anti_dormant",
+    """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dormant
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+""",
+    doc="Left-anti join: customers with no orders, per nation",
+)
+def join_anti_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    dormant = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        broadcast_dim_join(dormant, nation, dormant.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_dormant"))
+    )
+
+
+@register(
+    "join_range_bands",
+    """
+WITH bands(band, lo, hi) AS (
+  VALUES ('900-905', 900.0, 905.0), ('905-910', 905.0, 910.0),
+         ('910-915', 910.0, 915.0), ('915-920', 915.0, 920.0)
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+FROM part
+JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+""",
+    doc="Range (theta) join: non-equi band matching against a broadcast value table",
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    bands = spark.createDataFrame(
+        [("900-905", 900.0, 905.0), ("905-910", 905.0, 910.0),
+         ("910-915", 910.0, 915.0), ("915-920", 915.0, 920.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _money(F.sum(_dec("p_retailprice"))).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_asof_purchase_click",
+    """
+SELECT p.event_id,
+       c.event_id AS click_event_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="As-of join: each purchase matched to the user's latest prior click "
+    "(union+window implementation — one shuffle, no range explosion)",
+)
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_cols=["event_id"])
+    return out.select(
+        F.col("event_id"),
+        F.col("event_id_right").alias("click_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_top3_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    doc="Ranking window: top-3 orders per customer (row_number, unique tiebreak)",
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_spend",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) AS cum_spend,
+       LAG(o_totalprice) OVER w AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="Analytic window: running decimal-exact spend + lag, explicit row frame",
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_nof = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_nof).cast("long").alias("order_seq"),
+        F.round(F.sum(_dec("o_totalprice")).over(w), 2).cast("double").alias("cum_spend"),
+        F.lag("o_totalprice").over(w_nof).alias("prev_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube / distinct
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP aggregation with grouping-id disambiguation",
+)
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube_orders",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE aggregation over two dimensions",
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        _money(F.sum(_dec("o_totalprice"))).alias("total"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+SELECT c_mktsegment, c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""",
+    doc="GROUPING SETS via the SQL surface",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("lf_customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
+        FROM lf_customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@register(
+    "agg_distinct_per_segment",
+    """
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(MIN(c_acctbal), 2) AS DOUBLE) AS min_bal,
+       CAST(ROUND(MAX(c_acctbal), 2) AS DOUBLE) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="Exact distinct aggregation (expand+two-phase under the hood)",
+)
+def agg_distinct_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).cast("double").alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).cast("double").alias("max_bal"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL sketches differ across engines by design → rows-only check
+    doc="approx_count_distinct (HyperLogLog++) — the 100TB-scale path for "
+    "distinct counts; validated against exact counts in tests, not the oracle",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops / dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    doc="Global top-k: TakeOrderedAndProject, not a full sort",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "setops_customer_cohorts",
+    """
+WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+     rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT k FROM buyers INTERSECT SELECT k FROM rich)) AS BIGINT) AS n_rich_buyers,
+  CAST((SELECT COUNT(*) FROM (SELECT k FROM rich EXCEPT SELECT k FROM buyers)) AS BIGINT) AS n_rich_dormant,
+  CAST((SELECT COUNT(*) FROM (SELECT k FROM buyers UNION SELECT k FROM rich)) AS BIGINT) AS n_either
+""",
+    doc="Set operations: INTERSECT / EXCEPT / UNION-distinct cohort counts",
+)
+def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    buyers = orders.select(F.col("o_custkey").alias("k")).distinct()
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    a = buyers.intersect(rich).agg(F.count(F.lit(1)).alias("n_rich_buyers"))
+    b = rich.exceptAll(buyers).distinct().agg(F.count(F.lit(1)).alias("n_rich_dormant"))
+    c = buyers.union(rich).distinct().agg(F.count(F.lit(1)).alias("n_either"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+@register(
+    "dedup_first_event",
+    """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="Deterministic keyed dedup: keep lowest event_id per (user, type) — "
+    "the order-stable form of dropDuplicates",
+)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: string / json / datetime
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_suite",
+    """
+SELECT n_name,
+       upper(n_name) AS uname,
+       substr(n_name, 1, 3) AS prefix,
+       CAST(length(n_name) AS BIGINT) AS name_len,
+       reverse(n_name) AS rname,
+       md5(n_name) AS name_md5,
+       regexp_extract(n_name, '([0-9]+)', 1) AS nation_num,
+       lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded_key,
+       replace(n_name, '_', '-') AS dashed
+FROM nation
+""",
+    doc="Scalar string functions: case/substr/length/reverse/md5/regexp/pad/replace",
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, "nation", sf_dir)
+    return nation.select(
+        "n_name",
+        F.upper("n_name").alias("uname"),
+        F.substring("n_name", 1, 3).alias("prefix"),
+        F.length("n_name").cast("long").alias("name_len"),
+        F.reverse(F.col("n_name")).alias("rname"),
+        F.md5(F.col("n_name").cast("binary")).alias("name_md5"),
+        F.regexp_extract("n_name", "([0-9]+)", 1).alias("nation_num"),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded_key"),
+        F.replace(F.col("n_name"), F.lit("_"), F.lit("-")).alias("dashed"),
+    )
+
+
+@register(
+    "scalar_json_props",
+    """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON extraction on the events.props payload (get_json_object)",
+)
+def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "scalar_datetime_monthly",
+    """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY 1, 2, 3
+""",
+    doc="Datetime functions: date_trunc + extract + monthly aggregation",
+)
+def scalar_datetime_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time: tumbling windows + sessionization (batch forms)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling event-time window (window() over batch; streaming form in "
+    "logflow.streaming shares the expression)",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _money(F.sum(_dec("value"))).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(events_in_session) AS BIGINT) AS max_session_events
+FROM (
+  SELECT user_id, session_id, COUNT(*) AS events_in_session
+  FROM sessions GROUP BY user_id, session_id
+) s
+GROUP BY user_id
+""",
+    doc="Sessionization: 30-min-gap sessions via lag + running sum (batch "
+    "analog of session_window; streaming form in logflow.streaming)",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("events_in_session")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.sum("events_in_session").cast("long").alias("n_events"),
+        F.max("events_in_session").cast("long").alias("max_session_events"),
+    )

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics (matches DuckDB naive-UTC).
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events.parquet stores TIMESTAMP(NANOS), which the
+        # vectorized parquet reader rejects; read as long and convert in
+        # the table source (logflow.sources.tables truncates ns → µs,
+        # matching DuckDB's conversion exactly).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )

@@ -10,15 +10,26 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from logflow.model import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: columns stored as TIMESTAMP(NANOS) in the driver's parquet; read as
+#: long (spark.sql.legacy.parquet.nanosAsLong) and truncated to µs here —
+#: integer `div 1000`, the same conversion DuckDB applies (verified).
+_NANO_TS_COLS = {"events": ["ts"]}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one driver-provided table (TESTDATA.md) as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, []):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
