@@ -1,0 +1,162 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each algorithm):
+
+* **exact**: one hash-shuffle on ``md5(text)`` — group sizes are tiny, no
+  skew concern; at 100 TB this is the cheapest possible full-corpus dedup.
+* **MinHash+LSH**: per-doc signatures are embarrassingly parallel array
+  expressions (no shuffle); the only shuffles are the band-bucket
+  self-join (keys are md5 buckets → uniformly distributed, no skew) and
+  the final pair→shingle join.  Candidate count, not corpus size, drives
+  the join cost — the property that makes LSH viable at 100 TB where
+  all-pairs (O(n²)) is not.
+* **SimHash**: explode(tokens) → 16 conditional sums per doc — a single
+  partial-aggregated shuffle on doc_id.
+* **n-gram Jaccard**: exact verification; only ever run on a bounded
+  candidate set (LSH output or an explicit subset), never all-pairs.
+
+All hashing is md5 (string min = uniform minhash) so the DuckDB oracle
+reproduces signatures exactly; no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logflow.functions.text import char_ngrams, tokenize, word_shingles
+
+NUM_HASHES = 8
+BANDS = 4  # rows-per-band = NUM_HASHES // BANDS = 2
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct text: content hash, keeper id (min), copy count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
+        .agg(
+            F.min(id_col).cast("long").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, i: int) -> Column:
+    """i-th minhash: lexicographic min of ``md5("{i}:" + shingle)``.
+
+    md5 output is uniform, so the min over hex strings is a valid minhash
+    permutation; seeded by prefix ``i:`` per hash function.
+    """
+    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+
+
+def shingled_docs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, distinct word-k-shingles), docs with <k words dropped."""
+    sh = F.array_distinct(word_shingles(tokenize(F.col(text_col)), k))
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(F.size("sh") > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """LSH candidate pairs with exact Jaccard over distinct shingle sets.
+
+    Returns (doc_a, doc_b, jaccard) for every pair sharing ≥1 band bucket.
+    """
+    rows_per_band = num_hashes // bands
+    docs = shingled_docs(df, id_col, text_col, k)
+    sigs = docs.select(
+        "doc_id",
+        "sh",
+        *[minhash_signature(F.col("sh"), i).alias(f"s{i}") for i in range(num_hashes)],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.inline(band_structs))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+def simhash_16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per doc (token-frequency weighted).
+
+    Token hash = first 16 bits of md5; per bit j, sum ±1 over tokens;
+    bit set when the sum ≥ 0.  Returns (doc_id, simhash, n_bucket).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    h16 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10).cast("int")
+    sums = toks.withColumn("h16", h16).groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("h16").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(
+                f"b{j}"
+            )
+            for j in range(16)
+        ]
+    )
+    simhash = sum(
+        [F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)],
+        start=F.lit(0),
+    ).cast("long")
+    from pyspark.sql import Window
+
+    out = sums.select("doc_id", simhash.alias("simhash"))
+    return out.withColumn(
+        "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("simhash")).cast("long")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, threshold: float = 0.0
+) -> DataFrame:
+    """Exact char-n-gram Jaccard over all pairs of ``df`` — caller bounds
+    the input (this is the verification step, not the discovery step)."""
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("g"),
+    ).filter(F.size("g") > 0)
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    jacc = inter.cast("double") / (F.size("g_a") + F.size("g_b") - inter).cast("double")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

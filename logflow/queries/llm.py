@@ -1,4 +1,437 @@
 """LLM-data-pipeline queries: dedup, similarity search, text analysis.
 
-Populated incrementally over the ``documents`` and ``embeddings`` tables.
+Operators live in logflow/operators/{dedup,similarity}.py and
+logflow/functions/text.py; this module binds them to the driver's
+``documents`` / ``embeddings`` tables and carries the DuckDB oracle for
+each.  Tokenization/hash/rounding rules are pinned so both engines produce
+identical values (see module docs in functions/text.py and queries/__init__.py).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logflow.functions.text import LANG_MARKERS, STOPWORDS, char_ngrams, tokenize
+from logflow.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_16,
+)
+from logflow.operators.similarity import cosine_topk, cosine_topk_numpy, ivf_topk
+from logflow.queries import register
+from logflow.sources.tables import load_table
+
+# --- shared oracle SQL fragments (exact mirrors of the Spark expressions) ---
+
+TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def _dd_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+
+def _dd_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _dd_sim(av: str, bv: str) -> str:
+    return f"ROUND({_dd_dot(av, bv)} / ({_dd_norm(av)} * {_dd_norm(bv)}), 6)"
+
+
+SHINGLE_CTE = f"""
+doc_sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, {TOKS} AS toks FROM documents) t
+),
+docs2 AS (SELECT * FROM doc_sh WHERE len(sh) > 0)
+"""
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup: content-hash groupBy, keeper = min doc_id",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, "documents", sf_dir), "doc_id", "text")
+
+
+_SIGS = ",\n    ".join(
+    f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS s{i}"
+    for i in range(8)
+)
+_BUCKETS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, md5(s{2*b} || '|' || s{2*b+1}) AS bucket FROM sigs"
+    for b in range(4)
+)
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {SHINGLE_CTE.strip()},
+sigs AS (
+  SELECT doc_id, sh,
+    {_SIGS}
+  FROM docs2
+),
+buckets AS (
+{_BUCKETS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) AS jaccard
+FROM pairs
+JOIN docs2 da ON da.doc_id = pairs.doc_a
+JOIN docs2 db ON db.doc_id = pairs.doc_b
+""",
+    doc="MinHash+LSH near-dup: 8 md5-minhashes, 4 bands × 2 rows, candidate "
+    "pairs via band-bucket join, exact Jaccard verification on candidates",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, "documents", sf_dir), "doc_id", "text")
+
+
+_B_SUMS = ",\n    ".join(
+    f"SUM(CASE WHEN (h16 & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
+)
+_B_COMBINE = " + ".join(f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS INTEGER) AS h16 FROM toks
+),
+sums AS (
+  SELECT doc_id,
+    {_B_SUMS}
+  FROM h GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, CAST({_B_COMBINE} AS BIGINT) AS simhash FROM sums
+)
+SELECT doc_id, simhash,
+       CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_bucket
+FROM sh
+""",
+    doc="SimHash fingerprinting: 16-bit frequency-weighted token hash; "
+    "equal fingerprints = near-dup bucket",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_16(load_table(spark, "documents", sf_dir), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(text)) - 2, 1)),
+                       i -> substr(lower(text), i, 4))) AS g
+  FROM documents
+  WHERE doc_id < 60 AND length(text) >= 4
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+""",
+    doc="Exact char-4-gram Jaccard verification on a bounded subset "
+    "(all-pairs is the verification tool, never the discovery tool)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 60)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "knn_cosine_brute",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT qid, neighbor_id, {_dd_sim('cvec', 'qvec')} AS sim
+  FROM c, q
+)
+SELECT qid, neighbor_id, rank, sim FROM (
+  SELECT qid, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="Brute-force cosine top-5 (expression path: zip_with/aggregate fold, "
+    "broadcast queries, rounded-sim ranking)",
+)
+def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return cosine_topk(corpus, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "knn_cosine_ivf",
+    f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+assign AS (
+  SELECT vid, cid FROM (
+    SELECT v.vec_id AS vid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_dd_sim('v.embedding', 'c.cvec')} DESC, c.cid) AS rn
+    FROM corpus v, cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, qvec, cid FROM (
+    SELECT q.qid, q.qvec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_dd_sim('q.qvec', 'c.cvec')} DESC, c.cid) AS rn
+    FROM q, cent c
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.qid, a.vid AS neighbor_id, {_dd_sim('e.embedding', 'p.qvec')} AS sim
+  FROM probes p
+  JOIN assign a ON p.cid = a.cid
+  JOIN embeddings e ON e.vec_id = a.vid
+)
+SELECT qid, neighbor_id, rank, sim FROM (
+  SELECT qid, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+    doc="IVF approximate top-3: deterministic centroids (vec_id<8), nprobe=2 "
+    "— the bucketed scale path (probe cost O(n·nprobe/n_centroids))",
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(corpus, queries, centroids, "vec_id", "embedding", k=3, nprobe=2)
+
+
+@register(
+    "knn_cosine_numpy",
+    None,  # same results as knn_cosine_brute (asserted in tests); the Arrow
+    # batch path itself is what's under test here
+    doc="Arrow/numpy vectorized brute-force top-5 (mapInPandas + BLAS matmul "
+    "per batch + partial top-k) — the 100TB hot-path variant",
+)
+def knn_cosine_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return cosine_topk_numpy(corpus, queries_pdf, "vec_id", "embedding", k=5)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_tok_chars,
+         len(list_filter(toks, x -> x IN ({_SW}))) AS n_stop,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_tok_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       ROUND((1 - CAST(n_stop AS DOUBLE) / n_tokens)
+             * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) AS quality_score
+FROM m
+""",
+    doc="Quality scoring: token stats, stopword/punctuation ratios, composite score",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(F.col("text"))
+    t = docs.select("doc_id", "text", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_tokens = F.size("toks")
+    n_tok_chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    stop_ratio_raw = n_stop.cast("double") / n_tokens.cast("double")
+    return t.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_tok_chars.cast("double") / n_tokens.cast("double"), 4).alias("avg_token_len"),
+        F.round(stop_ratio_raw, 4).alias("stop_ratio"),
+        F.round(n_punct.cast("double") / n_chars.cast("double"), 4).alias("punct_ratio"),
+        F.round(
+            (F.lit(1.0) - stop_ratio_raw)
+            * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0)),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+_MARKER_SQL = {
+    lang: ", ".join(f"'{w}'" for w in words) for lang, words in LANG_MARKERS.items()
+}
+
+@register(
+    "text_lang_id",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+hits AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x IN ({_MARKER_SQL['en']}))) AS BIGINT) AS en_hits,
+         CAST(len(list_filter(toks, x -> x IN ({_MARKER_SQL['fr']}))) AS BIGINT) AS fr_hits,
+         CAST(len(list_filter(toks, x -> x IN ({_MARKER_SQL['es']}))) AS BIGINT) AS es_hits,
+         CAST(len(list_filter(toks, x -> x IN ({_MARKER_SQL['de']}))) AS BIGINT) AS de_hits
+  FROM t
+)
+SELECT doc_id, en_hits, fr_hits, es_hits, de_hits,
+       CASE
+         WHEN greatest(en_hits, fr_hits, es_hits, de_hits) = 0 THEN 'und'
+         WHEN en_hits >= greatest(fr_hits, es_hits, de_hits) THEN 'en'
+         WHEN fr_hits >= greatest(es_hits, de_hits) THEN 'fr'
+         WHEN es_hits >= de_hits THEN 'es'
+         ELSE 'de'
+       END AS lang_guess
+FROM hits
+""",
+    doc="Language-ID heuristic: marker-token counts, fixed-priority argmax "
+    "(deterministic; a statistical n-gram model would slot in the same shape)",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+
+    def marker_hits(words):
+        # closure (not a default arg): F.filter treats a 2-arg lambda as
+        # an (element, index) callback
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*words))).cast("long")
+
+    hit_cols = {lang: marker_hits(words) for lang, words in LANG_MARKERS.items()}
+    hits = t.select(
+        "doc_id", *[c.alias(f"{lang}_hits") for lang, c in hit_cols.items()]
+    )
+    en, fr, es, de = (F.col(f"{l}_hits") for l in ("en", "fr", "es", "de"))
+    guess = (
+        F.when(F.greatest(en, fr, es, de) == 0, "und")
+        .when(en >= F.greatest(fr, es, de), "en")
+        .when(fr >= F.greatest(es, de), "fr")
+        .when(es >= de, "es")
+        .otherwise("de")
+    )
+    return hits.withColumn("lang_guess", guess)
+
+
+@register(
+    "text_token_count",
+    f"""
+WITH t AS (
+  SELECT source, text, {TOKS} AS toks FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1))) AS BIGINT) AS total_re_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM t
+GROUP BY source
+""",
+    doc="Token counting per source: whitespace tokens + BPE-ish regex tokens",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(F.col("text"))
+    re_toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z0-9]+)"), 1)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("total_ws_tokens"),
+        F.sum(F.size(re_toks)).cast("long").alias("total_re_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+WITH fp AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(range(1, greatest(length(lower(text)) - 6, 1)),
+                        i -> md5(substr(lower(text), i, 8))), 'min') AS fingerprint
+  FROM documents
+  WHERE length(text) >= 8
+)
+SELECT doc_id, fingerprint,
+       CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_same
+FROM fp
+""",
+    doc="Document fingerprinting: min-of-rolling-char-8-gram-hash "
+    "(winnowing-style); equal fingerprints flag containment/duplication",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") >= 8)
+    grams = char_ngrams(F.col("text"), 8)
+    fp = F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))
+    out = docs.select("doc_id", fp.alias("fingerprint"))
+    return out.withColumn(
+        "n_same", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).cast("long")
+    )

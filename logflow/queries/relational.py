@@ -674,7 +674,7 @@ sessions AS (
 )
 SELECT user_id,
        CAST(MAX(session_id) AS BIGINT) AS n_sessions,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(events_in_session) AS BIGINT) AS n_events,
        CAST(MAX(events_in_session) AS BIGINT) AS max_session_events
 FROM (
   SELECT user_id, session_id, COUNT(*) AS events_in_session

@@ -1,0 +1,59 @@
+"""Watermarked event-time windows over the record/event stream.
+
+Same aggregate expressions as the batch queries (relational.py's
+events_tumbling_hourly / sessionize_events) applied to streaming frames —
+plus the watermark, which is the only streaming-specific element: late
+rows beyond the delay are dropped, bounding state (the property that keeps
+a 100 TB/day stream's state finite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_type_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window per event_type (streaming form of
+    events_tumbling_hourly — batch-equivalence asserted in tests)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+    )
+
+
+def sliding_value_avg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 1h window every 15 min: rolling mean of `value`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "avg_value")
+    )
+
+
+def session_spans(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user with a 30-min inactivity gap (streaming
+    analog of the batch sessionize_events query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def deduped_stream(records: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup within the watermark horizon — replay collapse
+    (exactly-once-style semantics over an at-least-once transport)."""
+    return records.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
