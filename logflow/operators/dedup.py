@@ -69,7 +69,12 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) for every pair sharing ≥1 band bucket.
     """
     rows_per_band = num_hashes // bands
-    docs = shingled_docs(df, id_col, text_col, k)
+    # The shingle+signature pipeline feeds 5 plan branches (signatures,
+    # both sides of the bucket self-join, both sides of the pair join);
+    # without materialization Spark recomputes the md5-heavy scan each
+    # time (measured 5× cost at sf0.1).  At cluster scale you'd persist
+    # signatures to a table; persist() is the in-session equivalent.
+    docs = shingled_docs(df, id_col, text_col, k).persist()
     sigs = docs.select(
         "doc_id",
         "sh",
@@ -88,7 +93,7 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select("doc_id", F.inline(band_structs))
+    buckets = sigs.select("doc_id", F.inline(band_structs)).persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(

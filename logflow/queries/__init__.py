@@ -55,6 +55,6 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY)."""
-    from logflow.queries import llm, relational, trace  # noqa: F401
+    from logflow.queries import llm, multimodal, relational, trace  # noqa: F401
 
     return REGISTRY

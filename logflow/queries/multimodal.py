@@ -1,0 +1,116 @@
+"""Multimodal + sampling + log-scan queries (SURVEY §2 P2/X5 + north star).
+
+The media frame is derived from ``documents`` (payload = utf-8 bytes), so
+metadata queries are oracle-checkable; the mapInPandas feature path is
+rows-only (its values are asserted against a Spark-expression twin in
+tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logflow.operators.multimodal import fake_features, frame_sample, media_from_documents
+from logflow.queries import register
+from logflow.sources.tables import load_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_from_documents(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "multimodal_meta_summary",
+    """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY 1
+""",
+    doc="Multimodal metadata scan: binary payload sizes per kind (payload "
+    "bytes never leave the JVM — pure columnar length arithmetic)",
+)
+def multimodal_meta_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _media(spark, sf_dir).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        F.max(F.length("payload")).cast("long").alias("max_bytes"),
+    )
+
+
+@register(
+    "multimodal_features",
+    None,  # mapInPandas path; values asserted against an expression twin in tests
+    doc="Arrow-batched feature extraction (mapInPandas) over binary payloads "
+    "— deterministic stand-in for image/audio decode (libs not in container; "
+    "see operators/multimodal.py)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fake_features(_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id AS media_id,
+       CAST(greatest(CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT), 0) AS BIGINT) AS n_frames
+FROM documents
+WHERE doc_id % 3 = 2
+""",
+    doc="Video frame sampling (columnar byte-window slices); oracle checks "
+    "the frame count arithmetic",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(_media(spark, sf_dir)).select("media_id", "n_frames")
+
+
+@register(
+    "trace_hash_sampling",
+    """
+WITH records AS (
+  SELECT event_id, md5('trace:' || CAST(event_id AS VARCHAR)) AS trace_id FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(MIN(event_id) AS BIGINT) AS first_event
+FROM records
+WHERE substr(trace_id, 1, 2) < '1a'
+""",
+    doc="P2 sampling as deterministic hash sampling (~10%): md5-prefix "
+    "filter — reproducible across engines/replays, unlike rand(); the "
+    "scale-correct way to sample a distributed trace stream",
+)
+def trace_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.functions.trace import trace_id_for
+
+    ev = load_table(spark, "events", sf_dir)
+    sampled = ev.select("event_id", trace_id_for("event_id").alias("trace_id")).filter(
+        F.substring("trace_id", 1, 2) < "1a"
+    )
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("event_id").cast("long").alias("first_event"),
+    )
+
+
+@register(
+    "logscan_grep",
+    """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_matching
+FROM documents
+WHERE contains(text, 'fast query') OR text LIKE '%slow join%'
+GROUP BY source
+""",
+    doc="X5: log-scan substring search (contains + LIKE) — the reference's "
+    "logfile-grep assertion (StreamsConfigTest.java:86-87) as a scan query",
+)
+def logscan_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.filter(F.col("text").contains("fast query") | F.col("text").like("%slow join%"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_matching"))
+    )

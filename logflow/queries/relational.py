@@ -468,7 +468,7 @@ def agg_distinct_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
 

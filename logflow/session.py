@@ -36,6 +36,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[N] runs everything in the driver JVM; the 1g default heap
+        # GC-thrashes under 32 concurrent tasks (only applies at JVM
+        # launch — a no-op if a session already exists).
+        .config("spark.driver.memory", os.environ.get("LOGFLOW_DRIVER_MEM", "16g"))
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -1,0 +1,82 @@
+"""Oracle parity + semantic checks for dedup/similarity/text queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+LLM_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "knn_cosine_brute",
+    "knn_cosine_ivf",
+    "text_quality",
+    "text_lang_id",
+    "text_token_count",
+    "text_fingerprint",
+]
+
+
+@pytest.mark.parametrize("name", LLM_QUERIES)
+def test_oracle_parity(spark, duck, sf_dir, name):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, name, sf_dir)
+
+
+def test_numpy_knn_matches_expression_knn(spark, sf_dir):
+    """The Arrow/BLAS path must return the same neighbors as the
+    expression path (both rank on sim rounded to 6dp)."""
+    from logflow.queries import load_all
+
+    reg = load_all()
+    expr = reg["knn_cosine_brute"].fn(spark, sf_dir).toPandas()
+    vec = reg["knn_cosine_numpy"].fn(spark, sf_dir).toPandas()
+    key = ["qid", "rank"]
+    e = expr.sort_values(key).reset_index(drop=True)
+    v = vec.sort_values(key).reset_index(drop=True)
+    assert (e["neighbor_id"] == v["neighbor_id"]).all()
+    assert (e["sim"] - v["sim"]).abs().max() < 1e-9
+
+
+def test_minhash_finds_exact_duplicates(spark):
+    """A doc and its exact copy must share all buckets → candidate pair
+    with jaccard 1.0; an unrelated doc must not pair with them."""
+    from logflow.operators.dedup import minhash_lsh_pairs
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    text_c = "completely different words entirely unrelated content nothing shared here at all folks"
+    df = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, text_c)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    from logflow.operators.dedup import simhash_16
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.simhash, r.n_bucket) for r in simhash_16(df, "doc_id", "text").collect()}
+    assert rows[1][0] == rows[2][0]
+    assert rows[1][1] == 2
+    assert rows[3][0] != rows[1][0]
+
+
+def test_knn_self_similarity(spark, sf_dir):
+    """A corpus vector used as its own query must rank itself first with sim 1."""
+    from logflow.operators.similarity import cosine_topk
+    from logflow.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == 42).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = cosine_topk(emb, q, "vec_id", "embedding", k=1).collect()
+    assert len(out) == 1 and out[0].neighbor_id == 42 and abs(out[0].sim - 1.0) < 1e-9

@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests: schema flow, Arrow batching, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logflow.operators.multimodal import (
+    decode_image,
+    fake_features,
+    frame_sample,
+    media_from_documents,
+)
+from logflow.sources.tables import load_table
+
+MM_QUERIES = ["multimodal_meta_summary", "multimodal_frame_sample", "trace_hash_sampling", "logscan_grep"]
+
+
+@pytest.mark.parametrize("name", MM_QUERIES)
+def test_oracle_parity(spark, duck, sf_dir, name):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, name, sf_dir)
+
+
+def test_fake_features_matches_expression_twin(spark, sf_dir):
+    """The mapInPandas path must agree with pure-JVM byte statistics."""
+    media = media_from_documents(load_table(spark, "documents", sf_dir))
+    got = fake_features(media).toPandas().set_index("media_id").sort_index()
+    want = (
+        media.select(
+            "media_id",
+            F.length("payload").cast("long").alias("n_bytes"),
+            (
+                F.aggregate(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("payload")),
+                        lambda i: F.ascii(F.substring(F.col("payload").cast("string"), i, 1)).cast(
+                            "long"
+                        ),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ).cast("double")
+                / F.length("payload")
+            ).alias("mean_byte"),
+        )
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert (got["n_bytes"] == want["n_bytes"]).all()
+    assert (got["mean_byte"] - want["mean_byte"]).abs().max() < 1e-9
+
+
+def test_decode_image_is_gated(spark, sf_dir):
+    media = media_from_documents(load_table(spark, "documents", sf_dir))
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
+
+
+def test_frame_sample_counts(spark):
+    df = spark.createDataFrame([(2, "video", b"x" * 200), (5, "video", b"y" * 10)],
+                               "media_id long, kind string, payload binary")
+    rows = {r.media_id: (r.n_frames, [bytes(f) for f in r.frames]) for r in frame_sample(df).collect()}
+    assert rows[2][0] == 3  # 200 // 64
+    assert rows[2][1][0] == b"x" * 8
+    assert rows[5][0] == 0

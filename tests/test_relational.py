@@ -1,0 +1,84 @@
+"""Oracle parity for the relational suite (sf0.001) + operator unit tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logflow.operators.joins import asof_join
+
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_revenue",
+    "join_broadcast_dims",
+    "join_semi_buyers",
+    "join_anti_dormant",
+    "join_range_bands",
+    "join_asof_purchase_click",
+    "window_top3_orders_per_customer",
+    "window_running_spend",
+    "agg_rollup_lineitem",
+    "agg_cube_orders",
+    "agg_grouping_sets",
+    "agg_distinct_per_segment",
+    "topk_orders",
+    "setops_customer_cohorts",
+    "dedup_first_event",
+    "scalar_string_suite",
+    "scalar_json_props",
+    "scalar_datetime_monthly",
+    "events_tumbling_hourly",
+    "sessionize_events",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL_QUERIES)
+def test_oracle_parity(spark, duck, sf_dir, name):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, name, sf_dir)
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    from logflow.queries import load_all
+
+    rows = load_all()["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_customers - r.exact_customers) <= max(3, 0.05 * r.exact_customers)
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "l1"),
+         (1, _ts("2024-01-01T12:00:00"), "l2"),
+         (2, _ts("2024-01-01T09:00:00"), "l3")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30:00"), "r1"),
+         (1, _ts("2024-01-01T11:00:00"), "r2"),
+         (1, _ts("2024-01-01T12:00:00"), "r3"),
+         (3, _ts("2024-01-01T08:00:00"), "r4")],
+        "k long, ts timestamp, rv string",
+    )
+    out = {
+        (r.k, r.lv): (r.rv, r.ts_right)
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["rv"]).collect()
+    }
+    assert out[(1, "l1")][0] == "r1"
+    assert out[(1, "l2")][0] == "r3"  # <= semantics: equal ts matches
+    assert out[(2, "l3")] == (None, None)  # no right rows for key 2
+
+    strict = {
+        (r.k, r.lv): r.rv
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["rv"], strict=True).collect()
+    }
+    assert strict[(1, "l2")] == "r2"  # strict <: equal ts excluded
