@@ -60,6 +60,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # Static conf, default 100: with ~50 registered queries × several
+        # codegen'd stages each, the generated-class cache thrashes and
+        # every query pays Janino recompilation on each run (measured: up
+        # to 30× first-run slowdowns at bench time).  One class is small;
+        # 10k entries is still trivial memory.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

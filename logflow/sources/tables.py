@@ -23,12 +23,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANO_TS_COLS = {"events": ["ts"]}
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load one driver-provided table (TESTDATA.md) as a DataFrame."""
+def load_table(
+    spark: SparkSession, name: str, sf_dir: str | None = None, parallelize: bool = True
+) -> DataFrame:
+    """Load one driver-provided table (TESTDATA.md) as a DataFrame.
+
+    ``parallelize``: the testdata files are single-row-group parquet, so the
+    scan yields ONE input split no matter how many cores exist — every
+    downstream map-side stage (md5 storms, fold expressions, BNL joins)
+    would run on one task.  When the scan's natural split count is below
+    the session's default parallelism we add a round-robin repartition;
+    filters/pruning still reach the scan (Catalyst pushes predicates
+    through Repartition), and on a real multi-file 100 TB table the scan
+    already has more splits than cores, making this a no-op.
+    """
     df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, []):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if parallelize:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(target // 2, 1):
+            df = df.repartition(target)
     return df
 
 
