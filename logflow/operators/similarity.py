@@ -125,6 +125,57 @@ def ivf_topk(
     )
 
 
+def signbit_bucket(vec, bits: int = 8):
+    """SRP-LSH bucket id from the sign bits of the first ``bits`` dims.
+
+    Axis-aligned random-hyperplane LSH (deterministic — the "random"
+    hyperplanes are the coordinate axes): vectors with similar direction
+    agree on most sign bits, so candidate generation is a cheap equi-join
+    on the bucket id instead of an O(n²) cross join — the property that
+    keeps embedding near-dup detection feasible at 100 TB.
+    """
+    return sum(
+        (
+            F.when(F.element_at(vec, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(bits)
+        ),
+        start=F.lit(0),
+    ).cast("long")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    bits: int = 8,
+    sim_digits: int = 6,
+) -> DataFrame:
+    """(vec_a, vec_b, sim) for bucket-sharing pairs with cosine ≥ threshold.
+
+    Candidates come from the sign-bit LSH equi-join (shuffle on bucket id,
+    uniformly distributed); exact rounded cosine verifies each candidate.
+    """
+    v = with_norm(
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")), "vec", "vnorm"
+    ).withColumn("bucket", signbit_bucket(F.col("vec"), bits))
+    a = v.select(
+        F.col("vid").alias("vec_a"), F.col("vec").alias("va"),
+        F.col("vnorm").alias("na"), "bucket",
+    )
+    b = v.select(
+        F.col("vid").alias("vec_b"), F.col("vec").alias("vb"),
+        F.col("vnorm").alias("nb"), "bucket",
+    )
+    sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), sim_digits)
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def cosine_topk_numpy(
     corpus: DataFrame,
     queries_pdf,

@@ -19,7 +19,12 @@ from logflow.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_16,
 )
-from logflow.operators.similarity import cosine_topk, cosine_topk_numpy, ivf_topk
+from logflow.operators.similarity import (
+    cosine_topk,
+    cosine_topk_numpy,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
 from logflow.queries import register
 from logflow.sources.tables import load_table
 
@@ -266,6 +271,33 @@ def knn_cosine_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
     return cosine_topk_numpy(corpus, queries_pdf, "vec_id", "embedding", k=5)
+
+
+_SIGNBITS = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+)
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         {_dd_norm('embedding')} AS vnorm,
+         CAST({_SIGNBITS} AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT vec_a, vec_b, sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND({_dd_dot('a.embedding', 'b.embedding')} / (a.vnorm * b.vnorm), 6) AS sim
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE sim >= 0.3
+""",
+    doc="Embedding-cosine near-dup: sign-bit (SRP) LSH bucket equi-join for "
+    "candidates, exact rounded cosine verification — no O(n²) cross join",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3, bits=8)
 
 
 # --------------------------------------------------------------------------

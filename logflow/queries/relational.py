@@ -365,6 +365,98 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_full_outer_daily",
+    """
+WITH o AS (
+  SELECT date_trunc('day', o_orderdate) AS d, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00' GROUP BY 1
+),
+l AS (
+  SELECT date_trunc('day', l_shipdate) AS d, CAST(COUNT(*) AS BIGINT) AS n_ships
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-07-01 00:00:00' GROUP BY 1
+)
+SELECT COALESCE(o.d, l.d) AS d, n_orders, n_ships
+FROM o FULL OUTER JOIN l ON o.d = l.d
+""",
+    doc="Full outer join: daily order counts vs daily ship counts — the tail "
+    "dates exist on only one side, exercising null rows from both inputs",
+)
+def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1998-07-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") >= F.lit("1998-07-01 00:00:00").cast("timestamp")
+    )
+    o = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    l = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ships")
+    )
+    return (
+        o.join(l, o.d == l.d, "full")
+        .select(F.coalesce(o.d, l.d).alias("d"), "n_orders", "n_ships")
+    )
+
+
+@register(
+    "window_lead_gap",
+    """
+SELECT event_id, user_id, event_type,
+       LEAD(event_type) OVER w AS next_type,
+       epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS gap_to_next_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="Analytic window (lead): next event type + time-to-next per user, "
+    "unique (ts, event_id) tiebreak for cross-engine determinism",
+)
+def window_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("gap_to_next_us"),
+    )
+
+
+@register(
+    "events_sliding_2h",
+    """
+WITH expanded AS (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+         value
+  FROM events
+)
+SELECT win_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM expanded
+GROUP BY win_start
+""",
+    doc="Sliding window (batch form of the streaming op): 2h windows sliding "
+    "1h — each event lands in exactly two windows; Spark's window() vs an "
+    "explicit unnest-of-starts mirror in the oracle",
+)
+def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # Grouping sets / rollup / cube / distinct
 # --------------------------------------------------------------------------

@@ -10,6 +10,7 @@ LLM_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "knn_cosine_brute",
     "knn_cosine_ivf",
     "text_quality",

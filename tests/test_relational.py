@@ -18,7 +18,9 @@ RELATIONAL_QUERIES = [
     "join_anti_dormant",
     "join_range_bands",
     "join_asof_purchase_click",
+    "join_full_outer_daily",
     "window_top3_orders_per_customer",
+    "window_lead_gap",
     "window_running_spend",
     "agg_rollup_lineitem",
     "agg_cube_orders",
@@ -31,6 +33,7 @@ RELATIONAL_QUERIES = [
     "scalar_json_props",
     "scalar_datetime_monthly",
     "events_tumbling_hourly",
+    "events_sliding_2h",
     "sessionize_events",
 ]
 

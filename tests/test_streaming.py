@@ -130,6 +130,135 @@ def test_streaming_session_window(spark, tmp_path):
     assert sorted(r.n_events for r in rows_out) == [1, 2]
 
 
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    from logflow.streaming.windows import sliding_value_avg
+
+    path = str(tmp_path / "ev3")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, float(v), base + datetime.timedelta(minutes=m))
+        for v, m in [(10, 0), (20, 20), (30, 50), (40, 70), (50, 130)]
+    ]
+    spark.createDataFrame(rows, "user_id long, value double, ts timestamp").write.parquet(path)
+    stream = spark.readStream.schema("user_id long, value double, ts timestamp").parquet(path)
+    q = (
+        sliding_value_avg(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.win_start, r.n, r.avg_value) for r in spark.sql("select * from sliding_t").collect()}
+    batch = spark.read.parquet(path)
+    want = {
+        (r.win_start, r.n, r.avg_value)
+        for r in batch.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "avg_value")
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key state carried ACROSS micro-batches —
+    the final emitted totals per key must equal the batch groupBy."""
+    from logflow.streaming.stateful import running_totals
+
+    path = str(tmp_path / "ev4")
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches, so key
+    # "1" must accumulate across batch boundaries via the state store
+    spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(1, 30.0), (3, 7.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = (
+        running_totals(stream, "user_id", "value")
+        .writeStream.format("memory")
+        .queryName("totals_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest update per key = the row with the largest n (totals are monotone)
+    rows = spark.sql("select * from totals_t").collect()
+    latest: dict[str, tuple] = {}
+    for r in rows:
+        if r.key not in latest or r.n > latest[r.key][0]:
+            latest[r.key] = (r.n, r.total)
+    want = {
+        str(r.user_id): (r.n, r.total)
+        for r in spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert latest == want
+    assert len(rows) > len(want)  # key "1" emitted in more than one batch
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Rows older than watermark - delay must be dropped from the window
+    agg once the watermark has advanced past their window's end."""
+    path = str(tmp_path / "ev5")
+    ckpt = str(tmp_path / "ckpt5")
+    base = datetime.datetime(2024, 1, 1)
+
+    out = str(tmp_path / "out5")
+
+    def run(name):
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).parquet(path)
+        q = (
+            hourly_type_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: events up to 06:00 -> watermark persisted as 06:00 - 2h = 04:00
+    spark.createDataFrame(
+        [(1, "click", base + datetime.timedelta(hours=h)) for h in (0, 1, 6)],
+        "user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(path)
+    run("late_t1")
+    # run 2 (same checkpoint): a late row at 00:30 — its window
+    # [00:00, 01:00) closed at watermark 04:00, so it must be dropped
+    spark.createDataFrame(
+        [(9, "click", base + datetime.timedelta(minutes=30))],
+        "user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(path)
+    run("late_t2")
+
+    counts = {
+        (r.hour_start, r.event_type): r.n for r in spark.read.parquet(out).collect()
+    }
+    # append mode only emits finalized windows (end <= watermark 04:00):
+    # the 00:00 and 01:00 windows, each with exactly ONE row — the late
+    # 00:30 row was dropped, the 06:00 row's window is not yet final
+    assert counts == {
+        (base, "click"): 1,
+        (base + datetime.timedelta(hours=1), "click"): 1,
+    }
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     path = str(tmp_path / "recs3")
     fixture = numbers_fixture(spark, [1, 2, 3], trace_id=TRACE)
