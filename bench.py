@@ -6,8 +6,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": "..."}
 
 Each query is forced end-to-end with the noop sink (full computation, no
-driver collect overhead).  A warmup pass on sf0.001 triggers JVM/codegen
-warm paths so the measured numbers reflect steady-state execution.
+driver collect overhead).  A warmup pass at the SAME scale factor runs
+first so the measured numbers reflect steady-state execution: AQE picks
+different physical plans (and therefore different generated classes) at
+different data sizes, so warming at a smaller SF would leave the measured
+pass paying Janino compilation + JIT warmup — measured as up to 10×
+first-run inflation on sub-second queries.
 """
 
 from __future__ import annotations
@@ -20,7 +24,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WARMUP_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> None:
@@ -31,18 +34,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
-    # Warmup: run everything once at the smallest SF (codegen + class loading).
+    # Warmup at the measured SF (codegen classes + JIT are plan-shape
+    # specific); drop any caches a query materialized so the measured pass
+    # starts from a clean executor state.
     for q in registry.values():
         try:
-            q.fn(spark, WARMUP_DIR).write.format("noop").mode("overwrite").save()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+    spark.catalog.clearCache()
 
+    # Two measured runs per query, report the min: the host shows bursty
+    # noisy-neighbor interference (same query measured 1.3 s and 20 s
+    # minutes apart with identical plans and healthy GC), and min-of-N is
+    # the standard robust estimator for the true cost under additive noise.
     timings: dict[str, float] = {}
-    for name, q in registry.items():
-        t0 = time.perf_counter()
-        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name, q in registry.items():
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -41,9 +41,15 @@ def word_shingles(tokens: Column | str, k: int = 3) -> Column:
     return F.when(F.size(toks) >= k, make).otherwise(F.array().cast("array<string>"))
 
 
-def char_ngrams(text: Column | str, n: int = 4) -> Column:
-    """Character n-grams over lower(text); empty array when shorter than n."""
-    lowered = F.lower(_c(text))
+def char_ngrams(text: Column | str, n: int = 4, pre_lowered: bool = False) -> Column:
+    """Character n-grams over lower(text); empty array when shorter than n.
+
+    The transform lambda references the source string once per position,
+    so pass a MATERIALIZED (projected) column with ``pre_lowered=True``
+    for long texts — closing over a computed expression re-evaluates it
+    per n-gram (O(len²) interpreted work per row).
+    """
+    lowered = _c(text) if pre_lowered else F.lower(_c(text))
     idx = F.sequence(F.lit(1), F.length(lowered) - (n - 1))
     make = F.transform(idx, lambda i: F.substring(lowered, i, n))
     return F.when(F.length(lowered) >= n, make).otherwise(F.array().cast("array<string>"))

@@ -51,9 +51,9 @@ def minhash_signature(shingles: Column, i: int) -> Column:
 
 
 def minhash_signatures_exploded(
-    docs: DataFrame, num_hashes: int = NUM_HASHES
+    exploded: DataFrame, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """All minhash signatures via explode + partial-aggregated min.
+    """All minhash signatures from (doc_id, s) shingle rows.
 
     Semantically identical to ``minhash_signature`` per column, but the
     md5s run inside whole-stage codegen over exploded rows instead of
@@ -61,7 +61,6 @@ def minhash_signatures_exploded(
     aggregate with map-side combine — the shape that scales (and is
     measurably ~20× faster than the array-transform path at sf0.1).
     """
-    exploded = docs.select("doc_id", F.explode("sh").alias("s"))
     return exploded.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"s{i}")
@@ -71,6 +70,23 @@ def minhash_signatures_exploded(
         # never has to re-derive it — rows are distinct by construction
         F.collect_set("s").alias("sh"),
     )
+
+
+def shingle_explode(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows — distinct word-k-shingles exploded.
+
+    Tokens are materialized in their own projection so the shingle lambda
+    references a computed array (not the re-inlined tokenize expression),
+    and there is deliberately NO ``filter(size(sh) > 0)``: explode already
+    drops empty arrays, and an explicit size filter gets predicate-pushed
+    below the scan-rebalance repartition with the ENTIRE interpreted
+    shingle expression re-inlined into the filter condition (plus an
+    inferred isnotnull twin) — measured as the whole corpus being
+    shingled 2× extra on one task (~18 s of a 20 s stage at sf0.1).
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+    sh = F.array_distinct(word_shingles(F.col("toks"), k))
+    return toks.select("doc_id", F.explode(sh).alias("s"))
 
 
 def shingled_docs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -100,8 +116,9 @@ def minhash_lsh_pairs(
     # 4× cost at sf0.1).  The count() is the in-session equivalent of
     # writing signatures to an intermediate table, which is exactly what
     # a 100 TB run would do between the signature and join phases.
-    docs = shingled_docs(df, id_col, text_col, k)
-    sigs = minhash_signatures_exploded(docs, num_hashes).persist()
+    sigs = minhash_signatures_exploded(
+        shingle_explode(df, id_col, text_col, k), num_hashes
+    ).persist()
     sigs.count()
     band_structs = F.array(
         *[
@@ -175,9 +192,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact char-n-gram Jaccard over all pairs of ``df`` — caller bounds
     the input (this is the verification step, not the discovery step)."""
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("g"),
+    lowered = df.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("lt"))
+    grams = lowered.select(
+        "doc_id",
+        F.array_distinct(char_ngrams(F.col("lt"), n, pre_lowered=True)).alias("g"),
     ).filter(F.size("g") > 0)
     a = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
     b = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))

@@ -465,7 +465,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side — same result, ~10× faster, and the scalable shape (no
     # len(text)-sized arrays held per row).
     docs = load_table(spark, "documents", sf_dir).filter(F.length("text") >= 8)
-    grams = docs.select("doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g"))
+    lowered = docs.select("doc_id", F.lower("text").alias("lt"))
+    grams = lowered.select(
+        "doc_id", F.explode(char_ngrams(F.col("lt"), 8, pre_lowered=True)).alias("g")
+    )
     out = grams.groupBy("doc_id").agg(
         F.min(F.md5(F.col("g").cast("binary"))).alias("fingerprint")
     )

