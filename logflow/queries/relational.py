@@ -795,3 +795,139 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("events_in_session").cast("long").alias("n_events"),
         F.max("events_in_session").cast("long").alias("max_session_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot / percentile / range frame / codec / collect
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_pivot_event_types",
+    """
+SELECT date_trunc('day', ts) AS day,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY day
+""",
+    doc="Pivot aggregation: daily event counts, one column per event type. "
+    "Explicit pivot value list keeps the output schema fixed (no extra "
+    "distinct-scan job, and stable columns at any SF); nulls filled to 0 to "
+    "match conditional-aggregation semantics.",
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return piv.select("day", *[F.col(t).cast("long").alias(t) for t in types])
+
+
+@register(
+    "agg_percentile_value",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 3) AS p50,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 3) AS p90,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="Exact interpolated percentiles (percentile_cont semantics) per "
+    "group. Exact percentile requires a per-group sort — fine for low-"
+    "cardinality groups; the 100TB path is approx_percentile (t-digest), "
+    "validated against this in tests.",
+)
+def agg_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = F.col("value").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(v, F.lit(0.5)), 3).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.9)), 3).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "window_range_7day_revenue",
+    """
+SELECT o_orderkey, o_custkey,
+       CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev_7d
+FROM orders
+""",
+    doc="RANGE-frame analytic window: per-customer trailing-7-day revenue. "
+    "rangeBetween on epoch-day (value-based frame, peers included) — "
+    "deterministic without tiebreaks, unlike ROWS frames.",
+)
+def window_range_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    return (
+        orders.withColumn("day", day)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "day",
+            F.round(F.sum(_dec("o_totalprice")).over(w), 2).cast("double").alias("rev_7d"),
+        )
+    )
+
+
+@register(
+    "scalar_codec_int_serde",
+    """
+SELECT event_id,
+       lpad(to_hex(CAST(event_id % 1000000 AS INT)), 8, '0') AS wire_hex,
+       CAST(event_id % 1000000 AS INT) AS decoded
+FROM events
+""",
+    doc="Kafka IntegerSerde wire codec (reference TestProducer.java:25, "
+    "application.yml:20-21): int -> 4-byte big-endian binary -> int "
+    "roundtrip with builtin expressions only (hex/lpad/to_binary/conv) — "
+    "no Python UDF on the deserialization path.",
+)
+def scalar_codec_int_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.functions.codec import int_be_decode, int_be_encode
+
+    ev = load_table(spark, "events", sf_dir)
+    v = (F.col("event_id") % 1000000).cast("int")
+    wire = int_be_encode(v)
+    return ev.select(
+        "event_id",
+        F.hex(wire).alias("wire_hex"),
+        int_be_decode(wire).alias("decoded"),
+    )
+
+
+@register(
+    "agg_collect_user_journey",
+    """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY event_type) AS journey,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+""",
+    doc="Collect aggregation (the trace-reassembly primitive, SURVEY.md Q2): "
+    "collect_list + full value sort + array_join — value-sorted so the "
+    "result is order-insensitive to shuffle nondeterminism.",
+)
+def agg_collect_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias("journey"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -35,6 +35,11 @@ RELATIONAL_QUERIES = [
     "events_tumbling_hourly",
     "events_sliding_2h",
     "sessionize_events",
+    "agg_pivot_event_types",
+    "agg_percentile_value",
+    "window_range_7day_revenue",
+    "scalar_codec_int_serde",
+    "agg_collect_user_journey",
 ]
 
 
