@@ -931,3 +931,213 @@ def agg_collect_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias("journey"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Subqueries (Catalyst rewrites: EXISTS/IN -> semi join, correlated scalar
+# -> aggregate + join) — expressed through spark.sql so the optimizer's
+# subquery planning is what's under test, not a hand-done de-correlation.
+# --------------------------------------------------------------------------
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+@register(
+    "subquery_exists_late_orders",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4-style correlated EXISTS (orders with a line shipped >60 "
+    "days after the order date). Catalyst rewrites the subquery into a "
+    "left-semi join on l_orderkey with the non-equi ship-date predicate as "
+    "the join residual — no per-row re-execution, one shuffle on the key.",
+)
+def subquery_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "subquery_scalar_small_orders",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 2) AS DOUBLE)
+       AS avg_yearly
+FROM lineitem l1
+WHERE l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+)
+""",
+    doc="TPC-H Q17-style correlated scalar subquery (lines under 20% of the "
+    "part's average quantity). Catalyst de-correlates into a per-partkey "
+    "aggregate joined back to lineitem (one scan + one shuffle each side). "
+    "l_quantity is integral (1..50) so AVG is FP-exact in any summation "
+    "order — the threshold compare is cross-engine deterministic.",
+)
+def subquery_scalar_small_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 2) AS DOUBLE)
+               AS avg_yearly
+        FROM lineitem l1
+        WHERE l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+        """
+    )
+
+
+@register(
+    "subquery_in_supplier_nations",
+    """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey IN (
+    SELECT s_nationkey FROM supplier GROUP BY s_nationkey HAVING COUNT(*) >= 3
+)
+GROUP BY n_name
+""",
+    doc="IN-subquery over an aggregated set (customers in nations having "
+    ">=3 suppliers). Catalyst plans the IN as a left-semi join against the "
+    "tiny HAVING result, which AQE turns into a broadcast; nation dim join "
+    "is broadcast too — zero large-side shuffles before the final agg.",
+)
+def subquery_in_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "customer", "nation", "supplier")
+    return spark.sql(
+        """
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_nationkey IN (
+            SELECT s_nationkey FROM supplier GROUP BY s_nationkey HAVING COUNT(*) >= 3
+        )
+        GROUP BY n_name
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Array/map scalar suite, ntile/cume analytics, unpivot
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_array_map_suite",
+    """
+SELECT event_id,
+       CAST(list_aggregate(list_transform(range(1, n + 1), x -> x * x), 'sum')
+            AS BIGINT) AS sum_sq,
+       array_to_string(list_transform(range(1, n + 1), x -> CAST(x AS VARCHAR)),
+                       ',') AS csv,
+       CAST(list_filter(range(1, n + 1), x -> x % 2 = 0)[1] AS BIGINT)
+            AS first_even,
+       element_at(map([event_type], [CAST(value AS DOUBLE)]), event_type)[1]
+            AS tagged_value
+FROM (SELECT event_id, event_type, value, event_id % 5 + 1 AS n FROM events)
+""",
+    doc="Array/map higher-order scalar suite (the headers/tags/MDC plane of "
+    "SURVEY.md §1.2): sequence -> transform -> aggregate fold, filter + "
+    "try_element_at (null on empty), array_join, and map build/extract — "
+    "all builtin JVM expressions inside whole-stage codegen, no UDF.",
+)
+def scalar_array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    n = (F.col("event_id") % 5 + 1).cast("int")
+    arr = F.sequence(F.lit(1), n)
+    sum_sq = F.aggregate(
+        F.transform(arr, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    evens = F.filter(arr, lambda x: x % 2 == F.lit(0))
+    tag_map = F.create_map(F.col("event_type"), F.col("value").cast("double"))
+    return ev.select(
+        "event_id",
+        sum_sq.alias("sum_sq"),
+        F.array_join(F.transform(arr, lambda x: x.cast("string")), ",").alias("csv"),
+        F.try_element_at(evens, F.lit(1)).cast("long").alias("first_even"),
+        F.try_element_at(tag_map, F.col("event_type")).alias("tagged_value"),
+    )
+
+
+@register(
+    "window_ntile_cume",
+    """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="Distribution analytics (ntile / percent_rank / cume_dist) per "
+    "priority class, unique-key tiebreak for determinism. Single window "
+    "spec -> one shuffle + one sort shared by all three functions.",
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "unpivot_returnflag_measures",
+    """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price,
+         CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty'   AS measure, sum_qty   AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_disc'  AS measure, sum_disc  AS value FROM agg
+""",
+    doc="Unpivot (wide->long melt) of per-returnflag measures via the native "
+    "df.unpivot operator — single Expand node over the aggregated frame, "
+    "not three re-scans like the UNION ALL formulation.",
+)
+def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    agg = li.groupBy("l_returnflag").agg(
+        _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        _money(F.sum(_dec("l_extendedprice"))).alias("sum_price"),
+        _money(F.sum(F.col("l_discount").cast("decimal(8,2)"))).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -40,6 +40,12 @@ RELATIONAL_QUERIES = [
     "window_range_7day_revenue",
     "scalar_codec_int_serde",
     "agg_collect_user_journey",
+    "subquery_exists_late_orders",
+    "subquery_scalar_small_orders",
+    "subquery_in_supplier_nations",
+    "scalar_array_map_suite",
+    "window_ntile_cume",
+    "unpivot_returnflag_measures",
 ]
 
 
