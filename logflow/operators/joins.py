@@ -14,6 +14,8 @@ which is the difference between working and not working at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,3 +75,80 @@ def broadcast_dim_join(
     """Equi-join with an explicit broadcast hint on the dimension side —
     no shuffle of the fact table, the property that survives 100× scale."""
     return fact.join(F.broadcast(dim), on, how)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to heavy key skew: the skewed (probe) side gets a
+    uniform random-ish salt derived from a hash of its whole row, the other
+    (build) side is replicated ``salt`` ways, and the join runs on
+    ``on + [salt]`` — a hot key's rows spread over ``salt`` reducers instead
+    of landing on one straggler task.
+
+    The salt is `pmod(hash(all probe columns), salt)` rather than `rand()`
+    so the operator stays deterministic under task retries (a retried task
+    re-salts identically — no lost/duplicated matches under speculative
+    execution).  Cost: build side bytes ×``salt`` through the shuffle, so
+    use for genuinely skewed probe⋈moderate build, not fact⋈fact.
+
+    AQE's skew-split (`spark.sql.adaptive.skewJoin`) handles most skew at
+    runtime; this explicit form covers the cases AQE can't see — skew
+    materializing only after a preceding stage, or single-key hotspots
+    beyond the split factor.
+    """
+    sk = skewed.withColumn("__salt", F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt)))
+    rep = other.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return sk.join(rep, on + ["__salt"], how).drop("__salt")
+
+
+def bucketed_join(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    buckets: int = 8,
+    table_prefix: str = "logflow_bucketed",
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables.
+
+    Writes both sides as bucketed+sorted managed tables on the join keys,
+    then joins the bucketed reads: Spark's scan reports the bucketing as
+    the output partitioning, so the sort-merge join needs NO Exchange on
+    either side (asserted in tests/test_relational.py).
+
+    This is the 100 TB pattern for a fact⋈fact join repeated across many
+    queries: pay the shuffle once at ingest (the bucketed write), amortize
+    it over every subsequent join/aggregation on the same key.  The bucket
+    count is fixed at write time — size it to the target table (~128 MB per
+    bucket-file per partition); both sides must use the same count for
+    co-location.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    names = []
+    for side, df in (("l", left), ("r", right)):
+        tbl = f"{table_prefix}_{side}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # The in-memory catalog forgets tables across sessions but leaves
+        # their files; a stale location fails the next managed-table write.
+        if warehouse.scheme in ("", "file"):
+            shutil.rmtree(os.path.join(warehouse.path, tbl), ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(buckets, *on)
+            .sortBy(*on)
+            .saveAsTable(tbl)
+        )
+        names.append(tbl)
+    # The merge hint keeps the planner on sort-merge: a broadcast pick would
+    # ignore the bucketing ("Bucketed: false (disabled by query planner)")
+    # and the whole point here is the Exchange-free co-located SMJ.
+    return spark.table(names[0]).hint("merge").join(spark.table(names[1]), on, how)

@@ -1141,3 +1141,39 @@ def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "join_salted_skew",
+    """
+WITH cust_orders AS (
+  SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(n_orders) AS BIGINT) AS total_orders
+FROM events JOIN cust_orders USING (user_id)
+GROUP BY event_type
+""",
+    doc="Skew-resilient salted equi-join (events probe side salted by row "
+    "hash, per-customer order counts replicated x8) — semantically the "
+    "plain inner join (that's the oracle), physically a join on "
+    "(user_id, salt) that spreads any hot user over 8 reducers. The "
+    "explicit form of what AQE skew-split does when it can see the skew; "
+    "needed when skew appears after a prior stage. operators/joins.py.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.joins import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type")
+    cust_orders = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = salted_join(ev, cust_orders, on=["user_id"], salt=8)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("n_orders").cast("long").alias("total_orders"),
+    )

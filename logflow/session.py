@@ -66,6 +66,12 @@ def get_spark(
         # to 30× first-run slowdowns at bench time).  One class is small;
         # 10k entries is still trivial memory.
         .config("spark.sql.codegen.cache.maxEntries", "10000")
+        # Managed tables (bucketed-join ingest path) land outside the repo;
+        # in-memory catalog, so the warehouse is just a directory of files.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("LOGFLOW_WAREHOUSE", "/tmp/logflow-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

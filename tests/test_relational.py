@@ -46,6 +46,7 @@ RELATIONAL_QUERIES = [
     "scalar_array_map_suite",
     "window_ntile_cume",
     "unpivot_returnflag_measures",
+    "join_salted_skew",
 ]
 
 
@@ -96,3 +97,43 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, ["k"], "ts", "ts", ["rv"], strict=True).collect()
     }
     assert strict[(1, "l2")] == "r2"  # strict <: equal ts excluded
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from logflow.operators.joins import salted_join
+    from logflow.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type")
+    dim = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    salted = salted_join(ev, dim, on=["user_id"], salt=4)
+    plain = ev.join(dim, "user_id")
+    assert salted.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(salted).isEmpty()
+    # left rows with no match must survive a left salted join
+    lefts = salted_join(ev, dim, on=["user_id"], salt=4, how="left")
+    assert lefts.count() == ev.count() or lefts.count() == plain.count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    from logflow.operators.joins import bucketed_join
+    from logflow.sources.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    li = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    joined = bucketed_join(
+        spark, orders, li, on=["o_orderkey"], buckets=4, table_prefix="t_bucket_test"
+    )
+    # force execution, then inspect the final adaptive plan
+    joined.write.format("noop").mode("overwrite").save()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and the result is the plain join
+    expected = orders.join(li, "o_orderkey")
+    assert joined.exceptAll(expected).isEmpty()
+    for side in ("l", "r"):
+        spark.sql(f"DROP TABLE IF EXISTS t_bucket_test_{side}")
