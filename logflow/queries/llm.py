@@ -475,3 +475,54 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "n_same", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).cast("long")
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok,
+         ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, rank FROM (
+  SELECT doc_id, tok, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, tok) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+    doc="TF-IDF top-3 terms per document: explode->TF (map-side partial "
+    "agg), DF over the (doc,term) pairs, smoothed IDF via a broadcast "
+    "1-row total, per-doc ranking window. Ranking compares the ROUNDED "
+    "score so a 1-ulp ln() divergence between engines cannot flip ranks. "
+    "The tok-keyed join is agg-side (|dict| rows, not |corpus|), zipf skew "
+    "handled by AQE skew-split.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tfidf", "rank")
+    )

@@ -1,0 +1,48 @@
+"""Stream-stream joins with watermark-bounded state (SURVEY.md §2.2 joins).
+
+The reference correlates records across topics by trace context; the
+streaming generalization is the event-time interval join: match rows of
+two unbounded streams on an equi-key when their event times fall within a
+band.  Structured Streaming keeps both sides' unmatched rows in state —
+the watermarks PLUS the time-range condition are what let it evict state
+(a row older than `watermark + band` can never match again), so both are
+mandatory here: an unbounded stream-stream join would grow state forever
+at 100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    band: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time interval join of two streams.
+
+    Matches ``left`` and ``right`` rows with equal ``on`` keys where
+    ``right_ts ∈ [left_ts, left_ts + band]`` (e.g. a purchase following a
+    click within an hour).  Both inputs get event-time watermarks; state
+    for each side is dropped once the other side's watermark passes the
+    band, giving bounded state regardless of stream length.
+
+    Outer variants ("leftOuter"/"rightOuter"/"fullOuter") emit NULL-padded
+    rows only after the watermark closes the match window — they are
+    correct but delayed by `watermark`, exactly Spark's contract.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {band}"))
+    )
+    return l.join(r, cond, how)

@@ -17,6 +17,7 @@ LLM_QUERIES = [
     "text_lang_id",
     "text_token_count",
     "text_fingerprint",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -275,3 +275,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     vals = sorted(r.value for r in spark.sql("select value from dedup_t").collect())
     assert vals == [1, 2, 3]
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    from logflow.streaming.joins import stream_interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+    clicks = [
+        (1, base + datetime.timedelta(minutes=0)),
+        (1, base + datetime.timedelta(minutes=90)),
+        (2, base + datetime.timedelta(minutes=10)),
+        (3, base + datetime.timedelta(minutes=30)),
+    ]
+    buys = [
+        (1, base + datetime.timedelta(minutes=40)),   # joins click@0 only
+        (1, base + datetime.timedelta(minutes=100)),  # joins click@90 (and click@0? 100>60 -> no)
+        (2, base + datetime.timedelta(minutes=80)),   # 70 min after click@10 -> outside band
+        (4, base + datetime.timedelta(minutes=5)),    # no matching click key
+    ]
+    cpath, bpath = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    spark.createDataFrame(clicks, "user_id long, click_ts timestamp").write.parquet(cpath)
+    spark.createDataFrame(buys, "user_id long, buy_ts timestamp").write.parquet(bpath)
+
+    cs = spark.readStream.schema("user_id long, click_ts timestamp").parquet(cpath)
+    bs = spark.readStream.schema("user_id long, buy_ts timestamp").parquet(bpath)
+    joined = stream_interval_join(
+        cs, bs, on="user_id", left_ts="click_ts", right_ts="buy_ts", band="1 hour"
+    ).select(F.col("l.user_id").alias("user_id"), "click_ts", "buy_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.click_ts, r.buy_ts)
+        for r in spark.sql("select * from sj").collect()
+    }
+    want = {
+        (1, clicks[0][1], buys[0][1]),
+        (1, clicks[1][1], buys[1][1]),
+    }
+    assert got == want
