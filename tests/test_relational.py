@@ -137,3 +137,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert joined.exceptAll(expected).isEmpty()
     for side in ("l", "r"):
         spark.sql(f"DROP TABLE IF EXISTS t_bucket_test_{side}")
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """The 100TB percentile path is approx_percentile (t-digest-style, one
+    pass, mergeable); validate it against the exact per-group sort within
+    a 5% relative tolerance at test scale."""
+    from logflow.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    v = F.col("value").cast("double")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile(v, F.lit(0.5)).alias("exact_p50"),
+            F.percentile_approx(v, F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+            F.percentile(v, F.lit(0.9)).alias("exact_p90"),
+            F.percentile_approx(v, F.lit(0.9), F.lit(10000)).alias("approx_p90"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        for q in ("p50", "p90"):
+            exact, approx = getattr(r, f"exact_{q}"), getattr(r, f"approx_{q}")
+            assert abs(approx - exact) <= max(0.05 * abs(exact), 1e-9), (r.event_type, q)
