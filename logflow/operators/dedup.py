@@ -206,3 +206,73 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "vec_a",
+    dst: str = "vec_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (node, component) where
+    ``component`` is the minimum node id reachable from ``node``.
+
+    The dedup endgame: pair emitters (MinHash/SimHash/embedding LSH) give
+    edges; keeping one canonical doc per *transitive* group needs connected
+    components, not pairs.  Implemented as iterative min-label propagation:
+    each round every node takes the min of its own and its neighbors'
+    labels, via a shuffle-join on the edge list — converges in O(cluster
+    diameter) rounds.  Near-dup clusters are dense and shallow (diameter
+    ≲ 5 in practice), so this beats the log-round large-star/small-star
+    scheme that rewrites (and re-shuffles) the whole edge list each round.
+
+    Per-round mechanics that matter at scale: `localCheckpoint` truncates
+    the lineage (otherwise plan depth grows linearly and Catalyst re-
+    analysis dominates); convergence is detected with a changed-label
+    count, so iteration stops as soon as the data says so.  Raises if not
+    converged within ``max_iterations`` (a diameter that large means the
+    threshold is merging everything — a data problem to surface, not mask).
+    """
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.localCheckpoint(eager=True)
+    # Right-size the edge list's partitioning: pair emitters leave one
+    # near-empty partition per shuffle reducer, and every propagation round
+    # would inherit that task count.  Narrow coalesce after the checkpoint;
+    # ~100k edges per task keeps rounds one-task-per-core at real scale.
+    n_parts = max(1, min(und.rdd.getNumPartitions(), und.count() // 100_000 + 1))
+    und = und.coalesce(n_parts)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+        .coalesce(n_parts)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("a", "node")
+        )
+        # Carry old_comp through the step so convergence detection is a
+        # filter over the (already materialized) checkpoint, not an extra
+        # join; the lazy checkpoint is materialized exactly once, by the
+        # changed-count action.
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = stepped.select("node", "comp")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )

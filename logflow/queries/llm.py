@@ -526,3 +526,54 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "tok", "tfidf", "rank")
     )
+
+
+@register(
+    "dedup_cluster_canonical",
+    f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding,
+         {_dd_norm('embedding')} AS vnorm,
+         CAST({_SIGNBITS} AS BIGINT) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_dd_dot('a.embedding', 'b.embedding')} / (a.vnorm * b.vnorm), 6) AS sim
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ) WHERE sim >= 0.3
+),
+und AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node
+)
+SELECT node AS vec_id,
+       CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+       node = MIN(lbl) AS is_canonical
+FROM reach GROUP BY node
+""",
+    doc="Transitive near-dup clustering: SRP-LSH candidate pairs -> "
+    "connected components (iterative min-label propagation, "
+    "operators/dedup.py) -> canonical = min vec_id per component. The "
+    "oracle computes the same components with a recursive CTE (transitive "
+    "closure), checking the ITERATIVE Spark algorithm against a "
+    "DECLARATIVE spec — the strongest cross-check in the dedup suite.",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.dedup import connected_components
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3, bits=8)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").cast("long").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )

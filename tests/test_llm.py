@@ -18,6 +18,7 @@ LLM_QUERIES = [
     "text_token_count",
     "text_fingerprint",
     "text_tfidf_top_terms",
+    "dedup_cluster_canonical",
 ]
 
 
