@@ -577,3 +577,62 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").cast("long").alias("cluster_id"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
+
+
+@register(
+    "pack_token_shards",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // 50000 AS BIGINT) AS shard_id
+FROM c
+""",
+    doc="Training-shard packing: contiguous fill in doc_id order, new "
+    "50k-token shard at each budget crossing. The global cumulative sum "
+    "runs as a two-phase distributed prefix sum (range partition -> local "
+    "window -> one-row-per-partition offsets broadcast back, "
+    "operators/packing.py) — NOT a partitionless window, which would "
+    "single-task the corpus at 100 TB. Integer arithmetic at shard "
+    "boundaries (DIV), no float rounding.",
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.packing import token_shards
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return token_shards(t, "doc_id", "n_tokens", budget=50_000).select(
+        "doc_id", "n_tokens", "shard_id"
+    )
+
+
+@register(
+    "sample_stratified",
+    None,  # sampling is engine-specific (Bernoulli per stratum, Spark's
+    # XORShift stream) — no SQL oracle can reproduce the row set; the
+    # rows-only check pins schema/liveness, tests pin fraction tolerances.
+    doc="Stratified (per-source) sampling of the documents corpus — the "
+    "mixture-weighting step of a training-data pipeline. sampleBy with "
+    "fixed fractions and seed: one scan, no shuffle (pure map-side "
+    "filter), deterministic for a given partitioning. Aggregated to "
+    "per-source counts so the driver check is stable.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    docs = load_table(spark, "documents", sf_dir)
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    # mixture weight per source, derived deterministically from the name
+    # (0.25 / 0.5 / 0.75 / 1.0)
+    fractions = {s: 0.25 * (1 + zlib.crc32(s.encode()) % 4) for s in sources}
+    sampled = docs.sampleBy("source", fractions, seed=42)
+    return sampled.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))

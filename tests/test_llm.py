@@ -19,6 +19,7 @@ LLM_QUERIES = [
     "text_fingerprint",
     "text_tfidf_top_terms",
     "dedup_cluster_canonical",
+    "pack_token_shards",
 ]
 
 
@@ -83,3 +84,27 @@ def test_knn_self_similarity(spark, sf_dir):
     )
     out = cosine_topk(emb, q, "vec_id", "embedding", k=1).collect()
     assert len(out) == 1 and out[0].neighbor_id == 42 and abs(out[0].sim - 1.0) < 1e-9
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    """sampleBy fractions land within binomial tolerance per stratum and
+    the sample is reproducible for a fixed seed."""
+    import zlib
+
+    from logflow.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fractions = {s: 0.25 * (1 + zlib.crc32(s.encode()) % 4) for s in totals}
+    from logflow.queries import load_all
+
+    q = load_all()["sample_stratified"]
+    got1 = {r.source: r.n_sampled for r in q.fn(spark, sf_dir).collect()}
+    got2 = {r.source: r.n_sampled for r in q.fn(spark, sf_dir).collect()}
+    assert got1 == got2  # seeded determinism
+    for s, n in totals.items():
+        f = fractions[s]
+        expect = f * n
+        # 4-sigma binomial bound (plus slack for tiny strata)
+        tol = 4 * (n * f * (1 - f)) ** 0.5 + 2
+        assert abs(got1.get(s, 0) - expect) <= tol, (s, got1.get(s), expect, tol)

@@ -319,3 +319,34 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         (1, clicks[1][1], buys[1][1]),
     }
     assert got == want
+
+
+def test_kafka_wire_frame_roundtrip(spark, record_dir):
+    """The produce-side serde (K1/K2): encode to the Kafka wire schema and
+    decode back — key utf8, value 4-byte BE int, b3 header re-encoded from
+    the current (child) span context."""
+    from logflow.functions.codec import int_be_decode
+    from logflow.functions.headers import header_value_str
+    from logflow.streaming.sinks import kafka_wire_frame
+
+    enriched = enrich_trace(spark.read.parquet(record_dir))
+    wire = kafka_wire_frame(enriched, topic="even-numbers")
+    assert [f.name for f in wire.schema.fields] == ["key", "value", "headers", "topic"]
+    assert wire.schema["key"].dataType.simpleString() == "binary"
+    assert wire.schema["value"].dataType.simpleString() == "binary"
+
+    decoded = wire.select(
+        F.col("key").cast("string").alias("key"),
+        int_be_decode("value").alias("value"),
+        header_value_str("headers", "b3").alias("b3"),
+        "topic",
+    ).collect()
+    src = {r.value: r for r in enriched.collect()}
+    assert decoded and len(decoded) == len(src)
+    for r in decoded:
+        orig = src[r.value]
+        assert r.key == orig.key
+        assert r.topic == "even-numbers"
+        # b3 carries the CURRENT child span, same trace id (reference
+        # StreamsConfigTest.java:64-66)
+        assert r.b3 == f"{orig.trace_id}-{orig.span_id}-1"
