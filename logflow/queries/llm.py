@@ -636,3 +636,70 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {s: 0.25 * (1 + zlib.crc32(s.encode()) % 4) for s in sources}
     sampled = docs.sampleBy("source", fractions, seed=42)
     return sampled.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+
+
+@register(
+    "corpus_build_pipeline",
+    f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t WHERE len(toks) >= 10
+),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ({_MARKER_SQL['en']}))) AS en_hits,
+         len(list_filter(toks, x -> x IN ({_MARKER_SQL['fr']}))) AS fr_hits,
+         len(list_filter(toks, x -> x IN ({_MARKER_SQL['es']}))) AS es_hits,
+         len(list_filter(toks, x -> x IN ({_MARKER_SQL['de']}))) AS de_hits
+  FROM q
+),
+en AS (
+  SELECT q.doc_id, q.text, q.n_tokens
+  FROM q JOIN hits USING (doc_id)
+  WHERE greatest(en_hits, fr_hits, es_hits, de_hits) > 0
+    AND en_hits >= greatest(fr_hits, es_hits, de_hits)
+),
+ded AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM en
+  ) WHERE rn = 1
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ded
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // 20000 AS BIGINT) AS shard_id
+FROM c
+""",
+    doc="End-to-end corpus build — the engine's operators composed as one "
+    "declarative plan: length/quality gate (>=10 tokens) -> language "
+    "filter (marker argmax = 'en') -> exact dedup (min doc_id per "
+    "md5(text), one hash-shuffle) -> distributed prefix-sum packing into "
+    "20k-token shards. One Catalyst plan end-to-end: the tokenize runs "
+    "once, filters fuse into the scan stage, and each step is the "
+    "already-tested operator, not a re-implementation.",
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.packing import token_shards
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
+    q = t.filter(F.size("toks") >= 10).withColumn("n_tokens", F.size("toks").cast("long"))
+
+    def marker_hits(words):
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*words)))
+
+    hits = {lang: marker_hits(words) for lang, words in LANG_MARKERS.items()}
+    en, fr, es, de = (hits[l] for l in ("en", "fr", "es", "de"))
+    q = q.filter((F.greatest(en, fr, es, de) > 0) & (en >= F.greatest(fr, es, de)))
+
+    rn = F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+    ded = q.withColumn("rn", rn).filter(F.col("rn") == 1).select("doc_id", "n_tokens")
+    return token_shards(ded, "doc_id", "n_tokens", budget=20_000).select(
+        "doc_id", "n_tokens", "shard_id"
+    )

@@ -20,6 +20,7 @@ LLM_QUERIES = [
     "text_tfidf_top_terms",
     "dedup_cluster_canonical",
     "pack_token_shards",
+    "corpus_build_pipeline",
 ]
 
 

@@ -44,6 +44,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "setops_customer_cohorts": {
         "bnlj": "crossJoin of three single-row aggregate results"
     },
+    "text_tfidf_top_terms": {
+        "bnlj": "crossJoin of the single-row corpus-size aggregate (N for IDF)"
+    },
     "text_quality": {
         "hof-in-filter": "size(toks)>0 duplicates one linear tokenize below "
         "the rebalance — bounded 2×, and parallel on real multi-split scans"
