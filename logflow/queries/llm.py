@@ -703,3 +703,51 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_shards(ded, "doc_id", "n_tokens", budget=20_000).select(
         "doc_id", "n_tokens", "shard_id"
     )
+
+
+@register(
+    "text_robust_zscore",
+    """
+WITH l AS (
+  SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS n FROM documents
+),
+m AS (SELECT source, quantile_cont(n, 0.5) AS med FROM l GROUP BY source),
+d AS (
+  SELECT l.doc_id, l.source, l.n, m.med, ABS(l.n - m.med) AS adev
+  FROM l JOIN m USING (source)
+),
+mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY source)
+SELECT d.doc_id, d.source,
+       ROUND((d.n - d.med) / (CASE WHEN mad.mad = 0 THEN 1.0 ELSE mad.mad END), 4)
+           AS robust_z
+FROM d JOIN mad USING (source)
+""",
+    doc="Grouped-map Pandas UDF surface (applyInPandas): per-source robust "
+    "z-score of document length (median/MAD — rank statistics that need "
+    "the whole group, the legit applyInPandas case). One shuffle on the "
+    "group key; each group is one Arrow batch in one Python worker. "
+    "Groups must fit worker memory — per-source corpus slices don't, so "
+    "at 100 TB the group key becomes (source, hash-bucket) and medians "
+    "merge via t-digest; the plumbing (schema, shuffle, Arrow) is "
+    "identical and is what's under test.",
+)
+def text_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir)
+    lens = docs.select("doc_id", "source", F.length("text").cast("double").alias("n"))
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        med = pdf["n"].median()
+        mad = (pdf["n"] - med).abs().median()
+        # no rounding here: numpy rounds half-to-even, SQL ROUND rounds
+        # half-away-from-zero — round on the Spark side to match the oracle
+        z = (pdf["n"] - med) / (mad if mad != 0 else 1.0)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "source": pdf["source"], "robust_z": z}
+        )
+
+    out = lens.groupBy("source").applyInPandas(
+        zscore, schema="doc_id long, source string, robust_z double"
+    )
+    return out.withColumn("robust_z", F.round("robust_z", 4))

@@ -48,7 +48,7 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = 
         else:
             ok = (av.isna() & bv.isna()) | (av == bv)
         if not ok.all():
-            bad = (~ok).idxmax()
+            bad = int(np.argmax(~np.asarray(ok)))
             raise AssertionError(
                 f"{name}: column {c!r} differs at sorted-row {bad}: "
                 f"spark={av.iloc[bad]!r} duck={bv.iloc[bad]!r}"

@@ -21,6 +21,7 @@ LLM_QUERIES = [
     "dedup_cluster_canonical",
     "pack_token_shards",
     "corpus_build_pipeline",
+    "text_robust_zscore",
 ]
 
 
