@@ -54,9 +54,14 @@ def asof_join(
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     merged = l.unionByName(r, allowMissingColumns=True)
 
+    # __payload as the final sort key makes right-side ties at equal ts
+    # deterministic (struct comparison, field order = right_cols + right_ts);
+    # without it the winner among equal-ts right rows is partition-order-
+    # dependent.  Requires orderable payload columns (no maps) — true for
+    # every engine use; callers with map payloads should pre-serialize.
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = merged.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
