@@ -676,30 +676,41 @@ SELECT doc_id, n_tokens,
        CAST((cum - n_tokens) // 20000 AS BIGINT) AS shard_id
 FROM c
 """,
-    doc="End-to-end corpus build — the engine's operators composed as one "
-    "declarative plan: length/quality gate (>=10 tokens) -> language "
+    doc="End-to-end corpus build: length gate (>=10 tokens) -> language "
     "filter (marker argmax = 'en') -> exact dedup (min doc_id per "
     "md5(text), one hash-shuffle) -> distributed prefix-sum packing into "
-    "20k-token shards. One Catalyst plan end-to-end: the tokenize runs "
-    "once, filters fuse into the scan stage, and each step is the "
-    "already-tested operator, not a re-implementation.",
+    "20k-token shards. Per-doc metrics come from ONE tokenize via explode "
+    "+ conditional partial aggregation (the engine's standard heavy-"
+    "expression shape) — filtering on array-lambda columns directly would "
+    "let predicate pushdown re-inline the tokenize chain ~10x into one "
+    "fused filter (measured; see tools/explain_audit.py hof-in-filter).",
 )
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logflow.operators.packing import token_shards
 
     docs = load_table(spark, "documents", sf_dir)
-    t = docs.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
-    q = t.filter(F.size("toks") >= 10).withColumn("n_tokens", F.size("toks").cast("long"))
+    # one tokenize per doc, materialized as token rows by the generator;
+    # every metric is a conditional count over those rows (map-side partial
+    # agg compresses to one row per doc before the shuffle)
+    tok_rows = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
 
-    def marker_hits(words):
-        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*words)))
+    def hits(words):
+        return F.sum(F.when(F.col("tok").isin(*words), 1).otherwise(0))
 
-    hits = {lang: marker_hits(words) for lang, words in LANG_MARKERS.items()}
-    en, fr, es, de = (hits[l] for l in ("en", "fr", "es", "de"))
-    q = q.filter((F.greatest(en, fr, es, de) > 0) & (en >= F.greatest(fr, es, de)))
+    metrics = tok_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[hits(w).alias(f"{lang}_hits") for lang, w in LANG_MARKERS.items()],
+    )
+    en, fr, es, de = (F.col(f"{l}_hits") for l in ("en", "fr", "es", "de"))
+    kept = metrics.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.greatest(en, fr, es, de) > 0)
+        & (en >= F.greatest(fr, es, de))
+    ).select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
 
+    with_text = kept.join(docs.select("doc_id", "text"), "doc_id")
     rn = F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
-    ded = q.withColumn("rn", rn).filter(F.col("rn") == 1).select("doc_id", "n_tokens")
+    ded = with_text.withColumn("rn", rn).filter(F.col("rn") == 1).select("doc_id", "n_tokens")
     return token_shards(ded, "doc_id", "n_tokens", budget=20_000).select(
         "doc_id", "n_tokens", "shard_id"
     )
