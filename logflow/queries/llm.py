@@ -762,3 +762,32 @@ def text_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         zscore, schema="doc_id long, source string, robust_z double"
     )
     return out.withColumn("robust_z", F.round("robust_z", 4))
+
+
+@register(
+    "text_vocab_topk",
+    f"""
+WITH toks AS (SELECT unnest({TOKS}) AS tok FROM documents),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok)
+SELECT tok, freq, rank FROM (
+  SELECT tok, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 25
+""",
+    doc="Corpus heavy hitters: top-25 vocabulary terms. explode -> count "
+    "(map-side partial agg) -> TakeOrderedAndProject for the top-k (heap "
+    "per partition + driver merge of 25-row heads — no global sort, no "
+    "single-partition ranking window over the full vocabulary); the rank "
+    "column is attached to the already-reduced 25 rows.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), "tok").limit(25)
+    w = Window.orderBy(F.desc("freq"), "tok")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

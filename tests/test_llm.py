@@ -22,6 +22,7 @@ LLM_QUERIES = [
     "pack_token_shards",
     "corpus_build_pipeline",
     "text_robust_zscore",
+    "text_vocab_topk",
 ]
 
 
