@@ -58,13 +58,27 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    # The driver captures only the tail of stdout (~2 KB): print a compact
+    # summary line ("queries" = slowest 5 only) and write the full
+    # per-query timing map to bench_detail.json next to this script.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"metric": "total_query_sec", "value": total, "unit": "sec",
+             "queries": timings, "sf": SF_DIR},
+            fh, indent=1, sort_keys=True,
+        )
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "max_sec": max(timings.values()) if timings else 0.0,
+                "queries": slowest,
+                "detail": "bench_detail.json",
                 "sf": SF_DIR,
             }
         )

@@ -199,6 +199,14 @@ def cosine_topk_numpy(
     qmat = np.stack(queries_pdf["qvec"].to_numpy()).astype(np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
 
+    # Rounding happens Spark-side (F.round = half-away-from-zero, matching
+    # DuckDB); numpy's np.round is half-to-even and MUST NOT be used here
+    # (repo determinism rule).  The per-batch prune keeps a small margin
+    # beyond k so a candidate that loses on raw sim but ties after rounding
+    # (and would win the neighbor_id tiebreak) still reaches the global
+    # window.
+    prune = k + 8
+
     def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             if not len(pdf):
@@ -206,22 +214,23 @@ def cosine_topk_numpy(
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1)
             sims = (mat @ qmat.T) / np.outer(norms, qnorm)
-            n_take = min(k, sims.shape[0])
-            # per-batch partial top-k: prune before the global reduce
+            n_take = min(prune, sims.shape[0])
+            # per-batch partial top-k on RAW sims: prune before the reduce
             idx = np.argpartition(-sims, n_take - 1, axis=0)[:n_take]
             out = {
                 "qid": np.repeat(qids, n_take),
                 "neighbor_id": pdf[id_col].to_numpy()[idx].T.ravel(),
-                "sim": np.round(np.take_along_axis(sims, idx, 0).T.ravel(), sim_digits),
+                "sim": np.take_along_axis(sims, idx, 0).T.ravel(),
             }
             yield pd.DataFrame(out)
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score, schema="qid long, neighbor_id long, sim double"
     )
+    rounded = partial.withColumn("sim", F.round(F.col("sim"), sim_digits))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "neighbor_id")
     return (
-        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "rank", "sim")
     )

@@ -1177,3 +1177,44 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("n_orders").cast("long").alias("total_orders"),
     )
+
+
+@register(
+    "join_bucketed_revenue",
+    """
+SELECT o_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    doc="Bucketed co-located fact⋈fact join (operators/joins.py:bucketed_join): "
+    "both sides written bucketBy(8, orderkey)+sortBy, then SMJ with ZERO "
+    "Exchange on either side AND the groupBy(orderkey) reuses the bucket "
+    "partitioning; the top-10 runs as TakeOrderedAndProject, so the executed "
+    "plan has ZERO Exchange nodes (asserted in tests). "
+    "Bucketing is physical, not semantic, so the oracle is the plain join. "
+    "The 100 TB pattern: pay the shuffle once at ingest, amortize over every "
+    "later join/agg on the same key.",
+)
+def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.joins import bucketed_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderdate"
+    )
+    j = bucketed_join(spark, orders, li, on=["orderkey"], buckets=8, table_prefix="logflow_bjq")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)"))
+    return (
+        j.groupBy("orderkey")
+        .agg(_money(revenue).alias("revenue"), F.count(F.lit(1)).cast("long").alias("n_items"))
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+        .select(F.col("orderkey").alias("o_orderkey"), "revenue", "n_items")
+    )

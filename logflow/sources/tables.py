@@ -37,6 +37,10 @@ def load_table(
     through Repartition), and on a real multi-file 100 TB table the scan
     already has more splits than cores, making this a no-op.
     """
+    # The driver may hand us a vanilla SparkSession (no logflow.session
+    # factory): make the TIMESTAMP(NANOS) parquet readable regardless.
+    # nanosAsLong is a runtime-settable SQLConf, so this is safe per-read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, []):
         if isinstance(df.schema[col].dataType, T.LongType):

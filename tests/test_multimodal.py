@@ -23,6 +23,20 @@ def test_oracle_parity(spark, duck, sf_dir, name):
     check_query(spark, duck, name, sf_dir)
 
 
+def test_multimodal_features_liveness(spark, sf_dir):
+    """multimodal_features is registered with oracle=None (rows-only at the
+    driver): assert schema + row count here, complementing the
+    expression-twin value check below."""
+    from logflow.queries import load_all
+
+    df = load_all()["multimodal_features"].fn(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "media_id", "kind", "n_bytes", "mean_byte", "feature_dim"
+    ]
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert df.count() == n_docs
+
+
 def test_fake_features_matches_expression_twin(spark, sf_dir):
     """The mapInPandas path must agree with pure-JVM byte statistics."""
     media = media_from_documents(load_table(spark, "documents", sf_dir))

@@ -47,6 +47,7 @@ RELATIONAL_QUERIES = [
     "window_ntile_cume",
     "unpivot_returnflag_measures",
     "join_salted_skew",
+    "join_bucketed_revenue",
 ]
 
 

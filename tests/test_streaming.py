@@ -321,6 +321,24 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_int_serde_signed_roundtrip(spark):
+    """IntegerSerde is SIGNED 32-bit two's complement: encode/decode must
+    round-trip negatives and both int boundaries without ANSI cast
+    overflow (4-byte FFFFFFFF is -1, not 4294967295)."""
+    from logflow.functions.codec import int_be_decode, int_be_encode
+
+    vals = [0, 1, 8, 255, -1, -8, 2147483647, -2147483648]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    rows = df.select(
+        "v",
+        int_be_decode(int_be_encode("v")).alias("roundtrip"),
+        F.length(int_be_encode("v")).alias("nbytes"),
+    ).collect()
+    for r in rows:
+        assert r.roundtrip == r.v, r
+        assert r.nbytes == 4, r
+
+
 def test_kafka_wire_frame_roundtrip(spark, record_dir):
     """The produce-side serde (K1/K2): encode to the Kafka wire schema and
     decode back — key utf8, value 4-byte BE int, b3 header re-encoded from
