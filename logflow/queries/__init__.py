@@ -135,6 +135,8 @@ PRIORITY: list[str] = [
     "agg_percentile_value",
     "subquery_scalar_small_orders",
     "subquery_in_supplier_nations",
+    "sample_hash_weighted",
+    "text_clean_normalize",
     "multimodal_features",  # no oracle (rows-only)
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # no oracle (pytest equality to knn_cosine_brute)

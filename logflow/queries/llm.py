@@ -791,3 +791,86 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("freq"), "tok").limit(25)
     w = Window.orderBy(F.desc("freq"), "tok")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "sample_hash_weighted",
+    """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat('smp:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u,
+         0.25 * (1 + CAST(concat('0x', substr(md5(source), 1, 2)) AS BIGINT) % 4) AS wt
+  FROM documents
+)
+SELECT source,
+       ROUND(MAX(wt), 2) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN u < wt THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM w
+GROUP BY source
+""",
+    doc="Deterministic hash-threshold mixture sampling: keep a doc iff "
+    "md5('smp:'||doc_id)/2^32 < weight(source), weight derived from "
+    "md5(source) — the production alternative to RNG sampling "
+    "(sample_stratified): fully reproducible across engines, partitionings "
+    "and task retries, so unlike Bernoulli-RNG sampling it CAN be "
+    "oracle-checked. Pure map-side filter (no shuffle until the per-source "
+    "count agg); at 100 TB the sample is stable under speculative "
+    "execution and re-runs, which RNG sampling is not.",
+)
+def sample_hash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long") / F.lit(4294967296.0)
+    wt = F.lit(0.25) * (
+        F.lit(1) + F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10).cast("long") % 4
+    )
+    w = docs.select("source", u.alias("u"), wt.alias("wt"))
+    return w.groupBy("source").agg(
+        F.round(F.max("wt"), 2).alias("weight"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("u") < F.col("wt"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+    )
+
+
+@register(
+    "text_clean_normalize",
+    r"""
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+              'https?://\S+', ' ', 'g'),
+              '[a-z0-9._%+-]+@[a-z0-9.-]+', ' ', 'g'),
+              '\s+', ' ', 'g')) AS clean
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       md5(clean) AS clean_md5
+FROM c
+""",
+    doc="Text cleaning/normalization for corpus prep: lowercase, strip "
+    "URLs and emails, collapse whitespace, trim — pure regexp_replace "
+    "expressions (whole-stage codegen, no UDF), verified byte-exact via "
+    "md5 of the cleaned text against the oracle. One narrow map stage: "
+    "no shuffle at any scale.",
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"https?://\S+", " "),
+                r"[a-z0-9._%+-]+@[a-z0-9.-]+", " ",
+            ),
+            r"\s+", " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(clean).cast("long").alias("n_chars_clean"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -41,15 +41,50 @@ def load_table(
     # factory): make the TIMESTAMP(NANOS) parquet readable regardless.
     # nanosAsLong is a runtime-settable SQLConf, so this is safe per-read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
+    path = os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, []):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if parallelize:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(target // 2, 1):
+        if _scan_splits(spark, path) < max(target // 2, 1):
             df = df.repartition(target)
     return df
+
+
+def _scan_splits(spark: SparkSession, path: str) -> int:
+    """Estimate the parquet scan's input-split count from file sizes —
+    the same ceil(bytes / maxPartitionBytes) FilePartition planning uses —
+    instead of df.rdd.getNumPartitions(), which forces a full
+    DataFrame→RDD plan conversion per table load. Non-local paths fall
+    back to 'many splits' (no rebalance), which is the truth on any real
+    multi-file 100 TB table."""
+    try:
+        if os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+        elif os.path.isdir(path):
+            sizes = [
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            return 1 << 30
+    except OSError:
+        return 1 << 30
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    try:
+        if raw[-1] == "b" and raw[-2:-1] in units:  # "128mb"
+            max_bytes = int(raw[:-2]) * units[raw[-2]]
+        elif raw[-1] in units:  # "128m"
+            max_bytes = int(raw[:-1]) * units[raw[-1]]
+        else:  # "134217728" or "134217728b"
+            max_bytes = int(raw.rstrip("b"))
+    except (ValueError, IndexError):
+        max_bytes = 128 << 20
+    return sum(max(1, -(-s // max_bytes)) for s in sizes)
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -23,6 +23,8 @@ LLM_QUERIES = [
     "corpus_build_pipeline",
     "text_robust_zscore",
     "text_vocab_topk",
+    "sample_hash_weighted",
+    "text_clean_normalize",
 ]
 
 

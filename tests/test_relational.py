@@ -59,12 +59,19 @@ def test_oracle_parity(spark, duck, sf_dir, name):
 
 
 def test_approx_distinct_close_to_exact(spark, sf_dir):
+    """agg_approx_distinct is rows-only at the driver (HLL sketches are
+    engine-specific): back it with the real invariant instead — the query
+    runs approx_count_distinct at rsd=0.02, so require
+    |approx - exact| / exact <= 2*rsd per group (small-count floor of 2
+    because HLL++ error is quantized at tiny cardinalities)."""
     from logflow.queries import load_all
 
+    rsd = 0.02
     rows = load_all()["agg_approx_distinct"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_customers - r.exact_customers) <= max(3, 0.05 * r.exact_customers)
+        bound = max(2, 2 * rsd * r.exact_customers)
+        assert abs(r.approx_customers - r.exact_customers) <= bound, r
 
 
 def _ts(s: str) -> datetime.datetime:

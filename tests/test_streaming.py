@@ -321,6 +321,65 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_interval_join_sf001_matches_batch(spark, tmp_path):
+    """Scale the interval-join batch-equivalence beyond toy frames: run the
+    watermarked stream-stream band join over the sf0.01 events fixture
+    (~2k clicks x ~2k purchases, real out-of-order timestamps) through a
+    memory sink and assert exact set equality with the batch band join on
+    the same inputs. (FileStreamSource needs a directory, so the fixture
+    is staged into tmp_path first — same rows, µs timestamps.)"""
+    from logflow.sources.tables import load_table
+    from logflow.streaming.joins import stream_interval_join
+
+    sf01 = "/root/testdata/sf0.01"
+    ev = load_table(spark, "events", sf01, parallelize=False)
+    staged = str(tmp_path / "events_sf001")
+    ev.write.parquet(staged)
+    ev = spark.read.parquet(staged)
+    clicks_b = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("click_ts"))
+    buys_b = ev.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("buy_ts"))
+
+    def stream_side(etype: str, ts_alias: str):
+        return (
+            spark.readStream.format("parquet")
+            .schema(ev.schema)
+            .load(staged)
+            .filter(F.col("event_type") == etype)
+            .select("user_id", F.col("ts").alias(ts_alias))
+        )
+
+    cs = stream_side("click", "click_ts")
+    bs = stream_side("purchase", "buy_ts")
+    joined = stream_interval_join(
+        cs, bs, on="user_id", left_ts="click_ts", right_ts="buy_ts", band="1 hour"
+    ).select(F.col("l.user_id").alias("user_id"), "click_ts", "buy_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj_sf001")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.click_ts, r.buy_ts)
+        for r in spark.sql("select * from sj_sf001").collect()
+    }
+    want = {
+        (r.user_id, r.click_ts, r.buy_ts)
+        for r in clicks_b.join(
+            buys_b,
+            (clicks_b.user_id == buys_b.user_id)
+            & (buys_b.buy_ts >= clicks_b.click_ts)
+            & (buys_b.buy_ts <= clicks_b.click_ts + F.expr("INTERVAL 1 hour")),
+        )
+        .select(clicks_b.user_id, "click_ts", "buy_ts")
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
 def test_int_serde_signed_roundtrip(spark):
     """IntegerSerde is SIGNED 32-bit two's complement: encode/decode must
     round-trip negatives and both int boundaries without ANSI cast
