@@ -147,7 +147,13 @@ def bucketed_join(
         if warehouse.scheme in ("", "file"):
             shutil.rmtree(os.path.join(warehouse.path, tbl), ignore_errors=True)
         (
-            df.write.mode("overwrite")
+            # Repartition on the bucket keys first: every write task then
+            # holds whole buckets, so each bucket is ONE file instead of
+            # one-per-input-task (32 tasks x 8 buckets = 256 small files
+            # otherwise). This shuffle IS the pay-once-at-ingest cost the
+            # pattern amortizes.
+            df.repartition(buckets, *[F.col(c) for c in on])
+            .write.mode("overwrite")
             .bucketBy(buckets, *on)
             .sortBy(*on)
             .saveAsTable(tbl)
