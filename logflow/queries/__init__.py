@@ -137,6 +137,7 @@ PRIORITY: list[str] = [
     "subquery_in_supplier_nations",
     "sample_hash_weighted",
     "text_clean_normalize",
+    "text_repetition_ratio",
     "multimodal_features",  # no oracle (rows-only)
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # no oracle (pytest equality to knn_cosine_brute)

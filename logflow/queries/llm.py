@@ -874,3 +874,79 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("n_chars_clean"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+@register(
+    "text_repetition_ratio",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+  FROM t WHERE len(toks) >= 2
+),
+e AS (SELECT doc_id, n_tokens, n_distinct, unnest(bgs) AS bg FROM b),
+c AS (
+  SELECT doc_id, n_tokens, n_distinct, bg, COUNT(*) AS cnt
+  FROM e GROUP BY doc_id, n_tokens, n_distinct, bg
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / (n_tokens - 1), 4) AS top_bigram_ratio,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+       (ROUND(CAST(MAX(cnt) AS DOUBLE) / (n_tokens - 1), 4) <= 0.2
+        AND ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) >= 0.3) AS keep
+FROM c
+GROUP BY doc_id, n_tokens, n_distinct
+""",
+    doc="Repetition detection (Gopher/C4-style quality rule): fraction of a "
+    "doc's bigrams taken by its most frequent bigram + distinct-token "
+    "ratio; keep = not repetitive. Plan: one tokenize, per-row "
+    "array_distinct (no shuffle), bigrams via zip_with(slice,slice), then "
+    "explode -> (doc_id, bigram) partial-agg count -> per-doc max — both "
+    "shuffles are doc-local keys (uniform, skew-free), and the count gets "
+    "map-side combine, so cost scales with cores at 100 TB. Thresholds "
+    "compared on ROUNDED ratios for cross-engine determinism.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(F.col("text"))
+    n = F.size("toks")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+            F.zip_with(
+                F.slice("toks", F.lit(1), n - 1),
+                F.slice("toks", F.lit(2), n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ).alias("bgs"),
+        )
+    )
+    counts = (
+        base.select("doc_id", "n_tokens", "n_distinct", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "n_tokens", "n_distinct", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dist_ratio = F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 4)
+    return (
+        counts.groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.max("cnt").alias("_top"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_top").cast("double") / (F.col("n_tokens") - 1), 4).alias(
+                "top_bigram_ratio"
+            ),
+            dist_ratio.alias("distinct_ratio"),
+            (
+                (F.round(F.col("_top").cast("double") / (F.col("n_tokens") - 1), 4) <= 0.2)
+                & (dist_ratio >= 0.3)
+            ).alias("keep"),
+        )
+    )

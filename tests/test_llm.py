@@ -25,6 +25,7 @@ LLM_QUERIES = [
     "text_vocab_topk",
     "sample_hash_weighted",
     "text_clean_normalize",
+    "text_repetition_ratio",
 ]
 
 

@@ -380,6 +380,72 @@ def test_streaming_interval_join_sf001_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_windows_sf001_match_batch(spark, tmp_path):
+    """Tumbling + session windows over the sf0.01 events fixture (~10k rows,
+    real out-of-order timestamps): run the streaming operators in complete
+    mode through memory sinks and assert exact equality with the batch
+    aggregations they mirror (complete mode emits every window, so no
+    watermark-finalization asymmetry)."""
+    from logflow.sources.tables import load_table
+    from logflow.streaming.windows import hourly_type_counts, session_spans
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.01", parallelize=False)
+    staged = str(tmp_path / "events_sf001w")
+    ev.select("ts", "user_id", "event_type").write.parquet(staged)
+    batch = spark.read.parquet(staged)
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+
+    q1 = (
+        hourly_type_counts(stream)
+        .writeStream.format("memory").queryName("hw_sf001")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q2 = (
+        session_spans(stream)
+        .writeStream.format("memory").queryName("sw_sf001")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+
+    got_h = {
+        (r.hour_start, r.event_type, r.n)
+        for r in spark.sql("select * from hw_sf001").collect()
+    }
+    want_h = {
+        (r.hour_start, r.event_type, r.n)
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+        .collect()
+    }
+    assert len(want_h) > 10
+    assert got_h == want_h
+
+    got_s = {
+        (r.session_start, r.session_end, r.user_id, r.n_events)
+        for r in spark.sql("select * from sw_sf001").collect()
+    }
+    want_s = {
+        (r.session_start, r.session_end, r.user_id, r.n_events)
+        for r in batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+        .collect()
+    }
+    assert len(want_s) > 10
+    assert got_s == want_s
+
+
 def test_int_serde_signed_roundtrip(spark):
     """IntegerSerde is SIGNED 32-bit two's complement: encode/decode must
     round-trip negatives and both int boundaries without ANSI cast
