@@ -914,22 +914,29 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = tokenize(F.col("text"))
     n = F.size("toks")
-    base = (
-        docs.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            n.cast("long").alias("n_tokens"),
-            F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
-            F.zip_with(
-                F.slice("toks", F.lit(1), n - 1),
-                F.slice("toks", F.lit(2), n - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ).alias("bgs"),
-        )
+    # no `size(toks) >= 2` filter: Catalyst would push it below the
+    # projection and re-inline the tokenize (hof-in-filter smell). Docs
+    # with <2 tokens yield an EMPTY bigram array (greatest clamps the
+    # slice length) and drop out at the explode — same row set, one
+    # tokenize per doc.
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.zip_with(
+            F.slice("toks", F.lit(1), F.greatest(n - 1, F.lit(0))),
+            F.slice("toks", F.lit(2), F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ).alias("bgs"),
     )
+    # explode_outer, NOT explode: plain explode adds an implicit
+    # `size(bgs) > 0` filter that Catalyst pushes below the projection,
+    # re-inlining the whole tokenize+zip_with into a Filter at the scan
+    # (tokenize would run twice per doc). The null-bg filter sits on the
+    # generate's OUTPUT, so nothing is re-inlined.
     counts = (
-        base.select("doc_id", "n_tokens", "n_distinct", F.explode("bgs").alias("bg"))
+        base.select("doc_id", "n_tokens", "n_distinct", F.explode_outer("bgs").alias("bg"))
+        .filter(F.col("bg").isNotNull())
         .groupBy("doc_id", "n_tokens", "n_distinct", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
