@@ -138,6 +138,9 @@ PRIORITY: list[str] = [
     "sample_hash_weighted",
     "text_clean_normalize",
     "text_repetition_ratio",
+    "corpus_dedup_stats",
+    "knn_recall_eval",
+    "embedding_quantize_int8",
     "multimodal_features",  # no oracle (rows-only)
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # no oracle (pytest equality to knn_cosine_brute)

@@ -957,3 +957,182 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "corpus_dedup_stats",
+    """
+WITH h AS (SELECT doc_id, md5(text) AS h, n_chars FROM documents),
+r AS (
+  SELECT doc_id, h, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM h
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dupes
+FROM r
+""",
+    doc="Corpus duplication report: doc/unique/dup counts, dup fraction, "
+    "chars that exact dedup would reclaim — the measurement side of the "
+    "dedup pipeline (you don't run a 100 TB dedup without first measuring "
+    "what it buys). One md5 shuffle (same key as dedup_exact would use) + "
+    "a partial+final global agg; output is a single row.",
+)
+def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    r = docs.select("doc_id", F.md5("text").alias("h"), "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    dup = F.when(F.col("rn") > 1, 1).otherwise(0)
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique"),
+        F.sum(dup).cast("long").alias("n_dup_docs"),
+        F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 4).alias("dup_ratio"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)).cast("long").alias("chars_dupes"),
+    )
+
+
+@register(
+    "knn_recall_eval",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings WHERE vec_id >= 10),
+truth AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {_dd_sim('cvec', 'qvec')} DESC, neighbor_id) AS rank
+    FROM c, q
+  ) WHERE rank <= 3
+),
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+assign AS (
+  SELECT vid, cid FROM (
+    SELECT v.vec_id AS vid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_dd_sim('v.embedding', 'c.cvec')} DESC, c.cid) AS rn
+    FROM corpus v, cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, qvec, cid FROM (
+    SELECT q.qid, q.qvec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_dd_sim('q.qvec', 'c.cvec')} DESC, c.cid) AS rn
+    FROM q, cent c
+  ) WHERE rn <= 2
+),
+approx AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT p.qid, a.vid AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+                              ORDER BY {_dd_sim('e.embedding', 'p.qvec')} DESC, a.vid) AS rank
+    FROM probes p
+    JOIN assign a ON p.cid = a.cid
+    JOIN embeddings e ON e.vec_id = a.vid
+  ) WHERE rank <= 3
+)
+SELECT t.qid,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS recall
+FROM truth t
+LEFT JOIN approx a ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
+GROUP BY t.qid
+""",
+    doc="ANN quality evaluation: recall@3 of the IVF index (nprobe=2, same "
+    "parameters as knn_cosine_ivf) against brute-force ground truth, per "
+    "query — the measurement loop that tunes nprobe/n_centroids before "
+    "committing a 100 TB corpus to an index layout. Ground truth on a "
+    "sampled query set is exactly how recall is estimated at scale (the "
+    "brute-force side is bounded by the sample, not the corpus).",
+)
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    truth = cosine_topk(corpus, queries, "vec_id", "embedding", k=3).select("qid", "neighbor_id")
+    approx = (
+        ivf_topk(corpus, queries, centroids, "vec_id", "embedding", k=3, nprobe=2)
+        .select("qid", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    hit = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        truth.join(approx, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            hit.cast("long").alias("n_matched"),
+            F.round(hit.cast("double") / F.count(F.lit(1)), 4).alias("recall"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0 THEN
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) / scale * 127, 0) AS INTEGER))
+         ELSE NULL END AS qv
+  FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale6,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max
+FROM q
+""",
+    doc="Per-vector symmetric int8 quantization (scale = max|x|, "
+    "q = round(x/scale*127)) — the 4x memory cut that makes a 100 TB "
+    "embedding corpus servable; emitted as per-vector scalar summaries "
+    "(scale, sum/min/max of the quantized codes) because the driver's "
+    "hash comparator needs scalar columns, with the full quantized array "
+    "checked element-wise in pytest. Pure per-row expressions: zero "
+    "shuffle at any scale. Spark round and DuckDB round are both "
+    "half-away-from-zero, so the codes match bit-for-bit.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    withs = emb.select("vec_id", "embedding", scale.alias("scale"))
+    # column-level CASE WHEN, not a row filter: a `scale > 0` Filter would
+    # be pushed below this projection and re-inline the array_max into the
+    # scan filter (hof-in-filter smell); zero-norm vectors instead emit
+    # NULL summaries, matching the oracle's CASE branch.
+    qv = F.when(
+        F.col("scale") > 0,
+        F.transform("embedding", lambda x: F.round(xd(x) / F.col("scale") * 127, 0).cast("int")),
+    )
+    q = withs.select("vec_id", "scale", qv.alias("qv"))
+    lsum = F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale6"),
+        lsum.alias("q_sum"),
+        F.array_min("qv").cast("long").alias("q_min"),
+        F.array_max("qv").cast("long").alias("q_max"),
+    )

@@ -26,6 +26,9 @@ LLM_QUERIES = [
     "sample_hash_weighted",
     "text_clean_normalize",
     "text_repetition_ratio",
+    "corpus_dedup_stats",
+    "knn_recall_eval",
+    "embedding_quantize_int8",
 ]
 
 
@@ -114,3 +117,34 @@ def test_stratified_sample_fractions(spark, sf_dir):
         # 4-sigma binomial bound (plus slack for tiny strata)
         tol = 4 * (n * f * (1 - f)) ** 0.5 + 2
         assert abs(got1.get(s, 0) - expect) <= tol, (s, got1.get(s), expect, tol)
+
+
+def test_quantize_int8_roundtrip_elementwise(spark, sf_dir):
+    """The registered query emits scalar summaries (driver comparator needs
+    scalar columns); here the full quantized array is checked element-wise
+    against numpy, and reconstruction error is bounded by half a step."""
+    import numpy as np
+
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(50)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    qv = F.transform(
+        "embedding", lambda x: F.round(xd(x) / F.col("scale") * 127, 0).cast("int")
+    )
+    rows = (
+        emb.select("vec_id", "embedding", scale.alias("scale"))
+        .filter(F.col("scale") > 0)
+        .select("vec_id", "embedding", "scale", qv.alias("qv"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        x = np.asarray(r.embedding, dtype=np.float64)
+        q = np.asarray(r.qv, dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        recon = q * (r.scale / 127.0)
+        # max error is half a quantization step
+        assert np.abs(recon - x).max() <= (r.scale / 127.0) * 0.5 + 1e-12
