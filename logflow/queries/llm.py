@@ -320,23 +320,31 @@ m AS (
          len(list_filter(toks, x -> x IN ({_SW}))) AS n_stop,
          length(text) AS n_chars,
          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
-  FROM t WHERE len(toks) > 0
+  FROM t
 )
 SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       ROUND(CAST(n_tok_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
-       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
-       ROUND((1 - CAST(n_stop AS DOUBLE) / n_tokens)
-             * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) AS quality_score
+       CASE WHEN n_tokens > 0
+            THEN ROUND(CAST(n_tok_chars AS DOUBLE) / n_tokens, 4) END AS avg_token_len,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) END AS stop_ratio,
+       CASE WHEN n_chars > 0
+            THEN ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) END AS punct_ratio,
+       CASE WHEN n_tokens > 0
+            THEN ROUND((1 - CAST(n_stop AS DOUBLE) / n_tokens)
+                       * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) END AS quality_score
 FROM m
 """,
-    doc="Quality scoring: token stats, stopword/punctuation ratios, composite score",
+    doc="Quality scoring: token stats, stopword/punctuation ratios, composite "
+    "score. Token-less/empty docs emit NULL ratios via column-level CASE "
+    "WHEN guards instead of a `size(toks) > 0` row filter — Catalyst would "
+    "push that filter below the projection and re-inline the tokenize into "
+    "the scan filter (2x tokenize per doc at 100 TB).",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = tokenize(F.col("text"))
-    t = docs.select("doc_id", "text", toks.alias("toks")).filter(F.size("toks") > 0)
+    t = docs.select("doc_id", "text", toks.alias("toks"))
     n_tokens = F.size("toks")
     n_tok_chars = F.aggregate(
         F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
@@ -347,16 +355,24 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
     stop_ratio_raw = n_stop.cast("double") / n_tokens.cast("double")
+    tok_guard = n_tokens > 0
     return t.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(n_tok_chars.cast("double") / n_tokens.cast("double"), 4).alias("avg_token_len"),
-        F.round(stop_ratio_raw, 4).alias("stop_ratio"),
-        F.round(n_punct.cast("double") / n_chars.cast("double"), 4).alias("punct_ratio"),
-        F.round(
-            (F.lit(1.0) - stop_ratio_raw)
-            * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0)),
-            4,
+        F.when(
+            tok_guard, F.round(n_tok_chars.cast("double") / n_tokens.cast("double"), 4)
+        ).alias("avg_token_len"),
+        F.when(tok_guard, F.round(stop_ratio_raw, 4)).alias("stop_ratio"),
+        F.when(
+            n_chars > 0, F.round(n_punct.cast("double") / n_chars.cast("double"), 4)
+        ).alias("punct_ratio"),
+        F.when(
+            tok_guard,
+            F.round(
+                (F.lit(1.0) - stop_ratio_raw)
+                * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0)),
+                4,
+            ),
         ).alias("quality_score"),
     )
 

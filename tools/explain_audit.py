@@ -51,10 +51,6 @@ WHITELIST: dict[str, dict[str, str]] = {
     "text_tfidf_top_terms": {
         "bnlj": "crossJoin of the single-row corpus-size aggregate (N for IDF)"
     },
-    "text_quality": {
-        "hof-in-filter": "size(toks)>0 duplicates one linear tokenize below "
-        "the rebalance — bounded 2×, and parallel on real multi-split scans"
-    },
     "trace_tree_edges": {
         "hof-in-filter": "inferred isnotnull join constraints re-inline the "
         "b3 header parse (a few string ops per row); constraint inference "
