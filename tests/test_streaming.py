@@ -67,6 +67,43 @@ def test_streaming_branch_is_single_pass(spark, record_dir, tmp_path):
     assert set(seen["even"]).isdisjoint(seen["odd"])
 
 
+def test_streaming_branch_sf001_matches_trace_routes(spark, tmp_path):
+    """The reference topology (enrich -> branch -> dual sink) streamed over
+    the full sf0.01 events fixture (~10k records) must produce exactly the
+    oracle-checked batch trace_route_even/odd result sets — the streaming
+    twin of the driver's reference-core correctness rows, at the same SF
+    the driver gates on."""
+    from logflow.queries import load_all
+    from logflow.sources.records import records_from_events
+    from logflow.sources.tables import load_table
+
+    sf01 = "/root/testdata/sf0.01"
+    staged = str(tmp_path / "records_sf001")
+    records_from_events(load_table(spark, "events", sf01, parallelize=False)).write.parquet(staged)
+
+    out = str(tmp_path / "out_sf001")
+    q = start_branch_query(
+        file_record_stream(spark, staged),
+        parquet_sink(f"{out}/even"),
+        parquet_sink(f"{out}/odd"),
+        checkpoint=str(tmp_path / "ckpt_sf001"),
+    )
+    q.awaitTermination(300)
+
+    cols = ["key", "value", "topic", "trace_id", "parent_span_id", "span_id", "messageid"]
+    for side in ("even", "odd"):
+        got = (
+            spark.read.parquet(f"{out}/{side}")
+            .select(
+                "key", "value", "topic", "trace_id", "parent_span_id", "span_id",
+                F.col("baggage")["messageid"].alias("messageid"),
+            )
+        )
+        want = load_all()[f"trace_route_{side}"].fn(spark, sf01).select(*cols)
+        assert got.count() == want.count() and got.count() > 1000
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def _write_events(spark, path, rows):
     spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp").write.mode(
         "append"
