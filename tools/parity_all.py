@@ -72,7 +72,12 @@ def main() -> int:
         "elapsed_sec": round(time.perf_counter() - t_start, 1),
         "results": results,
     }
-    out = os.path.join(REPO, "PARITY_FULL.json")
+    # PARITY_FULL.json is the committed driver-gate-scale artifact; sweeps
+    # at other SFs get their own suffixed file so they never clobber it.
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(
+        REPO, "PARITY_FULL.json" if tag == "sf0.01" else f"PARITY_FULL_{tag}.json"
+    )
     with open(out, "w") as fh:
         json.dump(summary, fh, indent=1, sort_keys=True)
     print(f"\n{n_pass} pass / {n_fail} fail / {n_rows} rows-only -> {out}")
