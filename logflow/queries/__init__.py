@@ -143,7 +143,7 @@ PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "multimodal_features",  # no oracle (rows-only)
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
-    "knn_cosine_numpy",  # no oracle (pytest equality to knn_cosine_brute)
+    "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)
     "sample_stratified",  # no oracle (engine RNG, by design)
 ]
 

@@ -179,9 +179,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "knn_cosine_brute",
-    f"""
+#: shared by knn_cosine_brute and knn_cosine_numpy: both paths round sims
+#: to 6 dp BEFORE ranking (numpy emits raw sims from the UDF and rounds
+#: Spark-side), so their result sets are identical and oracle-checkable
+#: by the same SQL.
+_BRUTE_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings WHERE vec_id >= 10),
 scored AS (
@@ -193,7 +195,12 @@ SELECT qid, neighbor_id, rank, sim FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 5
-""",
+"""
+
+
+@register(
+    "knn_cosine_brute",
+    _BRUTE_TOPK_SQL,
     doc="Brute-force cosine top-5 (expression path: zip_with/aggregate fold, "
     "broadcast queries, rounded-sim ranking)",
 )
@@ -257,8 +264,9 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_cosine_numpy",
-    None,  # same results as knn_cosine_brute (asserted in tests); the Arrow
-    # batch path itself is what's under test here
+    _BRUTE_TOPK_SQL,  # identical result set to knn_cosine_brute: raw sims
+    # from the UDF, F.round + ranking Spark-side, margin-padded per-batch
+    # prune (also asserted equal to the expression path in tests)
     doc="Arrow/numpy vectorized brute-force top-5 (mapInPandas + BLAS matmul "
     "per batch + partial top-k) — the 100TB hot-path variant",
 )
