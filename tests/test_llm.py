@@ -13,6 +13,7 @@ LLM_QUERIES = [
     "dedup_embedding_cosine",
     "knn_cosine_brute",
     "knn_cosine_ivf",
+    "knn_cosine_numpy",
     "text_quality",
     "text_lang_id",
     "text_token_count",
