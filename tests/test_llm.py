@@ -149,3 +149,31 @@ def test_quantize_int8_roundtrip_elementwise(spark, sf_dir):
         recon = q * (r.scale / 127.0)
         # max error is half a quantization step
         assert np.abs(recon - x).max() <= (r.scale / 127.0) * 0.5 + 1e-12
+
+
+def test_hash_sampler_invariant_to_partitioning(spark, sf_dir):
+    """The whole point of hash-threshold sampling vs RNG sampleBy: the kept
+    row set is a pure function of the data, so repartitioning (or task
+    retries / speculative execution re-running a partition) cannot change
+    it. Compute the kept doc_id set under three different partitionings
+    and assert identity."""
+    from pyspark.sql import functions as F
+
+    from logflow.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long") / F.lit(4294967296.0)
+    wt = F.lit(0.25) * (
+        F.lit(1) + F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10).cast("long") % 4
+    )
+    def kept(df):
+        return {r.doc_id for r in df.filter(u < wt).select("doc_id").collect()}
+
+    base = kept(docs)
+    assert base  # non-degenerate
+    assert kept(docs.repartition(3)) == base
+    assert kept(docs.repartition(64, "source")) == base
+    assert kept(docs.coalesce(1)) == base

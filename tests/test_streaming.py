@@ -246,6 +246,50 @@ def test_streaming_stateful_running_totals(spark, tmp_path):
     assert len(rows) > len(want)  # key "1" emitted in more than one batch
 
 
+def test_streaming_stateful_totals_sf001_match_batch(spark, tmp_path):
+    """applyInPandasWithState running totals over the sf0.01 events fixture
+    (~10k rows, ~1900 distinct users), delivered across multiple
+    micro-batches: the latest emission per key must equal the batch
+    groupBy count/sum. Exercises real Arrow state traffic, not toy rows."""
+    from logflow.sources.tables import load_table
+    from logflow.streaming.stateful import running_totals
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.01", parallelize=False)
+    path = str(tmp_path / "ev_state")
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+    ev.select("user_id", "value").repartition(4).write.parquet(path)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = (
+        running_totals(stream, "user_id", "value")
+        .writeStream.format("memory")
+        .queryName("totals_sf001")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    latest: dict[str, tuple] = {}
+    for r in spark.sql("select * from totals_sf001").collect():
+        if r.key not in latest or r.n > latest[r.key][0]:
+            latest[r.key] = (r.n, round(r.total, 6))
+    want = {
+        str(r.user_id): (r.n, round(r.total, 6))
+        for r in spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert len(want) > 100
+    assert latest == want
+
+
 def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     """Rows older than watermark - delay must be dropped from the window
     agg once the watermark has advanced past their window's end."""
