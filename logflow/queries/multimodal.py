@@ -43,10 +43,32 @@ def multimodal_meta_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # mapInPandas path; values asserted against an expression twin in tests
+    """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_value('image','audio','video')[doc_id % 3 + 1] AS kind,
+         encode(text) AS p
+  FROM documents
+),
+s AS (SELECT media_id, kind, octet_length(p) AS n_bytes, hex(p) AS h FROM b)
+SELECT media_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CASE WHEN n_bytes > 0 THEN
+         CAST(list_sum(list_transform(range(1, n_bytes + 1),
+              i -> CAST(concat('0x', substr(h, 2*i - 1, 2)) AS INTEGER))) AS DOUBLE) / n_bytes
+       ELSE 0.0 END AS mean_byte,
+       CAST(CASE kind WHEN 'image' THEN 2048 WHEN 'audio' THEN 512 ELSE 4096 END AS BIGINT)
+         AS feature_dim
+FROM s
+""",
+    # mean_byte carries no rounding on either side: both engines divide an
+    # EXACT integer byte-sum by an exact count -> identical IEEE doubles.
     doc="Arrow-batched feature extraction (mapInPandas) over binary payloads "
     "— deterministic stand-in for image/audio decode (libs not in container; "
-    "see operators/multimodal.py)",
+    "see operators/multimodal.py). The stand-in's byte statistics are fully "
+    "oracle-checked (DuckDB recomputes them from the hex expansion of the "
+    "same utf-8 payload), so the whole mapInPandas plumbing — schema, Arrow "
+    "batching, binary transport — is value-verified, not just liveness.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_features(_media(spark, sf_dir))

@@ -13,7 +13,13 @@ from logflow.operators.multimodal import (
 )
 from logflow.sources.tables import load_table
 
-MM_QUERIES = ["multimodal_meta_summary", "multimodal_frame_sample", "trace_hash_sampling", "logscan_grep"]
+MM_QUERIES = [
+    "multimodal_meta_summary",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "trace_hash_sampling",
+    "logscan_grep",
+]
 
 
 @pytest.mark.parametrize("name", MM_QUERIES)
