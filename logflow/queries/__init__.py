@@ -141,6 +141,7 @@ PRIORITY: list[str] = [
     "corpus_dedup_stats",
     "knn_recall_eval",
     "embedding_quantize_int8",
+    "scan_partition_pruned",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)

@@ -1218,3 +1218,42 @@ def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("orderkey").alias("o_orderkey"), "revenue", "n_items")
     )
+
+
+@register(
+    "scan_partition_pruned",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY event_type
+""",
+    doc="Directory-level partition pruning: events re-laid-out as "
+    "dt=YYYY-MM-DD parquet partitions (the standard time-partitioned "
+    "ingest layout), then a one-week predicate on the partition column. "
+    "Pruning happens at PLANNING time — the scan's PartitionFilters "
+    "eliminate ~23 of 30 day-directories before any file IO (asserted in "
+    "tests/test_relational.py), which at 100 TB is the difference between "
+    "reading a week and reading a month. The layout write is part of the "
+    "query (pay-once ingest, like the bucketed join); the oracle checks "
+    "the equivalent predicate on raw ts.",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir, parallelize=False)
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
+    base = os.path.join(tempfile.gettempdir(), f"logflow-prune-{tag}")
+    ev.withColumn("dt", F.to_date("ts")).write.mode("overwrite").partitionBy("dt").parquet(base)
+    pruned = spark.read.parquet(base).filter(
+        (F.col("dt") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("dt") <= F.lit("2024-01-14").cast("date"))
+    )
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("dt").cast("long").alias("n_days"),
+    )

@@ -48,6 +48,7 @@ RELATIONAL_QUERIES = [
     "unpivot_returnflag_measures",
     "join_salted_skew",
     "join_bucketed_revenue",
+    "scan_partition_pruned",
 ]
 
 
@@ -170,3 +171,17 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         for q in ("p50", "p90"):
             exact, approx = getattr(r, f"exact_{q}"), getattr(r, f"approx_{q}")
             assert abs(approx - exact) <= max(0.05 * abs(exact), 1e-9), (r.event_type, q)
+
+
+def test_partition_pruning_reaches_the_scan(spark, sf_dir):
+    """scan_partition_pruned's week filter must show up as PartitionFilters
+    on the dt-partitioned scan (directory-level pruning at planning time),
+    and the pruned scan must read ~7 of ~30 day-partitions."""
+    from logflow.queries import load_all
+
+    df = load_all()["scan_partition_pruned"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    start = plan.index("PartitionFilters: [")
+    pf = plan[start : plan.index("]", start)]
+    assert "dt" in pf and ("2024-01-08" in pf or "19730" in pf), pf
