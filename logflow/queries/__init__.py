@@ -142,6 +142,15 @@ PRIORITY: list[str] = [
     "knn_recall_eval",
     "embedding_quantize_int8",
     "scan_partition_pruned",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q16_part_supplier_stats",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "contamination_ngram_overlap",
+    "text_unigram_logprob",
+    "corpus_mixture_weights",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)

@@ -1160,3 +1160,171 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").cast("long").alias("q_min"),
         F.array_max("qv").cast("long").alias("q_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Train/test decontamination + statistical quality scoring + mixture design
+# --------------------------------------------------------------------------
+
+
+@register(
+    "contamination_ngram_overlap",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM t WHERE len(toks) >= 5
+),
+train AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 2 = 0),
+teste AS (
+  SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g
+  FROM sh WHERE doc_id % 2 = 1
+),
+hits AS (
+  SELECT te.doc_id,
+         any_value(te.n_grams) AS n_grams,
+         COUNT(tr.g) AS n_hit
+  FROM teste te LEFT JOIN train tr ON te.g = tr.g
+  GROUP BY te.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / n_grams, 4) AS overlap_ratio,
+       n_hit > 0 AS contaminated
+FROM hits
+""",
+    doc="Train/test contamination detection (the GPT-3/PaLM style n-gram "
+    "decontamination step): corpus split by doc_id parity into train/test, "
+    "each side expanded to distinct 5-gram word shingles, test grams "
+    "probed against the train gram set via a shuffle equi-join on the "
+    "gram. At 100 TB the train side is corpus-sized, so this is exactly "
+    "the distributed shape used in practice (hash-partition both sides "
+    "by gram; or swap the probe for a Bloom filter broadcast when the "
+    "test set is the small side). Per-test-doc output: gram count, hit "
+    "count, overlap ratio, contaminated flag.",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.functions.text import word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", word_shingles(tokenize("text"), k=5).alias("sh")
+    ).filter(F.size("sh") > 0)
+    train = (
+        sh.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test = sh.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
+    )
+    agg = (
+        test.join(train, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 4).alias("overlap_ratio"),
+        (F.col("n_hit") > 0).alias("contaminated"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM e GROUP BY tok),
+n AS (SELECT SUM(cnt) AS total FROM vocab),
+scored AS (
+  SELECT e.doc_id,
+         CAST(ROUND(log2(CAST(vocab.cnt AS DOUBLE) / n.total), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM e JOIN vocab ON e.tok = vocab.tok CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 3) AS avg_log2_prob
+FROM scored
+GROUP BY doc_id
+""",
+    doc="Unigram log-probability quality score (the cheap perplexity proxy "
+    "real pipelines use before an LM-based filter): build the corpus "
+    "unigram LM (token → count, one partial-agg shuffle), join token "
+    "occurrences back against it (dict-sized build side — broadcastable "
+    "at any corpus size since vocab ≪ corpus), and average log2 p(tok) "
+    "per doc. Cross-engine determinism: cnt/total is an exact "
+    "bigint/bigint double in both engines, log2 of identical doubles "
+    "rounded at 6 then summed as exact DECIMAL — no float-order "
+    "sensitivity — then one final round at 3.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log2(F.col("cnt").cast("double") / F.col("total")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 3).alias("avg_log2_prob"),
+    )
+
+
+@register(
+    "corpus_mixture_weights",
+    """
+WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_sources FROM s)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / tot.total, 4) AS actual_share,
+       ROUND(1.0 / tot.n_sources, 4) AS target_share,
+       ROUND((CAST(tot.total AS DOUBLE) / tot.n_sources) / n_docs, 4) AS sample_weight
+FROM s CROSS JOIN tot
+""",
+    doc="Data-mixture design: per-source document shares and the per-source "
+    "sampling weight that re-balances the corpus to a uniform target "
+    "mixture (weight = target_share / actual_share). The whole query is "
+    "one partial-agg shuffle on source plus a 1-row broadcast total — "
+    "source cardinality is tiny at any corpus scale. Feeding these "
+    "weights into sample_stratified's per-stratum fractions is the "
+    "standard two-step mixture rebalancing pipeline.",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = s.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs").cast("double") / F.col("total"), 4).alias("actual_share"),
+            F.round(F.lit(1.0) / F.col("n_sources"), 4).alias("target_share"),
+            F.round(
+                (F.col("total").cast("double") / F.col("n_sources")) / F.col("n_docs"), 4
+            ).alias("sample_weight"),
+        )
+    )

@@ -303,7 +303,9 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("event_id"),
         F.col("event_id_right").alias("click_event_id"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias("gap_us"),
+        # timestamp_diff, not unix_micros: works on both TIMESTAMP layouts
+        # the driver has shipped (r1 nanos→LTZ conversion, r2 native NTZ).
+        F.timestamp_diff("MICROSECOND", F.col("ts_right"), F.col("ts")).alias("gap_us"),
     )
 
 
@@ -421,7 +423,9 @@ def window_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.lead("event_type").over(w).alias("next_type"),
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("gap_to_next_us"),
+        F.timestamp_diff("MICROSECOND", F.col("ts"), F.lead("ts").over(w)).alias(
+            "gap_to_next_us"
+        ),
     )
 
 
@@ -781,7 +785,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     flagged = ev.withColumn(
         "new_session",
         F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0),
@@ -1256,4 +1260,263 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.countDistinct("dt").cast("long").alias("n_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H widening: Q6/Q10/Q14/Q16/Q18/Q19 adapted to the available columns
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 forecast-revenue: conjunctive range predicates on three "
+    "columns, all pushed to the parquet scan (PushedFilters), then a "
+    "single global agg with map-side partials. At 100 TB this is the "
+    "canonical scan-bound query — cost is IO after pruning, zero shuffle "
+    "beyond the 1-row final agg.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        _money(F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+SELECT c_custkey,
+       c_name,
+       n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 returned-item reporting: fact⋈fact shuffle join with the "
+    "returnflag + date-range filters pushed below both joins, tiny nation "
+    "dim broadcast, deterministic top-20 via TakeOrdered (no full sort).",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, "nation", sf_dir)
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_money(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@register(
+    "q14_promo_effect",
+    """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l_discount AS DECIMAL(4,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 4)
+         AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+    doc="TPC-H Q14 promotion effect: conditional aggregation (CASE inside "
+    "SUM) over a broadcast join with the small part dim — the fact side "
+    "never shuffles; one month of lineitem reduced map-side to two "
+    "decimal partials per task.",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    disc_price = _dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc_price).cast("double"), 4
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "q16_part_supplier_stats",
+    """
+SELECT p_brand,
+       p_type,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type
+""",
+    doc="TPC-H Q16-style part/supplier stats: distinct aggregation after a "
+    "broadcast dim join, with the brand/size predicates applied to the "
+    "broadcast side BEFORE the join (dim filtered to ~1/7th). "
+    "countDistinct expands to a two-phase partial-distinct plan — the "
+    "expensive exact-distinct shuffle is on (brand,type,suppkey), never "
+    "the raw fact rows.",
+)
+def q16_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter((F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+)
+SELECT c_custkey,
+       c_name,
+       o_orderkey,
+       o_orderdate,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+""",
+    doc="TPC-H Q18 large-volume customers: HAVING-filtered aggregate used "
+    "as a semi-join filter back onto the same fact. The `big` key set is "
+    "tiny after the HAVING cut, so Spark semi-joins lineitem against it "
+    "(AQE converts to broadcast at runtime); the re-aggregation then only "
+    "touches surviving orders. Same one-fact-scan-twice shape the "
+    "reference's reassembly query (Q2) has at trace level.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, "orders", sf_dir).join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(_money(F.sum(_dec("l_quantity"))).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(50)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 disjunctive-predicate revenue: OR-of-ANDs mixing join-side "
+    "and fact-side columns. Catalyst extracts the common single-side "
+    "residuals (brand IN (...) onto the broadcast dim, quantity BETWEEN "
+    "1 AND 30 onto the fact scan as PushedFilters) so both inputs shrink "
+    "before the join evaluates the full disjunction.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        _money(F.sum(_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
     )

@@ -209,7 +209,7 @@ def trace_tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.span_id").alias("span_id"),
         F.col("c.name").alias("name"),
         F.col("p.name").alias("parent_name"),
-        (F.unix_micros(F.col("c.ts")) - F.unix_micros(F.col("p.ts"))).alias("gap_us"),
+        F.timestamp_diff("MICROSECOND", F.col("p.ts"), F.col("c.ts")).alias("gap_us"),
     )
 
 

@@ -17,9 +17,12 @@ from logflow.model import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: columns stored as TIMESTAMP(NANOS) in the driver's parquet; read as
-#: long (spark.sql.legacy.parquet.nanosAsLong) and truncated to µs here —
+#: columns that were stored as TIMESTAMP(NANOS) in round-1 testdata; read
+#: as long (spark.sql.legacy.parquet.nanosAsLong) and truncated to µs here —
 #: integer `div 1000`, the same conversion DuckDB applies (verified).
+#: Round-2 testdata regenerated events.ts as TIMESTAMP(MICROS, ntz), which
+#: Spark reads natively as timestamp_ntz — the LongType branch below is
+#: then a no-op, so both layouts stay readable.
 _NANO_TS_COLS = {"events": ["ts"]}
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logflow.streaming.windows import _event_time_ltz
+
 
 def stream_interval_join(
     left: DataFrame,
@@ -38,8 +40,8 @@ def stream_interval_join(
     rows only after the watermark closes the match window — they are
     correct but delayed by `watermark`, exactly Spark's contract.
     """
-    l = left.withWatermark(left_ts, watermark).alias("l")
-    r = right.withWatermark(right_ts, watermark).alias("r")
+    l = _event_time_ltz(left, left_ts).withWatermark(left_ts, watermark).alias("l")
+    r = _event_time_ltz(right, right_ts).withWatermark(right_ts, watermark).alias("r")
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))

@@ -11,13 +11,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _event_time_ltz(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ): EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    on TIMESTAMP_NTZ sources (the round-2 testdata layout). Cast NTZ → LTZ
+    via the session timezone (UTC in logflow sessions) — wall-clock values,
+    window bucketing, and the batch-equivalence oracle are unchanged."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def hourly_type_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1h window per event_type (streaming form of
     events_tumbling_hourly — batch-equivalence asserted in tests)."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time_ltz(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("hour_start"), "event_type", "n")
@@ -27,7 +38,7 @@ def hourly_type_counts(events: DataFrame, watermark: str = "2 hours") -> DataFra
 def sliding_value_avg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Sliding 1h window every 15 min: rolling mean of `value`."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time_ltz(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -41,7 +52,7 @@ def session_spans(events: DataFrame, gap: str = "30 minutes", watermark: str = "
     """Session windows per user with a 30-min inactivity gap (streaming
     analog of the batch sessionize_events query)."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time_ltz(events).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -56,4 +67,4 @@ def session_spans(events: DataFrame, gap: str = "30 minutes", watermark: str = "
 def deduped_stream(records: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup within the watermark horizon — replay collapse
     (exactly-once-style semantics over an at-least-once transport)."""
-    return records.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return _event_time_ltz(records).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

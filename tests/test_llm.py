@@ -30,6 +30,9 @@ LLM_QUERIES = [
     "corpus_dedup_stats",
     "knn_recall_eval",
     "embedding_quantize_int8",
+    "contamination_ngram_overlap",
+    "text_unigram_logprob",
+    "corpus_mixture_weights",
 ]
 
 

@@ -34,15 +34,18 @@ def test_driver_window_is_fully_oracle_checked():
 
 def test_load_table_works_on_vanilla_session(spark, sf_dir):
     """The driver supplies a vanilla SparkSession (no logflow.session
-    factory): load_table must set the nanos conf itself (round-1 root
-    cause of all 8 hard correctness failures)."""
+    factory): load_table must read events.parquet regardless of the
+    writer's timestamp layout. Round 1 shipped TIMESTAMP(NANOS) (vanilla
+    read died with PARQUET_TYPE_ILLEGAL — root cause of all 8 hard
+    correctness failures); round 2 regenerated it as TIMESTAMP(MICROS,
+    ntz). load_table must yield a queryable timestamp either way."""
     from logflow.sources.tables import load_table
 
     # simulate the driver: wipe the conf the session factory normally sets
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     try:
         df = load_table(spark, "events", sf_dir)
-        assert df.schema["ts"].dataType.typeName() == "timestamp"
+        assert df.schema["ts"].dataType.typeName() in ("timestamp", "timestamp_ntz")
         assert df.limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -49,6 +49,12 @@ RELATIONAL_QUERIES = [
     "join_salted_skew",
     "join_bucketed_revenue",
     "scan_partition_pruned",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q16_part_supplier_stats",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
 ]
 
 
