@@ -1211,23 +1211,32 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logflow.functions.text import word_shingles
 
     docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select(
-        "doc_id", word_shingles(tokenize("text"), k=5).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # Tokens materialized in their own projection and NO size() filter /
+    # pre-explode size() column: both re-inline the whole shingle
+    # expression into extra plan nodes (the shingle_explode lesson,
+    # operators/dedup.py:75). Shingles are computed ONCE per row; the
+    # per-doc gram count falls out of the post-explode groupBy because
+    # the grams are array_distinct'ed (mirrors the oracle's
+    # list_distinct), and explode drops empty arrays (<5-token docs).
+    toks = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
     train = (
-        sh.filter(F.col("doc_id") % 2 == 0)
-        .select(F.explode("sh").alias("g"))
+        toks.select(F.explode(F.array_distinct(word_shingles(F.col("toks"), k=5))).alias("g"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    test = sh.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
+    toks_t = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    test = toks_t.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("toks"), k=5))).alias("g")
     )
     agg = (
         test.join(train, "g", "left")
         .groupBy("doc_id")
         .agg(
-            F.first("n_grams").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.count("hit").cast("long").alias("n_hit"),
         )
     )
@@ -1275,7 +1284,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
-        toks.join(vocab, "tok")
+        toks.join(F.broadcast(vocab), "tok")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",

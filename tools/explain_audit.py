@@ -51,6 +51,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "text_tfidf_top_terms": {
         "bnlj": "crossJoin of the single-row corpus-size aggregate (N for IDF)"
     },
+    "text_unigram_logprob": {
+        "bnlj": "crossJoin of the single-row total-token-count aggregate"
+    },
+    "corpus_mixture_weights": {
+        "bnlj": "crossJoin of the single-row corpus-total aggregate"
+    },
     "trace_tree_edges": {
         "hof-in-filter": "inferred isnotnull join constraints re-inline the "
         "b3 header parse (a few string ops per row); constraint inference "
