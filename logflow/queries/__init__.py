@@ -151,6 +151,14 @@ PRIORITY: list[str] = [
     "contamination_ngram_overlap",
     "text_unigram_logprob",
     "corpus_mixture_weights",
+    "q15_top_supplier",
+    "subquery_exists_not_exists",
+    "ks_click_purchase_drift",
+    "source_json_events",
+    "source_csv_orders",
+    "cdc_apply_upsert",
+    "scd2_customer_history",
+    "aggstate_incremental_merge",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)

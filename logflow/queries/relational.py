@@ -1520,3 +1520,395 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
+
+
+@register(
+    "q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+    doc="TPC-H Q15 top supplier: scalar subquery over an aggregate CTE "
+    "referenced twice (revenue per supplier, then the max of it). Spark "
+    "plans the uncorrelated scalar subquery as an independent 1-row "
+    "stage reused as a literal in the filter; the CTE is evaluated per "
+    "reference (cheap here — supplier-cardinality aggregate). Equality "
+    "on the rounded decimal-sum double is exact cross-engine. "
+    "spark.sql path: subquery DECORRELATION is the operator under test.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """
+    )
+
+
+@register(
+    "subquery_exists_not_exists",
+    """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'A'
+                    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+""",
+    doc="TPC-H Q21-style combined correlation: suppliers with a returned "
+    "('R') 1996 shipment and ZERO accepted-return ('A') 1996 shipments — "
+    "EXISTS and NOT EXISTS against the same fact, which Catalyst "
+    "decorrelates into one left-semi and one left-anti join over the "
+    "filtered scan. Both probes push their returnflag+date predicates "
+    "into the parquet scan; the supplier side stays broadcast-small.",
+)
+def subquery_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+                        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+          AND NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'A'
+                            AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                            AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+        """
+    )
+
+
+@register(
+    "ks_click_purchase_drift",
+    """
+WITH s AS (
+  SELECT user_id % 8 AS grp, value AS x,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+c AS (
+  SELECT grp, CAST(SUM(is_a) AS BIGINT) AS n_click,
+         CAST(SUM(is_b) AS BIGINT) AS n_purchase
+  FROM s GROUP BY grp
+),
+r AS (
+  SELECT grp, x,
+         SUM(is_a) OVER (PARTITION BY grp ORDER BY x
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(is_b) OVER (PARTITION BY grp ORDER BY x
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM s
+),
+k AS (
+  SELECT r.grp,
+         MAX(ABS(CAST(ca AS DOUBLE) / n_click - CAST(cb AS DOUBLE) / n_purchase)) AS m
+  FROM r JOIN c ON r.grp = c.grp
+  WHERE n_click > 0 AND n_purchase > 0
+  GROUP BY r.grp
+)
+SELECT k.grp, c.n_click, c.n_purchase, ROUND(k.m, 4) AS ks
+FROM k JOIN c ON k.grp = c.grp
+""",
+    doc="Per-bucket two-sample KS drift between click and purchase value "
+    "distributions — the cogroup→applyInPandas surface "
+    "(operators/distribution.py): both sides co-partition-shuffle once on "
+    "the bucket key, the per-group numpy computes the exact max-CDF-gap "
+    "with ties-as-peers semantics. The oracle is the equivalent "
+    "window-SQL formulation (RANGE frames = peers included), proving the "
+    "pandas algorithm bit-equal to the declarative one; cogroup is the "
+    "escape hatch for per-key algorithms SQL can't express. Rounding is "
+    "Spark-side F.round only (numpy emits the raw double).",
+)
+def ks_click_purchase_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.distribution import ks_distance_cogrouped
+
+    ev = load_table(spark, "events", sf_dir)
+    grp = F.pmod(F.col("user_id"), F.lit(8)).cast("long").alias("grp")
+    clicks = ev.filter(F.col("event_type") == "click").select(grp, "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(grp, "value")
+    ks = ks_distance_cogrouped(clicks, purchases, "grp", "value")
+    return ks.select(
+        "grp",
+        F.col("n_a").alias("n_click"),
+        F.col("n_b").alias("n_purchase"),
+        F.round("ks_raw", 4).alias("ks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Source formats beyond parquet: JSON and CSV landing-zone reads
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_json_events",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON source connector: events written once to a JSON landing dir "
+    "(the pay-once ingest pattern), then read back with an EXPLICIT "
+    "schema — no inference pass, which at 100 TB would be a full extra "
+    "scan of the landing zone. The aggregate proves lossless round-trip "
+    "of longs, doubles, strings and ntz timestamps through JSON lines; "
+    "the oracle reads the same rows from parquet.",
+)
+def source_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir, parallelize=False)
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
+    base = os.path.join(tempfile.gettempdir(), f"logflow-json-{tag}")
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev.write.mode("overwrite").json(base)
+    js = spark.read.schema(ev.schema).json(base)
+    return js.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        _money(F.sum(F.col("value").cast("decimal(14,4)"))).alias("sum_value"),
+    )
+
+
+@register(
+    "source_csv_orders",
+    """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="CSV source connector: orders written once to a headered CSV "
+    "landing dir, read back with an explicit schema (inference on CSV "
+    "is a full extra scan at 100 TB — never rely on it) including an "
+    "ntz timestamp column round-tripped through the default ISO format. "
+    "The oracle reads the same rows from parquet.",
+)
+def source_csv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    orders = load_table(spark, "orders", sf_dir, parallelize=False)
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
+    base = os.path.join(tempfile.gettempdir(), f"logflow-csv-{tag}")
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        orders.write.mode("overwrite").option("header", "true").csv(base)
+    cs = spark.read.schema(orders.schema).option("header", "true").csv(base)
+    return cs.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        _money(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Warehouse maintenance: CDC apply, SCD2 intervals, agg-state merge
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_apply_upsert",
+    """
+WITH changes AS (
+  SELECT o_orderkey,
+         MAX_BY(o_totalprice, o_orderdate) AS new_price,
+         MAX_BY(o_orderstatus, o_orderdate) AS new_status,
+         MAX(o_orderdate) AS change_ts
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  GROUP BY o_orderkey
+),
+base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+)
+SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+       CAST(ROUND(CAST(COALESCE(c.new_price, b.o_totalprice) AS DECIMAL(14,2)), 2)
+            AS DOUBLE) AS price,
+       COALESCE(c.new_status, b.o_orderstatus) AS status,
+       (c.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL) AS updated,
+       (b.o_orderkey IS NULL) AS inserted
+FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+""",
+    doc="CDC upsert apply (the MERGE INTO core without a table format): "
+    "orders split into a base snapshot (pre-2000) and a change feed "
+    "(2000+, collapsed to latest-change-per-key via max_by — the "
+    "standard CDC compaction), then FULL OUTER join + coalesce produces "
+    "the next snapshot with updated/inserted lineage flags. At 100 TB "
+    "both sides hash-shuffle once on the key; with a bucketed base "
+    "table the shuffle is one-sided (see join_bucketed_revenue). This "
+    "is exactly how Delta/Iceberg MERGE executes under the hood.",
+)
+def cdc_apply_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cut = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < cut).alias("b")
+    changes = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max_by("o_totalprice", "o_orderdate").alias("new_price"),
+            F.max_by("o_orderstatus", "o_orderdate").alias("new_status"),
+            F.max("o_orderdate").alias("change_ts"),
+        )
+        .alias("c")
+    )
+    j = base.join(changes, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("b.o_orderkey"), F.col("c.o_orderkey")).alias("o_orderkey"),
+        F.round(
+            F.coalesce(F.col("c.new_price"), F.col("b.o_totalprice")).cast("decimal(14,2)"), 2
+        )
+        .cast("double")
+        .alias("price"),
+        F.coalesce(F.col("c.new_status"), F.col("b.o_orderstatus")).alias("status"),
+        (F.col("c.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull()).alias("updated"),
+        F.col("b.o_orderkey").isNull().alias("inserted"),
+    )
+
+
+@register(
+    "scd2_customer_history",
+    """
+WITH ch AS (
+  SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_orderpriority AS attr,
+         o_orderkey
+  FROM orders
+),
+v AS (
+  SELECT custkey, valid_from, attr,
+         LEAD(valid_from) OVER (PARTITION BY custkey
+                                ORDER BY valid_from, o_orderkey) AS valid_to
+  FROM ch
+)
+SELECT custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_versions,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       MIN(valid_from) AS first_from,
+       MAX(valid_from) AS last_from
+FROM v
+GROUP BY custkey
+""",
+    doc="SCD Type-2 dimension build: each per-customer change event opens a "
+    "version row whose validity closes at the NEXT change (lead() over "
+    "the per-key change sequence, unique-keyed tiebreak) — NULL valid_to "
+    "marks the current version. One window shuffle on the dimension key; "
+    "summarized per key for the oracle (version count, open-version "
+    "invariant = exactly 1, first/last change ts). The standard "
+    "warehouse pattern for 100 TB dimension history without a table "
+    "format's time travel.",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("custkey").orderBy("valid_from", "o_orderkey")
+    v = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_orderpriority").alias("attr"),
+        "o_orderkey",
+    ).withColumn("valid_to", F.lead("valid_from").over(w))
+    return v.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).cast("long").alias("n_open"),
+        F.min("valid_from").alias("first_from"),
+        F.max("valid_from").alias("last_from"),
+    )
+
+
+@register(
+    "aggstate_incremental_merge",
+    """
+WITH old_state AS (
+  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS total
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_returnflag
+),
+batch AS (
+  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS total
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_returnflag
+),
+merged AS (
+  SELECT COALESCE(o.flag, b.flag) AS flag,
+         COALESCE(o.cnt, 0) + COALESCE(b.cnt, 0) AS cnt,
+         COALESCE(o.total, 0) + COALESCE(b.total, 0) AS total
+  FROM old_state o FULL OUTER JOIN batch b ON o.flag = b.flag
+)
+SELECT flag, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROUND(total, 2) AS DOUBLE) AS total,
+       ROUND(CAST(total AS DOUBLE) / cnt, 4) AS avg_price
+FROM merged
+""",
+    doc="Incremental aggregate maintenance (materialized-view refresh "
+    "algebra): the running state (count, decimal sum) for the history "
+    "partition is MERGED with the new batch's partial state by pure "
+    "state addition — never re-scanning history. avg is derived from "
+    "the merged sums at read time (algebraic aggregate decomposition: "
+    "sum/count merge, avg derives). This is the batch form of what "
+    "streaming update-mode aggs do per micro-batch; at 100 TB/day it is "
+    "the difference between scanning a day and scanning forever. "
+    "Cross-engine: all state is bigint/decimal — exact.",
+)
+def aggstate_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+
+    def state(df):
+        return df.groupBy(F.col("l_returnflag").alias("flag")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(_dec("l_extendedprice", 14)).alias("total"),
+        )
+
+    old = state(li.filter(F.col("l_shipdate") < cut)).alias("o")
+    batch = state(li.filter(F.col("l_shipdate") >= cut)).alias("b")
+    merged = old.join(batch, F.col("o.flag") == F.col("b.flag"), "full_outer").select(
+        F.coalesce(F.col("o.flag"), F.col("b.flag")).alias("flag"),
+        (F.coalesce(F.col("o.cnt"), F.lit(0)) + F.coalesce(F.col("b.cnt"), F.lit(0))).alias(
+            "cnt"
+        ),
+        (
+            F.coalesce(F.col("o.total"), F.lit(0).cast("decimal(14,2)"))
+            + F.coalesce(F.col("b.total"), F.lit(0).cast("decimal(14,2)"))
+        ).alias("total"),
+    )
+    return merged.select(
+        "flag",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("total", 2).cast("double").alias("total"),
+        F.round(F.col("total").cast("double") / F.col("cnt"), 4).alias("avg_price"),
+    )

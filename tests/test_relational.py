@@ -55,6 +55,14 @@ RELATIONAL_QUERIES = [
     "q16_part_supplier_stats",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
+    "q15_top_supplier",
+    "subquery_exists_not_exists",
+    "ks_click_purchase_drift",
+    "source_json_events",
+    "source_csv_orders",
+    "cdc_apply_upsert",
+    "scd2_customer_history",
+    "aggstate_incremental_merge",
 ]
 
 
