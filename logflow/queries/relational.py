@@ -1912,3 +1912,66 @@ def aggstate_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total", 2).cast("double").alias("total"),
         F.round(F.col("total").cast("double") / F.col("cnt"), 4).alias("avg_price"),
     )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+""",
+    doc="Runtime Bloom-filter pruned join (Catalyst InjectRuntimeFilter): "
+    "the selective orders side feeds a bloom_filter_agg whose "
+    "might_contain() is injected as a pre-join filter on the lineitem "
+    "probe side — rows for non-urgent orders are dropped BEFORE the "
+    "probe-side shuffle, the exact use case for dims too big to "
+    "broadcast but small enough to sketch (the 100 MB–10 GB band where "
+    "neither broadcast nor raw SMJ is right at 100 TB). The rule only "
+    "fires when the creation side is not broadcastable, so the fn "
+    "pins the confs, forces plan compilation, then restores them — "
+    "semantics are unchanged either way (bloom is a superset filter; "
+    "the join still matches exactly, which is why the oracle is the "
+    "plain join). tests assert might_contain in the optimized plan.",
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir, parallelize=False).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir, parallelize=False)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+        F.round(F.sum(_dec("l_extendedprice", 14)), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        # Force optimization NOW, while the confs hold: the QueryExecution
+        # (with the injected bloom filter) is cached on this DataFrame, so
+        # the caller's later action reuses it after the confs are restored
+        # — later queries in the same session see their normal broadcast
+        # behavior.
+        j._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return j

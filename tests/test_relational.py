@@ -63,6 +63,7 @@ RELATIONAL_QUERIES = [
     "cdc_apply_upsert",
     "scd2_customer_history",
     "aggstate_incremental_merge",
+    "join_bloom_runtime_filter",
 ]
 
 
@@ -199,3 +200,16 @@ def test_partition_pruning_reaches_the_scan(spark, sf_dir):
     start = plan.index("PartitionFilters: [")
     pf = plan[start : plan.index("]", start)]
     assert "dt" in pf and ("2024-01-08" in pf or "19730" in pf), pf
+
+
+def test_bloom_runtime_filter_in_plan(spark, sf_dir):
+    """InjectRuntimeFilter must place a might_contain(bloom) pre-join
+    filter on the probe side, and later queries in the session must keep
+    their normal broadcast behavior (confs restored)."""
+    from logflow.queries import load_all
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = load_all()["join_bloom_runtime_filter"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, plan[:2000]
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before

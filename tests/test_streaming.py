@@ -574,3 +574,108 @@ def test_kafka_wire_frame_roundtrip(spark, record_dir):
         # b3 carries the CURRENT child span, same trace id (reference
         # StreamsConfigTest.java:64-66)
         assert r.b3 == f"{orig.trace_id}-{orig.span_id}-1"
+
+
+@pytest.mark.skipif(
+    not __import__("logflow.streaming.stateful", fromlist=["x"]).transform_with_state_available(),
+    reason="transformWithStateInPandas needs the protobuf package (absent in this container)",
+)
+def test_streaming_transform_with_state_distinct_labels(spark, tmp_path):
+    """transformWithStateInPandas: ValueState + MapState across
+    micro-batches — the latest per-key row must equal the batch
+    groupBy(count, countDistinct)."""
+    from logflow.streaming.stateful import distinct_label_counts
+
+    path = str(tmp_path / "ev5")
+    spark.createDataFrame(
+        [(1, "click"), (1, "view"), (2, "click")], "user_id long, event_type string"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(1, "click"), (1, "purchase"), (3, "view")], "user_id long, event_type string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = (
+        distinct_label_counts(stream, "user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("dlc_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dlc_t").collect()
+    latest: dict[str, tuple] = {}
+    for r in rows:
+        if r.key not in latest or r.n_events > latest[r.key][0]:
+            latest[r.key] = (r.n_events, r.n_types)
+    want = {
+        str(r.user_id): (r.n, r.k)
+        for r in spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("k"),
+        )
+        .collect()
+    }
+    assert latest == want
+    assert len(rows) > len(want)  # user 1 emitted in both micro-batches
+
+
+@pytest.mark.skipif(
+    not __import__("logflow.streaming.stateful", fromlist=["x"]).transform_with_state_available(),
+    reason="transformWithStateInPandas needs the protobuf package (absent in this container)",
+)
+def test_streaming_transform_with_state_sf001_match_batch(spark, tmp_path):
+    """transformWithStateInPandas over the sf0.001 events fixture in two
+    micro-batches: final per-user (n, distinct types) equals the batch
+    aggregate over the whole table."""
+    from logflow.sources.tables import load_table
+    from logflow.streaming.stateful import distinct_label_counts
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001", parallelize=False).select(
+        "user_id", "event_type"
+    )
+    path = str(tmp_path / "ev6")
+    half = ev.filter(F.col("user_id") % 2 == 0)
+    other = ev.filter(F.col("user_id") % 2 == 1)
+    half.coalesce(1).write.mode("append").parquet(path)
+    other.coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = (
+        distinct_label_counts(stream, "user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("dlc_sf")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt6"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("select * from dlc_sf").collect()
+    latest: dict[str, tuple] = {}
+    for r in rows:
+        if r.key not in latest or r.n_events > latest[r.key][0]:
+            latest[r.key] = (r.n_events, r.n_types)
+    want = {
+        str(r.user_id): (r.n, r.k)
+        for r in spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("k"),
+        )
+        .collect()
+    }
+    assert latest == want
