@@ -1337,3 +1337,54 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_weight"),
         )
     )
+
+
+@register(
+    "fuzzy_match_part_names",
+    """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+t AS (
+  SELECT p_name,
+         string_split(p_name, ' ')[1] AS head,
+         string_split(p_name, ' ')[-1] AS tail
+  FROM names
+)
+SELECT a.p_name AS name_a,
+       b.p_name AS name_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+FROM t a JOIN t b ON a.tail = b.tail AND a.p_name < b.p_name
+WHERE levenshtein(a.head, b.head) <= 2
+""",
+    doc="Fuzzy string matching / entity resolution (the near-dup problem "
+    "for entity names rather than documents): candidate pairs are "
+    "generated by a BLOCKING equi-join on the shared last token — the "
+    "same candidate-bounding idea as LSH banding — then verified with "
+    "exact Levenshtein (built-in JVM expression in Spark, identical "
+    "semantics in DuckDB). All-pairs work is bounded per block, never "
+    "corpus-wide; at 100 TB the block key distributes the comparison "
+    "like any equi-join, and oversized blocks would get the salted-join "
+    "treatment. a < b dedups the symmetric pair.",
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    names = part.select("p_name").distinct()
+    toks = F.split(F.col("p_name"), " ")
+    t = names.select(
+        "p_name",
+        F.element_at(toks, 1).alias("head"),
+        F.element_at(toks, -1).alias("tail"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.tail") == F.col("b.tail")) & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )

@@ -33,6 +33,7 @@ LLM_QUERIES = [
     "contamination_ngram_overlap",
     "text_unigram_logprob",
     "corpus_mixture_weights",
+    "fuzzy_match_part_names",
 ]
 
 
