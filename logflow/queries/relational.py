@@ -1975,3 +1975,57 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return j
+
+
+@register(
+    "udaf_geomean_price",
+    """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(EXP((CAST(SUM(CAST(FLOOR(LN(l_extendedprice) * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0) / COUNT(*)), 4) AS geo_mean_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Custom grouped-agg pandas UDF (the GROUPED_AGG flavor — scalar "
+    "per group, usable inside agg() alongside built-ins): geometric mean "
+    "via sum-of-logs. Cross-engine determinism discipline for a "
+    "float-accumulating UDAF: each log is scaled to integer micros with "
+    "FLOOR (unambiguous on identical doubles, unlike numpy's "
+    "half-to-even round) and summed as int64 — the sum is exact and "
+    "order-independent, so the distributed accumulation order can't "
+    "change the answer; exp/round happen once on the exact result. "
+    "Arrow-batched per group; partial aggregation does not apply to "
+    "grouped-agg UDFs, so group sizes bound worker memory — same "
+    "contract as applyInPandas (robust z-score docs).",
+)
+def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: the type-hint path rejects a
+    # `pd.Series -> int` signature (scalar-int returns aren't inferrable).
+    # Grouped-agg pandas UDFs cannot mix with built-in aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a second
+    # pandas agg.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def sum_log_micro(v):
+        logs = np.log(v.to_numpy(dtype=np.float64))
+        return int(np.floor(logs * 1e6).astype(np.int64).sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return int(len(v))
+
+    li = load_table(spark, "lineitem", sf_dir)
+    agg = li.groupBy("l_returnflag").agg(
+        n_rows(F.col("l_extendedprice")).alias("n"),
+        sum_log_micro(F.col("l_extendedprice")).alias("slm"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.exp((F.col("slm").cast("double") / F.lit(1e6)) / F.col("n")), 4).alias(
+            "geo_mean_price"
+        ),
+    )

@@ -92,3 +92,59 @@ def test_asof_join_matches_naive(spark, left, right, strict):
         ]
         want = max(cands)[1] if cands else None
         assert out.get(i) == want, (i, k, m, cands)
+
+
+def test_ks_distance_identical_samples_is_zero(spark):
+    """KS(a, a) must be exactly 0 for every group, and KS of disjoint
+    ranges must be exactly 1 — the two analytic fixpoints of the
+    statistic (catches off-by-one CDF evaluation, tie handling)."""
+    from pyspark.sql import functions as F
+
+    from logflow.operators.distribution import ks_distance_cogrouped
+
+    base = spark.range(200).select(
+        (F.col("id") % 4).alias("grp"), (F.col("id") * 1.5).alias("value")
+    )
+    same = ks_distance_cogrouped(base, base, "grp", "value").collect()
+    assert len(same) == 4
+    assert all(r.ks_raw == 0.0 for r in same)
+
+    lo = spark.range(100).select((F.col("id") % 2).alias("grp"), (F.col("id") * 1.0).alias("value"))
+    hi = spark.range(100).select(
+        (F.col("id") % 2).alias("grp"), (F.col("id") * 1.0 + 1000.0).alias("value")
+    )
+    apart = ks_distance_cogrouped(lo, hi, "grp", "value").collect()
+    assert all(r.ks_raw == 1.0 for r in apart)
+
+
+def test_cdc_apply_output_keys_unique_and_flags_disjoint(spark, sf_dir):
+    """The CDC snapshot must have exactly one row per key, and a row can
+    be inserted or updated but never both."""
+    from logflow.queries import load_all
+
+    out = load_all()["cdc_apply_upsert"].fn(spark, sf_dir)
+    total = out.count()
+    assert out.select("o_orderkey").distinct().count() == total
+    assert out.filter(F.col("updated") & F.col("inserted")).count() == 0
+
+
+def test_contamination_ratio_bounds(spark, sf_dir):
+    """0 <= n_hit <= n_grams and the flag is exactly n_hit > 0."""
+    from logflow.queries import load_all
+
+    rows = load_all()["contamination_ngram_overlap"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_grams
+        assert r.contaminated == (r.n_hit > 0)
+        assert 0.0 <= r.overlap_ratio <= 1.0
+
+
+def test_scd2_exactly_one_open_version_per_key(spark, sf_dir):
+    """SCD2 invariant: every key has exactly one open (valid_to IS NULL)
+    version."""
+    from logflow.queries import load_all
+
+    rows = load_all()["scd2_customer_history"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_open == 1 for r in rows)

@@ -64,6 +64,7 @@ RELATIONAL_QUERIES = [
     "scd2_customer_history",
     "aggstate_incremental_merge",
     "join_bloom_runtime_filter",
+    "udaf_geomean_price",
 ]
 
 
