@@ -2029,3 +2029,57 @@ def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "geo_mean_price"
         ),
     )
+
+
+@register(
+    "scan_schema_evolution",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_batch2,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+                     THEN FLOOR(value * 100) ELSE 0 END) AS BIGINT) AS value_cents_sum
+FROM events
+GROUP BY event_type
+""",
+    doc="Schema evolution on read (mergeSchema): the events table is "
+    "landed in two generations — an early batch WITHOUT the value_cents "
+    "column and a later batch WITH it (the standard additive-column "
+    "evolution every long-lived 100 TB table goes through). A "
+    "mergeSchema read unions the file schemas; rows from the old "
+    "generation surface NULL for the new column, aggregated here as "
+    "per-type row counts, new-generation counts, and the evolved "
+    "column's sum (NULL-safe). The oracle derives the same numbers from "
+    "the unevolved source. mergeSchema costs a footer read per file at "
+    "planning — pay it only on evolving tables, or pin the merged "
+    "schema explicitly (both noted here deliberately).",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir, parallelize=False)
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
+    base = os.path.join(tempfile.gettempdir(), f"logflow-evo-{tag}")
+    cut = F.lit("2024-01-15").cast("date")
+    if not os.path.exists(os.path.join(base, "_done")):
+        old = ev.filter(F.to_date("ts") < cut).select("event_id", "ts", "event_type")
+        new = ev.filter(F.to_date("ts") >= cut).select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        old.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+        new.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+        open(os.path.join(base, "_done"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("value_cents").cast("long").alias("n_batch2"),
+        F.coalesce(F.sum("value_cents"), F.lit(0)).cast("long").alias("value_cents_sum"),
+    )

@@ -65,6 +65,7 @@ RELATIONAL_QUERIES = [
     "aggstate_incremental_merge",
     "join_bloom_runtime_filter",
     "udaf_geomean_price",
+    "scan_schema_evolution",
 ]
 
 
