@@ -163,6 +163,7 @@ PRIORITY: list[str] = [
     "fuzzy_match_part_names",
     "udaf_geomean_price",
     "scan_schema_evolution",
+    "source_custom_wirelog",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)

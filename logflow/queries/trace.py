@@ -310,3 +310,62 @@ def trace_baggage_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(header_value_str("headers", "messageid") == expected, 1).otherwise(0)
         ).cast("long").alias("n_propagated"),
     )
+
+
+@register(
+    "source_custom_wirelog",
+    f"""
+WITH {RECORDS_CTE.strip()}, {ENRICHED_CTE.strip()}
+SELECT value % 2 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value) AS BIGINT) AS sum_value,
+       MIN(trace_id) AS min_trace,
+       MAX(key) AS max_key
+FROM enriched
+GROUP BY value % 2
+""",
+    doc="Custom Python DataSource roundtrip (pyspark.sql.datasource, "
+    "sources/wirelog.py): records are wire-encoded with the reference's "
+    "exact serde config (utf8 key, 4-byte BE IntegerSerde value, b3 "
+    "header re-encoded from the enriched span context — "
+    "application.yml:17-21), persisted as length-prefixed binary frame "
+    "files from the executors, then read back through the registered "
+    "'wirelog' format (one InputPartition per file) and DECODED in the "
+    "engine: int_be_decode for the value, b3 parse for the trace id. "
+    "The oracle recomputes the same aggregate from the unencoded events "
+    "derivation — hash-equality proves the produce-side encode and the "
+    "custom-source decode are mutual inverses, the in-engine substitute "
+    "for a live-broker integration test.",
+)
+def source_custom_wirelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import tempfile
+
+    from logflow.functions.codec import int_be_decode
+    from logflow.functions.trace import parse_b3
+    from logflow.sources.wirelog import register_wirelog, write_wirelog
+    from logflow.streaming.sinks import kafka_wire_frame
+
+    ev = load_table(spark, "events", sf_dir, parallelize=False)
+    enriched = enrich_trace(records_from_events(ev))
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
+    base = os.path.join(tempfile.gettempdir(), f"logflow-wirelog-{tag}")
+    marker = os.path.join(base, "_done")
+    if not os.path.exists(marker):
+        write_wirelog(kafka_wire_frame(enriched), base)
+        open(marker, "w").close()
+    register_wirelog(spark)
+    raw = spark.read.format("wirelog").option("path", base).load()
+    ctx = parse_b3(header_value_str("headers", "b3"))
+    decoded = raw.select(
+        F.decode(F.col("key"), "UTF-8").alias("key"),
+        int_be_decode(F.col("value")).cast("long").alias("value"),
+        ctx["trace_id"].alias("trace_id"),
+    )
+    return decoded.groupBy((F.col("value") % 2).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").cast("long").alias("sum_value"),
+        F.min("trace_id").alias("min_trace"),
+        F.max("key").alias("max_key"),
+    )

@@ -1,0 +1,137 @@
+"""Custom Python DataSource: a Kafka-wire-format file log ("wirelog").
+
+Spark 4's Python DataSource API (`pyspark.sql.datasource`) lets a pure-
+Python connector plug into the planner: the engine's `kafka_wire_frame`
+producer frames (utf8 key bytes, 4-byte big-endian IntegerSerde value
+bytes, b3/baggage headers — exactly the reference's serde config,
+application.yml:17-21) are persisted as length-prefixed binary frame
+files, and this source reads them back with one input partition per
+file. That closes the broker-gap loop end-to-end IN-ENGINE: produce-side
+encode → wire bytes on disk → custom-source scan → decode, with no Kafka
+dependency. Against a real deployment the same reader logic would target
+the broker; here the wire format itself is the contract under test.
+
+Frame layout (all lengths unsigned 4-byte big-endian):
+    [klen][key][vlen][value][n_headers] then per header [hklen][hk][hvlen][hv]
+
+Scale notes: one file = one InputPartition = one task, so read
+parallelism is the file count (the writer repartitions accordingly);
+frames stream through a generator — nothing buffers a whole file; the
+driver only lists the directory. Filter/column pushdown is not
+implemented (the API supports it via pushFilters) — documented
+limitation, fine for a wire-replay source whose consumers decode every
+frame anyway.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+WIRELOG_SCHEMA = "key binary, value binary, headers array<struct<key:string,value:binary>>"
+
+_U32 = struct.Struct(">I")
+
+
+def _write_frame(fh, key: bytes, value: bytes, headers: list[tuple[str, bytes]]) -> None:
+    fh.write(_U32.pack(len(key)))
+    fh.write(key)
+    fh.write(_U32.pack(len(value)))
+    fh.write(value)
+    fh.write(_U32.pack(len(headers)))
+    for hk, hv in headers:
+        hkb = hk.encode("utf-8")
+        fh.write(_U32.pack(len(hkb)))
+        fh.write(hkb)
+        fh.write(_U32.pack(len(hv)))
+        fh.write(hv)
+
+
+def _read_frames(path: str) -> Iterator[tuple[bytes, bytes, list[tuple[str, bytes]]]]:
+    with open(path, "rb") as fh:
+        while True:
+            head = fh.read(4)
+            if not head:
+                return
+            key = fh.read(_U32.unpack(head)[0])
+            value = fh.read(_U32.unpack(fh.read(4))[0])
+            n_headers = _U32.unpack(fh.read(4))[0]
+            headers = []
+            for _ in range(n_headers):
+                hk = fh.read(_U32.unpack(fh.read(4))[0]).decode("utf-8")
+                hv = fh.read(_U32.unpack(fh.read(4))[0])
+                headers.append((hk, hv))
+            yield key, value, headers
+
+
+def write_wirelog(wire_frames, path: str, n_files: int = 4) -> int:
+    """Persist a kafka_wire_frame DataFrame as wirelog files; returns the
+    row count written. Executor-side writes (mapInPandas) — the driver
+    never materializes the data; a real deployment would target shared
+    storage instead of the local tmpfs."""
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid
+
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.wirelog")
+        n = 0
+        with open(fname, "wb") as fh:
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    hs = row["headers"]
+                    hs = [] if hs is None else list(hs)  # numpy array → list
+                    headers = [(h["key"], bytes(h["value"])) for h in hs]
+                    _write_frame(fh, bytes(row["key"]), bytes(row["value"]), headers)
+                    n += 1
+        if n == 0:
+            os.remove(fname)
+        yield pd.DataFrame({"n": [n]})
+
+    counts = (
+        wire_frames.select("key", "value", "headers")
+        .repartition(n_files)
+        .mapInPandas(write_partition, "n long")
+        .collect()
+    )
+    return sum(r.n for r in counts)
+
+
+class WirelogReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("wirelog source requires a 'path' option")
+
+    def partitions(self) -> list[InputPartition]:
+        files = sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if f.endswith(".wirelog")
+        )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition: InputPartition):
+        yield from _read_frames(partition.value)
+
+
+class WirelogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "wirelog"
+
+    def schema(self) -> str:
+        return WIRELOG_SCHEMA
+
+    def reader(self, schema) -> WirelogReader:
+        return WirelogReader(self.options)
+
+
+def register_wirelog(spark) -> None:
+    """Idempotent registration of the wirelog format on a session."""
+    spark.dataSource.register(WirelogDataSource)

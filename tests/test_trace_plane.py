@@ -105,6 +105,7 @@ TRACE_QUERIES = [
     "trace_dependency_graph",
     "trace_log_summary",
     "trace_baggage_propagation",
+    "source_custom_wirelog",
 ]
 
 
