@@ -164,6 +164,7 @@ PRIORITY: list[str] = [
     "udaf_geomean_price",
     "scan_schema_evolution",
     "source_custom_wirelog",
+    "quality_classifier_infer",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)

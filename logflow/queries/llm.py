@@ -1388,3 +1388,72 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "quality_classifier_infer",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_tok_chars,
+         len(list_filter(toks, x -> x IN ({_SW}))) AS n_stop
+  FROM t
+),
+f AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN
+           -1.2
+           + 2.0 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+           - 1.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+           + 0.8 * (CAST(n_tok_chars AS DOUBLE) / n_tokens / 10.0)
+         END AS logit
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(1.0 / (1.0 + EXP(-logit)), 4) AS p_keep,
+       COALESCE(ROUND(1.0 / (1.0 + EXP(-logit)), 4) >= 0.5, FALSE) AS keep
+FROM f
+""",
+    doc="Model inference inside the engine: a (fixed-weight) logistic "
+    "quality classifier applied to per-doc features — length saturation, "
+    "stopword ratio, mean token length — entirely as JVM expressions: "
+    "no UDF, no model server, whole-stage codegen end to end. This is "
+    "how a trained quality filter actually deploys over 100 TB: weights "
+    "as literals (or a broadcast map for big linear models), one narrow "
+    "map stage, zero shuffle. Determinism: every feature is an exact "
+    "int/int division on identical doubles, so exp/sigmoid see identical "
+    "inputs in both engines; rounding happens once at the end.",
+)
+def quality_classifier_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    n_tokens = F.size("toks")
+    n_tok_chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
+    m = t.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_tok_chars.alias("n_tok_chars"),
+        n_stop.alias("n_stop"),
+    )
+    logit = F.when(
+        F.col("n_tokens") > 0,
+        F.lit(-1.2)
+        + F.lit(2.0) * (F.least(F.col("n_tokens"), F.lit(200)).cast("double") / F.lit(200.0))
+        - F.lit(1.5) * (F.col("n_stop").cast("double") / F.col("n_tokens"))
+        + F.lit(0.8) * (F.col("n_tok_chars").cast("double") / F.col("n_tokens") / F.lit(10.0)),
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4)
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        p.alias("p_keep"),
+        F.coalesce(p >= 0.5, F.lit(False)).alias("keep"),
+    )

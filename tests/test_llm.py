@@ -34,6 +34,7 @@ LLM_QUERIES = [
     "text_unigram_logprob",
     "corpus_mixture_weights",
     "fuzzy_match_part_names",
+    "quality_classifier_infer",
 ]
 
 
