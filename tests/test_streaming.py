@@ -679,3 +679,51 @@ def test_streaming_transform_with_state_sf001_match_batch(spark, tmp_path):
         .collect()
     }
     assert latest == want
+
+
+def test_streaming_incremental_dependency_graph(spark, tmp_path):
+    """The reference's Q3 dependency graph as a STREAMING aggregate in
+    update mode (the 'incremental dependency graph' row of SURVEY §2.2):
+    spans derived per micro-batch, groupBy(service, remote) count — the
+    latest update per edge after two micro-batches must equal the batch
+    trace_dependency_graph over the same events."""
+    from logflow.operators.topology import rewrite_remote_service, spans_from_records
+    from logflow.queries import load_all
+    from logflow.sources.records import records_from_events
+    from logflow.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf, parallelize=False)
+    path = str(tmp_path / "ev_dep")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(path)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    spans = rewrite_remote_service(spans_from_records(records_from_events(stream)))
+    agg = (
+        spans.filter(F.col("kafka_topic").isNotNull())
+        .groupBy("service", F.col("remote_service").alias("remote"))
+        .agg(F.count(F.lit(1)).alias("call_count"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("depgraph_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dep"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.service, r.remote): r.call_count
+        for r in spark.sql("select * from depgraph_t").collect()
+    }
+    want = {
+        (r.service, r.remote): r.call_count
+        for r in load_all()["trace_dependency_graph"].fn(spark, sf).collect()
+    }
+    assert got == want and got
