@@ -66,6 +66,7 @@ RELATIONAL_QUERIES = [
     "join_bloom_runtime_filter",
     "udaf_geomean_price",
     "scan_schema_evolution",
+    "maintenance_compact_files",
 ]
 
 
@@ -215,3 +216,25 @@ def test_bloom_runtime_filter_in_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in plan, plan[:2000]
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_compaction_reduces_file_count_losslessly(spark, sf_dir):
+    """maintenance_compact_files must leave a small-file dir (64 files)
+    and a compacted dir (4 files) with identical total row counts."""
+    import os
+    import re
+    import tempfile
+
+    from logflow.queries import load_all
+
+    out = load_all()["maintenance_compact_files"].fn(spark, sf_dir)
+    total = sum(r.n_rows for r in out.collect())
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"logflow-compact-{tag}")
+
+    def n_parquet(d):
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    assert n_parquet(os.path.join(base, "small")) == 64
+    assert n_parquet(os.path.join(base, "compacted")) == 4
+    assert total == spark.read.parquet(os.path.join(base, "small")).count()
