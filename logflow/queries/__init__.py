@@ -166,6 +166,7 @@ PRIORITY: list[str] = [
     "source_custom_wirelog",
     "quality_classifier_infer",
     "maintenance_compact_files",
+    "branch_multiway_value_bands",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)

@@ -369,3 +369,52 @@ def source_custom_wirelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("trace_id").alias("min_trace"),
         F.max("key").alias("max_key"),
     )
+
+
+@register(
+    "branch_multiway_value_bands",
+    f"""
+WITH {RECORDS_CTE.strip()},
+routed AS (
+  SELECT value,
+         CASE WHEN value < 20 THEN 'low'
+              WHEN value < 100 THEN 'mid'
+              WHEN value % 2 = 0 THEN 'high-even'
+              ELSE 'default' END AS lane
+  FROM records
+)
+SELECT lane,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value) AS BIGINT) AS sum_value
+FROM routed
+GROUP BY lane
+""",
+    doc="N-way first-match branch (the generic operators/branch.py:branch, "
+    "generalizing the reference's 2-way KafkaStreamBrancher, "
+    "StreamsConfig.java:39-51): three predicates + default over the "
+    "record stream, each branch an independent pruned scan in batch "
+    "(Catalyst pushes `pred_i AND NOT earlier` to each), re-united with "
+    "lane labels for the aggregate. The oracle is the equivalent "
+    "first-match CASE — proving branch()'s exactly-one-lane routing, "
+    "including the subtle NOT-earlier predicate chaining (a 'high-even' "
+    "row must not also appear in 'low'/'mid').",
+)
+def branch_multiway_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.branch import branch
+
+    recs = _records(spark, sf_dir).select("value")
+    lanes = branch(
+        recs,
+        F.col("value") < 20,
+        F.col("value") < 100,
+        (F.col("value") % 2) == 0,
+    )
+    labels = ["low", "mid", "high-even", "default"]
+    tagged = [df.withColumn("lane", F.lit(name)) for df, name in zip(lanes, labels)]
+    allrows = tagged[0]
+    for t in tagged[1:]:
+        allrows = allrows.unionByName(t)
+    return allrows.groupBy("lane").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").cast("long").alias("sum_value"),
+    )

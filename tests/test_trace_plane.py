@@ -106,6 +106,7 @@ TRACE_QUERIES = [
     "trace_log_summary",
     "trace_baggage_propagation",
     "source_custom_wirelog",
+    "branch_multiway_value_bands",
 ]
 
 
