@@ -10,7 +10,32 @@ trace semantics = derived columns; "topology" = composition of DataFrame
 transformations; streaming = the same functions applied to streaming frames.
 """
 
+from logflow.operators.branch import branch
+from logflow.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
+from logflow.operators.distribution import ks_distance_cogrouped
+from logflow.operators.joins import asof_join, bucketed_join, salted_join
+from logflow.operators.similarity import cosine_topk, ivf_topk
+from logflow.operators.topology import enrich_trace, route_even_odd, spans_from_records
 from logflow.session import get_spark
+from logflow.sources.records import records_from_events
+from logflow.sources.tables import load_table, register_views
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+__all__ = [
+    "asof_join",
+    "branch",
+    "bucketed_join",
+    "cosine_topk",
+    "enrich_trace",
+    "exact_dedup_groups",
+    "get_spark",
+    "ivf_topk",
+    "ks_distance_cogrouped",
+    "load_table",
+    "minhash_lsh_pairs",
+    "records_from_events",
+    "register_views",
+    "route_even_odd",
+    "salted_join",
+    "spans_from_records",
+]
+__version__ = "0.2.0"
