@@ -2123,3 +2123,109 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("value_cents_sum"),
     )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click_after,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after,
+       ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1), 4) AS conversion
+""",
+    doc="Ordered funnel analysis (signup -> first click AFTER signup -> "
+    "first purchase AFTER that click): each stage is a per-user MIN-ts "
+    "aggregate joined to the previous stage with a strict time "
+    "predicate — the standard event-sequence funnel as three partial-agg "
+    "shuffles on user_id that all REUSE one partitioning (Catalyst "
+    "chains them without re-exchanging). No window over the full event "
+    "history and no per-user collect: state per stage is one timestamp "
+    "per surviving user, so the plan holds at 100 TB of events.",
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+
+    def stage(etype, prev=None, prev_t=None):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t)).drop(prev_t)
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    s1 = stage("signup")
+    s2 = stage("click", s1, "t_signup")
+    s3 = stage("purchase", s2, "t_click")
+    counts = (
+        s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).cast("long").alias("n_click_after"))))
+        .crossJoin(
+            F.broadcast(s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after")))
+        )
+    )
+    return counts.select(
+        "n_signup",
+        "n_click_after",
+        "n_purchase_after",
+        F.round(
+            F.col("n_purchase_after").cast("double") / F.col("n_signup"), 4
+        ).alias("conversion"),
+    )
+
+
+@register(
+    "retention_weekly_cohorts",
+    """
+WITH first_week AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_week,
+         CAST(FLOOR(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week AS weeks_since
+  FROM events e JOIN first_week f ON e.user_id = f.user_id
+)
+SELECT cohort_week,
+       weeks_since,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM activity
+GROUP BY cohort_week, weeks_since
+""",
+    doc="Weekly cohort retention: each user joins the cohort of their "
+    "first-activity week (epoch-week bucketing — integer FLOOR division, "
+    "identical both engines); every later active week increments that "
+    "cohort's retention cell. Two partial-agg shuffles on user_id (first "
+    "week + distinct activity) and one on the cohort cell — the "
+    "triangle-shaped retention matrix every analytics stack derives from "
+    "raw event logs, with no sessionization state held anywhere.",
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("long")  # noqa: E731
+    first_week = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    first_week = first_week.select("user_id", week(F.col("first_ts")).alias("cohort_week"))
+    activity = (
+        ev.select("user_id", week(F.col("ts")).alias("wk"))
+        .join(first_week, "user_id")
+        .select("user_id", "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("weeks_since"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_users")
+    )

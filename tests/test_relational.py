@@ -67,6 +67,8 @@ RELATIONAL_QUERIES = [
     "udaf_geomean_price",
     "scan_schema_evolution",
     "maintenance_compact_files",
+    "funnel_signup_click_purchase",
+    "retention_weekly_cohorts",
 ]
 
 

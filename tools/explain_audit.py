@@ -57,6 +57,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "corpus_mixture_weights": {
         "bnlj": "crossJoin of the single-row corpus-total aggregate"
     },
+    "funnel_signup_click_purchase": {
+        "bnlj": "crossJoin of three single-row stage-count aggregates"
+    },
     "trace_tree_edges": {
         "hof-in-filter": "inferred isnotnull join constraints re-inline the "
         "b3 header parse (a few string ops per row); constraint inference "
