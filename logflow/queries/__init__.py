@@ -169,6 +169,8 @@ PRIORITY: list[str] = [
     "branch_multiway_value_bands",
     "funnel_signup_click_purchase",
     "retention_weekly_cohorts",
+    "anomaly_hourly_error_spikes",
+    "log_template_mining",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)

@@ -2229,3 +2229,112 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "weeks_since").agg(
         F.count(F.lit(1)).cast("long").alias("n_active_users")
     )
+
+
+@register(
+    "anomaly_hourly_error_spikes",
+    """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CAST(COUNT(*) AS BIGINT) AS n_errors
+  FROM events WHERE event_type = 'error'
+  GROUP BY date_trunc('hour', ts)
+),
+stats AS (
+  SELECT quantile_cont(CAST(n_errors AS DOUBLE), 0.5) AS med FROM hourly
+),
+mad AS (
+  SELECT quantile_cont(ABS(CAST(h.n_errors AS DOUBLE) - s.med), 0.5) AS mad, s.med
+  FROM hourly h CROSS JOIN stats s
+  GROUP BY s.med
+)
+SELECT h.hour_start,
+       h.n_errors,
+       ROUND(m.med, 2) AS med,
+       ROUND(m.mad, 2) AS mad
+FROM hourly h CROSS JOIN mad m
+WHERE CAST(h.n_errors AS DOUBLE) > m.med + 3 * m.mad
+""",
+    doc="Hourly error-spike detection (the observability alerting query "
+    "the reference's log plane feeds): per-hour error counts, then a "
+    "robust median+MAD threshold — flag hours beyond med + 3*MAD. "
+    "Median/MAD over EXACT interpolated percentiles on integer counts "
+    "(identical in both engines, unlike mean/stddev whose float "
+    "accumulation order differs), computed once and broadcast as a "
+    "1-row threshold against the hourly series. The hourly rollup is "
+    "the only data-sized shuffle; the threshold pass is O(hours).",
+)
+def anomaly_hourly_error_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_errors"))
+    )
+    med = hourly.agg(
+        F.percentile(F.col("n_errors").cast("double"), F.lit(0.5)).alias("med")
+    )
+    mad = (
+        hourly.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(
+                F.abs(F.col("n_errors").cast("double") - F.col("med")), F.lit(0.5)
+            ).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        hourly.crossJoin(F.broadcast(mad))
+        .filter(F.col("n_errors").cast("double") > F.col("med") + 3 * F.col("mad"))
+        .select(
+            "hour_start",
+            "n_errors",
+            F.round("med", 2).alias("med"),
+            F.round("mad", 2).alias("mad"),
+        )
+    )
+
+
+@register(
+    "log_template_mining",
+    """
+WITH msgs AS (
+  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR)
+         || ' k=' || CAST(json_extract(props, '$.k') AS VARCHAR) AS message
+  FROM events
+),
+t AS (
+  SELECT message, regexp_replace(message, '[0-9]+', '#', 'g') AS template FROM msgs
+)
+SELECT template,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(message) AS sample_message
+FROM t
+GROUP BY template
+""",
+    doc="Log template mining (Drain-style log clustering, first-order): "
+    "render each event as its log line, normalize variable fragments "
+    "(digit runs -> '#') with one regexp_replace, and group by the "
+    "resulting template with a deterministic MIN sample line. The "
+    "whole pipeline is codegen expressions + one partial-agg shuffle "
+    "on the template — template cardinality, not log volume, bounds "
+    "the reduce side, which is what makes template mining viable over "
+    "100 TB of raw logs.",
+)
+def log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    msg = F.concat(
+        F.col("event_type"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" k="),
+        F.get_json_object("props", "$.k"),
+    )
+    t = ev.select(
+        msg.alias("message"),
+        F.regexp_replace(msg, "[0-9]+", "#").alias("template"),
+    )
+    return t.groupBy("template").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("message").alias("sample_message"),
+    )

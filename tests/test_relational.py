@@ -69,6 +69,8 @@ RELATIONAL_QUERIES = [
     "maintenance_compact_files",
     "funnel_signup_click_purchase",
     "retention_weekly_cohorts",
+    "anomaly_hourly_error_spikes",
+    "log_template_mining",
 ]
 
 

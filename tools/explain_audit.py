@@ -60,6 +60,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "funnel_signup_click_purchase": {
         "bnlj": "crossJoin of three single-row stage-count aggregates"
     },
+    "anomaly_hourly_error_spikes": {
+        "bnlj": "crossJoin of the single-row median/MAD threshold aggregate"
+    },
     "trace_tree_edges": {
         "hof-in-filter": "inferred isnotnull join constraints re-inline the "
         "b3 header parse (a few string ops per row); constraint inference "
