@@ -727,3 +727,44 @@ def test_streaming_incremental_dependency_graph(spark, tmp_path):
         for r in load_all()["trace_dependency_graph"].fn(spark, sf).collect()
     }
     assert got == want and got
+
+
+def test_streaming_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """Structured Streaming recovery contract: a query stopped after batch
+    1 and RESTARTED from the same checkpoint must process only the files
+    that arrived while it was down — offsets come from the checkpoint,
+    not from scratch — so the sink holds exactly one copy of every input
+    row across the restart."""
+    path = str(tmp_path / "ev_ckpt")
+    out = str(tmp_path / "out_ckpt")
+    ckpt = str(tmp_path / "ckpt_recover")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 5.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, value double").parquet(path)
+        q = (
+            stream.withColumn("doubled", F.col("value") * 2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # processes file 1, commits offsets to the checkpoint
+    assert spark.read.parquet(out).count() == 2
+
+    spark.createDataFrame(
+        [(1, 30.0), (3, 7.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+    run_once()  # restart: must pick up ONLY the new file
+
+    rows = sorted(
+        (r.user_id, r.value, r.doubled) for r in spark.read.parquet(out).collect()
+    )
+    # one copy of each input row — file 1 was NOT reprocessed on restart
+    assert rows == [(1, 10.0, 20.0), (1, 30.0, 60.0), (2, 5.0, 10.0), (3, 7.0, 14.0)]
