@@ -111,6 +111,56 @@ def salted_join(
     return sk.join(rep, on + ["__salt"], how).drop("__salt")
 
 
+def range_band_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    bin_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (theta) join of ``fact.value`` into ``[lo, hi)`` bands,
+    executed as a codegen'd broadcast HASH join instead of a
+    BroadcastNestedLoopJoin.
+
+    The standard range-join binning rewrite: pick a bin width (default =
+    the narrowest band, computed driver-side from the small band table),
+    explode each band into every integer bin it overlaps, equi-join on
+    ``floor(value / width)``, and re-check the exact ``lo <= value < hi``
+    residual.  A BNLJ evaluates every band predicate against every fact
+    row with no codegen'd key (O(|fact|·|bands|) predicate evaluations);
+    the binned form is a hash probe per row — the same plan shape an
+    equi-join gets, so it holds at 100 TB and at thousands of bands.
+    Bands must be small (broadcast side); overlapping bands are fine
+    (a fact row matches each band whose range contains it).
+    """
+    rows = bands.select(lo, hi).collect()  # band table is dim-sized by contract
+    if not rows:
+        return fact.join(F.broadcast(bands), F.lit(False), how)
+    width = bin_width or min(r[hi] - r[lo] for r in rows if r[hi] > r[lo])
+    binned = bands.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(width)).cast("long"),
+                # hi is exclusive: a band ending exactly on a bin edge does
+                # not reach into the next bin, hence ceil(hi/w) - 1.
+                (F.ceil(F.col(hi) / F.lit(width)) - F.lit(1)).cast("long"),
+            )
+        ),
+    )
+    probe = fact.withColumn("__bin", F.floor(F.col(value) / F.lit(width)).cast("long"))
+    out = probe.join(
+        F.broadcast(binned),
+        (probe["__bin"] == binned["__bin"])
+        & (F.col(value) >= F.col(lo))
+        & (F.col(value) < F.col(hi)),
+        how,
+    )
+    return out.drop("__bin")
+
+
 def bucketed_join(
     spark,
     left: DataFrame,

@@ -259,9 +259,18 @@ FROM part
 JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band
 """,
-    doc="Range (theta) join: non-equi band matching against a broadcast value table",
+    doc="Range (theta) join: band matching against a broadcast value table, "
+    "executed via operators/joins.py:range_band_join — the binning rewrite "
+    "that turns the non-equi predicate into a codegen'd broadcast HASH join "
+    "(explode bands into fixed-width bins, equi-join on floor(value/width), "
+    "re-check the exact range residual). The naive BroadcastNestedLoopJoin "
+    "evaluates every band predicate per fact row with no codegen'd key — "
+    "O(|fact|·|bands|); the binned form is one hash probe per row, the plan "
+    "shape that survives 100 TB of facts and thousands of bands.",
 )
 def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.joins import range_band_join
+
     part = load_table(spark, "part", sf_dir)
     bands = spark.createDataFrame(
         [("900-905", 900.0, 905.0), ("905-910", 905.0, 910.0),
@@ -269,10 +278,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band string, lo double, hi double",
     )
     return (
-        part.join(
-            F.broadcast(bands),
-            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
-        )
+        range_band_join(part, bands, value="p_retailprice")
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
@@ -1245,14 +1251,18 @@ GROUP BY event_type
     "the equivalent predicate on raw ts.",
 )
 def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re
-    import tempfile
+    from logflow.sources.derived import derived_cache
 
     ev = load_table(spark, "events", sf_dir, parallelize=False)
-    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
-    base = os.path.join(tempfile.gettempdir(), f"logflow-prune-{tag}")
-    ev.withColumn("dt", F.to_date("ts")).write.mode("overwrite").partitionBy("dt").parquet(base)
+    base = derived_cache(
+        sf_dir,
+        "prune",
+        ["events"],
+        lambda d: ev.withColumn("dt", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(d),
+    )
     pruned = spark.read.parquet(base).filter(
         (F.col("dt") >= F.lit("2024-01-08").cast("date"))
         & (F.col("dt") <= F.lit("2024-01-14").cast("date"))
@@ -1685,16 +1695,12 @@ GROUP BY event_type
     "the oracle reads the same rows from parquet.",
 )
 def source_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re
-    import tempfile
+    from logflow.sources.derived import derived_cache
 
     ev = load_table(spark, "events", sf_dir, parallelize=False)
-    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
-    base = os.path.join(tempfile.gettempdir(), f"logflow-json-{tag}")
-    marker = os.path.join(base, "_SUCCESS")
-    if not os.path.exists(marker):
-        ev.write.mode("overwrite").json(base)
+    base = derived_cache(
+        sf_dir, "json", ["events"], lambda d: ev.write.mode("overwrite").json(d)
+    )
     js = spark.read.schema(ev.schema).json(base)
     return js.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -1718,16 +1724,15 @@ GROUP BY o_orderstatus
     "The oracle reads the same rows from parquet.",
 )
 def source_csv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re
-    import tempfile
+    from logflow.sources.derived import derived_cache
 
     orders = load_table(spark, "orders", sf_dir, parallelize=False)
-    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
-    base = os.path.join(tempfile.gettempdir(), f"logflow-csv-{tag}")
-    marker = os.path.join(base, "_SUCCESS")
-    if not os.path.exists(marker):
-        orders.write.mode("overwrite").option("header", "true").csv(base)
+    base = derived_cache(
+        sf_dir,
+        "csv",
+        ["orders"],
+        lambda d: orders.write.mode("overwrite").option("header", "true").csv(d),
+    )
     cs = spark.read.schema(orders.schema).option("header", "true").csv(base)
     return cs.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -2056,14 +2061,13 @@ GROUP BY event_type
 )
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import re
-    import tempfile
+
+    from logflow.sources.derived import derived_cache
 
     ev = load_table(spark, "events", sf_dir, parallelize=False)
-    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
-    base = os.path.join(tempfile.gettempdir(), f"logflow-evo-{tag}")
     cut = F.lit("2024-01-15").cast("date")
-    if not os.path.exists(os.path.join(base, "_done")):
+
+    def _build(d: str) -> None:
         old = ev.filter(F.to_date("ts") < cut).select("event_id", "ts", "event_type")
         new = ev.filter(F.to_date("ts") >= cut).select(
             "event_id",
@@ -2071,9 +2075,10 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
         )
-        old.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
-        new.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
-        open(os.path.join(base, "_done"), "w").close()
+        old.write.mode("overwrite").parquet(os.path.join(d, "gen=1"))
+        new.write.mode("overwrite").parquet(os.path.join(d, "gen=2"))
+
+    base = derived_cache(sf_dir, "evo", ["events"], _build)
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
     )
@@ -2106,19 +2111,18 @@ GROUP BY event_type
 )
 def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import re
-    import tempfile
+
+    from logflow.sources.derived import derived_cache
 
     ev = load_table(spark, "events", sf_dir, parallelize=False)
-    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
-    base = os.path.join(tempfile.gettempdir(), f"logflow-compact-{tag}")
-    small, big = os.path.join(base, "small"), os.path.join(base, "compacted")
-    marker = os.path.join(base, "_done")
-    if not os.path.exists(marker):
+
+    def _build(d: str) -> None:
+        small, big = os.path.join(d, "small"), os.path.join(d, "compacted")
         ev.repartition(64).write.mode("overwrite").parquet(small)
         spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(big)
-        open(marker, "w").close()
-    compacted = spark.read.parquet(big)
+
+    base = derived_cache(sf_dir, "compact", ["events"], _build)
+    compacted = spark.read.parquet(os.path.join(base, "compacted"))
     return compacted.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("value_cents_sum"),

@@ -338,23 +338,20 @@ GROUP BY value % 2
     "for a live-broker integration test.",
 )
 def source_custom_wirelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re
-    import tempfile
-
     from logflow.functions.codec import int_be_decode
     from logflow.functions.trace import parse_b3
+    from logflow.sources.derived import derived_cache
     from logflow.sources.wirelog import register_wirelog, write_wirelog
     from logflow.streaming.sinks import kafka_wire_frame
 
     ev = load_table(spark, "events", sf_dir, parallelize=False)
     enriched = enrich_trace(records_from_events(ev))
-    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir or "default")
-    base = os.path.join(tempfile.gettempdir(), f"logflow-wirelog-{tag}")
-    marker = os.path.join(base, "_done")
-    if not os.path.exists(marker):
-        write_wirelog(kafka_wire_frame(enriched), base)
-        open(marker, "w").close()
+    base = derived_cache(
+        sf_dir,
+        "wirelog",
+        ["events"],
+        lambda d: write_wirelog(kafka_wire_frame(enriched), d),
+    )
     register_wirelog(spark)
     raw = spark.read.format("wirelog").option("path", base).load()
     ctx = parse_b3(header_value_str("headers", "b3"))

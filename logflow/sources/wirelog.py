@@ -75,6 +75,12 @@ def write_wirelog(wire_frames, path: str, n_files: int = 4) -> int:
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
+    # Idempotent restart: the writers append uuid-named part files, so a
+    # retry after a crashed attempt would double-count the crashed
+    # attempt's frames (the reader lists every *.wirelog). Start clean.
+    for f in os.listdir(path):
+        if f.endswith(".wirelog"):
+            os.remove(os.path.join(path, f))
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import uuid

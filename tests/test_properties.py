@@ -94,6 +94,39 @@ def test_asof_join_matches_naive(spark, left, right, strict):
         assert out.get(i) == want, (i, k, m, cands)
 
 
+band_strategy = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(1, 13)), min_size=1, max_size=6
+)
+
+
+@settings(**SETTINGS)
+@given(
+    values=st.lists(st.floats(0, 60, allow_nan=False, width=32), min_size=1, max_size=25),
+    raw_bands=band_strategy,
+)
+def test_range_band_join_matches_naive(spark, values, raw_bands):
+    """Binned rewrite == naive theta join, including bands that end exactly
+    on a bin edge, overlapping bands, and values outside every band."""
+    from logflow.operators.joins import range_band_join
+
+    bands = [(f"b{i}", float(lo), float(lo + w)) for i, (lo, w) in enumerate(raw_bands)]
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "fid long, v double"
+    )
+    bdf = spark.createDataFrame(bands, "band string, lo double, hi double")
+    got = {
+        (r.fid, r.band)
+        for r in range_band_join(fact, bdf, value="v").select("fid", "band").collect()
+    }
+    want = {
+        (i, name)
+        for i, v in enumerate(values)
+        for name, lo, hi in bands
+        if lo <= v < hi
+    }
+    assert got == want
+
+
 def test_ks_distance_identical_samples_is_zero(spark):
     """KS(a, a) must be exactly 0 for every group, and KS of disjoint
     ranges must be exactly 1 — the two analytic fixpoints of the

@@ -36,9 +36,6 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "bounded all-pairs verification (doc_id < 60 by contract)",
         "hof-in-filter": "size(g)>0 over the bounded ≤60-doc subset",
     },
-    "join_range_bands": {
-        "bnlj": "4-row broadcast VALUES table; non-equi band predicate"
-    },
     "knn_cosine_brute": {"bnlj": "query set is the broadcast side (10 rows)"},
     "knn_cosine_ivf": {"bnlj": "centroid set is the broadcast side (8 rows)"},
     "knn_recall_eval": {
