@@ -240,7 +240,11 @@ def connected_components(
     # near-empty partition per shuffle reducer, and every propagation round
     # would inherit that task count.  Narrow coalesce after the checkpoint;
     # ~100k edges per task keeps rounds one-task-per-core at real scale.
-    n_parts = max(1, min(und.rdd.getNumPartitions(), und.count() // 100_000 + 1))
+    # The target comes from the edge COUNT alone (the count() action is
+    # needed for sizing anyway) — no .rdd.getNumPartitions(), which forces
+    # a DataFrame→RDD plan conversion; coalesce never raises partitions,
+    # so min() against the current count is redundant.
+    n_parts = max(1, und.count() // 100_000 + 1)
     und = und.coalesce(n_parts)
     labels = (
         und.select(F.col("a").alias("node"))

@@ -55,7 +55,10 @@ def ks_distance_cogrouped(
             {group_col: [key[0]], "n_a": [len(xa)], "n_b": [len(xb)], "ks_raw": [gap]}
         )
 
-    schema = f"{group_col} long, n_a long, n_b long, ks_raw double"
+    # Derive the group column's type from the input schema — hardcoding
+    # 'long' would Arrow-mismatch for string/int32 group keys.
+    gtype = a.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {gtype}, n_a long, n_b long, ks_raw double"
     return (
         a.groupBy(group_col)
         .cogroup(b.groupBy(group_col))

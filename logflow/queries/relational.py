@@ -883,7 +883,12 @@ FROM orders
 )
 def window_range_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
-    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    # timestamp_diff, not unix_timestamp: NTZ-safe epoch-day on any driver
+    # timezone (see retention_weekly_cohorts).
+    epoch = F.lit("1970-01-01 00:00:00").cast(
+        orders.schema["o_orderdate"].dataType.simpleString()
+    )
+    day = F.floor(F.timestamp_diff("SECOND", epoch, F.col("o_orderdate")) / 86400).cast("long")
     w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
     return (
         orders.withColumn("day", day)
@@ -2163,30 +2168,36 @@ SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
     "per surviving user, so the plan holds at 100 TB of events.",
 )
 def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass-per-stage shape: each stage joins LEFT onto the surviving
+    # users and derives its first-qualifying timestamp with a conditional
+    # MIN, so one frame carries (t_signup, t_click, t_purchase) per signup
+    # user and ALL three stage counts come from ONE final aggregate over it
+    # — 3 pruned scans of events (one per stage filter) instead of the 6 a
+    # per-count re-derivation costs, and no crossJoin of single-row counts.
     ev = load_table(spark, "events", sf_dir)
-
-    def stage(etype, prev=None, prev_t=None):
-        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t)).drop(prev_t)
-        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
-
-    s1 = stage("signup")
-    s2 = stage("click", s1, "t_signup")
-    s3 = stage("purchase", s2, "t_click")
-    counts = (
-        s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
-        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).cast("long").alias("n_click_after"))))
-        .crossJoin(
-            F.broadcast(s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after")))
-        )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
     )
-    return counts.select(
-        "n_signup",
-        "n_click_after",
-        "n_purchase_after",
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    s2 = (
+        s1.join(clicks, "user_id", "left")
+        .groupBy("user_id", "t_signup")
+        .agg(F.min(F.when(F.col("ts") > F.col("t_signup"), F.col("ts"))).alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    stages = (
+        s2.join(purchases, "user_id", "left")
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(F.min(F.when(F.col("ts") > F.col("t_click"), F.col("ts"))).alias("t_purchase"))
+    )
+    return stages.agg(
+        F.count("t_signup").cast("long").alias("n_signup"),
+        F.count("t_click").cast("long").alias("n_click_after"),
+        F.count("t_purchase").cast("long").alias("n_purchase_after"),
         F.round(
-            F.col("n_purchase_after").cast("double") / F.col("n_signup"), 4
+            F.count("t_purchase").cast("double") / F.count("t_signup"), 4
         ).alias("conversion"),
     )
 
@@ -2221,7 +2232,12 @@ GROUP BY cohort_week, weeks_since
 )
 def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("long")  # noqa: E731
+    # timestamp_diff from the epoch, NOT unix_timestamp: on an NTZ column
+    # unix_timestamp goes through an implicit NTZ→LTZ cast using the
+    # session timezone, so parity with DuckDB's epoch() (which treats the
+    # naive value as UTC) would only hold on a UTC-configured driver.
+    epoch = F.lit("1970-01-01 00:00:00").cast(ev.schema["ts"].dataType.simpleString())
+    week = lambda c: F.floor(F.timestamp_diff("SECOND", epoch, c) / 604800).cast("long")  # noqa: E731
     first_week = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
     first_week = first_week.select("user_id", week(F.col("first_ts")).alias("cohort_week"))
     activity = (

@@ -149,6 +149,13 @@ def test_ks_distance_identical_samples_is_zero(spark):
     apart = ks_distance_cogrouped(lo, hi, "grp", "value").collect()
     assert all(r.ks_raw == 1.0 for r in apart)
 
+    # Non-long group keys must work too (output schema derives the key type
+    # from the input instead of hardcoding long).
+    s = base.select(F.concat(F.lit("g"), F.col("grp")).alias("grp"), "value")
+    str_key = ks_distance_cogrouped(s, s, "grp", "value").collect()
+    assert sorted(r.grp for r in str_key) == ["g0", "g1", "g2", "g3"]
+    assert all(r.ks_raw == 0.0 for r in str_key)
+
 
 def test_cdc_apply_output_keys_unique_and_flags_disjoint(spark, sf_dir):
     """The CDC snapshot must have exactly one row per key, and a row can

@@ -46,12 +46,18 @@ def main() -> int:
     names = sys.argv[2:] or list(load_all())
     failures = []
     for name in names:
-        proc = subprocess.run(
-            [sys.executable, "-c", _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir)],
-            capture_output=True,
-            text=True,
-            timeout=600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir)],
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+        except subprocess.TimeoutExpired:
+            # A hung query must not abort the sweep — record and move on.
+            failures.append(name)
+            print(f"FAIL {name}\n  timed out after 600s")
+            continue
         rows = [
             line for line in proc.stdout.splitlines() if line.startswith("DRIVERCHECK_ROWS")
         ]

@@ -54,9 +54,6 @@ WHITELIST: dict[str, dict[str, str]] = {
     "corpus_mixture_weights": {
         "bnlj": "crossJoin of the single-row corpus-total aggregate"
     },
-    "funnel_signup_click_purchase": {
-        "bnlj": "crossJoin of three single-row stage-count aggregates"
-    },
     "anomaly_hourly_error_spikes": {
         "bnlj": "crossJoin of the single-row median/MAD threshold aggregate"
     },
