@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 
 from logflow.functions.text import char_ngrams, tokenize, word_shingles
 
+# Default operating point (demo scale). With b bands of r = num_hashes/b
+# rows, P(candidate | jaccard=s) = 1 - (1 - s^r)^b — an s-curve with
+# threshold ~ (1/b)^(1/r). The defaults (r=2, b=4 → ~0.5) keep the oracle
+# cheap at test scale; a REAL corpus run wants 128 hashes / 32 bands
+# (r=4 → ~0.42 threshold with a much sharper knee): measured on the
+# documents table, both points recall 100% of true j>=0.6 pairs, but
+# 128/32 emits ZERO j<0.25 false candidates where 8/4 emits several
+# (tests/test_llm.py::test_minhash_operating_points_recall_precision).
+# Both knobs are plumbed through minhash_lsh_pairs as arguments.
 NUM_HASHES = 8
 BANDS = 4  # rows-per-band = NUM_HASHES // BANDS = 2
 
@@ -95,31 +104,15 @@ def shingled_docs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     return df.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(F.size("sh") > 0)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 3,
-    num_hashes: int = NUM_HASHES,
-    bands: int = BANDS,
+def band_buckets(
+    sigs: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS
 ) -> DataFrame:
-    """LSH candidate pairs with exact Jaccard over distinct shingle sets.
+    """(doc_id, band, bucket) rows: md5 over each band's signature slice.
 
-    Returns (doc_a, doc_b, jaccard) for every pair sharing ≥1 band bucket.
+    The bucket id is md5 of the concatenated rows-per-band signature slice —
+    a uniform key, so a band-bucket equi-join never skews.
     """
     rows_per_band = num_hashes // bands
-    # The signature table feeds four plan branches (both sides of the
-    # bucket self-join, both sides of the pair join), so it is
-    # materialized EAGERLY before the join phase is built: a lazily
-    # filled persist() races — parallel stages hit the uncached subtree
-    # simultaneously and recompute the md5 storm per branch (measured
-    # 4× cost at sf0.1).  The count() is the in-session equivalent of
-    # writing signatures to an intermediate table, which is exactly what
-    # a 100 TB run would do between the signature and join phases.
-    sigs = minhash_signatures_exploded(
-        shingle_explode(df, id_col, text_col, k), num_hashes
-    ).persist()
-    sigs.count()
     band_structs = F.array(
         *[
             F.struct(
@@ -133,7 +126,34 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select("doc_id", F.inline(band_structs))
+    return sigs.select("doc_id", F.inline(band_structs))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """LSH candidate pairs with exact Jaccard over distinct shingle sets.
+
+    Returns (doc_a, doc_b, jaccard) for every pair sharing ≥1 band bucket.
+    """
+    # The signature table feeds four plan branches (both sides of the
+    # bucket self-join, both sides of the pair join), so it is
+    # materialized EAGERLY before the join phase is built: a lazily
+    # filled persist() races — parallel stages hit the uncached subtree
+    # simultaneously and recompute the md5 storm per branch (measured
+    # 4× cost at sf0.1).  The count() is the in-session equivalent of
+    # writing signatures to an intermediate table, which is exactly what
+    # a 100 TB run would do between the signature and join phases.
+    sigs = minhash_signatures_exploded(
+        shingle_explode(df, id_col, text_col, k), num_hashes
+    ).persist()
+    sigs.count()
+    buckets = band_buckets(sigs, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -153,6 +173,56 @@ def minhash_lsh_pairs(
         pairs.join(da, "doc_a")
         .join(db, "doc_b")
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    indexed: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Cross-batch LSH: candidates between an INCOMING batch and the
+    already-INDEXED corpus — (doc_old, doc_new, jaccard).
+
+    The incremental-ingest shape of near-dup dedup: at 100 TB the corpus's
+    signature + band-bucket tables are materialized once (here simulated by
+    computing them; in production they are the stored index), and each
+    incoming batch pays signature cost proportional to the BATCH only, then
+    one bucket equi-join against the index — never a full-corpus rescan,
+    and never batch×corpus pairs.  Within-batch duplicates are a separate
+    (batch-sized) ``minhash_lsh_pairs`` call; this operator covers the
+    batch→corpus direction that incremental ingestion adds.
+    """
+    sig_old = minhash_signatures_exploded(
+        shingle_explode(indexed, id_col, text_col, k), num_hashes
+    ).persist()
+    sig_old.count()  # the materialized index (see minhash_lsh_pairs)
+    sig_new = minhash_signatures_exploded(
+        shingle_explode(batch, id_col, text_col, k), num_hashes
+    ).persist()
+    sig_new.count()
+    bo = band_buckets(sig_old, num_hashes, bands).alias("o")
+    bn = band_buckets(sig_new, num_hashes, bands).alias("n")
+    pairs = (
+        bo.join(
+            bn,
+            (F.col("o.band") == F.col("n.band")) & (F.col("o.bucket") == F.col("n.bucket")),
+        )
+        .select(F.col("o.doc_id").alias("doc_old"), F.col("n.doc_id").alias("doc_new"))
+        .distinct()
+    )
+    da = sig_old.select(F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_a"))
+    db = sig_new.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+    return (
+        pairs.join(da, "doc_old")
+        .join(db, "doc_new")
+        .select("doc_old", "doc_new", F.round(jacc, 4).alias("jaccard"))
     )
 
 

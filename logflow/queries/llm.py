@@ -1457,3 +1457,209 @@ def quality_classifier_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_keep"),
         F.coalesce(p >= 0.5, F.lit(False)).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3: split hygiene, quality gating, incremental dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+WITH assign AS (
+  SELECT doc_id,
+         md5(array_to_string(({TOKS})[1:40], ' ')) AS gmd5,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 10 = 0
+              THEN 'eval' ELSE 'train' END AS split
+  FROM documents
+),
+g AS (
+  SELECT gmd5,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+         CASE WHEN CAST(concat('0x', substr(md5(gmd5), 1, 4)) AS INTEGER) % 10 = 0
+              THEN 'eval' ELSE 'train' END AS healed_split
+  FROM assign GROUP BY gmd5
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_eval > 0 AND n_eval < n_docs THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaky_groups,
+       CAST(SUM(CASE WHEN n_eval > 0 AND n_eval < n_docs THEN n_docs ELSE 0 END)
+            AS BIGINT) AS n_leaky_docs,
+       CAST(SUM(CASE WHEN healed_split = 'eval' THEN n_docs ELSE 0 END)
+            AS BIGINT) AS n_eval_docs_healed
+FROM g
+""",
+    doc="Train/eval split hygiene: a naive per-doc hash split leaks near-"
+    "duplicates across the boundary (an eval doc whose near-copy sits in "
+    "train), silently inflating eval scores. Docs are grouped by a "
+    "CONTENT FINGERPRINT — md5 of the first 40 tokens, the truncated-"
+    "prefix key CCNet-style pipelines dedup on, which also catches the "
+    "append-a-suffix near-dups exact md5(text) misses — and every group "
+    "spanning both splits is counted as leaky. The HEALED split re-"
+    "assigns each whole group by hashing its group key, leak-free by "
+    "construction while preserving the ~10% eval fraction in "
+    "expectation. At 100 TB this is one hash shuffle on the fingerprint "
+    "— same cost class as exact dedup — and the split hash is a pure "
+    "map expression. All hashing is md5 (identical hex both engines); "
+    "the 16-bit hex prefix → int conversion is the repo's established "
+    "cross-engine idiom (dedup_simhash).",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def hash_bucket(col):
+        return F.conv(F.substring(F.md5(col.cast("binary")), 1, 4), 16, 10).cast("int") % 10
+
+    fingerprint = F.md5(
+        F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 40)).cast("binary")
+    )
+    assign = docs.select(
+        fingerprint.alias("gmd5"),
+        F.when(hash_bucket(F.col("doc_id").cast("string")) == 0, "eval")
+        .otherwise("train")
+        .alias("split"),
+    )
+    g = assign.groupBy("gmd5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0)).cast("long").alias("n_eval"),
+    )
+    healed_eval = hash_bucket(F.col("gmd5")) == 0
+    leaky = (F.col("n_eval") > 0) & (F.col("n_eval") < F.col("n_docs"))
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(leaky, 1).otherwise(0)).cast("long").alias("n_leaky_groups"),
+        F.sum(F.when(leaky, F.col("n_docs")).otherwise(0)).cast("long").alias("n_leaky_docs"),
+        F.sum(F.when(healed_eval, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("n_eval_docs_healed"),
+    )
+
+
+@register(
+    "quality_percentile_gate",
+    f"""
+WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_SW}))) AS n_stop
+  FROM t
+),
+q AS (
+  SELECT doc_id, source,
+         ROUND((1 - CAST(n_stop AS DOUBLE) / n_tokens)
+               * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) AS quality_score
+  FROM m WHERE n_tokens > 0
+),
+r AS (
+  SELECT *, percent_rank() OVER (PARTITION BY source
+                                 ORDER BY quality_score, doc_id) AS pr
+  FROM q
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(ROUND(SUM(CAST(quality_score AS DECIMAL(8,4))), 4) AS DOUBLE) AS sum_quality,
+       MIN(quality_score) AS min_kept_score
+FROM r WHERE pr >= 0.5
+GROUP BY source
+""",
+    doc="Per-source quality gating by PERCENTILE, not absolute threshold: "
+    "each source keeps its top half by composite quality score (sources "
+    "differ systematically — a fixed cutoff would empty one source and "
+    "keep all of another; mixture design wants per-source rates). "
+    "percent_rank over (source) partitions with the unique doc_id "
+    "tiebreak is deterministic cross-engine; scores are rounded once "
+    "before ranking so both engines rank identical doubles. At 100 TB "
+    "this is ONE shuffle on source (the window) + one partial agg; a "
+    "source big enough to overwhelm one partition's sort switches to the "
+    "two-pass form — approx quantile threshold per source, then a map-"
+    "side filter — trading exactness at the boundary for no global sort. "
+    "Kept mass is reported as an exact decimal sum (no AVG divergence).",
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(F.col("text"))
+    t = docs.select("doc_id", "source", toks.alias("toks"))
+    n_tokens = F.size("toks")
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
+    q = (
+        t.select("doc_id", "source", n_tokens.alias("n_tokens"), n_stop.alias("n_stop"))
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_tokens"))
+                * F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(50.0)),
+                4,
+            ).alias("quality_score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    kept = q.withColumn("pr", F.percent_rank().over(w)).filter(F.col("pr") >= 0.5)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(F.sum(F.col("quality_score").cast("decimal(8,4)")), 4)
+        .cast("double")
+        .alias("sum_quality"),
+        F.min("quality_score").alias("min_kept_score"),
+    )
+
+
+_BUCKETS_OLD = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, md5(s{2*b} || '|' || s{2*b+1}) AS bucket FROM sigs_old"
+    for b in range(4)
+)
+_BUCKETS_NEW = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, md5(s{2*b} || '|' || s{2*b+1}) AS bucket FROM sigs_new"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup_incremental_minhash",
+    f"""
+WITH {SHINGLE_CTE.strip()},
+sigs AS (
+  SELECT doc_id, sh,
+    {_SIGS}
+  FROM docs2
+),
+sigs_old AS (SELECT * FROM sigs WHERE doc_id % 10 < 8),
+sigs_new AS (SELECT * FROM sigs WHERE doc_id % 10 >= 8),
+bo AS (
+{_BUCKETS_OLD}
+),
+bn AS (
+{_BUCKETS_NEW}
+),
+pairs AS (
+  SELECT DISTINCT bo.doc_id AS doc_old, bn.doc_id AS doc_new
+  FROM bo JOIN bn ON bo.band = bn.band AND bo.bucket = bn.bucket
+)
+SELECT doc_old, doc_new,
+       ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) AS jaccard
+FROM pairs
+JOIN docs2 da ON da.doc_id = pairs.doc_old
+JOIN docs2 db ON db.doc_id = pairs.doc_new
+""",
+    doc="Incremental near-dup ingest (operators/dedup.py:"
+    "minhash_lsh_pairs_incremental): the corpus is split into an already-"
+    "indexed 80% and an incoming 20% batch (doc_id mod — a stand-in for "
+    "arrival time); the batch's MinHash signatures are computed and its "
+    "band buckets probed against the INDEX's bucket table. Signature "
+    "cost is batch-proportional and the join is bucket-equi — the shape "
+    "that lets a 100 TB corpus absorb daily batches without full-corpus "
+    "rescans. The oracle recomputes both sides' signatures from scratch "
+    "and must agree exactly (md5 minhashes, no RNG).",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = load_table(spark, "documents", sf_dir)
+    indexed = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    return minhash_lsh_pairs_incremental(indexed, batch, "doc_id", "text")

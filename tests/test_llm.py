@@ -35,6 +35,9 @@ LLM_QUERIES = [
     "corpus_mixture_weights",
     "fuzzy_match_part_names",
     "quality_classifier_infer",
+    "split_leakage_audit",
+    "quality_percentile_gate",
+    "dedup_incremental_minhash",
 ]
 
 
@@ -73,6 +76,116 @@ def test_minhash_finds_exact_duplicates(spark):
     pairs = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(df, "doc_id", "text").collect()}
     assert pairs.get((1, 2)) == 1.0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_operating_points_recall_precision(spark, sf_dir):
+    """The banding s-curve at two real operating points on the documents
+    table, against EXACT Jaccard ground truth (inverted-index join — every
+    pair sharing >=1 shingle, so any pair with jaccard > 0 is covered):
+
+    * demo point 8 hashes / 4 bands (r=2):   P(candidate|j) = 1-(1-j^2)^4,
+      ~50% threshold — full recall on real dups but admits low-sim noise;
+    * scale point 128 hashes / 32 bands (r=4): 1-(1-j^4)^32, sharper knee
+      — the operating point a real corpus run would use.
+
+    Everything is md5-derived (no RNG), so the measured sets are exactly
+    reproducible and the assertions are stable, not flaky-probabilistic.
+    """
+    from logflow.operators.dedup import minhash_lsh_pairs, shingle_explode
+    from logflow.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    ex = shingle_explode(docs, "doc_id", "text")
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    truth = {
+        (r.doc_a, r.doc_b): r.j
+        for r in inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("j"),
+        )
+        .collect()
+    }
+    real_dups = {p for p, j in truth.items() if j >= 0.6}
+    low_sim = {p for p, j in truth.items() if j < 0.25}
+    assert real_dups, "testdata documents must contain near-duplicate pairs"
+
+    cand = {}
+    for nh, nb in [(8, 4), (128, 32)]:
+        cand[(nh, nb)] = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=nh, bands=nb).collect()
+        }
+    # both operating points achieve full recall on genuine near-dups
+    assert real_dups <= cand[(8, 4)]
+    assert real_dups <= cand[(128, 32)]
+    # the r=4 point's sharper s-curve suppresses low-similarity candidates
+    assert len(cand[(128, 32)] & low_sim) <= len(cand[(8, 4)] & low_sim)
+    assert len(cand[(128, 32)] & low_sim) == 0
+
+
+def test_incremental_minhash_equals_crossbatch_slice_of_full(spark, sf_dir):
+    """Per-doc signatures don't depend on batch membership, so the
+    incremental (index ⋈ batch) candidates must equal the full-corpus LSH
+    pairs restricted to cross-batch (one side old, one side new)."""
+    from logflow.operators.dedup import minhash_lsh_pairs, minhash_lsh_pairs_incremental
+    from logflow.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    inc = {
+        (r.doc_old, r.doc_new): r.jaccard
+        for r in minhash_lsh_pairs_incremental(old, new, "doc_id", "text").collect()
+    }
+    full = {}
+    for r in minhash_lsh_pairs(docs, "doc_id", "text").collect():
+        sides = {r.doc_a % 10 < 8, r.doc_b % 10 < 8}
+        if sides == {True, False}:  # exactly one side in the index
+            o, n = (r.doc_a, r.doc_b) if r.doc_a % 10 < 8 else (r.doc_b, r.doc_a)
+            full[(o, n)] = r.jaccard
+    assert inc == full
+    assert inc, "testdata must produce at least one cross-batch candidate"
+
+
+def test_split_leakage_audit_finds_leaks_and_heals(spark, sf_dir):
+    """The naive split must leak on this corpus (near-dups exist, the
+    fingerprint groups them), and healed eval mass must stay plausible."""
+    from logflow.queries import load_all
+
+    row = load_all()["split_leakage_audit"].fn(spark, sf_dir).collect()[0]
+    assert row.n_leaky_groups > 0
+    assert row.n_leaky_docs >= 2 * row.n_leaky_groups
+    assert 0 < row.n_eval_docs_healed < row.n_groups
+
+
+def test_quality_percentile_gate_keeps_top_half_per_source(spark, sf_dir):
+    """Each source keeps ceil-half of its scored docs, and every kept
+    score is >= that source's median-ish cutoff (spot-check via recompute)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    out = {r.source: r for r in load_all()["quality_percentile_gate"].fn(spark, sf_dir).collect()}
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = {
+        r.source: r.n
+        for r in docs.filter(F.size(F.split(F.trim("text"), r"\s+")) > 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, r in out.items():
+        n = per_source[src]
+        # percent_rank >= 0.5 keeps floor((n-1)/2)+1 rows of n
+        assert r.n_kept == (n - 1) // 2 + 1, (src, n, r.n_kept)
 
 
 def test_simhash_identical_docs_same_hash(spark):

@@ -32,6 +32,41 @@ def test_driver_window_is_fully_oracle_checked():
     assert len(trace) >= 10
 
 
+#: Round-3 rotation: these queries had NO driver-issued correctness row in
+#: rounds 1-2 (they sat past position 50); they now occupy window slots so
+#: driver-green rows accumulate across rounds. Their replacements are all
+#: driver-green in CORRECTNESS_r02.json and remain tail-parity-checked.
+ROTATED_IN_R3 = [
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_stats",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "cdc_apply_upsert",
+    "scd2_customer_history",
+    "contamination_ngram_overlap",
+    "source_custom_wirelog",
+    "source_json_events",
+    "source_csv_orders",
+    "scan_schema_evolution",
+    "maintenance_compact_files",
+    "funnel_signup_click_purchase",
+    "retention_weekly_cohorts",
+    "subquery_exists_not_exists",
+    "ks_click_purchase_drift",
+]
+
+
+def test_round3_rotation_sits_in_driver_window():
+    from logflow.queries import load_all
+
+    window = list(load_all())[:DRIVER_WINDOW]
+    missing = [n for n in ROTATED_IN_R3 if n not in window]
+    assert not missing, f"rotated-in queries fell out of the window: {missing}"
+
+
 def test_load_table_works_on_vanilla_session(spark, sf_dir):
     """The driver supplies a vanilla SparkSession (no logflow.session
     factory): load_table must read events.parquet regardless of the
