@@ -182,6 +182,18 @@ PRIORITY: list[str] = [
     "split_leakage_audit",
     "quality_percentile_gate",
     "dedup_incremental_minhash",
+    # round-3 TPC-H plan-shape closure (tpch.py):
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q22_dormant_balance",
+    # round-3 corpus ops (corpus.py):
+    "pii_redaction",
+    "dup_chunk_filter",
+    "bm25_search",
+    "inverted_index_postings",
+    "semdedup_prune",
     "branch_multiway_value_bands",
     "anomaly_hourly_error_spikes",
     "log_template_mining",
@@ -196,7 +208,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return
     the registry in deliberate PRIORITY order (dicts preserve insertion
     order, and the driver iterates ``queries()`` in that order)."""
-    from logflow.queries import llm, multimodal, relational, trace  # noqa: F401
+    from logflow.queries import corpus, llm, multimodal, relational, tpch, trace  # noqa: F401
 
     missing = [n for n in PRIORITY if n not in REGISTRY]
     unlisted = [n for n in REGISTRY if n not in PRIORITY]

@@ -1,0 +1,432 @@
+"""Round-3 corpus operators: PII redaction, duplicated-chunk filtering,
+BM25 search, inverted-index build, SemDeDup-style embedding pruning.
+
+These extend the LLM-data-pipeline surface (llm.py) with the remaining
+ops a production training-data pipeline runs between raw crawl and
+tokenized shards:
+
+* ``pii_redaction``       — regex scrub of emails / IPs / phone numbers
+  (C4-style); pure map-side, zero shuffle.
+* ``dup_chunk_filter``    — Gopher-style duplicated-content measure:
+  fraction of a document's non-overlapping 10-token chunks that occur
+  elsewhere in the corpus; gate at 20%.
+* ``bm25_search``         — Okapi BM25 scoring of a fixed query against
+  the corpus (k1=1.2, b=0.75), distributed top-k.
+* ``inverted_index_postings`` — capped posting lists + df/tf stats per
+  term (the retrieval-index build step).
+* ``semdedup_prune``      — SemDeDup (Abbas et al. 2023): cluster
+  embeddings, then prune near-duplicates within each cluster only —
+  pairwise cost bounded by cluster size, never corpus².
+
+The synthetic ``documents`` text carries no natural PII, so
+``pii_redaction`` first injects deterministic doc_id-derived PII into the
+text identically in both engines — the oracle then verifies the regex
+scrub byte-exactly via md5.
+
+Determinism notes (on top of queries/__init__.py rules): BM25 per-term
+contributions are rounded to 6 decimals BEFORE the per-doc sum (the sum
+is then an exact DECIMAL(18,6) add, order-independent); cosine is rounded
+to 6 decimals before any compare (same convention as llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logflow.functions.text import tokenize
+from logflow.operators.similarity import _dot, _norm
+from logflow.queries import register
+from logflow.queries.llm import TOKS, _dd_sim
+from logflow.sources.tables import load_table
+
+# --- PII patterns: Java-regex ∩ RE2 compatible (no lookaround/backrefs) ---
+_RE_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_RE_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_PHONE = r"\b555-\d{4}\b"
+
+
+@register(
+    "pii_redaction",
+    f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || CASE WHEN doc_id % 2 = 0 THEN ' cc admin@corp.org' ELSE '' END
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{_RE_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(txt, '{_RE_IP}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(txt, '{_RE_PHONE}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(txt,
+            '{_RE_EMAIL}', '<EMAIL>', 'g'),
+            '{_RE_IP}', '<IP>', 'g'),
+            '{_RE_PHONE}', '<PHONE>', 'g')) AS red_md5
+FROM injected
+""",
+    doc="C4-style PII scrub: count + redact emails / IPv4s / phone numbers "
+    "with patterns valid in both Java regex (Spark, codegen'd) and RE2 "
+    "(DuckDB oracle) — no lookarounds or backreferences. The synthetic "
+    "corpus has no natural PII, so deterministic doc_id-derived PII is "
+    "injected identically in both engines first; the md5 of the redacted "
+    "text then proves the scrub byte-exact. At 100 TB this is the ideal "
+    "operator: pure map-side narrow transform, zero shuffle, regexes "
+    "evaluated inside whole-stage codegen, scales linearly with "
+    "executors. Row-level counts let the pipeline report PII incidence "
+    "per source without a second pass.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com"),
+        F.when(did % 2 == 0, F.lit(" cc admin@corp.org")).otherwise(F.lit("")),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit(".0.1"),
+        F.lit(" call 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    injected = docs.select("doc_id", txt.alias("txt"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _RE_EMAIL, "<EMAIL>"), _RE_IP, "<IP>"
+        ),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count("txt", F.lit(_RE_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count("txt", F.lit(_RE_IP)).cast("long").alias("n_ip"),
+        F.regexp_count("txt", F.lit(_RE_PHONE)).cast("long").alias("n_phone"),
+        F.md5(red).alias("red_md5"),
+    )
+
+
+@register(
+    "dup_chunk_filter",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, toks, CAST(floor(len(toks) / 10) AS BIGINT) AS n_chunks
+      FROM t WHERE len(toks) >= 10),
+c AS (SELECT doc_id, n_chunks, unnest(range(0, n_chunks)) AS i, toks FROM d),
+ch AS (SELECT doc_id, n_chunks,
+              md5(array_to_string(toks[(i*10+1):(i*10+10)], ' ')) AS h
+       FROM c),
+g AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM ch GROUP BY h)
+SELECT doc_id,
+       n_chunks,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / n_chunks, 4)
+         AS dup_frac,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / n_chunks <= 0.2
+         AS kept
+FROM ch JOIN g USING (h)
+GROUP BY doc_id, n_chunks
+""",
+    doc="Gopher-style duplicated-content gate: split each document into "
+    "non-overlapping 10-token chunks, count global chunk frequency, and "
+    "flag documents where >20% of chunks also occur elsewhere (boiler"
+    "plate, mirrored pages, templated spam). Unlike MinHash (whole-doc "
+    "similarity) this catches PARTIAL duplication inside otherwise-"
+    "unique documents. Plan: one explode, one partial-agg'd count by "
+    "chunk md5, one hash-join back, one per-doc agg — three shuffles "
+    "all on uniform md5 keys (no skew). At 100 TB the chunk-count table "
+    "is the big intermediate; a production run drops singleton chunks "
+    "early (cnt>1 filter before the join-back, ~90% of mass here) or "
+    "swaps the join for a Bloom filter of duplicated hashes.",
+)
+def dup_chunk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    d = t.select(
+        "doc_id", "toks", F.floor(F.size("toks") / 10).cast("long").alias("n_chunks")
+    )
+    # No `size(toks) >= 10` row filter — Catalyst would push it below the
+    # projection and re-inline the tokenize into a scan-level Filter
+    # (hof-in-filter; 2x tokenize per doc at 100 TB). Short docs get an
+    # EMPTY chunk array instead and drop out at the explode_outer's
+    # output-side null filter — same row set, one tokenize per doc.
+    chunks_arr = F.when(
+        F.col("n_chunks") >= 1,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1),
+            lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i * 10 + 1, 10), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = d.select(
+        "doc_id", "n_chunks", F.explode_outer(chunks_arr).alias("h")
+    ).filter(F.col("h").isNotNull())
+    g = ch.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    dup = F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long")
+    per_doc = (
+        ch.join(g, "h")
+        .groupBy("doc_id", "n_chunks")
+        .agg(dup.alias("n_dup_chunks"))
+    )
+    frac = F.col("n_dup_chunks").cast("double") / F.col("n_chunks")
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.round(frac, 4).alias("dup_frac"),
+        (frac <= 0.2).alias("kept"),
+    )
+
+
+_BM25_TERMS = ("window", "hash", "merge")
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_search",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END)
+                   AS avgdl,
+                 CAST(SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+          FROM d),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       WHERE term IN ({_BM25_IN})
+       GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(CAST(ROUND(
+               ln((n - df + 0.5) / (df + 0.5) + 1)
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+             6) AS DECIMAL(18,6))) AS s
+  FROM tf JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(s, 4) AS DOUBLE) AS score, rank
+FROM (SELECT doc_id, s,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+      FROM scored)
+WHERE rank <= 20
+""",
+    doc="Okapi BM25 (k1=1.2, b=0.75) for the fixed query "
+    f"{_BM25_TERMS}: postings restricted to query terms at explode "
+    "time (the isin filter runs before any shuffle — the corpus-wide "
+    "term table never materializes), df and the 1-row avgdl stats "
+    "broadcast back, top-20 via TakeOrderedAndProject (per-partition "
+    "partial top-k, no global sort). Cross-engine: each per-term "
+    "contribution is rounded to 6dp and summed as DECIMAL(18,6) — "
+    "order-independent exact addition — so ranking compares identical "
+    "values; ln() may differ in the last ulp between libm and the JVM, "
+    "absorbed by the 6dp round. At 100 TB this is the standard "
+    "two-broadcast scatter-gather retrieval scoring pass.",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # dl stays unfiltered (empty docs contribute 0 to sum(dl) and are
+    # excluded from the count via the CASE guard) — a `size(toks) > 0` row
+    # filter would re-inline the tokenize below the projection.
+    d = t.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    nonzero = F.sum(F.when(F.col("dl") > 0, 1).otherwise(0))
+    stats = d.agg(
+        (F.sum("dl").cast("double") / nonzero).alias("avgdl"),
+        nonzero.cast("long").alias("n"),
+    )
+    # explode_outer, not explode: plain explode adds an implicit
+    # size(toks)>0 filter that Catalyst pushes below the projection,
+    # re-inlining the tokenize; the isin filter sits on the generate's
+    # OUTPUT and also discards the null from empty docs.
+    tf = (
+        t.select("doc_id", F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    contrib = F.round(
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("s"))
+    )
+    top = scored.orderBy(F.desc("s"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("s"), "doc_id")
+    return top.select(
+        "doc_id",
+        F.round("s", 4).cast("double").alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       GROUP BY doc_id, term),
+r AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tf)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       string_agg(CASE WHEN rn <= 10 THEN CAST(doc_id AS VARCHAR) END, ','
+                  ORDER BY doc_id) AS postings10
+FROM r
+GROUP BY term
+HAVING COUNT(*) >= 5
+""",
+    doc="Inverted-index build: per term, document frequency, total term "
+    "frequency, and the first 10 postings (sorted doc_ids, serialized "
+    "for cross-engine compare). One explode → (doc,term) partial-agg'd "
+    "count → per-term agg; posting lists are CAPPED so no reducer "
+    "materializes an unbounded list — the cap is what makes the op safe "
+    "for stop-word-frequency terms at 100 TB (a real index writes "
+    "postings as bucketed segment files instead of one row; df/total_tf "
+    "here are exactly the segment-merge statistics). HAVING df>=5 "
+    "models the min-df vocabulary cut.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # explode_outer + output-side null filter (not plain explode, whose
+    # implicit size>0 filter re-inlines the tokenize below the projection).
+    tf = (
+        t.select("doc_id", F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    postings = F.array_join(
+        F.transform(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            postings.alias("postings10"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+_K_CENTROIDS = 16
+_SEM_TAU = 0.4
+
+
+@register(
+    "semdedup_prune",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM e ORDER BY vec_id LIMIT {_K_CENTROIDS}),
+sim AS (SELECT e.vec_id, c.centroid_id,
+               {_dd_sim('e.embedding', 'c.cvec')} AS sim
+        FROM e CROSS JOIN c),
+assign AS (SELECT vec_id, centroid_id FROM (
+             SELECT vec_id, centroid_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, centroid_id) AS rn
+             FROM sim) WHERE rn = 1),
+pruned AS (
+  SELECT DISTINCT a.centroid_id, b.vec_id AS victim
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE {_dd_sim('ea.embedding', 'eb.embedding')} >= {_SEM_TAU}
+)
+SELECT g.centroid_id,
+       CAST(g.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(p.n_pruned, 0) AS BIGINT) AS n_pruned
+FROM (SELECT centroid_id, COUNT(*) AS n_members FROM assign GROUP BY centroid_id) g
+LEFT JOIN (SELECT centroid_id, COUNT(*) AS n_pruned FROM pruned GROUP BY centroid_id) p
+  USING (centroid_id)
+""",
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every "
+    f"embedding to its nearest of {_K_CENTROIDS} centroids (cosine), then "
+    "prune near-duplicates (sim >= "
+    f"{_SEM_TAU}, keep-lowest-id) WITHIN clusters only — the pairwise "
+    "step is O(cluster²·k), never corpus². Centroids here are the k "
+    "lowest-vec_id embeddings (deterministic, oracle-checkable); a "
+    "production run seeds k-means and iterates Lloyd steps exactly like "
+    "dedup_cluster_canonical's convergence loop, and scales k with the "
+    "corpus so cluster size stays bounded. Centroids broadcast (assign "
+    "is map-side); the within-cluster self-join shuffles once on "
+    "centroid_id. τ=0.4 fits the synthetic embedding similarity range "
+    "(max pairwise cosine ≈0.51; production text embeddings use "
+    "τ≈0.95+). Cosines rounded to 6dp before compare, assignment "
+    "tie-broken by centroid_id.",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select("vec_id", "embedding")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(_K_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
+    )
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("cvec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id")
+    # embedding rides along through the assignment so the pair join below
+    # needs no extra join back to e (the self-joined subtree is identical
+    # on both sides, so Spark reuses its shuffle via ReusedExchange).
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "centroid_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    ea = assign.select(
+        "centroid_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    eb = assign.select(
+        F.col("centroid_id").alias("centroid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pair_sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    pruned = (
+        ea.join(
+            eb,
+            (F.col("centroid_id") == F.col("centroid_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(pair_sim >= _SEM_TAU)
+        .select("centroid_id", F.col("id_b").alias("victim"))
+        .distinct()
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pruned"))
+    )
+    members = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return members.join(pruned, "centroid_id", "left_outer").select(
+        "centroid_id",
+        "n_members",
+        F.coalesce(F.col("n_pruned"), F.lit(0).cast("long")).alias("n_pruned"),
+    )

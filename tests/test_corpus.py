@@ -1,0 +1,102 @@
+"""Oracle parity + invariants for the round-3 corpus operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+CORPUS_QUERIES = [
+    "pii_redaction",
+    "dup_chunk_filter",
+    "bm25_search",
+    "inverted_index_postings",
+    "semdedup_prune",
+]
+
+
+@pytest.mark.parametrize("name", CORPUS_QUERIES)
+def test_oracle_parity(spark, duck, sf_dir, name):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, name, sf_dir)
+
+
+def test_pii_redaction_leaves_no_pii_behind(spark, sf_dir):
+    """Re-running the PII counters on the REDACTED text must find zero
+    matches — i.e. the scrub actually removed everything it counted."""
+    from logflow.queries.corpus import _RE_EMAIL, _RE_IP, _RE_PHONE, pii_redaction
+    from logflow.sources.tables import load_table
+
+    pdf = pii_redaction(spark, sf_dir).toPandas()
+    assert (pdf["n_email"] >= 1).all() and (pdf["n_ip"] >= 1).all()
+    # rebuild the redacted text the same way and scan it again
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com"),
+        F.when(did % 2 == 0, F.lit(" cc admin@corp.org")).otherwise(F.lit("")),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit(".0.1"),
+        F.lit(" call 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(txt, _RE_EMAIL, "<EMAIL>"), _RE_IP, "<IP>"),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    leftovers = (
+        docs.select(
+            (
+                F.regexp_count(red, F.lit(_RE_EMAIL))
+                + F.regexp_count(red, F.lit(_RE_IP))
+                + F.regexp_count(red, F.lit(_RE_PHONE))
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert leftovers == 0
+
+
+def test_dup_chunk_gate_consistency(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["dup_chunk_filter"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_dup_chunks"] <= pdf["n_chunks"]).all()
+    assert ((pdf["dup_frac"] <= 0.2) == pdf["kept"]).all()
+
+
+def test_bm25_ranks_are_dense_and_scores_monotone(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["bm25_search"].fn(spark, sf_dir).toPandas().sort_values("rank")
+    )
+    assert list(pdf["rank"]) == list(range(1, len(pdf) + 1))
+    assert (pdf["score"].diff().dropna() <= 1e-9).all()  # non-increasing
+
+
+def test_inverted_index_postings_sorted_and_capped(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["inverted_index_postings"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for p in pdf["postings10"]:
+        ids = [int(x) for x in p.split(",")]
+        assert ids == sorted(ids) and len(ids) <= 10
+    assert (pdf["total_tf"] >= pdf["df"]).all()
+
+
+def test_semdedup_partitions_corpus_and_bounds_prunes(spark, sf_dir):
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["semdedup_prune"].fn(spark, sf_dir).toPandas()
+    n_vecs = load_table(spark, "embeddings", sf_dir).count()
+    assert int(pdf["n_members"].sum()) == n_vecs  # every vector assigned once
+    assert (pdf["n_pruned"] < pdf["n_members"]).all()  # keeper survives per cluster

@@ -57,6 +57,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "anomaly_hourly_error_spikes": {
         "bnlj": "crossJoin of the single-row median/MAD threshold aggregate"
     },
+    "bm25_search": {
+        "bnlj": "crossJoin of the single-row avgdl/N corpus-stats aggregate"
+    },
+    "semdedup_prune": {
+        "bnlj": "centroid set is the broadcast side (16 rows)"
+    },
     "trace_tree_edges": {
         "hof-in-filter": "inferred isnotnull join constraints re-inline the "
         "b3 header parse (a few string ops per row); constraint inference "
