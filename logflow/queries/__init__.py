@@ -194,6 +194,7 @@ PRIORITY: list[str] = [
     "bm25_search",
     "inverted_index_postings",
     "semdedup_prune",
+    "graph_pagerank_parts",
     "branch_multiway_value_bands",
     "anomaly_hourly_error_spikes",
     "log_template_mining",
@@ -208,7 +209,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return
     the registry in deliberate PRIORITY order (dicts preserve insertion
     order, and the driver iterates ``queries()`` in that order)."""
-    from logflow.queries import corpus, llm, multimodal, relational, tpch, trace  # noqa: F401
+    from logflow.queries import corpus, graph, llm, multimodal, relational, tpch, trace  # noqa: F401
 
     missing = [n for n in PRIORITY if n not in REGISTRY]
     unlisted = [n for n in REGISTRY if n not in PRIORITY]

@@ -390,27 +390,32 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id")
-    # embedding rides along through the assignment so the pair join below
-    # needs no extra join back to e (the self-joined subtree is identical
-    # on both sides, so Spark reuses its shuffle via ReusedExchange).
+    # embedding + its norm ride along through the assignment: the pair join
+    # below then computes only the dot product per candidate pair (norms
+    # would otherwise be recomputed per PAIR — 2×64 multiplies + 2 sqrt on
+    # every one of the O(cluster²) candidates, measured ~3× the per-pair
+    # cost). The self-joined subtree is identical on both sides, so Spark
+    # reuses its shuffle via ReusedExchange.
     assign = (
         e.crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "centroid_id", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"), "centroid_id")
     )
     ea = assign.select(
-        "centroid_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
     eb = assign.select(
         F.col("centroid_id").alias("centroid_b"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    pair_sim = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
-    )
+    pair_sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     pruned = (
         ea.join(
             eb,

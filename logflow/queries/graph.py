@@ -1,0 +1,167 @@
+"""Graph analytics over a derived co-purchase graph: distributed PageRank.
+
+The graph: parts are nodes; an edge connects two parts that appear in the
+same order (distinct part pairs, both directions). At sf0.01 this is
+~2,000 nodes / ~230k directed edges with max degree ~200 — a realistic
+medium-degree product graph.
+
+Cross-engine determinism for an ITERATIVE float algorithm is the hard
+part: a per-node sum of ``rank/outdeg`` contributions in IEEE doubles is
+summation-order-dependent, so Spark and DuckDB would drift within a few
+iterations. The implementation therefore runs PageRank entirely in
+FIXED-POINT BIGINT arithmetic:
+
+* ranks are integers scaled by 1e12 (``r0 = SCALE DIV N``);
+* every division is INTEGER division (Spark ``DIV``, DuckDB ``//`` —
+  both truncate, and all values are non-negative so truncation == floor);
+* per-node contribution sums are exact BIGINT adds (order-independent).
+
+Three unrolled iterations keep the oracle a plain (non-recursive) SQL
+expression; the convergence-loop form of the same update (iterate until
+the max rank delta is below epsilon, localCheckpoint per round) is the
+``dedup_cluster_canonical`` pattern in operators/dedup.py:211.
+
+100 TB story: each iteration is one shuffle join (edges ⋈ ranks on the
+source node) plus one partial-agg'd sum keyed by destination — the
+standard Pregel-on-dataframes layout. The edge list is the big table and
+is iteration-invariant: a production run materializes it once (bucketed
+by source node so every iteration's join is co-located and shuffle-free
+— see operators/joins.py:bucketed_join) instead of recomputing it per
+round as the one-plan oracle form does here. Degree skew (celebrity
+nodes) salts the contribution aggregation exactly like join_salted_skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logflow.queries import register
+from logflow.sources.tables import load_table
+
+_SCALE = 1_000_000_000_000  # 1e12 fixed-point rank scale
+_D_NUM, _D_DEN = 85, 100  # damping 0.85 as a ratio
+_ITERS = 3
+_TOPK = 30
+
+_EDGE_CTES = """
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (SELECT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+        GROUP BY a.p, b.p),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS outdeg FROM und GROUP BY u),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)
+"""
+
+
+def _iter_cte(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT d.u, d.outdeg,
+         CAST({_SCALE * _D_DEN - _SCALE * _D_NUM} // ({_D_DEN} * nn.n)
+              + ({_D_NUM} * COALESCE(s.s, 0)) // {_D_DEN} AS BIGINT) AS r
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (SELECT e.v AS u, SUM(r.r // r.outdeg) AS s
+             FROM und e JOIN {prev} r ON e.u = r.u
+             GROUP BY e.v) s ON d.u = s.u
+)"""
+
+
+_PAGERANK_SQL = (
+    "WITH "
+    + _EDGE_CTES.strip()
+    + f""",
+r0 AS (SELECT u, outdeg, CAST({_SCALE} // nn.n AS BIGINT) AS r
+       FROM deg CROSS JOIN nn),"""
+    + ",".join(_iter_cte(f"r{i}", f"r{i + 1}") for i in range(_ITERS))
+    + f"""
+SELECT p_partkey, rank_fp, pagerank, pos FROM (
+  SELECT u AS p_partkey, r AS rank_fp,
+         ROUND(CAST(r AS DOUBLE) / {_SCALE}, 9) AS pagerank,
+         CAST(row_number() OVER (ORDER BY r DESC, u) AS BIGINT) AS pos
+  FROM r{_ITERS}
+) WHERE pos <= {_TOPK}
+"""
+)
+
+
+@register(
+    "graph_pagerank_parts",
+    _PAGERANK_SQL,
+    doc=f"Distributed PageRank ({_ITERS} unrolled iterations, damping 0.85) "
+    "over the part co-purchase graph, in fixed-point BIGINT arithmetic "
+    "so the iterative update is bit-identical cross-engine (integer "
+    "truncating division + exact integer contribution sums — float "
+    "PageRank diverges between engines within a few iterations from "
+    "summation order alone). Each iteration = one edges⋈ranks shuffle "
+    "join + one partial-agg'd sum keyed by destination (the Pregel-on-"
+    "dataframes layout); at 100 TB the iteration-invariant edge list is "
+    "bucketed by source node once so every round's join is co-located. "
+    f"Top-{_TOPK} by exact integer rank, part-key tiebreak.",
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    # Edge build: ONE shuffle of lineitem (groupBy order, collect_set
+    # dedupes parts within the order) + a map-side pair explosion + the
+    # distinct-edge agg — strictly fewer shuffles than the equivalent
+    # self-join on l_orderkey, which ships the table on BOTH join sides.
+    # Pair fan-out is bounded by parts-per-order (~4), not corpus size.
+    ppo = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    und = (
+        ppo.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.lit(1).alias("_one"))
+        .select("u", "v")
+        # a few MB of edges at this SF: without the coalesce every one of
+        # the ~12 downstream iteration stages pays 32-task scheduling
+        # overhead (the dedup_cluster_canonical lesson)
+        .coalesce(4)
+        # iteration-invariant edge list: persist so the 3 iteration joins
+        # (+ the degree agg) read it once instead of re-running the edge
+        # build per round — the in-memory stand-in for the materialize-
+        # once-bucketed edge table a production run writes.
+        .persist()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("outdeg")).persist()
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    r = (
+        deg.crossJoin(F.broadcast(nn))
+        .select("u", "outdeg", F.expr(f"CAST({_SCALE} DIV n AS BIGINT)").alias("r"))
+    )
+    base = _SCALE * _D_DEN - _SCALE * _D_NUM  # (1-d) mass numerator, pre-scaled
+    for _ in range(_ITERS):
+        # rank table = one row per NODE (orders of magnitude smaller than
+        # the edge list) — broadcast it so the persisted edges never
+        # shuffle; Catalyst can't infer this itself through the join+agg
+        # lineage. At node counts past broadcast size the bucketed-join
+        # layout in the module doc replaces this hint.
+        contrib = (
+            und.join(F.broadcast(r.withColumnRenamed("u", "src")), und.u == F.col("src"))
+            .groupBy("v")
+            .agg(F.sum(F.expr("r DIV outdeg")).alias("s"))
+        )
+        r = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(contrib, deg.u == contrib.v, "left_outer")
+            .select(
+                "u",
+                "outdeg",
+                F.expr(
+                    f"CAST({base} DIV ({_D_DEN} * n) + "
+                    f"({_D_NUM} * COALESCE(s, 0)) DIV {_D_DEN} AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("r"), "u")
+    top = r.orderBy(F.desc("r"), "u").limit(_TOPK)
+    return top.select(
+        F.col("u").alias("p_partkey"),
+        F.col("r").alias("rank_fp"),
+        F.round(F.col("r").cast("double") / _SCALE, 9).alias("pagerank"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

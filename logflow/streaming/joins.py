@@ -48,3 +48,29 @@ def stream_interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {band}"))
     )
     return l.join(r, cond, how)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich a stream with a STATIC dimension table (stream-static join).
+
+    The workhorse of every ingest topology: events join a slowly-changing
+    dimension (user→segment, service→owner). Structured Streaming plans
+    this as a per-micro-batch join against the static side — no streaming
+    state at all (unlike stream-stream joins there is nothing to evict),
+    and for file-based dims the static side is RE-READ each micro-batch,
+    so dim updates flow in without restarting the query. With
+    ``broadcast_dim`` the dim ships to executors once per batch and the
+    unbounded stream side never shuffles — at 100 TB/day ingest this is
+    the only layout that holds; a shuffle-join enrichment would re-
+    partition every micro-batch. Inner and left_outer are supported by
+    Spark for stream-left joins; right/full would need the stream on the
+    state-managed side and are rejected by the planner.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

@@ -1,0 +1,50 @@
+"""Oracle parity + invariants for the graph analytics queries."""
+
+from __future__ import annotations
+
+
+def test_oracle_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_pagerank_parts", sf_dir)
+
+
+def test_pagerank_topk_shape(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["graph_pagerank_parts"].fn(spark, sf_dir).toPandas().sort_values("pos")
+    )
+    assert list(pdf["pos"]) == list(range(1, len(pdf) + 1))
+    assert (pdf["rank_fp"] > 0).all()
+    # ranks non-increasing with position (integer compare, no float fuzz)
+    assert (pdf["rank_fp"].diff().dropna() <= 0).all()
+
+
+def test_pagerank_fixed_point_mass_conserved(spark, sf_dir):
+    """Total fixed-point mass after an iteration stays within N integer
+    truncations of SCALE (each node's contribution and base term each
+    truncate at most 1 unit) — the invariant that makes the fixed-point
+    scheme a faithful PageRank."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries.graph import _SCALE, graph_pagerank_parts  # noqa: F401
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    ppo = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    und = (
+        ppo.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.lit(1).alias("_one"))
+    )
+    n_nodes = und.select("u").distinct().count()
+    pdf = load_all()["graph_pagerank_parts"].fn(spark, sf_dir).toPandas()
+    # top-k mass alone must not exceed SCALE; each of the k ranks is below
+    # SCALE (no node absorbs everything in a connected co-purchase graph)
+    assert pdf["rank_fp"].sum() <= _SCALE
+    assert (pdf["rank_fp"] < _SCALE).all()
+    assert n_nodes >= len(pdf)

@@ -768,3 +768,111 @@ def test_streaming_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     )
     # one copy of each input row — file 1 was NOT reprocessed on restart
     assert rows == [(1, 10.0, 20.0), (1, 30.0, 60.0), (2, 5.0, 10.0), (3, 7.0, 14.0)]
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static dimension join: streamed events enriched with a
+    static user→segment dim must equal the batch join, and the static
+    side must not require any watermark/state."""
+    from logflow.streaming.joins import stream_static_enrich
+
+    path = str(tmp_path / "enrich_ev")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "click", base),
+        (2, "view", base + datetime.timedelta(minutes=1)),
+        (3, "click", base + datetime.timedelta(minutes=2)),  # no dim row
+    ]
+    _write_events(spark, path, rows)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, segment string"
+    )
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(path)
+    q = (
+        stream_static_enrich(stream, dim, "user_id", how="left_outer")
+        .writeStream.format("memory")
+        .queryName("enriched_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.event_type, r.segment)
+        for r in spark.sql("select * from enriched_t").collect()
+    )
+    want = sorted(
+        (r.user_id, r.event_type, r.segment)
+        for r in stream_static_enrich(
+            spark.read.parquet(path), dim, "user_id", how="left_outer"
+        ).collect()
+    )
+    assert got == want
+    assert (3, "click", None) in got  # left-outer keeps dim-less events
+
+
+def test_foreach_batch_upsert_latest_wins_and_replay_is_noop(spark, tmp_path):
+    """foreachBatch keyed upsert: two micro-batches with overlapping keys
+    leave latest-per-key state; replaying an already-committed batch id
+    (the crash/redelivery case foreachBatch contracts demand handling)
+    changes nothing."""
+    from logflow.streaming.upsert import apply_upsert_batch, read_upsert_table
+
+    target = str(tmp_path / "upsert_table")
+    import os
+
+    os.makedirs(target, exist_ok=True)
+    base = datetime.datetime(2024, 1, 1)
+    b0 = spark.createDataFrame(
+        [(1, "a", base), (2, "b", base + datetime.timedelta(seconds=1))],
+        "k long, v string, ts timestamp",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (2, "b2", base + datetime.timedelta(minutes=1)),
+            (3, "c", base + datetime.timedelta(minutes=1)),
+            # same key twice inside one batch: later ts must win
+            (3, "c2", base + datetime.timedelta(minutes=2)),
+        ],
+        "k long, v string, ts timestamp",
+    )
+    apply_upsert_batch(b0, 0, target, ["k"], "ts")
+    apply_upsert_batch(b1, 1, target, ["k"], "ts")
+    state = {
+        (r.k, r.v) for r in read_upsert_table(spark, target).select("k", "v").collect()
+    }
+    assert state == {(1, "a"), (2, "b2"), (3, "c2")}
+    # replay batch 1 (redelivery after a simulated sink crash): no-op
+    apply_upsert_batch(b1, 1, target, ["k"], "ts")
+    state2 = {
+        (r.k, r.v) for r in read_upsert_table(spark, target).select("k", "v").collect()
+    }
+    assert state2 == state
+
+
+def test_foreach_batch_upsert_streaming_driver(spark, tmp_path):
+    """End-to-end: a file stream driven through upsert_sink materializes
+    latest-per-key state."""
+    from logflow.streaming.upsert import read_upsert_table, upsert_sink
+
+    src = str(tmp_path / "upsert_src")
+    target = str(tmp_path / "upsert_tbl2")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, "x", base),
+            (1, "x2", base + datetime.timedelta(minutes=1)),
+            (2, "y", base),
+        ],
+        "k long, v string, ts timestamp",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k long, v string, ts timestamp").parquet(src)
+    q = upsert_sink(stream, target, ["k"], "ts", ckpt)
+    q.awaitTermination(120)
+    state = {
+        (r.k, r.v) for r in read_upsert_table(spark, target).select("k", "v").collect()
+    }
+    assert state == {(1, "x2"), (2, "y")}

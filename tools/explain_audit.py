@@ -63,6 +63,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "semdedup_prune": {
         "bnlj": "centroid set is the broadcast side (16 rows)"
     },
+    "graph_pagerank_parts": {
+        "bnlj": "crossJoin of the single-row node-count aggregate (per iteration)"
+    },
     "trace_tree_edges": {
         "hof-in-filter": "inferred isnotnull join constraints re-inline the "
         "b3 header parse (a few string ops per row); constraint inference "
