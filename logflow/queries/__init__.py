@@ -195,6 +195,8 @@ PRIORITY: list[str] = [
     "inverted_index_postings",
     "semdedup_prune",
     "graph_pagerank_parts",
+    "graph_triangle_count",
+    "ts_gap_fill_forward",
     "branch_multiway_value_bands",
     "anomaly_hourly_error_spikes",
     "log_template_mining",
@@ -209,7 +211,16 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return
     the registry in deliberate PRIORITY order (dicts preserve insertion
     order, and the driver iterates ``queries()`` in that order)."""
-    from logflow.queries import corpus, graph, llm, multimodal, relational, tpch, trace  # noqa: F401
+    from logflow.queries import (  # noqa: F401
+        corpus,
+        graph,
+        llm,
+        multimodal,
+        relational,
+        timeseries,
+        tpch,
+        trace,
+    )
 
     missing = [n for n in PRIORITY if n not in REGISTRY]
     unlisted = [n for n in REGISTRY if n not in PRIORITY]

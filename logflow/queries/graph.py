@@ -165,3 +165,74 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r").cast("double") / _SCALE, 9).alias("pagerank"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+_W_MIN = 2  # edge weight floor: parts co-purchased in >= 2 distinct orders
+
+_TRIANGLE_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= {_W_MIN}),
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM e ab
+  JOIN e bc ON ab.v = bc.u
+  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+),
+nodes AS (
+  SELECT a AS p_partkey FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes
+GROUP BY p_partkey
+"""
+
+
+@register(
+    "graph_triangle_count",
+    _TRIANGLE_SQL,
+    doc="Per-node triangle counting over the strong co-purchase graph "
+    f"(edges kept only when two parts share >= {_W_MIN} distinct orders — "
+    "the weight floor is what bounds the wedge join; the unfiltered "
+    "graph has ~30x more edges). Classic ordered-wedge formulation: "
+    "edges stored once with u < v, so each triangle a<b<c is generated "
+    "exactly once by joining (a,b)⋈(b,c) and closing with (a,c) — two "
+    "self-equi-joins on a persisted edge list, no direction blow-up. "
+    "At 100 TB the standard refinement orders endpoints by DEGREE "
+    "instead of id (caps wedge counts at O(m^1.5) regardless of skew) "
+    "and the weight floor becomes the application-level support "
+    "threshold. Exact integer counts — deterministic cross-engine with "
+    "no rounding rules at all.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    ppo = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    e = (
+        ppo.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _W_MIN)
+        .select("u", "v")
+        .coalesce(4)
+        .persist()  # read three times by the wedge + closure joins
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("p_partkey"))
+        .unionAll(tri.select(F.col("b").alias("p_partkey")))
+        .unionAll(tri.select(F.col("c").alias("p_partkey")))
+    )
+    return nodes.groupBy("p_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -48,3 +48,21 @@ def test_pagerank_fixed_point_mass_conserved(spark, sf_dir):
     assert pdf["rank_fp"].sum() <= _SCALE
     assert (pdf["rank_fp"] < _SCALE).all()
     assert n_nodes >= len(pdf)
+
+
+def test_triangle_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_triangle_count", sf_dir)
+
+
+def test_triangle_counts_symmetric_minimum(spark, sf_dir):
+    """Every participating node closes at least one triangle, and the
+    global triangle count (sum/3) is integral — each triangle contributes
+    exactly one count to each of its three corners."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["graph_triangle_count"].fn(spark, sf_dir).toPandas()
+    if len(pdf):
+        assert (pdf["n_triangles"] >= 1).all()
+        assert int(pdf["n_triangles"].sum()) % 3 == 0

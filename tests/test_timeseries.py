@@ -1,0 +1,36 @@
+"""Oracle parity + invariants for the time-series operators."""
+
+from __future__ import annotations
+
+
+def test_gap_fill_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_gap_fill_forward", sf_dir)
+
+
+def test_gap_fill_dense_and_filled(spark, sf_dir):
+    """The output grid is DENSE per user (consecutive hours, no holes),
+    filled_value is never NULL, and gap rows carry the last observation."""
+    import pandas as pd
+
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ts_gap_fill_forward"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "hr"])
+    )
+    assert pdf["filled_value"].notna().all()
+    assert (pdf["is_gap"] == pdf["hourly_value"].isna()).all()
+    for _, g in pdf.groupby("user_id"):
+        hrs = pd.to_datetime(g["hr"]).reset_index(drop=True)
+        assert (hrs.diff().dropna() == pd.Timedelta(hours=1)).all(), "grid has holes"
+        # forward fill semantics: on gap rows the filled value equals the
+        # previous row's filled value
+        fv = g["filled_value"].reset_index(drop=True)
+        gap = g["is_gap"].reset_index(drop=True)
+        for i in range(1, len(g)):
+            if gap[i]:
+                assert fv[i] == fv[i - 1]
