@@ -197,6 +197,9 @@ PRIORITY: list[str] = [
     "graph_pagerank_parts",
     "graph_triangle_count",
     "ts_gap_fill_forward",
+    "bpe_merge_steps",
+    "diag_key_skew",
+    "diag_join_cardinality",
     "branch_multiway_value_bands",
     "anomaly_hourly_error_spikes",
     "log_template_mining",
@@ -213,11 +216,13 @@ def load_all() -> dict[str, Query]:
     order, and the driver iterates ``queries()`` in that order)."""
     from logflow.queries import (  # noqa: F401
         corpus,
+        diagnostics,
         graph,
         llm,
         multimodal,
         relational,
         timeseries,
+        tokenizer,
         tpch,
         trace,
     )

@@ -66,6 +66,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "graph_pagerank_parts": {
         "bnlj": "crossJoin of the single-row node-count aggregate (per iteration)"
     },
+    "bpe_merge_steps": {
+        "bnlj": "crossJoin of the 1-row winning-pair argmax (per merge step)"
+    },
+    "diag_key_skew": {
+        "bnlj": "crossJoin of the single-row global count stats (base/hot)"
+    },
     "trace_tree_edges": {
         "hof-in-filter": "inferred isnotnull join constraints re-inline the "
         "b3 header parse (a few string ops per row); constraint inference "
