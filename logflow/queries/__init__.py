@@ -200,6 +200,8 @@ PRIORITY: list[str] = [
     "bpe_merge_steps",
     "diag_key_skew",
     "diag_join_cardinality",
+    "diag_psi_value_drift",
+    "corpus_diversity",
     "branch_multiway_value_bands",
     "anomaly_hourly_error_spikes",
     "log_template_mining",

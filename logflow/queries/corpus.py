@@ -435,3 +435,61 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.coalesce(F.col("n_pruned"), F.lit(0).cast("long")).alias("n_pruned"),
     )
+
+
+@register(
+    "corpus_diversity",
+    f"""
+WITH tok AS (
+  SELECT source, unnest(toks) AS term
+  FROM (SELECT source, {TOKS} AS toks FROM documents)
+),
+tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tok GROUP BY source, term),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM tf GROUP BY source)
+SELECT tf.source,
+       CAST(ROUND(SUM(CAST(ROUND(
+             -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n),
+           6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS shannon_entropy,
+       ROUND(CAST(MIN(n_types) AS DOUBLE) / MIN(n), 6) AS type_token_ratio,
+       CAST(MIN(n) AS BIGINT) AS n_tokens,
+       CAST(MIN(n_types) AS BIGINT) AS n_types
+FROM tf JOIN tot ON tf.source = tot.source
+GROUP BY tf.source
+""",
+    doc="Per-source lexical diversity for mixture design: Shannon entropy "
+    "of the token distribution (-Σ p·ln p, nats) and type-token ratio. "
+    "Low-entropy sources are repetitive/templated (candidates for down-"
+    "weighting or harsher dedup); the measure pairs with "
+    "corpus_mixture_weights to decide sampling temperatures. Cross-"
+    "engine: per-term contributions rounded to 6dp then summed as exact "
+    "DECIMAL (the bm25/PSI ln recipe). Plan: one explode + two partial-"
+    "agg'd counts — the per-(source,term) table after map-side combine "
+    "is vocabulary-sized, not corpus-sized.",
+)
+def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = (
+        docs.select("source", F.explode_outer(tokenize(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    contrib = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        tf.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(contrib), 4).cast("double").alias("shannon_entropy"),
+            F.round(F.min("n_types").cast("double") / F.min("n"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.min("n").cast("long").alias("n_tokens"),
+            F.min("n_types").cast("long").alias("n_types"),
+        )
+    )

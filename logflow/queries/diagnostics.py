@@ -143,3 +143,110 @@ def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("est_output_rows"),
         F.coalesce(F.max(contrib), F.lit(0)).cast("long").alias("max_key_contrib"),
     )
+
+
+_PSI_SQL = """
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS period,
+         CAST(least(9, greatest(0, CAST(floor(value / 50) AS BIGINT))) AS BIGINT) AS bin
+  FROM events
+),
+grid AS (
+  SELECT DISTINCT b.event_type, g.bin
+  FROM binned b, (SELECT unnest(range(0, 10)) AS bin) g
+),
+cnts AS (
+  SELECT g.event_type, g.bin,
+         CAST(1 + COALESCE(a.c, 0) AS BIGINT) AS ca,
+         CAST(1 + COALESCE(b.c, 0) AS BIGINT) AS cb
+  FROM grid g
+  LEFT JOIN (SELECT event_type, bin, COUNT(*) AS c FROM binned WHERE period = 0
+             GROUP BY event_type, bin) a USING (event_type, bin)
+  LEFT JOIN (SELECT event_type, bin, COUNT(*) AS c FROM binned WHERE period = 1
+             GROUP BY event_type, bin) b USING (event_type, bin)
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb
+  FROM cnts GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(ROUND(SUM(CAST(ROUND(
+           (CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)
+           * ln((CAST(ca AS DOUBLE) / ta) / (CAST(cb AS DOUBLE) / tb)),
+         6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS psi,
+       CAST(MIN(ta) AS BIGINT) AS n_a, CAST(MIN(tb) AS BIGINT) AS n_b
+FROM cnts c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type
+"""
+
+
+@register(
+    "diag_psi_value_drift",
+    _PSI_SQL,
+    doc="Population Stability Index between the first and second half of "
+    "the event stream, per event type: value distribution over 10 fixed "
+    "bins (width 50, clamped), Laplace +1 smoothing so empty bins "
+    "contribute finite mass, PSI = Σ (pa−pb)·ln(pa/pb). The ML-ops "
+    "drift gate: PSI < 0.1 stable, > 0.25 retrain/alert. Cross-engine: "
+    "per-bin contributions rounded to 6dp then summed as exact "
+    "DECIMAL(18,6) (order-independent), the same ln-determinism recipe "
+    "as bm25_search. Plan: one scan of events, two partial-agg'd "
+    "counts, a 50-row bin grid join — entirely dimension-sized after "
+    "the first aggregation, so the pattern costs one fact pass at any "
+    "scale.",
+)
+def diag_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.least(
+            F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 50).cast("long"))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(10).select(F.col("id").alias("bin"))))
+    )
+    a = (
+        binned.filter(F.col("period") == 0)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    b = (
+        binned.filter(F.col("period") == 1)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnts = (
+        grid.join(a.withColumnRenamed("c", "ca0"), ["event_type", "bin"], "left_outer")
+        .join(b.withColumnRenamed("c", "cb0"), ["event_type", "bin"], "left_outer")
+        .select(
+            "event_type",
+            "bin",
+            (F.lit(1) + F.coalesce("ca0", F.lit(0))).cast("long").alias("ca"),
+            (F.lit(1) + F.coalesce("cb0", F.lit(0))).cast("long").alias("cb"),
+        )
+    )
+    tot = cnts.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("ta"), F.sum("cb").cast("long").alias("tb")
+    )
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    contrib = F.round((pa - pb) * F.log(pa / pb), 6).cast("decimal(18,6)")
+    return (
+        cnts.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(contrib), 4).cast("double").alias("psi"),
+            F.min("ta").cast("long").alias("n_a"),
+            F.min("tb").cast("long").alias("n_b"),
+        )
+    )

@@ -50,3 +50,43 @@ def test_key_skew_shares_sum_below_one(spark, sf_dir):
     assert pdf["share"].sum() < 1.0
     assert (pdf.sort_values("rnk")["cnt"].diff().dropna() <= 0).all()
     assert int(pdf["max_cnt"].iloc[0]) == int(pdf["cnt"].max())
+
+
+def test_psi_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_psi_value_drift", sf_dir)
+
+
+def test_psi_same_distribution_is_stable(spark, sf_dir):
+    """The two halves of the synthetic stream draw from one distribution,
+    so PSI must be explained by sampling noise alone. The expected PSI of
+    two same-distribution samples is ~(k-1)/2 · (1/n_a + 1/n_b) (chi²
+    approximation, k=10 bins); assert within 4x of that bound — at
+    sf0.001 (~200 rows/side) the bound is ~0.05, at sf0.01 ~0.005, so a
+    real drift (PSI >= 0.25 by convention) still fails loudly."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_psi_value_drift"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["psi"] >= 0).all()  # PSI is a symmetrized KL — non-negative
+    noise_bound = 4.5 * (1.0 / pdf["n_a"] + 1.0 / pdf["n_b"])  # (k-1)/2 = 4.5
+    assert (pdf["psi"] < 4 * noise_bound).all(), pdf[["event_type", "psi"]]
+
+
+def test_corpus_diversity_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "corpus_diversity", sf_dir)
+
+
+def test_entropy_bounded_by_log_types(spark, sf_dir):
+    """Shannon entropy is bounded by ln(n_types); TTR in (0, 1]."""
+    import numpy as np
+
+    from logflow.queries import load_all
+
+    pdf = load_all()["corpus_diversity"].fn(spark, sf_dir).toPandas()
+    assert (pdf["shannon_entropy"] >= 0).all()
+    assert (pdf["shannon_entropy"] <= np.log(pdf["n_types"]) + 1e-6).all()
+    assert ((pdf["type_token_ratio"] > 0) & (pdf["type_token_ratio"] <= 1)).all()

@@ -72,6 +72,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "diag_key_skew": {
         "bnlj": "crossJoin of the single-row global count stats (base/hot)"
     },
+    "diag_psi_value_drift": {
+        "bnlj": "crossJoin of the 10-row literal bin grid (spark.range(10))"
+    },
     "trace_tree_edges": {
         "hof-in-filter": "inferred isnotnull join constraints re-inline the "
         "b3 header parse (a few string ops per row); constraint inference "
