@@ -124,37 +124,16 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once-bucketed edge table a production run writes.
         .persist()
     )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("outdeg")).persist()
-    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Iteration lives in operators/graph.py:pagerank_fixed_point (shared
+    # with the hypothesis property suite, which drives it with random
+    # graphs against a pure-Python integer reference). Rank table is
+    # broadcast per iteration — one row per node, small by construction;
+    # Catalyst can't infer that itself through the join+agg lineage. At
+    # node counts past broadcast size the bucketed-join layout in the
+    # module doc replaces the hint.
+    from logflow.operators.graph import pagerank_fixed_point
 
-    r = (
-        deg.crossJoin(F.broadcast(nn))
-        .select("u", "outdeg", F.expr(f"CAST({_SCALE} DIV n AS BIGINT)").alias("r"))
-    )
-    base = _SCALE * _D_DEN - _SCALE * _D_NUM  # (1-d) mass numerator, pre-scaled
-    for _ in range(_ITERS):
-        # rank table = one row per NODE (orders of magnitude smaller than
-        # the edge list) — broadcast it so the persisted edges never
-        # shuffle; Catalyst can't infer this itself through the join+agg
-        # lineage. At node counts past broadcast size the bucketed-join
-        # layout in the module doc replaces this hint.
-        contrib = (
-            und.join(F.broadcast(r.withColumnRenamed("u", "src")), und.u == F.col("src"))
-            .groupBy("v")
-            .agg(F.sum(F.expr("r DIV outdeg")).alias("s"))
-        )
-        r = (
-            deg.crossJoin(F.broadcast(nn))
-            .join(contrib, deg.u == contrib.v, "left_outer")
-            .select(
-                "u",
-                "outdeg",
-                F.expr(
-                    f"CAST({base} DIV ({_D_DEN} * n) + "
-                    f"({_D_NUM} * COALESCE(s, 0)) DIV {_D_DEN} AS BIGINT)"
-                ).alias("r"),
-            )
-        )
+    r = pagerank_fixed_point(und, iters=_ITERS)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("r"), "u")

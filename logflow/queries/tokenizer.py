@@ -70,23 +70,6 @@ SELECT step, sym_a, sym_b, merged, cnt FROM best2
 """
 
 
-def _bigram_counts(cur: DataFrame) -> DataFrame:
-    """Weighted adjacent-symbol pair counts over the spaced vocab."""
-    syms = cur.select("freq", F.split(F.trim(F.col("sp")), " ").alias("s"))
-    n = F.size("s")
-    pairs = F.zip_with(
-        F.slice("s", F.lit(1), F.greatest(n - 1, F.lit(0))),
-        F.slice("s", F.lit(2), F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("sym_a"), b.alias("sym_b")),
-    )
-    return (
-        syms.select("freq", F.explode_outer(pairs).alias("p"))
-        .filter(F.col("p").isNotNull())
-        .groupBy(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"))
-        .agg(F.sum("freq").cast("long").alias("cnt"))
-    )
-
-
 @register(
     "bpe_merge_steps",
     _BPE_SQL,
@@ -101,6 +84,11 @@ def _bigram_counts(cur: DataFrame) -> DataFrame:
     "work — the HF-tokenizers layout, distributed.",
 )
 def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # merge loop lives in operators/bpe.py:bpe_merge_table (shared with
+    # the hypothesis property suite, which drives it with random
+    # vocabularies against a pure-Python greedy-merge reference)
+    from logflow.operators.bpe import bpe_merge_table
+
     docs = load_table(spark, "documents", sf_dir)
     words = (
         docs.select(F.explode_outer(tokenize(F.col("text"))).alias("w"))
@@ -108,29 +96,4 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    spaced = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
-    cur = words.select("freq", spaced.alias("sp"))
-    merges: list[DataFrame] = []
-    for step in range(1, _STEPS + 1):
-        best = (
-            _bigram_counts(cur)
-            .orderBy(F.desc("cnt"), "sym_a", "sym_b")
-            .limit(1)
-            .select(
-                F.lit(step).cast("long").alias("step"),
-                "sym_a",
-                "sym_b",
-                F.concat("sym_a", "sym_b").alias("merged"),
-                "cnt",
-            )
-        )
-        merges.append(best)
-        pat = F.concat(F.lit(" "), F.col("sym_a"), F.lit(" "), F.col("sym_b"), F.lit(" "))
-        rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
-        cur = cur.crossJoin(F.broadcast(best.select("sym_a", "sym_b", "merged"))).select(
-            "freq", F.replace(F.col("sp"), pat, rep).alias("sp")
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return bpe_merge_table(words, _STEPS)

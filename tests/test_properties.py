@@ -188,3 +188,45 @@ def test_scd2_exactly_one_open_version_per_key(spark, sf_dir):
     rows = load_all()["scd2_customer_history"].fn(spark, sf_dir).collect()
     assert rows
     assert all(r.n_open == 1 for r in rows)
+
+
+@given(edges=edges_strategy, iters=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_pagerank_fixed_point_matches_reference(spark, edges, iters):
+    """The BIGINT fixed-point PageRank update must agree EXACTLY (integer
+    equality, no tolerance) with a pure-Python model on random graphs —
+    the property the cross-engine oracle determinism rests on."""
+    from logflow.operators.graph import pagerank_fixed_point, pagerank_fixed_point_reference
+
+    df = spark.createDataFrame(sorted(set(edges)), "u long, v long")
+    got = {r.u: r.r for r in pagerank_fixed_point(df, iters=iters).collect()}
+    want = pagerank_fixed_point_reference(list(set(edges)), iters=iters)
+    assert got == want
+
+
+words_strategy = st.dictionaries(
+    keys=st.text(alphabet="abcd", min_size=1, max_size=6),
+    values=st.integers(1, 9),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(word_freqs=words_strategy, steps=st.integers(1, 2))
+@settings(**SETTINGS)
+def test_bpe_merges_match_greedy_reference(spark, word_freqs, steps):
+    """The Spark replace-based BPE merge must produce the same merge
+    sequence (pairs, merged symbols, exact counts) as a pure-Python
+    greedy leftmost reference — including 'aaa'-style overlap handling
+    and lexicographic argmax ties."""
+    from logflow.operators.bpe import bpe_merge_reference, bpe_merge_table
+
+    want = bpe_merge_reference(word_freqs, steps)
+    df = spark.createDataFrame(list(word_freqs.items()), "w string, freq long")
+    got = [
+        (r.step, r.sym_a, r.sym_b, r.merged, r.cnt)
+        for r in bpe_merge_table(df, steps).orderBy("step").collect()
+    ]
+    # reference stops early when no pairs remain (all 1-char words);
+    # Spark's argmax-of-empty yields no row for that step too
+    assert got == want
