@@ -188,6 +188,14 @@ PRIORITY: list[str] = [
     "q9_product_profit",
     "q13_order_count_distribution",
     "q22_dormant_balance",
+    # round-3 TPC-H completion — full 22-query suite now covered
+    # (q21-shape = subquery_exists_not_exists in relational.py):
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q17_small_quantity_revenue",
+    "q20_promotion_suppliers",
     # round-3 corpus ops (corpus.py):
     "pii_redaction",
     "dup_chunk_filter",
@@ -197,10 +205,13 @@ PRIORITY: list[str] = [
     "graph_pagerank_parts",
     "graph_triangle_count",
     "ts_gap_fill_forward",
+    "ts_max_concurrency_daily",
+    "ts_markov_transitions",
     "bpe_merge_steps",
     "diag_key_skew",
     "diag_join_cardinality",
     "diag_psi_value_drift",
+    "diag_value_histogram",
     "corpus_diversity",
     "branch_multiway_value_bands",
     "anomaly_hourly_error_spikes",

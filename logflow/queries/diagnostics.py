@@ -250,3 +250,51 @@ def diag_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tb").cast("long").alias("n_b"),
         )
     )
+
+
+@register(
+    "diag_value_histogram",
+    """
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT), 19) AS bucket,
+         o_totalprice
+  FROM orders
+)
+SELECT bucket,
+       CAST(bucket * 25000.0 AS DOUBLE) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS bucket_total,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+FROM b
+GROUP BY bucket
+""",
+    doc="Equi-width value histogram (20 × 25k buckets over order totals) — "
+    "the distribution profile a planner or skew check reads before "
+    "choosing partition bounds. Bucketing is FLOOR(x/width) on the "
+    "IEEE-identical quotient then LEAST-capped (never width_bucket, "
+    "whose boundary conventions differ across engines), so every row "
+    "lands in the same bucket everywhere; totals are exact decimal. The "
+    "share window runs over the 20-row result, not the fact table. At "
+    "100 TB: pure map-side bucketing + one 20-group partial agg — the "
+    "cheapest possible full-scan profile, no sampling bias.",
+)
+def diag_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long"), F.lit(19).cast("long")
+    )
+    per_bucket = orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot"),
+    )
+    w_all = Window.partitionBy()
+    return per_bucket.select(
+        "bucket",
+        (F.col("bucket") * F.lit(25000.0)).cast("double").alias("bucket_lo"),
+        F.col("cnt").cast("long").alias("n_orders"),
+        F.round("tot", 2).cast("double").alias("bucket_total"),
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(w_all).cast("double"), 6
+        ).alias("share"),
+    )

@@ -97,3 +97,134 @@ def ts_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("hourly_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("hourly_value").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "ts_max_concurrency_daily",
+    """
+WITH spans AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts AS t0,
+         least(ts + INTERVAL 5 MINUTE,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY) AS t1
+  FROM events
+),
+deltas AS (
+  SELECT day, t0 AS t, 1 AS delta FROM spans
+  UNION ALL
+  SELECT day, t1 AS t, -1 AS delta FROM spans
+),
+run AS (
+  SELECT day, delta,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS conc
+  FROM deltas
+)
+SELECT day,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+FROM run
+GROUP BY day
+""",
+    doc="Interval-overlap sweep: every event opens a 5-minute span (clipped "
+    "at midnight so days are independent), and peak concurrency per day "
+    "is the max of the running sum over +1/-1 boundary deltas. The "
+    "ordering (t, delta) puts span-ends before span-starts at equal "
+    "timestamps (touching spans don't overlap), and the default RANGE "
+    "frame makes tied rows share the run-end cumsum, so MAX is "
+    "permutation-proof. Implementation is TWO-PHASE: the big window runs "
+    "partitioned by (day, hour) — bounded partitions — and a tiny "
+    "per-hour-aggregate window supplies each hour's carry-in base, the "
+    "same distributed-prefix-sum trick as operators/packing.py. The "
+    "single-window oracle SQL computes identical values. At 100 TB: one "
+    "shuffle to (day,hour), a day-partitioned window over ~24 rows/day "
+    "of hourly nets, and a (day,hour)-local sort — no day-sized "
+    "single-partition sort anywhere.",
+)
+def ts_max_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_trunc("day", "ts")
+    spans = ev.select(
+        day.alias("day"),
+        F.col("ts").alias("t0"),
+        F.least(
+            F.col("ts") + F.expr("INTERVAL 5 MINUTES"),
+            day + F.expr("INTERVAL 1 DAY"),
+        ).alias("t1"),
+    )
+    deltas = spans.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(spans.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta")))
+    # Phase 1: per-(day,hour) net delta; a day-partitioned window over this
+    # TINY frame (<=25 rows per day) yields each hour's carry-in base.
+    deltas = deltas.withColumn("hr", F.date_trunc("hour", "t"))
+    hourly = deltas.groupBy("day", "hr").agg(F.sum("delta").alias("net"))
+    w_base = (
+        Window.partitionBy("day")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = hourly.select(
+        "day", "hr", F.coalesce(F.sum("net").over(w_base), F.lit(0)).alias("base")
+    )
+    # Phase 2: the big running sum is (day,hour)-partitioned — bounded —
+    # and offset by the hour's base. RANGE frame (default) matches the
+    # oracle's tie semantics exactly.
+    w_run = Window.partitionBy("day", "hr").orderBy("t", "delta")
+    run = deltas.join(base, ["day", "hr"]).select(
+        "day",
+        "delta",
+        (F.col("base") + F.sum("delta").over(w_run)).alias("conc"),
+    )
+    return run.groupBy("day").agg(
+        F.max("conc").cast("long").alias("max_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+
+
+@register(
+    "ts_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS src, next_type AS dst, COUNT(*) AS cnt
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT src, dst, CAST(cnt AS BIGINT) AS n_transitions,
+       ROUND(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE),
+             6) AS p_transition
+FROM c
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() pairs each event with the user's next event "
+    "((ts, event_id) is a total order — the unique-key tiebreak rule), "
+    "then (src,dst) counts normalize into row-stochastic probabilities "
+    "via an integer-exact window sum (one IEEE division, rounded once). "
+    "The log-correlation use: which event types feed errors. At 100 TB: "
+    "one user_id shuffle for the sequence window (shared with any "
+    "sessionization), then a |types|² ≈ tiny aggregate; the "
+    "normalization window runs on the 25-row matrix, not the fact table.",
+)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_src = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        F.col("cnt").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(w_src).cast("double"), 6
+        ).alias("p_transition"),
+    )

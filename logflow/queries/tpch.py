@@ -336,3 +336,334 @@ def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 3, part 2): Q2/Q4/Q11/Q12/Q17/Q20.  With these the
+# full 22-query TPC-H suite is covered (q21's EXISTS/NOT-EXISTS combo lives
+# in relational.py as subquery_exists_not_exists).  Plan shapes added here:
+#
+# * Q2  — per-group minimum selection (window min = correlated MIN subquery)
+#         over a multi-dimension snowflake join.
+# * Q4  — EXISTS with a non-equi correlated predicate (left-semi join whose
+#         condition mixes the key equality with an interval comparison).
+# * Q11 — HAVING against an uncorrelated global scalar (group sum vs a
+#         fraction of the grand total).
+# * Q12 — conditional two-way counts (CASE inside SUM) after a non-equi
+#         late-shipment filter.
+# * Q17 — correlated per-group AVG threshold (window sum/count) feeding a
+#         scan-level filter, then a single global aggregate.
+# * Q20 — IN-within-IN with a grouped HAVING between them (stacked semi
+#         joins, no fact duplication).
+#
+# Schema adaptations (no partsupp/l_commitdate/l_receiptdate/l_shipmode in
+# the driver data): "supply cost" is the minimum observed unit sale price
+# per (part, supplier); "late" means shipped >N days after the order date;
+# Q12's ship mode becomes the return flag.  The Catalyst features each
+# query exercises are unchanged.
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS mincost
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_size BETWEEN 20 AND 30 AND p_type = 'SMALL'
+  GROUP BY l_partkey, l_suppkey
+), regional AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, mincost
+  FROM ps
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+       CAST(mincost AS DOUBLE) AS supply_cost
+FROM (
+  SELECT r.*, MIN(mincost) OVER (PARTITION BY p_partkey) AS part_min
+  FROM regional r
+)
+WHERE mincost = part_min
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 minimum-cost supplier: the correlated MIN subquery is "
+    "expressed as a window MIN over p_partkey — same semantics, ONE pass "
+    "over the candidate set instead of a re-scan (supply cost = min "
+    "observed unit sale price per part/supplier; no partsupp table). The "
+    "part filter broadcasts into lineitem BEFORE the (partkey,suppkey) "
+    "aggregate, so the big scan is pruned first; supplier/nation/region "
+    "all broadcast. Cost is exact DECIMAL, so the min-equality filter is "
+    "bit-stable cross-engine; the top-100 carries a full unique-key "
+    "tiebreak (…,p_partkey,s_suppkey). At 100 TB: one shuffle on "
+    "(partkey,suppkey), one on partkey for the window — both over the "
+    "already-pruned candidate set.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part_f = load_table(spark, "part", sf_dir).filter(
+        F.col("p_size").between(20, 30) & (F.col("p_type") == "SMALL")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    ps = (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .groupBy("l_partkey", "l_suppkey", "p_partkey", "p_name")
+        .agg(F.min(_dec("l_extendedprice")).alias("mincost"))
+    )
+    regional = (
+        ps.join(supp, ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        regional.withColumn("part_min", F.min("mincost").over(w))
+        .filter(F.col("mincost") == F.col("part_min"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            F.col("mincost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q4_order_priority_check",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 order-priority checking: EXISTS whose correlated predicate "
+    "is NON-equi (shipped more than 60 days after the order date — the "
+    "commitdate/receiptdate lateness test adapted to the available "
+    "columns). Catalyst plans it as a left-semi join on l_orderkey with "
+    "the interval comparison as a join residual, so each order is counted "
+    "once no matter how many late lines it has — no fact duplication, no "
+    "DISTINCT. The date window prunes orders at the scan. At 100 TB: one "
+    "semi-join shuffle on orderkey, then a 5-row aggregate.",
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    late = (orders_f.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders_f.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders_f.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+WITH v AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+FROM v
+WHERE val > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(6,4)) FROM v)
+""",
+    doc="TPC-H Q11 important stock: per-part value (sum of sale value from "
+    "suppliers in a 3-nation group) kept only where it exceeds 0.1% of "
+    "the GRAND total — a HAVING against an uncorrelated global scalar. "
+    "The per-part aggregate is computed once and persisted (parts-table "
+    "sized, millions of rows at 100 TB, trivially cached); the grand "
+    "total folds that frame to one row which re-enters as a broadcast — "
+    "the fact table is scanned exactly once, and the threshold "
+    "comparison is exact DECIMAL on both sides so the boundary part is "
+    "never engine-dependent. nation/supplier broadcast into lineitem "
+    "before its one shuffle on l_partkey.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice", 18)).alias("val"))
+        .persist()  # read twice: grand total + threshold filter
+    )
+    threshold = per_part.agg(
+        (F.sum("val") * F.lit(0.001).cast("decimal(6,4)")).alias("thr")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("val") > F.col("thr"))
+        .select("l_partkey", F.round("val", 2).cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+""",
+    doc="TPC-H Q12 shipping-mode priority (ship mode adapted to the return "
+    "flag; 'late' = shipped >30 days after ordering): a non-equi "
+    "late-shipment residual on the orderkey join, then two CASE'd "
+    "conditional counts in one aggregate — the high/low split is one "
+    "pass, not two filtered scans. The shipdate year-window prunes "
+    "lineitem at the parquet scan before the join. At 100 TB: one "
+    "shuffle join on orderkey (both sides pruned), one 3-row partial+ "
+    "final aggregate. Integer CASE sums are exact everywhere.",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+WITH cand AS (
+  SELECT l_extendedprice, l_quantity,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY l_partkey) AS qty_sum,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS qty_cnt
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#7' AND p_type = 'PROMO'
+)
+SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+            AS DOUBLE) AS avg_yearly
+FROM cand
+WHERE CAST(l_quantity AS DOUBLE) < 0.2 * (CAST(qty_sum AS DOUBLE) / qty_cnt)
+""",
+    doc="TPC-H Q17 small-quantity-order revenue: the correlated per-part "
+    "AVG(l_quantity) threshold is a window sum/count over l_partkey — "
+    "one pass, no re-scan of lineitem for the subquery. The average is "
+    "exact-decimal-sum over exact-count divided once in IEEE double "
+    "(identical operand bits cross-engine → identical threshold), and "
+    "the brand/type filter broadcasts into lineitem before the window "
+    "shuffle, so at 100 TB the windowed set is only the filtered "
+    "part's lines. Single-row global aggregate at the end.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part_f = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") == "Brand#7") & (F.col("p_type") == "PROMO")
+    )
+    w = Window.partitionBy("l_partkey")
+    cand = (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .withColumn("qty_sum", F.sum(_dec("l_quantity")).over(w))
+        .withColumn("qty_cnt", F.count(F.lit(1)).over(w))
+    )
+    thr = F.lit(0.2) * (F.col("qty_sum").cast("double") / F.col("qty_cnt"))
+    return cand.filter(F.col("l_quantity").cast("double") < thr).agg(
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2)
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'hot%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(30 AS DECIMAL(12,2))
+)
+""",
+    doc="TPC-H Q20 potential part promotion: IN-within-IN with a grouped "
+    "HAVING between the levels — the part-name semi join prunes lineitem "
+    "(broadcast, no duplication), the (suppkey,partkey) aggregate applies "
+    "the exact-decimal volume threshold, and the surviving supplier keys "
+    "semi-join back to supplier. Every join is a semi join, so no fact "
+    "row is ever duplicated and the distinct-supplier set needs no "
+    "DISTINCT. At 100 TB: broadcast prune → one grouped shuffle on "
+    "(suppkey,partkey) → a tiny semi join against the supplier dim.",
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part_hot = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("hot%"))
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    qualified = (
+        li.join(F.broadcast(part_hot), li.l_partkey == part_hot.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > F.lit(30).cast("decimal(12,2)"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )

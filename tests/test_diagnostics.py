@@ -90,3 +90,22 @@ def test_entropy_bounded_by_log_types(spark, sf_dir):
     assert (pdf["shannon_entropy"] >= 0).all()
     assert (pdf["shannon_entropy"] <= np.log(pdf["n_types"]) + 1e-6).all()
     assert ((pdf["type_token_ratio"] > 0) & (pdf["type_token_ratio"] <= 1)).all()
+
+
+def test_value_histogram_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_value_histogram", sf_dir)
+
+
+def test_value_histogram_partitions_the_table(spark, sf_dir):
+    """Buckets partition orders: counts sum to the table size, shares to ~1,
+    and every bucket id is within the capped [0, 19] range."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["diag_value_histogram"].fn(spark, sf_dir).toPandas()
+    n = load_table(spark, "orders", sf_dir).count()
+    assert int(pdf["n_orders"].sum()) == n
+    assert abs(pdf["share"].sum() - 1.0) < 1e-4
+    assert pdf["bucket"].between(0, 19).all()

@@ -34,3 +34,37 @@ def test_gap_fill_dense_and_filled(spark, sf_dir):
         for i in range(1, len(g)):
             if gap[i]:
                 assert fv[i] == fv[i - 1]
+
+
+def test_max_concurrency_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_max_concurrency_daily", sf_dir)
+
+
+def test_max_concurrency_bounds(spark, sf_dir):
+    """Peak concurrency is at least 1 on any day with spans and never
+    exceeds the day's span count; the two-phase (hour-base + local run)
+    decomposition must equal the single-window semantics the oracle uses."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_max_concurrency_daily"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["max_concurrent"] >= 1).all()
+    assert (pdf["max_concurrent"] <= pdf["n_spans"]).all()
+
+
+def test_markov_transitions_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_markov_transitions", sf_dir)
+
+
+def test_markov_rows_are_stochastic(spark, sf_dir):
+    """Outgoing probabilities per src sum to ~1 (rounding tolerance)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_markov_transitions"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    sums = pdf.groupby("src")["p_transition"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()

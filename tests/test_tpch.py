@@ -10,6 +10,12 @@ TPCH_QUERIES = [
     "q9_product_profit",
     "q13_order_count_distribution",
     "q22_dormant_balance",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q17_small_quantity_revenue",
+    "q20_promotion_suppliers",
 ]
 
 
@@ -46,3 +52,40 @@ def test_q7_excludes_intra_nation_flows(spark, sf_dir):
     pdf = load_all()["q7_nation_volume"].fn(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     assert (pdf["supp_nation"] != pdf["cust_nation"]).all()
+
+
+def test_q2_cost_is_min_within_part(spark, sf_dir):
+    """Every surviving row's supply_cost equals the minimum over its part —
+    the window-min formulation must not leak non-minimal suppliers."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["q2_min_cost_supplier"].fn(spark, sf_dir).toPandas()
+    assert 0 < len(pdf) <= 100
+    assert (pdf.groupby("p_partkey")["supply_cost"].transform("min") == pdf["supply_cost"]).all()
+
+
+def test_q4_counts_bounded_by_window_orders(spark, sf_dir):
+    """EXISTS must count each order at most once (semi join, no fact dup)."""
+    import pyspark.sql.functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["q4_order_priority_check"].fn(spark, sf_dir).toPandas()
+    in_window = (
+        load_table(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .count()
+    )
+    assert len(pdf) > 0
+    assert int(pdf["order_count"].sum()) <= in_window
+
+
+def test_q17_single_row_scalar(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["q17_small_quantity_revenue"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 1

@@ -69,6 +69,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "bpe_merge_steps": {
         "bnlj": "crossJoin of the 1-row winning-pair argmax (per merge step)"
     },
+    "q11_important_parts": {
+        "bnlj": "crossJoin of the single-row grand-total threshold aggregate"
+    },
     "diag_key_skew": {
         "bnlj": "crossJoin of the single-row global count stats (base/hot)"
     },
