@@ -21,7 +21,7 @@ reproduces signatures exactly; no RNG anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from logflow.functions.text import char_ngrams, tokenize, word_shingles
@@ -349,4 +349,95 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity self-join via prefix filtering
+    (the PPJoin family) — the complement to MinHash+LSH: no probabilistic
+    recall, every pair with jaccard >= num/den is returned, guaranteed.
+
+    Principle: order every doc's distinct tokens by GLOBAL rarity (document
+    frequency asc, token asc — a total order shared by all docs). For
+    Jaccard >= t a pair must share at least one token within each side's
+    first ``sz - ceil(t*sz) + 1`` tokens, so joining on prefix tokens only
+    — the rarest ones — yields a candidate set with zero false negatives
+    and (because prefixes hold rare tokens) few false positives.
+
+    Exactness: the threshold is a RATIONAL (num/den), and both the prefix
+    length ``sz - (num*sz + num - 1) DIV den`` [+1] and the final filter
+    ``inter*den >= num*(sza+szb-inter)`` are integer arithmetic — IEEE
+    ``ceil(0.8*sz)`` over-ceils when t*sz is an exact integer (0.8*5 →
+    4.0000000000000002 → 5), which would SHORTEN the prefix and silently
+    drop true pairs. No float touches any pruning decision.
+
+    100 TB story: df-counts are one partial-agg'd shuffle; the rarity sort
+    is a per-doc window on the doc key; the candidate join keys on PREFIX
+    tokens whose frequency is low by construction (the common-token skew
+    that kills a naive token self-join never reaches the join); the verify
+    step joins candidates (not corpus²) back to token sets. Cost tracks
+    candidate count — the same scaling argument as LSH, but exact.
+    """
+    toks = F.array_distinct(tokenize(text_col))
+    # persisted: read 4x (df-counts, rarity ranking, both verify joins) —
+    # without it Catalyst re-tokenizes the corpus per consumer (6 scans);
+    # the "write the token table once" phase of a real 100 TB run.
+    e = (
+        df.select(F.col(id_col).alias("doc"), F.explode_outer(toks).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+        .persist()
+    )
+    dfc = e.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    rarity = Window.partitionBy("doc").orderBy("dfc", "tok")
+    # minimum required overlap = ceil(num*sz/den), computed exactly:
+    # ceil(a/b) == (a + b - 1) DIV b for positive ints. Spark DIV and
+    # DuckDB // are both truncating integer division — never `/` here
+    # (Spark `/` is ALWAYS double division; see CLAUDE.md fixed-point rule).
+    min_overlap = F.expr(
+        f"(sz * {threshold_num} + {threshold_den - 1}) DIV {threshold_den}"
+    )
+    prefix_len = F.col("sz") - min_overlap + 1
+    r = e.join(dfc, "tok").withColumn("rn", F.row_number().over(rarity))
+    # persisted: the candidate self-join reads it twice (sides a and b).
+    pfx = r.filter(F.col("rn") <= prefix_len).select("doc", "tok", "sz").persist()
+    a = pfx.select(
+        F.col("doc").alias("da"), F.col("tok").alias("tok_a"), F.col("sz").alias("sza")
+    )
+    b = pfx.select(
+        F.col("doc").alias("db"), F.col("tok").alias("tok_b"), F.col("sz").alias("szb")
+    )
+    cand = (
+        a.join(b, (a.tok_a == b.tok_b) & (a.da < b.db))
+        .select("da", "db", "sza", "szb")
+        .distinct()
+    )
+    toks_only = e.select("doc", "tok")
+    ca = cand.join(toks_only, cand.da == toks_only.doc).select("da", "db", "sza", "szb", "tok")
+    inter = (
+        ca.join(
+            toks_only.select(F.col("doc").alias("doc_b"), F.col("tok").alias("tok_b2")),
+            (F.col("doc_b") == F.col("db")) & (F.col("tok_b2") == F.col("tok")),
+        )
+        .groupBy("da", "db", "sza", "szb")
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    union_sz = F.col("sza") + F.col("szb") - F.col("ix")
+    return (
+        inter.filter(
+            F.col("ix") * F.lit(threshold_den) >= F.lit(threshold_num) * union_sz
+        )
+        .select(
+            F.col("da").cast("long").alias("doc_a"),
+            F.col("db").cast("long").alias("doc_b"),
+            F.round(F.col("ix").cast("double") / union_sz.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
     )

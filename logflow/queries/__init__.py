@@ -155,6 +155,7 @@ PRIORITY: list[str] = [
     "pack_token_shards",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
     "text_vocab_topk",
     "q5_local_revenue",
     "join_anti_dormant",
@@ -173,6 +174,7 @@ PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "scan_partition_pruned",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "corpus_mixture_weights",
     "aggstate_incremental_merge",
     "join_bloom_runtime_filter",

@@ -17,6 +17,7 @@ from logflow.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_join,
     simhash_16,
 )
 from logflow.operators.similarity import (
@@ -1663,3 +1664,121 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = docs.filter(F.col("doc_id") % 10 < 8)
     batch = docs.filter(F.col("doc_id") % 10 >= 8)
     return minhash_lsh_pairs_incremental(indexed, batch, "doc_id", "text")
+
+
+@register(
+    "text_bigram_logprob",
+    r"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                      t -> t <> '') AS toks FROM documents),
+b AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg
+      FROM t),
+p AS (SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM b),
+lm AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM p GROUP BY w1, w2),
+lmn AS (SELECT w1, w2, cnt2, SUM(cnt2) OVER (PARTITION BY w1) AS cnt1 FROM lm),
+scored AS (
+  SELECT p.doc_id,
+         CAST(ROUND(log2(CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM p JOIN lmn ON p.w1 = lmn.w1 AND p.w2 = lmn.w2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 3) AS avg_log2_cond_prob
+FROM scored GROUP BY doc_id
+""",
+    doc="Bigram conditional log-probability scoring (the next step up from "
+    "text_unigram_logprob toward a KenLM-style quality filter): bigrams "
+    "are built MAP-SIDE with a positional HOF over the token array — no "
+    "per-doc window, no doc_id shuffle — then MLE p(w2|w1) = "
+    "c(w1,w2)/c(w1,·) where the predecessor total is a window sum over "
+    "the bigram-count table partitioned by w1. Unlike the unigram LM the "
+    "bigram table is NOT broadcast-sized, so the score join is a plain "
+    "hash-shuffle join on the (w1,w2) key — uniform by construction. "
+    "Determinism: exact-integer count ratio → one IEEE log2 → round 6 → "
+    "exact DECIMAL sum → final round. Docs under 2 tokens drop out in "
+    "both engines (empty bigram list). sequence() is >=2-guarded (Spark "
+    "sequence DESCENDS for n<1) and exploded with explode_outer + "
+    "isNotNull so Catalyst can't push a size()>0 filter that re-inlines "
+    "the tokenize chain.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize("text")
+    # Bigrams as a ZIP OF SLICES, not transform(sequence, element_at):
+    # Catalyst inlines the tokenize chain into every element_at call, so
+    # the HOF form is O(sz²) re-tokenization per doc — measured 10×
+    # slower (3.9 s vs 0.4 s at sf0.1). Each slice evaluates the token
+    # array once per row; the when-guard avoids ANSI slice errors on
+    # sub-2-token docs (and explode_outer+isNotNull keeps Catalyst from
+    # pushing a size()>0 filter that re-inlines the chain).
+    sz = F.size(toks)
+    zipped = F.when(sz >= 2, F.arrays_zip(F.slice(toks, 1, sz - 1), F.slice(toks, 2, sz - 1)))
+    p = (
+        docs.select("doc_id", F.explode_outer(zipped).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    )
+    lm = p.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    lmn = lm.withColumn("cnt1", F.sum("cnt2").over(Window.partitionBy("w1")))
+    scored = p.join(lmn, ["w1", "w2"]).select(
+        "doc_id",
+        F.round(
+            F.log2(F.col("cnt2").cast("double") / F.col("cnt1").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 3).alias(
+            "avg_log2_cond_prob"
+        ),
+    )
+
+
+@register(
+    "dedup_prefix_jaccard",
+    r"""
+WITH t AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                                    t -> t <> '')) AS toks
+           FROM documents WHERE doc_id % 10 = 0),
+e AS (SELECT doc_id AS doc, unnest(toks) AS tok, len(toks) AS sz FROM t),
+df AS (SELECT tok, COUNT(*) AS dfc FROM e GROUP BY tok),
+r AS (SELECT e.doc, e.tok, e.sz,
+             row_number() OVER (PARTITION BY e.doc ORDER BY df.dfc, e.tok) AS rn
+      FROM e JOIN df ON e.tok = df.tok),
+pfx AS (SELECT doc, tok, sz FROM r WHERE rn <= sz - ((sz * 4 + 4) // 5) + 1),
+cand AS (SELECT DISTINCT a.doc AS da, b.doc AS db, a.sz AS sza, b.sz AS szb
+         FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc < b.doc),
+ca AS (SELECT cand.da, cand.db, cand.sza, cand.szb, e.tok
+       FROM cand JOIN e ON e.doc = cand.da),
+inter AS (SELECT ca.da, ca.db, ca.sza, ca.szb, COUNT(*) AS ix
+          FROM ca JOIN e ON e.doc = ca.db AND e.tok = ca.tok
+          GROUP BY ca.da, ca.db, ca.sza, ca.szb)
+SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+       ROUND(CAST(ix AS DOUBLE) / CAST(sza + szb - ix AS DOUBLE), 6) AS jaccard
+FROM inter
+WHERE ix * 5 >= 4 * (sza + szb - ix)
+""",
+    doc="EXACT token-set Jaccard similarity join at threshold 4/5 via "
+    "prefix filtering (PPJoin family) — the deterministic complement to "
+    "dedup_minhash_lsh: zero false negatives by construction, no "
+    "probabilistic recall curve. Docs' distinct tokens are ordered by "
+    "global rarity (df asc, token asc — one shared total order), and "
+    "only each doc's rarest sz-ceil(t*sz)+1 tokens enter the self-join, "
+    "so the common-token skew that kills a naive token join never "
+    "reaches a shuffle key. ALL pruning decisions are integer-exact "
+    "(rational threshold 4/5, ceil via (4*sz+4) DIV 5, final filter "
+    "5*ix >= 4*union) — IEEE ceil(0.8*sz) over-ceils at exact multiples "
+    "and would silently drop true pairs. Verification joins candidates "
+    "(not corpus^2) back to token sets. See operators/dedup.py:"
+    "prefix_filter_jaccard_join.",
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc_id%10 sampling keeps the checked result compact (the synthetic
+    # corpus has large near-identical clusters: the full sf0.1 run emits
+    # ~3M true pairs); the operator itself is sampling-free.
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return prefix_filter_jaccard_join(docs, "doc_id", "text", 4, 5)

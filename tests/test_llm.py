@@ -32,6 +32,7 @@ LLM_QUERIES = [
     "embedding_quantize_int8",
     "contamination_ngram_overlap",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "corpus_mixture_weights",
     "fuzzy_match_part_names",
     "quality_classifier_infer",
@@ -295,3 +296,39 @@ def test_hash_sampler_invariant_to_partitioning(spark, sf_dir):
     assert kept(docs.repartition(3)) == base
     assert kept(docs.repartition(64, "source")) == base
     assert kept(docs.coalesce(1)) == base
+
+
+def test_prefix_jaccard_matches_bruteforce(spark, sf_dir):
+    """Prefix filtering must be LOSSLESS: on a bounded subset, the operator's
+    pairs equal the all-pairs brute-force Jaccard >= 4/5 set exactly —
+    the no-false-negative guarantee that distinguishes it from LSH."""
+    import re as _re
+
+    from logflow.operators.dedup import prefix_filter_jaccard_join
+    from logflow.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).filter("doc_id < 80")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard_join(docs, "doc_id", "text", 4, 5).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    sets = {r.doc_id: set(t for t in _re.split(r"\s+", r.text.lower()) if t) for r in rows}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ix = len(sets[a] & sets[b])
+            un = len(sets[a] | sets[b])
+            if un and ix * 5 >= 4 * un:
+                want[(a, b)] = round(ix / un, 6)
+    assert got == want
+
+
+def test_prefix_jaccard_threshold_honored(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["dedup_prefix_jaccard"].fn(spark, sf_dir).toPandas()
+    if len(pdf):
+        assert (pdf["jaccard"] >= 0.8 - 1e-9).all()
+        assert (pdf["doc_a"] < pdf["doc_b"]).all()

@@ -876,3 +876,74 @@ def test_foreach_batch_upsert_streaming_driver(spark, tmp_path):
         (r.k, r.v) for r in read_upsert_table(spark, target).select("k", "v").collect()
     }
     assert state == {(1, "x2"), (2, "y")}
+
+
+def test_streaming_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: unmatched left rows must be
+    emitted NULL-padded — but only after the (min-of-both-sides) watermark
+    passes their ts + band. Two availableNow runs over one checkpoint:
+    run 1 processes the data and persists the advanced watermark (the
+    10h carrier rows on BOTH sides move it to 8h); run 2's batch then
+    evicts-and-emits the unmatched run-1 click. The carriers themselves
+    stay in state (watermark 8h has not passed their 10h + band)."""
+    import datetime
+
+    from logflow.streaming.joins import stream_interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+    cpath = str(tmp_path / "clicks")
+    bpath = str(tmp_path / "buys")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(path, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    write(
+        cpath,
+        [
+            (1, base),                                   # matched by buy@+30min
+            (2, base + datetime.timedelta(minutes=10)),  # no buy -> NULL-padded
+            (9, base + datetime.timedelta(hours=10)),    # watermark carrier
+        ],
+        "user_id long, click_ts timestamp",
+    )
+    write(
+        bpath,
+        [
+            (1, base + datetime.timedelta(minutes=30)),
+            (8, base + datetime.timedelta(hours=10)),    # watermark carrier
+        ],
+        "user_id long, buy_ts timestamp",
+    )
+
+    def run():
+        cs = spark.readStream.schema("user_id long, click_ts timestamp").parquet(cpath)
+        bs = spark.readStream.schema("user_id long, buy_ts timestamp").parquet(bpath)
+        j = stream_interval_join(
+            cs, bs, on="user_id", left_ts="click_ts", right_ts="buy_ts",
+            band="1 hour", watermark="2 hours", how="leftOuter",
+        ).select(F.col("l.user_id").alias("user_id"), "click_ts", "buy_ts")
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # run 2: one new buy row (any key) triggers the batch that applies the
+    # persisted 8h watermark and emits run-1's unmatched left row
+    write(bpath, [(7, base + datetime.timedelta(hours=10, minutes=1))],
+          "user_id long, buy_ts timestamp")
+    run()
+
+    got = {(r.user_id, r.click_ts, r.buy_ts) for r in spark.read.parquet(out).collect()}
+    want = {
+        (1, base, base + datetime.timedelta(minutes=30)),
+        (2, base + datetime.timedelta(minutes=10), None),
+    }
+    assert got == want
