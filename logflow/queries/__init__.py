@@ -156,6 +156,7 @@ PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_prefix_jaccard",
+    "source_orc_lineitem",
     "text_vocab_topk",
     "q5_local_revenue",
     "join_anti_dormant",
@@ -220,6 +221,7 @@ PRIORITY: list[str] = [
     "log_template_mining",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
+    "agg_approx_percentile",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)
     "sample_stratified",  # no oracle (engine RNG, by design)
 ]

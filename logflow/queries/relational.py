@@ -1745,6 +1745,44 @@ def source_csv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_orc_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="ORC source connector (the third columnar landing format after "
+    "parquet and the row formats): lineitem written once to an ORC dir "
+    "via derived_cache (fingerprint-invalidated like the JSON/CSV "
+    "siblings), read back with an explicit schema, and aggregated to "
+    "prove lossless round-trip of doubles, strings and the ntz shipdate "
+    "through ORC's own type system. The oracle reads the same rows from "
+    "parquet — equality means the two columnar codecs agree bit-for-bit "
+    "on this schema. At 100 TB: ORC scans get the same predicate "
+    "pushdown/column pruning path as parquet in Spark, so the choice is "
+    "an ecosystem question, not a plan-shape one.",
+)
+def source_orc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.sources.derived import derived_cache
+
+    li = load_table(spark, "lineitem", sf_dir, parallelize=False)
+    base = derived_cache(
+        sf_dir, "orc", ["lineitem"], lambda d: li.write.mode("overwrite").orc(d)
+    )
+    oc = spark.read.schema(li.schema).orc(base)
+    return oc.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        _money(F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))).alias(
+            "total_price"
+        ),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("long").alias("total_qty"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Warehouse maintenance: CDC apply, SCD2 intervals, agg-state merge
 # --------------------------------------------------------------------------
@@ -2357,4 +2395,27 @@ def log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("template").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("message").alias("sample_message"),
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    None,  # GK-sketch quantiles are engine/merge-order specific → rows-only
+    doc="approx_percentile (Greenwald-Khanna sketch, accuracy 10000) next "
+    "to the EXACT percentile of the same column in one aggregate — the "
+    "100 TB-scale quantile path: the sketch merges map-side partials in "
+    "O(accuracy) memory per group where exact percentile must shuffle "
+    "and sort every value. Rows-only at the driver (sketch results are "
+    "legitimately engine-specific); the companion exact columns let the "
+    "pytest assert the documented error bound (rank error <= 1/accuracy) "
+    "instead of trusting the sketch blindly.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.percentile_approx("value", 0.5, 10000), 4).alias("p50_approx"),
+        F.round(F.percentile_approx("value", 0.95, 10000), 4).alias("p95_approx"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
     )

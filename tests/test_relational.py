@@ -60,6 +60,7 @@ RELATIONAL_QUERIES = [
     "ks_click_purchase_drift",
     "source_json_events",
     "source_csv_orders",
+    "source_orc_lineitem",
     "cdc_apply_upsert",
     "scd2_customer_history",
     "aggstate_incremental_merge",
@@ -242,3 +243,30 @@ def test_compaction_reduces_file_count_losslessly(spark, sf_dir):
     assert n_parquet(os.path.join(base, "small")) == 64
     assert n_parquet(os.path.join(base, "compacted")) == 4
     assert total == spark.read.parquet(os.path.join(base, "small")).count()
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """agg_approx_percentile is rows-only at the driver (GK sketches are
+    engine-specific); here the sketch must sit within the documented
+    bound of the exact percentile computed in the SAME aggregate."""
+    from logflow.queries import load_all
+
+    import bisect
+
+    from logflow.sources.tables import load_table
+
+    rows = load_all()["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    assert rows
+    vals = {}
+    for r in load_table(spark, "events", sf_dir).select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for r in rows:
+        vs = sorted(vals[r.event_type])
+        n = len(vs)
+        # The GK guarantee is on RANK, not value (a sparse tail makes the
+        # value gap between adjacent order statistics arbitrarily large):
+        # the returned value's empirical rank must be within 1/accuracy
+        # (+1 position for the exact-percentile interpolation convention).
+        for q, approx in ((0.5, r.p50_approx), (0.95, r.p95_approx)):
+            rank = bisect.bisect_right(vs, approx + 1e-9)
+            assert abs(rank - q * n) <= n / 10000 + 1.5, (r.event_type, q, rank, q * n)
