@@ -77,6 +77,20 @@ HEADLINERS: dict[str, str] = {
     "bpe_merge_steps": "corpus-scale work is ONE explode+count; merges "
     "are vocab-scale bigram aggs + 1-row argmax broadcast + map-side "
     "replace",
+    "q2_min_cost_supplier": "correlated-MIN-as-window: part filter "
+    "broadcast-prunes lineitem before the (partkey,suppkey) agg; "
+    "supplier/nation/region broadcast; the min-equality filter rides the "
+    "partkey window — no re-scan of the fact for the subquery",
+    "dedup_prefix_jaccard": "prefix-filter similarity join: candidates "
+    "keyed ONLY on each doc's rarest tokens (df-ranked), so common-token "
+    "skew never reaches a shuffle; persisted token table read 4x; all "
+    "pruning decisions integer-exact",
+    "ts_max_concurrency_daily": "two-phase interval sweep: tiny per-hour "
+    "carry-in window (day-partitioned, ~24 rows/day) + (day,hour)-bounded "
+    "run window — no day-sized single-partition sort",
+    "text_bigram_logprob": "bigrams via zip-of-slices (one tokenize per "
+    "row; the element_at HOF form re-inlines the chain per element, "
+    "measured 10x slower); LM join on uniform (w1,w2) keys",
     "diag_join_cardinality": "one full-outer join of two per-key count "
     "tables + one aggregate -> all five fan-out metrics in a single pass",
 }
