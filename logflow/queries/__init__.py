@@ -157,6 +157,7 @@ PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_prefix_jaccard",
     "source_orc_lineitem",
+    "cdc_snapshot_diff",
     "text_vocab_topk",
     "q5_local_revenue",
     "join_anti_dormant",

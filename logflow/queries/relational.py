@@ -2419,3 +2419,75 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+WITH new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 3 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 91 = 5
+),
+old_snap AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.o_totalprice AS old_price,
+       n.o_totalprice AS new_price
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_totalprice <> n.o_totalprice OR o.o_orderstatus <> n.o_orderstatus
+""",
+    doc="Snapshot diff / change-data-feed generation — the INVERSE of "
+    "cdc_apply_upsert: given two table snapshots, emit the minimal "
+    "insert/update/delete row set that transforms old into new (what a "
+    "lakehouse 'changes since version N' read produces). One full-outer "
+    "key shuffle; the unchanged majority is filtered AFTER the join "
+    "residual so only changed rows survive to the output. The new "
+    "snapshot is derived deterministically in-engine (mod-key deletes/"
+    "updates/re-keyed inserts), so the diff is exactly reproducible "
+    "cross-engine, doubles included (+10.0 is the same IEEE op in both). "
+    "At 100 TB: identical to the CDC-apply cost — one co-partitioned "
+    "shuffle per side, output proportional to churn, not table size.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    survivors = base.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 3, F.col("o_totalprice") + F.lit(10.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    inserts = base.filter(F.col("o_orderkey") % 91 == 5).select(
+        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    new_snap = survivors.unionAll(inserts)
+    o = base.alias("o")
+    n = new_snap.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    changed = (
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+    )
+    return joined.filter(changed).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("o.o_totalprice").alias("old_price"),
+        F.col("n.o_totalprice").alias("new_price"),
+    )

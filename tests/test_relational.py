@@ -61,6 +61,7 @@ RELATIONAL_QUERIES = [
     "source_json_events",
     "source_csv_orders",
     "source_orc_lineitem",
+    "cdc_snapshot_diff",
     "cdc_apply_upsert",
     "scd2_customer_history",
     "aggstate_incremental_merge",
