@@ -216,6 +216,7 @@ PRIORITY: list[str] = [
     "diag_join_cardinality",
     "diag_psi_value_drift",
     "diag_value_histogram",
+    "diag_column_profile",
     "corpus_diversity",
     "branch_multiway_value_bands",
     "anomaly_hourly_error_spikes",

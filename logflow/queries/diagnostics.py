@@ -298,3 +298,88 @@ def diag_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") / F.sum("cnt").over(w_all).cast("double"), 6
         ).alias("share"),
     )
+
+
+@register(
+    "diag_column_profile",
+    """
+SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       MIN(o_totalprice), MAX(o_totalprice)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       NULL, NULL
+FROM orders
+""",
+    doc="ANALYZE-style column profile (row count, null count, EXACT "
+    "distinct count, numeric min/max per column) — the statistics pass a "
+    "planner or data-quality gate runs before choosing join strategies "
+    "and partition bounds. Spark side is ONE aggregate over one scan "
+    "(multiple exact COUNT(DISTINCT)s expand internally but share the "
+    "scan) reshaped map-side into one row per column; the oracle's "
+    "UNION-ALL form recomputes per column but produces identical exact "
+    "values. At 100 TB: the expand multiplies rows by #distinct-agg "
+    "columns pre-shuffle — the documented cost of EXACT ndv; the sketch "
+    "alternative is agg_approx_distinct's HLL path.",
+)
+def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    stats = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+    )
+    dnull = F.lit(None).cast("double")
+    row = lambda name, nn, nd, mn, mx: F.struct(  # noqa: E731
+        F.lit(name).alias("col_name"),
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("n") - F.col(nn)).cast("long").alias("n_null"),
+        F.col(nd).cast("long").alias("n_distinct"),
+        (F.col(mn).cast("double") if mn else dnull).alias("min_val"),
+        (F.col(mx).cast("double") if mx else dnull).alias("max_val"),
+    )
+    profile = F.array(
+        row("o_orderkey", "nn_key", "nd_key", "min_key", "max_key"),
+        row("o_custkey", "nn_cust", "nd_cust", "min_cust", "max_cust"),
+        row("o_totalprice", "nn_price", "nd_price", "min_price", "max_price"),
+        row("o_orderstatus", "nn_status", "nd_status", None, None),
+        row("o_orderpriority", "nn_prio", "nd_prio", None, None),
+    )
+    return stats.select(F.explode(profile).alias("p")).select("p.*")

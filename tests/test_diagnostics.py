@@ -92,6 +92,12 @@ def test_entropy_bounded_by_log_types(spark, sf_dir):
     assert ((pdf["type_token_ratio"] > 0) & (pdf["type_token_ratio"] <= 1)).all()
 
 
+def test_column_profile_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_column_profile", sf_dir)
+
+
 def test_value_histogram_parity(spark, duck, sf_dir):
     from tests.oracle import check_query
 
