@@ -140,46 +140,9 @@ GROUP BY day
     "single-partition sort anywhere.",
 )
 def ts_max_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    day = F.date_trunc("day", "ts")
-    spans = ev.select(
-        day.alias("day"),
-        F.col("ts").alias("t0"),
-        F.least(
-            F.col("ts") + F.expr("INTERVAL 5 MINUTES"),
-            day + F.expr("INTERVAL 1 DAY"),
-        ).alias("t1"),
-    )
-    deltas = spans.select(
-        "day", F.col("t0").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(spans.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta")))
-    # Phase 1: per-(day,hour) net delta; a day-partitioned window over this
-    # TINY frame (<=25 rows per day) yields each hour's carry-in base.
-    deltas = deltas.withColumn("hr", F.date_trunc("hour", "t"))
-    hourly = deltas.groupBy("day", "hr").agg(F.sum("delta").alias("net"))
-    w_base = (
-        Window.partitionBy("day")
-        .orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    base = hourly.select(
-        "day", "hr", F.coalesce(F.sum("net").over(w_base), F.lit(0)).alias("base")
-    )
-    # Phase 2: the big running sum is (day,hour)-partitioned — bounded —
-    # and offset by the hour's base. RANGE frame (default) matches the
-    # oracle's tie semantics exactly.
-    w_run = Window.partitionBy("day", "hr").orderBy("t", "delta")
-    run = deltas.join(base, ["day", "hr"]).select(
-        "day",
-        "delta",
-        (F.col("base") + F.sum("delta").over(w_run)).alias("conc"),
-    )
-    return run.groupBy("day").agg(
-        F.max("conc").cast("long").alias("max_concurrent"),
-        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_spans"),
-    )
+    from logflow.operators.intervals import interval_max_concurrency
+
+    return interval_max_concurrency(load_table(spark, "events", sf_dir), "ts", 5)
 
 
 @register(

@@ -230,3 +230,93 @@ def test_bpe_merges_match_greedy_reference(spark, word_freqs, steps):
     # reference stops early when no pairs remain (all 1-char words);
     # Spark's argmax-of-empty yields no row for that step too
     assert got == want
+
+
+# docs as small token soups over a tiny alphabet — maximizes shared-token
+# collisions, tie ranks (equal df), and boundary sizes (1-token docs,
+# docs where ceil(t*sz) lands exactly on an integer: the IEEE-ceil trap)
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=10),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(docs=docs_strategy)
+def test_prefix_jaccard_lossless_vs_bruteforce(spark, docs):
+    """Prefix filtering must return EXACTLY the Jaccard >= 4/5 pair set —
+    no false negatives (the correctness guarantee) and no false
+    positives (the verify step) — on adversarial tiny corpora: tied
+    document frequencies, single-token docs, exact threshold multiples."""
+    from logflow.operators.dedup import prefix_filter_jaccard_join
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard_join(df, "doc_id", "text", 4, 5).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                ix = len(sets[a] & sets[b])
+                un = len(sets[a] | sets[b])
+                if un and ix * 5 >= 4 * un:
+                    want[(a, b)] = round(ix / un, 6)
+    assert got == want
+
+
+times_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 1),            # day index
+        st.integers(0, 24 * 60 - 1),  # minute of day (incl. spans that clip)
+        st.integers(0, 59),           # second
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _brute_max_concurrency(stamps, span_minutes=5):
+    """Single-pass sweep per day: ends sort before starts at equal t
+    (touching spans don't overlap); spans clip at midnight."""
+    by_day = {}
+    for ts in stamps:
+        day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        end = min(ts + datetime.timedelta(minutes=span_minutes),
+                  day + datetime.timedelta(days=1))
+        by_day.setdefault(day, []).append((ts, 1))
+        by_day[day].append((end, -1))
+    out = {}
+    for day, deltas in by_day.items():
+        cur = peak = 0
+        for _, d in sorted(deltas):  # (t, delta): -1 sorts before +1
+            cur += d
+            peak = max(peak, cur)
+        out[day] = (peak, len(deltas) // 2)
+    return out
+
+
+@settings(**SETTINGS)
+@given(times=times_strategy)
+def test_interval_max_concurrency_matches_sweep(spark, times):
+    """The two-phase (hour-base + bounded run window) decomposition must
+    equal the sequential sweep on adversarial inputs: duplicate
+    timestamps, spans touching exactly (end == next start), spans
+    clipping at midnight, hours with only -1 deltas."""
+    from logflow.operators.intervals import interval_max_concurrency
+
+    base = datetime.datetime(2024, 3, 1)
+    stamps = [
+        base + datetime.timedelta(days=d, minutes=m, seconds=s)
+        for d, m, s in times
+    ]
+    df = spark.createDataFrame([(t,) for t in stamps], "ts timestamp")
+    got = {
+        r.day: (r.max_concurrent, r.n_spans)
+        for r in interval_max_concurrency(df, "ts", 5).collect()
+    }
+    assert got == _brute_max_concurrency(stamps)
