@@ -11,8 +11,13 @@ transformations; streaming = the same functions applied to streaming frames.
 """
 
 from logflow.operators.branch import branch
-from logflow.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
+from logflow.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    prefix_filter_jaccard_join,
+)
 from logflow.operators.distribution import ks_distance_cogrouped
+from logflow.operators.intervals import interval_max_concurrency
 from logflow.operators.joins import asof_join, bucketed_join, salted_join
 from logflow.operators.similarity import cosine_topk, ivf_topk
 from logflow.operators.topology import enrich_trace, route_even_odd, spans_from_records
@@ -28,10 +33,12 @@ __all__ = [
     "enrich_trace",
     "exact_dedup_groups",
     "get_spark",
+    "interval_max_concurrency",
     "ivf_topk",
     "ks_distance_cogrouped",
     "load_table",
     "minhash_lsh_pairs",
+    "prefix_filter_jaccard_join",
     "records_from_events",
     "register_views",
     "route_even_odd",
