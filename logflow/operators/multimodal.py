@@ -5,12 +5,14 @@ and a metadata struct — the 100 TB layout where payload bytes stay
 columnar (parquet binary, never decoded until an explicit operator asks).
 
 Decode/feature ops run as Arrow-batched ``mapInPandas`` so payload bytes
-cross into Python once per batch, not per row.  The actual codec step is
-STUBBED: the image/audio libraries are not in this container, so
-``decode`` raises NotImplementedError unless PIL/soundfile import, and
-``fake_features`` provides a deterministic stand-in (byte statistics) that
-exercises the full Spark plumbing — schema, batching, partitioning — which
-is the part that must be right at scale.
+cross into Python once per batch, not per row.  IMAGE/VIDEO decode is
+gated: those libraries (PIL) are not in this container, so ``decode_image``
+raises NotImplementedError and ``fake_features`` provides a deterministic
+stand-in (byte statistics) that exercises the full Spark plumbing —
+schema, batching, partitioning.  AUDIO decode is REAL: ``synthesize_wav``
+/ ``decode_wav`` below build and parse genuine RIFF/WAVE containers with
+the stdlib ``wave`` module (no external dependency), oracle-checked end
+to end by `multimodal_wav_roundtrip`.
 """
 
 from __future__ import annotations
@@ -103,3 +105,90 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, frame_len: int = 8) 
         frames.alias("frames"),
         F.size(frames).cast("long").alias("n_frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path: WAV/PCM audio via the Python standard library (no external
+# decoder needed — `wave` + BytesIO ship with CPython). This closes the
+# "decode is stubbed" gap for one modality end-to-end: payloads are genuine
+# RIFF/WAVE containers, and decode parses the actual binary format, not a
+# stand-in. Image/video decode remains gated on PIL (absent here).
+# ---------------------------------------------------------------------------
+
+WAV_DECODE_SCHEMA = (
+    "media_id long, sample_rate long, n_channels long, sample_width long, "
+    "n_frames long, mean_sample double"
+)
+
+
+def synthesize_wav(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic 8-bit mono PCM WAV payloads, one per input id.
+
+    Sample i of media m is ``(m*31 + i*17) % 256`` (unsigned 8-bit PCM),
+    frame count ``400 + (m % 7) * 100``, rate ``8000 + (m % 4) * 4000`` —
+    pure integer formulas, so any engine can PREDICT the decoded stats
+    arithmetically while the payload itself is a real RIFF/WAVE container
+    written by the stdlib ``wave`` module. Arrow-batched mapInPandas:
+    bytes are built executor-side, never on the driver.
+    """
+    import io
+    import wave
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for m in pdf[id_col]:
+                m = int(m)
+                n = 400 + (m % 7) * 100
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)  # 8-bit PCM (unsigned in WAV)
+                    w.setframerate(8000 + (m % 4) * 4000)
+                    w.writeframes(bytes((m * 31 + i * 17) % 256 for i in range(n)))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(synth, "media_id long, payload binary")
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each payload as a RIFF/WAVE container with
+    the stdlib ``wave`` reader — header fields (rate, channels, width,
+    frame count) come from the actual chunk structure, and ``mean_sample``
+    is the exact-integer-sum over exact-count of the decoded PCM samples —
+    ONE IEEE division, emitted RAW (callers round Spark-side with F.round;
+    Python round() is half-to-even and banned in pandas UDFs, CLAUDE.md).
+    A malformed payload raises, which is the correct behavior for a decode
+    operator: corrupt media must surface, not silently zero out."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in
+                   ("media_id", "sample_rate", "n_channels", "sample_width",
+                    "n_frames", "mean_sample")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    frames = w.readframes(w.getnframes())
+                    out["media_id"].append(int(mid))
+                    out["sample_rate"].append(w.getframerate())
+                    out["n_channels"].append(w.getnchannels())
+                    out["sample_width"].append(w.getsampwidth())
+                    out["n_frames"].append(w.getnframes())
+                    # exact integer sum over exact count -> one IEEE division
+                    out["mean_sample"].append(
+                        sum(frames) / len(frames) if frames else 0.0
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(dec, WAV_DECODE_SCHEMA)
