@@ -5,14 +5,15 @@ and a metadata struct — the 100 TB layout where payload bytes stay
 columnar (parquet binary, never decoded until an explicit operator asks).
 
 Decode/feature ops run as Arrow-batched ``mapInPandas`` so payload bytes
-cross into Python once per batch, not per row.  IMAGE/VIDEO decode is
-gated: those libraries (PIL) are not in this container, so ``decode_image``
-raises NotImplementedError and ``fake_features`` provides a deterministic
-stand-in (byte statistics) that exercises the full Spark plumbing —
-schema, batching, partitioning.  AUDIO decode is REAL: ``synthesize_wav``
-/ ``decode_wav`` below build and parse genuine RIFF/WAVE containers with
-the stdlib ``wave`` module (no external dependency), oracle-checked end
-to end by `multimodal_wav_roundtrip`.
+cross into Python once per batch, not per row.  Two modalities carry REAL
+codecs with zero external dependencies: AUDIO via ``synthesize_wav`` /
+``decode_wav`` (genuine RIFF/WAVE containers, stdlib ``wave``) and IMAGE
+via ``synthesize_pgm`` / ``decode_pgm`` / ``resize_pgm_half`` (genuine
+netpbm P5 grayscale containers + a real strided 2× downsample), each
+oracle-checked end to end. Rich-format decode (JPEG/PNG/MP4) stays gated:
+PIL is not in this container, so ``decode_image`` raises
+NotImplementedError and ``fake_features`` provides a deterministic
+stand-in that exercises the full Spark plumbing.
 """
 
 from __future__ import annotations
@@ -110,9 +111,9 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, frame_len: int = 8) 
 # ---------------------------------------------------------------------------
 # REAL codec path: WAV/PCM audio via the Python standard library (no external
 # decoder needed — `wave` + BytesIO ship with CPython). This closes the
-# "decode is stubbed" gap for one modality end-to-end: payloads are genuine
-# RIFF/WAVE containers, and decode parses the actual binary format, not a
-# stand-in. Image/video decode remains gated on PIL (absent here).
+# "decode is stubbed" gap for the audio modality end-to-end: payloads are
+# genuine RIFF/WAVE containers, and decode parses the actual binary format,
+# not a stand-in.
 # ---------------------------------------------------------------------------
 
 WAV_DECODE_SCHEMA = (
@@ -192,3 +193,107 @@ def decode_wav(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(dec, WAV_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image path: PGM (P5, binary grayscale) — a genuine image container
+# (readable by PIL/ImageMagick/netpbm) that needs zero external libraries
+# to write or parse. Synth → decode → nearest-neighbor resize are all real
+# byte-level image operations; stats stay arithmetically predictable so the
+# whole path is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+PGM_DECODE_SCHEMA = (
+    "media_id long, width long, height long, maxval long, mean_pixel double"
+)
+
+
+def synthesize_pgm(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic P5 grayscale images: width ``16 + (m%5)*8``, height
+    ``12 + (m%3)*8``, pixel(x,y) = ``((m*7 + y*w + x) * 13) % 256``."""
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for m in pdf[id_col]:
+                m = int(m)
+                w, h = 16 + (m % 5) * 8, 12 + (m % 3) * 8
+                header = f"P5\n{w} {h}\n255\n".encode()
+                pixels = bytes(((m * 7 + i) * 13) % 256 for i in range(w * h))
+                payloads.append(header + pixels)
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(synth, "media_id long, payload binary")
+
+
+def _parse_pgm(payload: bytes):
+    """Parse a P5 header (magic, width, height, maxval, raw pixel block);
+    raises on malformed input — corrupt media must surface."""
+    import numpy as np
+
+    if payload[:2] != b"P5":
+        raise ValueError("not a P5 PGM payload")
+    # header = 4 whitespace-separated tokens, then exactly one whitespace
+    # byte, then w*h raw bytes
+    tokens, pos, tok = [], 2, b""
+    while len(tokens) < 3:
+        c = payload[pos:pos + 1]
+        pos += 1
+        if c.isspace():
+            if tok:
+                tokens.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+    w, h, maxval = tokens
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+    if pixels.size != w * h:
+        raise ValueError("truncated pixel block")
+    return w, h, maxval, pixels.reshape(h, w)
+
+
+def decode_pgm(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse the P5 container, return header fields and
+    the exact-integer pixel mean (raw IEEE quotient; rounding is the
+    caller's, Spark-side)."""
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("media_id", "width", "height", "maxval", "mean_pixel")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, maxval, img = _parse_pgm(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(maxval)
+                out["mean_pixel"].append(int(img.sum(dtype="int64")) / (w * h))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(dec, PGM_DECODE_SCHEMA)
+
+
+def resize_pgm_half(media: DataFrame) -> DataFrame:
+    """REAL nearest-neighbor 2x downsample: decode, stride the pixel
+    matrix ``[::2, ::2]``, re-encode as a valid (smaller) P5 payload."""
+    import pandas as pd
+
+    def rs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, maxval, img = _parse_pgm(bytes(payload))
+                small = img[::2, ::2]
+                sh, sw = small.shape
+                payloads.append(f"P5\n{sw} {sh}\n{maxval}\n".encode() + small.tobytes())
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return media.mapInPandas(rs, "media_id long, payload binary")

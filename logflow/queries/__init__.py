@@ -223,6 +223,7 @@ PRIORITY: list[str] = [
     "log_template_mining",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "multimodal_wav_roundtrip",  # oracle: arithmetic prediction of the real WAV decode
+    "multimodal_image_resize",  # oracle: arithmetic prediction of the real PGM resize+decode
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "agg_approx_percentile",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)

@@ -180,3 +180,48 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.round("mean_sample", 4).alias("mean_sample"),
     )
+
+
+@register(
+    "multimodal_image_resize",
+    """
+SELECT doc_id AS media_id,
+       CAST((16 + (doc_id % 5) * 8) // 2 AS BIGINT) AS width,
+       CAST((12 + (doc_id % 3) * 8) // 2 AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       ROUND(CAST(list_sum(list_transform(
+                list_filter(range(0, (16 + (doc_id % 5) * 8) * (12 + (doc_id % 3) * 8)),
+                            i -> (i % (16 + (doc_id % 5) * 8)) % 2 = 0
+                             AND (i // (16 + (doc_id % 5) * 8)) % 2 = 0),
+                i -> ((doc_id * 7 + i) * 13) % 256)) AS DOUBLE)
+             / (((16 + (doc_id % 5) * 8) // 2) * ((12 + (doc_id % 3) * 8) // 2)),
+             4) AS mean_pixel
+FROM documents
+""",
+    doc="REAL image pipeline, fully oracle-checked: synth → resize → decode "
+    "over genuine netpbm P5 grayscale containers "
+    "(operators/multimodal.py:synthesize_pgm/resize_pgm_half/decode_pgm). "
+    "The resize is an actual strided [::2,::2] nearest-neighbor downsample "
+    "on the decoded pixel matrix, re-encoded as a valid smaller P5 file; "
+    "decode then parses that container from scratch. DuckDB predicts the "
+    "resized header AND pixel mean arithmetically (the kept pixels are "
+    "exactly those with even x and y), so a hash match proves all three "
+    "byte-level image ops correct through the real format. Dims are even "
+    "by construction so halving is exact. At 100 TB: three Arrow-batched "
+    "map-side passes, zero shuffle — payload bytes never leave the "
+    "executor until the final stats row.",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.multimodal import decode_pgm, resize_pgm_half, synthesize_pgm
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("media_id")
+    )
+    decoded = decode_pgm(resize_pgm_half(synthesize_pgm(docs)))
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "maxval",
+        F.round("mean_pixel", 4).alias("mean_pixel"),
+    )

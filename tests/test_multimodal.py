@@ -20,6 +20,7 @@ MM_QUERIES = [
     "trace_hash_sampling",
     "logscan_grep",
     "multimodal_wav_roundtrip",
+    "multimodal_image_resize",
 ]
 
 
