@@ -5,12 +5,14 @@ and a metadata struct — the 100 TB layout where payload bytes stay
 columnar (parquet binary, never decoded until an explicit operator asks).
 
 Decode/feature ops run as Arrow-batched ``mapInPandas`` so payload bytes
-cross into Python once per batch, not per row.  Two modalities carry REAL
-codecs with zero external dependencies: AUDIO via ``synthesize_wav`` /
-``decode_wav`` (genuine RIFF/WAVE containers, stdlib ``wave``) and IMAGE
+cross into Python once per batch, not per row.  All three modalities carry
+REAL codecs with zero external dependencies: AUDIO via ``synthesize_wav``
+/ ``decode_wav`` (genuine RIFF/WAVE containers, stdlib ``wave``), IMAGE
 via ``synthesize_pgm`` / ``decode_pgm`` / ``resize_pgm_half`` (genuine
-netpbm P5 grayscale containers + a real strided 2× downsample), each
-oracle-checked end to end. Rich-format decode (JPEG/PNG/MP4) stays gated:
+netpbm P5 grayscale containers + a real strided 2× downsample), and VIDEO
+via ``synthesize_y4m`` / ``decode_y4m_sampled`` (genuine YUV4MPEG2
+streams + real every-k-th frame sampling), each oracle-checked end to
+end. Rich-format decode (JPEG/PNG/MP4) stays gated:
 PIL is not in this container, so ``decode_image`` raises
 NotImplementedError and ``fake_features`` provides a deterministic
 stand-in that exercises the full Spark plumbing.
@@ -297,3 +299,102 @@ def resize_pgm_half(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return media.mapInPandas(rs, "media_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL video path: Y4M (YUV4MPEG2), the uncompressed video interchange
+# format every ffmpeg/mjpegtools install reads — plain-text stream header,
+# then per-frame FRAME markers + raw YUV 4:2:0 planes. Zero external
+# dependencies to write or parse; frame SAMPLING (the operation a training
+# pipeline actually runs on video) is byte-exact and oracle-predictable.
+# ---------------------------------------------------------------------------
+
+Y4M_STATS_SCHEMA = (
+    "media_id long, width long, height long, n_frames long, "
+    "n_sampled long, mean_y double"
+)
+
+
+def synthesize_y4m(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic YUV4MPEG2 clips: ``16 + (m%3)*8`` × 12 @ 25fps, 4:2:0,
+    ``6 + (m%5)`` frames; luma pixel i of frame f is
+    ``((m*11 + f*251 + i) * 7) % 256``, chroma neutral (128)."""
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for m in pdf[id_col]:
+                m = int(m)
+                w, h, nf = 16 + (m % 3) * 8, 12, 6 + (m % 5)
+                chroma = bytes([128]) * ((w // 2) * (h // 2))
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+                for f in range(nf):
+                    parts.append(b"FRAME\n")
+                    parts.append(bytes(((m * 11 + f * 251 + i) * 7) % 256 for i in range(w * h)))
+                    parts.append(chroma)  # U plane
+                    parts.append(chroma)  # V plane
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(synth, "media_id long, payload binary")
+
+
+def decode_y4m_sampled(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL video decode + frame sampling: parse the YUV4MPEG2 stream
+    header (W/H/C420 tags), walk the FRAME markers, and keep every
+    ``every_k``-th frame's luma plane — the decode-then-sample pass a
+    video training pipeline runs. ``mean_y`` is the exact integer mean
+    over the SAMPLED frames' Y bytes, emitted raw (round Spark-side).
+    Malformed streams (bad magic, missing FRAME marker, truncated
+    planes) raise."""
+    import numpy as np
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "n_frames", "n_sampled", "mean_y")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                nl = b.index(b"\n")
+                header = b[:nl].decode()
+                tags = header.split(" ")
+                if tags[0] != "YUV4MPEG2":
+                    raise ValueError("not a YUV4MPEG2 stream")
+                w = h = None
+                for t in tags[1:]:
+                    if t.startswith("W"):
+                        w = int(t[1:])
+                    elif t.startswith("H"):
+                        h = int(t[1:])
+                if not w or not h:
+                    raise ValueError("missing W/H tags")
+                frame_bytes = w * h + 2 * (w // 2) * (h // 2)
+                pos, ysum, ycount, nf, ns = nl + 1, 0, 0, 0, 0
+                while pos < len(b):
+                    if b[pos:pos + 6] != b"FRAME\n":
+                        raise ValueError("missing FRAME marker")
+                    pos += 6
+                    if pos + frame_bytes > len(b):
+                        raise ValueError("truncated frame planes")
+                    if nf % every_k == 0:
+                        y = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=pos)
+                        ysum += int(y.sum(dtype="int64"))
+                        ycount += w * h
+                        ns += 1
+                    pos += frame_bytes
+                    nf += 1
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["n_sampled"].append(ns)
+                out["mean_y"].append(ysum / ycount if ycount else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(dec, Y4M_STATS_SCHEMA)

@@ -224,6 +224,7 @@ PRIORITY: list[str] = [
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "multimodal_wav_roundtrip",  # oracle: arithmetic prediction of the real WAV decode
     "multimodal_image_resize",  # oracle: arithmetic prediction of the real PGM resize+decode
+    "multimodal_video_frame_stats",  # oracle: arithmetic prediction of the real Y4M frame sampling
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "agg_approx_percentile",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)

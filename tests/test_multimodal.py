@@ -21,6 +21,7 @@ MM_QUERIES = [
     "logscan_grep",
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
+    "multimodal_video_frame_stats",
 ]
 
 
