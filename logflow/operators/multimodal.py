@@ -171,6 +171,7 @@ def decode_wav(media: DataFrame) -> DataFrame:
     import io
     import wave
 
+    import numpy as np
     import pandas as pd
 
     def dec(batches):
@@ -182,15 +183,32 @@ def decode_wav(media: DataFrame) -> DataFrame:
                     "n_frames", "mean_sample")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    width = w.getsampwidth()
                     frames = w.readframes(w.getnframes())
+                    # decode PCM by sample width — summing raw container
+                    # bytes would be silently wrong for 16-bit audio
+                    # (interleaved lo/hi bytes), violating the "unsupported
+                    # media must surface" rule. 8-bit WAV is unsigned,
+                    # 16-bit is signed little-endian; channels interleave
+                    # and the mean is over all channels' samples.
+                    if width == 1:
+                        samples = np.frombuffer(frames, dtype=np.uint8)
+                    elif width == 2:
+                        samples = np.frombuffer(frames, dtype="<i2")
+                    else:
+                        raise NotImplementedError(
+                            f"unsupported WAV sample width {width} (8/16-bit only)"
+                        )
                     out["media_id"].append(int(mid))
                     out["sample_rate"].append(w.getframerate())
                     out["n_channels"].append(w.getnchannels())
-                    out["sample_width"].append(w.getsampwidth())
+                    out["sample_width"].append(width)
                     out["n_frames"].append(w.getnframes())
                     # exact integer sum over exact count -> one IEEE division
                     out["mean_sample"].append(
-                        sum(frames) / len(frames) if frames else 0.0
+                        int(samples.sum(dtype="int64")) / samples.size
+                        if samples.size
+                        else 0.0
                     )
             yield pd.DataFrame(out)
 
@@ -242,6 +260,8 @@ def _parse_pgm(payload: bytes):
     # byte, then w*h raw bytes
     tokens, pos, tok = [], 2, b""
     while len(tokens) < 3:
+        if pos >= len(payload):  # header ends early → raise, don't spin
+            raise ValueError("truncated PGM header")
         c = payload[pos:pos + 1]
         pos += 1
         if c.isspace():
@@ -367,13 +387,23 @@ def decode_y4m_sampled(media: DataFrame, every_k: int = 2) -> DataFrame:
                 if tags[0] != "YUV4MPEG2":
                     raise ValueError("not a YUV4MPEG2 stream")
                 w = h = None
+                cspace = "C420"  # the Y4M default when no C tag is present
                 for t in tags[1:]:
                     if t.startswith("W"):
                         w = int(t[1:])
                     elif t.startswith("H"):
                         h = int(t[1:])
+                    elif t.startswith("C"):
+                        cspace = t
                 if not w or not h:
                     raise ValueError("missing W/H tags")
+                # plane sizes below assume 4:2:0 — any other colorspace
+                # (C444, C422, Cmono) would shift every frame offset, so
+                # reject it loudly rather than walk garbage
+                if cspace not in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+                    raise NotImplementedError(
+                        f"unsupported Y4M colorspace {cspace} (4:2:0 only)"
+                    )
                 frame_bytes = w * h + 2 * (w // 2) * (h // 2)
                 pos, ysum, ycount, nf, ns = nl + 1, 0, 0, 0, 0
                 while pos < len(b):

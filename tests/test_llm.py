@@ -39,6 +39,7 @@ LLM_QUERIES = [
     "split_leakage_audit",
     "quality_percentile_gate",
     "dedup_incremental_minhash",
+    "dedup_prefix_jaccard",
 ]
 
 

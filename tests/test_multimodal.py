@@ -127,3 +127,67 @@ def test_decode_wav_raises_on_corrupt_payload(spark):
     )
     with _pytest.raises(Exception):
         decode_wav(bad).collect()
+
+
+def test_pgm_truncated_header_raises(spark):
+    """A header that ends before its three tokens must raise, not spin."""
+    import pytest as _pytest
+
+    from logflow.operators.multimodal import decode_pgm
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"P5\n16 12"))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception):
+        decode_pgm(bad).collect()
+
+
+def test_wav_decode_handles_16bit_and_rejects_wider(spark):
+    """decode_wav must decode 16-bit PCM as signed samples (not raw
+    container bytes) and refuse widths it can't decode."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from logflow.operators.multimodal import decode_wav
+
+    def make(width, samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            if width == 2:
+                w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+            else:
+                w.writeframes(bytes(samples))
+        return buf.getvalue()
+
+    s16 = [-1000, 2000, 3000, -4000]
+    df = spark.createDataFrame(
+        [(1, bytearray(make(2, s16)))], "media_id long, payload binary"
+    )
+    row = decode_wav(df).collect()[0]
+    assert row.sample_width == 2
+    assert row.mean_sample == sum(s16) / len(s16)
+
+    wide = spark.createDataFrame(
+        [(2, bytearray(make(4, [0, 0])))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception):
+        decode_wav(wide).collect()
+
+
+def test_y4m_non_420_colorspace_rejected(spark):
+    import pytest as _pytest
+
+    from logflow.operators.multimodal import decode_y4m_sampled
+
+    payload = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n" + b"FRAME\n" + bytes(48)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception):
+        decode_y4m_sampled(df).collect()
