@@ -61,6 +61,15 @@ def bpe_merge_table(words: DataFrame, steps: int) -> DataFrame:
         cur = cur.crossJoin(F.broadcast(best.select("sym_a", "sym_b", "merged"))).select(
             "freq", F.replace(F.col("sp"), pat, rep).alias("sp")
         )
+        if step < steps:
+            # truncate lineage each round: without this the plan (and the
+            # recomputation of every earlier argmax, referenced by both the
+            # union branch and the crossJoin) roughly doubles per step —
+            # fine at steps=2, fatal at the advertised merge-table scale.
+            # Lazy variant: materializes at first execution (CLAUDE.md
+            # iterative-algorithm guidance), vocab-sized so the cost is
+            # one small job per round.
+            cur = cur.localCheckpoint(eager=False)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
@@ -72,32 +81,32 @@ def bpe_merge_reference(
 ) -> list[tuple[int, str, str, str, int]]:
     """Pure-Python model of :func:`bpe_merge_table` (property-test oracle).
 
-    Greedy leftmost non-overlapping merge application — the semantics of
-    Java String.replace / DuckDB replace on the delimiter-guarded spaced
-    form.
+    Models the engine contract EXACTLY by operating on the same
+    delimiter-guarded spaced form with ``str.replace`` — Python, Java
+    and DuckDB ``replace`` all share left-to-right non-overlapping
+    semantics that continue AFTER the replaced text. The consequence
+    (and the trap a list-walk model falls into): in a run of repeated
+    pairs like ``a b a b``, the first match consumes the shared middle
+    delimiter, so only alternating occurrences merge in one step —
+    ``abab`` becomes ``(ab) a b``, not ``(ab)(ab)``. The Spark/DuckDB
+    oracle pair proves both engines agree on this; the reference must
+    agree with THEM, not with textbook list merging.
     """
-    vocab: list[tuple[list[str], int]] = [(list(w), f) for w, f in word_freqs.items()]
+    vocab: list[tuple[str, int]] = [
+        (" " + " ".join(w) + " ", f) for w, f in word_freqs.items()
+    ]
     out: list[tuple[int, str, str, str, int]] = []
     for step in range(1, steps + 1):
         counts: dict[tuple[str, str], int] = {}
-        for syms, f in vocab:
+        for sp, f in vocab:
+            syms = sp.split()
             for i in range(len(syms) - 1):
                 counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
         if not counts:
             break
         (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         out.append((step, a, b, a + b, cnt))
-        new_vocab = []
-        for syms, f in vocab:
-            merged: list[str] = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    merged.append(a + b)
-                    i += 2  # greedy leftmost, continue AFTER the merge
-                else:
-                    merged.append(syms[i])
-                    i += 1
-            new_vocab.append((merged, f))
-        vocab = new_vocab
+        vocab = [
+            (sp.replace(f" {a} {b} ", f" {a}{b} "), f) for sp, f in vocab
+        ]
     return out

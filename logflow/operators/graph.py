@@ -17,7 +17,9 @@ SCALE = 1_000_000_000_000  # 1e12 fixed-point rank scale
 D_NUM, D_DEN = 85, 100  # damping 0.85 as a ratio
 
 
-def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
+def pagerank_fixed_point(
+    edges: DataFrame, iters: int = 3, assume_distinct: bool = False
+) -> DataFrame:
     """Damped PageRank over a directed edge list ``(u, v)``, entirely in
     scaled-BIGINT arithmetic.
 
@@ -26,10 +28,19 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
     OUT-edge are ranked (matching the oracle's node set); dangling-node
     redistribution is out of scope for this operator.
 
+    The model (and the pure-Python reference) is defined over DISTINCT
+    edges — duplicate (u, v) rows would silently inflate outdeg and
+    double-count contributions. Dedup is therefore applied here by
+    default; callers whose edge list is already distinct (e.g. built by
+    a groupBy on (u, v)) pass ``assume_distinct=True`` to skip the
+    redundant shuffle.
+
     The rank table is broadcast into each iteration's join (one row per
     node — small side by construction); the edge list is the caller's to
     persist/bucket, since it is iteration-invariant.
     """
+    if not assume_distinct:
+        edges = edges.select("u", "v").distinct()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
     nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
     r = deg.crossJoin(F.broadcast(nn)).select(

@@ -138,7 +138,15 @@ def range_band_join(
     rows = bands.select(lo, hi).collect()  # band table is dim-sized by contract
     if not rows:
         return fact.join(F.broadcast(bands), F.lit(False), how)
-    width = bin_width or min(r[hi] - r[lo] for r in rows if r[hi] > r[lo])
+    if bin_width is not None:  # `or` would silently discard an explicit 0.0
+        if bin_width <= 0:
+            raise ValueError(f"bin_width must be positive, got {bin_width}")
+        width = bin_width
+    else:
+        positive = [r[hi] - r[lo] for r in rows if r[hi] > r[lo]]
+        # all-degenerate bands (hi <= lo) match nothing; any width gives
+        # the correct (empty) residual result — don't crash on min([])
+        width = min(positive) if positive else 1.0
     binned = bands.withColumn(
         "__bin",
         F.explode(

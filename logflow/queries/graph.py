@@ -133,7 +133,9 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # module doc replaces the hint.
     from logflow.operators.graph import pagerank_fixed_point
 
-    r = pagerank_fixed_point(und, iters=_ITERS)
+    # edges are already distinct (the groupBy("u","v") above) — skip the
+    # operator's safety dedup shuffle
+    r = pagerank_fixed_point(und, iters=_ITERS, assume_distinct=True)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("r"), "u")

@@ -198,7 +198,9 @@ def test_pagerank_fixed_point_matches_reference(spark, edges, iters):
     the property the cross-engine oracle determinism rests on."""
     from logflow.operators.graph import pagerank_fixed_point, pagerank_fixed_point_reference
 
-    df = spark.createDataFrame(sorted(set(edges)), "u long, v long")
+    # feed the RAW edge list (duplicates included): the operator's default
+    # dedup must reduce it to the distinct-edge model the reference uses
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
     got = {r.u: r.r for r in pagerank_fixed_point(df, iters=iters).collect()}
     want = pagerank_fixed_point_reference(list(set(edges)), iters=iters)
     assert got == want
