@@ -140,6 +140,8 @@ PRIORITY: list[str] = [
     "scalar_json_props",
     "scalar_datetime_monthly",
     "scalar_array_map_suite",
+    "scalar_variant_extract",
+    "udtf_sentence_explode",
     "agg_grouping_sets",
     "agg_distinct_per_segment",
     "agg_collect_user_journey",

@@ -2491,3 +2491,92 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.o_totalprice").alias("old_price"),
         F.col("n.o_totalprice").alias("new_price"),
     )
+
+
+@register(
+    "scalar_variant_extract",
+    """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="VARIANT semi-structured type (Spark 4): props parsed ONCE into a "
+    "variant column with parse_json, then typed paths pulled with "
+    "variant_get — the open-schema ingestion pattern where the payload "
+    "shape is not known at write time. Unlike get_json_object (string "
+    "re-parse per extraction, see scalar_json_props), variant stores a "
+    "decoded binary form so N extractions cost one parse; at 100 TB "
+    "that is the difference between one and N JSON scans of every "
+    "payload byte. Missing paths return NULL (counted per the oracle's "
+    "json_extract NULL check). Values must equal the string-path "
+    "query's — same data through the new type system.",
+)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    missing = F.expr("variant_get(v, '$.missing', 'string')")
+    return v.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "udtf_sentence_explode",
+    r"""
+WITH s AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(string_split(text, '.'),
+                                           t -> trim(t)),
+                            t -> t <> '')) AS sentence,
+         generate_subscripts(list_filter(list_transform(string_split(text, '.'),
+                                                        t -> trim(t)),
+                             t -> t <> ''), 1) AS idx
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT doc_id, CAST(idx AS BIGINT) AS sentence_idx, sentence,
+       CAST(length(sentence) AS BIGINT) AS n_chars
+FROM s
+""",
+    doc="Python UDTF surface (Spark 4 @udtf, Arrow-batched): one doc row "
+    "expands to N sentence rows with positions — registered in the "
+    "session catalog and invoked through LATERAL in SQL, the table-"
+    "function API a migrating user expects to exist. The oracle is the "
+    "equivalent declarative split+unnest, which PROVES the UDTF path "
+    "row-identical — and is also the honest engineering note: when the "
+    "expansion IS expressible with built-ins, prefer them (codegen, no "
+    "Python); the UDTF surface is for row→table logic that isn't, and "
+    "this query pins the plumbing (registration, lateral join, Arrow "
+    "batching, schema contract) that such logic rides on. doc_id%20 "
+    "keeps the checked result compact.",
+)
+def udtf_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx bigint, sentence string, n_chars bigint", useArrow=True)
+    class SentenceSplit:
+        def eval(self, text: str):
+            idx = 0
+            for raw in (text or "").split("."):
+                s = raw.strip()
+                if s:
+                    idx += 1
+                    yield idx, s, len(s)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 20 == 0)
+    docs.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_chars
+        FROM udtf_docs_in d, LATERAL sentence_split(d.text) s
+        """
+    )

@@ -62,6 +62,8 @@ RELATIONAL_QUERIES = [
     "source_csv_orders",
     "source_orc_lineitem",
     "cdc_snapshot_diff",
+    "scalar_variant_extract",
+    "udtf_sentence_explode",
     "cdc_apply_upsert",
     "scd2_customer_history",
     "aggstate_incremental_merge",
