@@ -70,6 +70,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: tail queries (TPC-H q6/q10/q14/q15/q16/q18/q19, CDC/SCD2, the derived
 #: sources, the rewritten funnel + retention). The trace plane never
 #: rotates. tests/test_registry.py pins the rotated-in set.
+#:
+#: ROUND-4 ROTATION CANDIDATES (never driver-checked, strongest first —
+#: swap ~15 in for round-3's rotated-in block once CORRECTNESS_r03 lands
+#: green): q2/q4/q11/q12/q17/q20 (TPC-H completion), dedup_prefix_jaccard,
+#: multimodal_wav_roundtrip / _image_resize / _video_frame_stats (real
+#: codecs), cdc_snapshot_diff, text_bigram_logprob, ts_max_concurrency_
+#: daily, ts_markov_transitions, scalar_variant_extract,
+#: udtf_sentence_explode, diag_column_profile, source_orc_lineitem.
 PRIORITY: list[str] = [
     # -- reference core: trace plane (SURVEY §2.1 T1/T2/K1/K2, Q1-Q3, X5) --
     "trace_route_even",
