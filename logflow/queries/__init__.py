@@ -218,6 +218,7 @@ PRIORITY: list[str] = [
     "semdedup_prune",
     "graph_pagerank_parts",
     "graph_triangle_count",
+    "graph_walks_recursive_cte",
     "ts_gap_fill_forward",
     "ts_max_concurrency_daily",
     "ts_markov_transitions",

@@ -217,3 +217,48 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("p_partkey")))
     )
     return nodes.groupBy("p_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= {_W_MIN}),
+und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+seeds AS (SELECT u AS node FROM und GROUP BY u ORDER BY u LIMIT 3),
+reach AS (
+  SELECT node, 0 AS hops FROM seeds
+  UNION ALL
+  SELECT und.v AS node, reach.hops + 1 AS hops
+  FROM reach JOIN und ON und.u = reach.node
+  WHERE reach.hops < 3
+)
+SELECT node AS p_partkey,
+       CAST(MIN(hops) AS BIGINT) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM reach
+GROUP BY node
+"""
+
+
+@register(
+    "graph_walks_recursive_cte",
+    _BFS_SQL,
+    doc="Recursive CTE surface (Spark 4 WITH RECURSIVE): hop-capped walk "
+    "enumeration from the 3 smallest co-purchase nodes — min_hops is the "
+    "BFS distance, n_walks the number of distinct <=3-hop walks (an exact "
+    "integer graph metric, deterministic with no rounding at all). Spark "
+    "executes the recursion natively (UNION ALL loop; UNION-distinct "
+    "recursion is not yet supported, so the frontier is NOT deduped "
+    "between steps). Scale honesty: walk enumeration is exponential in "
+    "the hop cap on dense graphs — the cap and the weight-floored edge "
+    "set are what bound it here, and the scalable unbounded-depth "
+    "traversal in this repo is the iterative frontier-dedup loop of "
+    "operators/dedup.py:connected_components. This query pins the SQL "
+    "feature; identical text runs on both engines.",
+)
+def graph_walks_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(_BFS_SQL)

@@ -66,3 +66,21 @@ def test_triangle_counts_symmetric_minimum(spark, sf_dir):
     if len(pdf):
         assert (pdf["n_triangles"] >= 1).all()
         assert int(pdf["n_triangles"].sum()) % 3 == 0
+
+
+def test_recursive_cte_walks_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_walks_recursive_cte", sf_dir)
+
+
+def test_recursive_cte_walks_invariants(spark, sf_dir):
+    """Seeds have min_hops 0; every other reached node is 1-3 hops out;
+    walk counts are >= 1 wherever a node was reached."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["graph_walks_recursive_cte"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert pdf["min_hops"].between(0, 3).all()
+    assert (pdf["n_walks"] >= 1).all()
+    assert (pdf["min_hops"] == 0).sum() <= 3  # at most the 3 seeds
