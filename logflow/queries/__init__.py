@@ -150,6 +150,7 @@ PRIORITY: list[str] = [
     "scalar_array_map_suite",
     "scalar_variant_extract",
     "udtf_sentence_explode",
+    "pipe_syntax_shipping_margin",
     "agg_grouping_sets",
     "agg_distinct_per_segment",
     "agg_collect_user_journey",

@@ -2580,3 +2580,39 @@ def udtf_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_in d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+@register(
+    "pipe_syntax_shipping_margin",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))
+                      * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS charged
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_quantity < 30
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="SQL pipe syntax (Spark 4 |> operators): the same "
+    "scan→filter→aggregate expressed as a linear pipeline — FROM lineitem "
+    "|> WHERE ... |> AGGREGATE ... GROUP BY — the composition-ordered "
+    "dialect migrating users may write. Compiles to the identical "
+    "Catalyst plan as the SELECT form (pushdown, partial aggregation), "
+    "which the classic-SQL DuckDB oracle proves by value hash. Exact "
+    "decimal money arithmetic per the determinism rules.",
+)
+def pipe_syntax_shipping_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity < 30
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                    * CAST(1 - l_discount AS DECIMAL(4,2))
+                                    * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS charged
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )

@@ -64,6 +64,7 @@ RELATIONAL_QUERIES = [
     "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",
+    "pipe_syntax_shipping_margin",
     "cdc_apply_upsert",
     "scd2_customer_history",
     "aggstate_incremental_merge",
