@@ -18,6 +18,15 @@ from logflow.operators.dedup import (
 )
 from logflow.operators.distribution import ks_distance_cogrouped
 from logflow.operators.intervals import interval_max_concurrency
+from logflow.operators.multimodal import (
+    decode_pgm,
+    decode_wav,
+    decode_y4m_sampled,
+    resize_pgm_half,
+    synthesize_pgm,
+    synthesize_wav,
+    synthesize_y4m,
+)
 from logflow.operators.joins import asof_join, bucketed_join, salted_join
 from logflow.operators.similarity import cosine_topk, ivf_topk
 from logflow.operators.topology import enrich_trace, route_even_odd, spans_from_records
@@ -30,6 +39,9 @@ __all__ = [
     "branch",
     "bucketed_join",
     "cosine_topk",
+    "decode_pgm",
+    "decode_wav",
+    "decode_y4m_sampled",
     "enrich_trace",
     "exact_dedup_groups",
     "get_spark",
@@ -40,9 +52,13 @@ __all__ = [
     "minhash_lsh_pairs",
     "prefix_filter_jaccard_join",
     "records_from_events",
+    "resize_pgm_half",
     "register_views",
     "route_even_odd",
     "salted_join",
     "spans_from_records",
+    "synthesize_pgm",
+    "synthesize_wav",
+    "synthesize_y4m",
 ]
 __version__ = "0.2.0"

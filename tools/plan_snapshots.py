@@ -91,6 +91,12 @@ HEADLINERS: dict[str, str] = {
     "text_bigram_logprob": "bigrams via zip-of-slices (one tokenize per "
     "row; the element_at HOF form re-inlines the chain per element, "
     "measured 10x slower); LM join on uniform (w1,w2) keys",
+    "graph_walks_recursive_cte": "native WITH RECURSIVE execution: the "
+    "UNION ALL loop materializes per-step frontiers; hop cap + "
+    "weight-floored edges bound the recursion",
+    "multimodal_video_frame_stats": "three Arrow-batched map-side passes "
+    "(synth -> frame-walk decode+sample -> stats), ZERO shuffles until "
+    "the final stats projection — payload bytes never leave the executor",
     "diag_join_cardinality": "one full-outer join of two per-key count "
     "tables + one aggregate -> all five fan-out metrics in a single pass",
 }
