@@ -144,9 +144,14 @@ def range_band_join(
         width = bin_width
     else:
         positive = [r[hi] - r[lo] for r in rows if r[hi] > r[lo]]
-        # all-degenerate bands (hi <= lo) match nothing; any width gives
-        # the correct (empty) residual result — don't crash on min([])
+        # all-degenerate bands (hi <= lo) match nothing — don't crash on
+        # min([]); the degenerate rows are filtered below
         width = min(positive) if positive else 1.0
+    # degenerate bands can never satisfy lo <= v < hi, and an INVERTED
+    # band (hi < lo) would make F.sequence DESCEND (one fabricated bin
+    # per unit of the gap — the sequence trap documented in
+    # operators/multimodal.py): drop them before the explode
+    bands = bands.filter(F.col(hi) > F.col(lo))
     binned = bands.withColumn(
         "__bin",
         F.explode(

@@ -373,6 +373,9 @@ def decode_y4m_sampled(media: DataFrame, every_k: int = 2) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    if every_k < 1:  # fail loud driver-side, not ZeroDivision in a task
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+
     def dec(batches):
         for pdf in batches:
             if not len(pdf):

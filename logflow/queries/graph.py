@@ -44,6 +44,36 @@ _D_NUM, _D_DEN = 85, 100  # damping 0.85 as a ratio
 _ITERS = 3
 _TOPK = 30
 
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, *, ordered: bool, w_min: int = 1
+) -> DataFrame:
+    """The shared co-purchase edge build (single source of the edge
+    contract for PageRank / triangles / recursive walks): ONE shuffle of
+    lineitem (groupBy order; collect_set dedupes parts within the order)
+    + a map-side pair explosion + the distinct-edge agg — strictly fewer
+    shuffles than a self-join on l_orderkey, which ships the table on
+    BOTH join sides. Pair fan-out is bounded by parts-per-order (~4).
+    ``ordered`` stores each undirected edge once (u < v, the wedge-join
+    form); otherwise both directions (u != v, the PageRank form).
+    ``w_min`` keeps edges co-purchased in >= w_min distinct orders.
+    Returned COALESCED (a few MB at these SFs — without it every
+    downstream iteration stage pays 32-task scheduling overhead) and
+    PERSISTED (the iteration-invariant table every consumer re-reads)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ppo = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    cond = (F.col("u") < F.col("v")) if ordered else (F.col("u") != F.col("v"))
+    e = (
+        ppo.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(cond)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    if w_min > 1:
+        e = e.filter(F.col("w") >= w_min)
+    return e.select("u", "v").coalesce(4).persist()
+
 _EDGE_CTES = """
 op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 und AS (SELECT a.p AS u, b.p AS v
@@ -100,30 +130,7 @@ SELECT p_partkey, rank_fp, pagerank, pos FROM (
     f"Top-{_TOPK} by exact integer rank, part-key tiebreak.",
 )
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
-    # Edge build: ONE shuffle of lineitem (groupBy order, collect_set
-    # dedupes parts within the order) + a map-side pair explosion + the
-    # distinct-edge agg — strictly fewer shuffles than the equivalent
-    # self-join on l_orderkey, which ships the table on BOTH join sides.
-    # Pair fan-out is bounded by parts-per-order (~4), not corpus size.
-    ppo = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    und = (
-        ppo.select(F.explode("ps").alias("u"), "ps")
-        .select("u", F.explode("ps").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.lit(1).alias("_one"))
-        .select("u", "v")
-        # a few MB of edges at this SF: without the coalesce every one of
-        # the ~12 downstream iteration stages pays 32-task scheduling
-        # overhead (the dedup_cluster_canonical lesson)
-        .coalesce(4)
-        # iteration-invariant edge list: persist so the 3 iteration joins
-        # (+ the degree agg) read it once instead of re-running the edge
-        # build per round — the in-memory stand-in for the materialize-
-        # once-bucketed edge table a production run writes.
-        .persist()
-    )
+    und = _copurchase_edges(spark, sf_dir, ordered=False)
     # Iteration lives in operators/graph.py:pagerank_fixed_point (shared
     # with the hypothesis property suite, which drives it with random
     # graphs against a pure-Python integer reference). Rank table is
@@ -190,19 +197,9 @@ GROUP BY p_partkey
     "no rounding rules at all.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
-    ppo = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    e = (
-        ppo.select(F.explode("ps").alias("u"), "ps")
-        .select("u", F.explode("ps").alias("v"))
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _W_MIN)
-        .select("u", "v")
-        .coalesce(4)
-        .persist()  # read three times by the wedge + closure joins
-    )
+    # shared edge contract; persisted because the wedge + closure joins
+    # read it three times
+    e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN)
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = e.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
@@ -266,23 +263,11 @@ def graph_walks_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the edge list BEFORE the recursion: Spark re-executes
     # every CTE referenced from the recursive member on EACH iteration,
     # so an inline edge build re-runs the lineitem groupBy per hop
-    # (measured 12.8 s vs ~1 s at sf0.1). The persisted frame is the same
-    # "materialize the iteration-invariant table once" rule the PageRank
-    # query follows; the oracle recomputes its edges inline (DuckDB plans
-    # the CTE once).
-    li = load_table(spark, "lineitem", sf_dir)
-    ppo = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    e = (
-        ppo.select(F.explode("ps").alias("u"), "ps")
-        .select("u", F.explode("ps").alias("v"))
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _W_MIN)
-        .select("u", "v")
-        .coalesce(4)
-        .persist()
-    )
+    # (measured 12.8 s vs ~1.9 s at sf0.1). The persisted frame is the
+    # same "materialize the iteration-invariant table once" rule the
+    # PageRank query follows; the oracle recomputes its edges inline
+    # (DuckDB plans the CTE once).
+    e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN)
     e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).createOrReplaceTempView(
         "bfs_und"
     )

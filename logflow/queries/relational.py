@@ -2566,7 +2566,11 @@ def udtf_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             idx = 0
             for raw in (text or "").split("."):
-                s = raw.strip()
+                # strip SPACES only: DuckDB's default trim() strips ' ',
+                # Python str.strip() strips all whitespace — a tab or
+                # newline near a '.' in a future regenerated corpus would
+                # silently diverge the oracle otherwise
+                s = raw.strip(" ")
                 if s:
                     idx += 1
                     yield idx, s, len(s)

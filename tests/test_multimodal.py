@@ -191,3 +191,12 @@ def test_y4m_non_420_colorspace_rejected(spark):
     )
     with _pytest.raises(Exception):
         decode_y4m_sampled(df).collect()
+
+
+def test_y4m_every_k_validated():
+    import pytest as _pytest
+
+    from logflow.operators.multimodal import decode_y4m_sampled
+
+    with _pytest.raises(ValueError):
+        decode_y4m_sampled(None, every_k=0)

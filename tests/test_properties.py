@@ -322,3 +322,25 @@ def test_interval_max_concurrency_matches_sweep(spark, times):
         for r in interval_max_concurrency(df, "ts", 5).collect()
     }
     assert got == _brute_max_concurrency(stamps)
+
+
+def test_range_band_join_degenerate_and_inverted_bands(spark):
+    """hi <= lo bands match nothing and must not crash or fabricate bins
+    (an inverted band would make sequence() DESCEND); bin_width=0 is a
+    loud error, not a silently recomputed width."""
+    import pytest as _pytest
+
+    from logflow.operators.joins import range_band_join
+
+    fact = spark.createDataFrame([(1, 5.0), (2, 50.0)], "fid long, v double")
+    bands = spark.createDataFrame(
+        [("empty", 5.0, 5.0), ("inverted", 1e9, 0.0)], "band string, lo double, hi double"
+    )
+    assert range_band_join(fact, bands, value="v").count() == 0
+    mixed = spark.createDataFrame(
+        [("ok", 0.0, 10.0), ("inverted", 1e9, 0.0)], "band string, lo double, hi double"
+    )
+    got = {(r.fid, r.band) for r in range_band_join(fact, mixed, value="v").collect()}
+    assert got == {(1, "ok")}
+    with _pytest.raises(ValueError):
+        range_band_join(fact, mixed, value="v", bin_width=0.0)
