@@ -27,6 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
+    from logflow.operators.cache import release_all
     from logflow.queries import load_all
     from logflow.session import get_spark
 
@@ -42,6 +43,7 @@ def main() -> None:
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+    release_all()
     spark.catalog.clearCache()
 
     # Two measured runs per query, report the min: the host shows bursty
@@ -55,6 +57,7 @@ def main() -> None:
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            release_all()
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

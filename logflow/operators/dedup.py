@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from logflow.functions.text import char_ngrams, tokenize, word_shingles
+from logflow.operators.cache import track
 
 # Default operating point (demo scale). With b bands of r = num_hashes/b
 # rows, P(candidate | jaccard=s) = 1 - (1 - s^r)^b — an s-curve with
@@ -149,9 +150,9 @@ def minhash_lsh_pairs(
     # 4× cost at sf0.1).  The count() is the in-session equivalent of
     # writing signatures to an intermediate table, which is exactly what
     # a 100 TB run would do between the signature and join phases.
-    sigs = minhash_signatures_exploded(
+    sigs = track(minhash_signatures_exploded(
         shingle_explode(df, id_col, text_col, k), num_hashes
-    ).persist()
+    ).persist())
     sigs.count()
     buckets = band_buckets(sigs, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -197,13 +198,13 @@ def minhash_lsh_pairs_incremental(
     (batch-sized) ``minhash_lsh_pairs`` call; this operator covers the
     batch→corpus direction that incremental ingestion adds.
     """
-    sig_old = minhash_signatures_exploded(
+    sig_old = track(minhash_signatures_exploded(
         shingle_explode(indexed, id_col, text_col, k), num_hashes
-    ).persist()
+    ).persist())
     sig_old.count()  # the materialized index (see minhash_lsh_pairs)
-    sig_new = minhash_signatures_exploded(
+    sig_new = track(minhash_signatures_exploded(
         shingle_explode(batch, id_col, text_col, k), num_hashes
-    ).persist()
+    ).persist())
     sig_new.count()
     bo = band_buckets(sig_old, num_hashes, bands).alias("o")
     bn = band_buckets(sig_new, num_hashes, bands).alias("n")
@@ -388,7 +389,7 @@ def prefix_filter_jaccard_join(
     # persisted: read 4x (df-counts, rarity ranking, both verify joins) —
     # without it Catalyst re-tokenizes the corpus per consumer (6 scans);
     # the "write the token table once" phase of a real 100 TB run.
-    e = (
+    e = track(
         df.select(F.col(id_col).alias("doc"), F.explode_outer(toks).alias("tok"))
         .filter(F.col("tok").isNotNull())
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
@@ -406,7 +407,7 @@ def prefix_filter_jaccard_join(
     prefix_len = F.col("sz") - min_overlap + 1
     r = e.join(dfc, "tok").withColumn("rn", F.row_number().over(rarity))
     # persisted: the candidate self-join reads it twice (sides a and b).
-    pfx = r.filter(F.col("rn") <= prefix_len).select("doc", "tok", "sz").persist()
+    pfx = track(r.filter(F.col("rn") <= prefix_len).select("doc", "tok", "sz").persist())
     a = pfx.select(
         F.col("doc").alias("da"), F.col("tok").alias("tok_a"), F.col("sz").alias("sza")
     )

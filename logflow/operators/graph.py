@@ -88,3 +88,97 @@ def pagerank_fixed_point_reference(edges: list[tuple[int, int]], iters: int = 3)
                     s[v] += c
         r = {u: base // (D_DEN * n) + (D_NUM * s[u]) // D_DEN for u in nodes}
     return r
+
+
+def triangle_counts_ordered(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via ID-ordered wedge joins.
+
+    ``edges`` stores each undirected edge ONCE with ``u < v``. A triangle
+    a<b<c is generated exactly once by joining (a,b)⋈(b,c) and closing
+    with (a,c); per-node counts sum each corner. Baseline formulation —
+    correct, but the wedge count is driven by high-id-side degrees, so a
+    skewed hub can generate O(deg²) wedges.
+    """
+    ab = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = edges.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+    )
+    return nodes.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def triangle_counts_degree_ordered(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts with DEGREE-ordered orientation — the
+    O(m^1.5) refinement (Latapy 2008; the compact-forward algorithm).
+
+    Each undirected edge is re-oriented from its lower- to higher-rank
+    endpoint under the total order rank = (degree, id). Wedges are then
+    built only from the out-edges of each triangle's LOWEST-rank corner:
+    a hub of degree d ranks above almost all neighbors, so it contributes
+    almost no out-wedges — total wedge work is bounded by O(m^1.5)
+    REGARDLESS of degree skew, where the id-ordered baseline degrades to
+    O(d_max²) on hub-heavy graphs. Per-node counts are provably identical
+    to the id-ordered form (each triangle has a unique rank-lowest corner;
+    property-tested on random graphs in tests/test_properties.py), so the
+    two share one oracle.
+
+    At 100 TB: the degree table is one partial-agg'd shuffle over the
+    edge list; orientation is a node-keyed equi-join; the wedge and
+    closure joins shuffle on uniform (node, node) keys.
+    """
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = edges.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # The oriented table feeds three plan branches (both wedge sides + the
+    # closure probe); materialize EAGERLY like the LSH signature table —
+    # a lazy persist races across parallel stages and each branch would
+    # re-run the degree computation + orientation joins (measured 6.5 s vs
+    # 0.7 s at sf0.01 without it). Edge-sized, the "write the oriented
+    # edge list once" phase of a real 100 TB run.
+    from logflow.operators.cache import track
+
+    o = track(
+        ed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
+        .coalesce(4)
+        .persist()
+    )
+    o.count()
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddst").alias("db"))
+    e2 = o.select(F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("ddst").alias("dc"))
+    # out-wedge from the lowest-rank corner: rank(b) < rank(c)
+    rank_lt = (F.col("db") < F.col("dc")) | (
+        (F.col("db") == F.col("dc")) & (F.col("b") < F.col("c"))
+    )
+    e3 = o.select(F.col("src").alias("b2"), F.col("dst").alias("c2"))
+    tri = (
+        e1.join(e2, (F.col("a") == F.col("a2")) & rank_lt)
+        .join(e3, (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+    )
+    return nodes.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

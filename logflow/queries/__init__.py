@@ -63,21 +63,32 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: the window. ALL queries — window and tail — additionally get sf0.01
 #: DuckDB parity in tools/parity_all.py (artifact: PARITY_FULL.json).
 #:
-#: ROTATION (round 3): driver-issued green rows accumulate across rounds,
-#: so 19 window entries that earned driver rows in CORRECTNESS_r02.json
-#: (simple joins, scalar suites, plain aggs/windows — all still tail-
-#: parity-checked every round) swapped places with 19 never-driver-checked
-#: tail queries (TPC-H q6/q10/q14/q15/q16/q18/q19, CDC/SCD2, the derived
-#: sources, the rewritten funnel + retention). The trace plane never
-#: rotates. tests/test_registry.py pins the rotated-in set.
+#: ROTATION (round 4): driver-issued green rows accumulate across rounds
+#: (cumulative driver-green after r3: 83/151), so the window maximizes
+#: FIRST-TIME attestation: the trace plane (the reference's own
+#: semantics) keeps its 11 permanent slots, and all 39 remaining slots
+#: go to never-driver-checked queries — the full TPC-H closure
+#: (q2/q4/q7/q8/q9/q11/q12/q13/q17/q20/q22), the graph suite, the r3
+#: corpus ops (incl. the scale-fixed semdedup_prune), timeseries,
+#: diagnostics, the real WAV/PGM/Y4M codecs, ORC/CDC-diff sources,
+#: VARIANT/UDTF/pipe-syntax, and the exact-dedup + LM + BPE operators.
+#: Every query rotated OUT is driver-green in CORRECTNESS_r01/r02/r03
+#: and still parity-checked at both SFs every round (PARITY_FULL*.json).
+#: tests/test_registry.py pins the rotated-in set.
 #:
-#: ROUND-4 ROTATION CANDIDATES (never driver-checked, strongest first —
-#: swap ~15 in for round-3's rotated-in block once CORRECTNESS_r03 lands
-#: green): q2/q4/q11/q12/q17/q20 (TPC-H completion), dedup_prefix_jaccard,
-#: multimodal_wav_roundtrip / _image_resize / _video_frame_stats (real
-#: codecs), cdc_snapshot_diff, text_bigram_logprob, ts_max_concurrency_
-#: daily, ts_markov_transitions, scalar_variant_extract,
-#: udtf_sentence_explode, diag_column_profile, source_orc_lineitem.
+#: ROUND-5 ROTATION CANDIDATES (oracle-backed, never driver-checked
+#: after this window lands): window_range_7day_revenue,
+#: agg_percentile_value, subquery_scalar_small_orders,
+#: subquery_in_supplier_nations, sample_hash_weighted,
+#: text_clean_normalize, text_repetition_ratio, corpus_dedup_stats,
+#: knn_recall_eval, embedding_quantize_int8, scan_partition_pruned,
+#: text_unigram_logprob, corpus_mixture_weights,
+#: aggstate_incremental_merge, join_bloom_runtime_filter,
+#: fuzzy_match_part_names, udaf_geomean_price, quality_classifier_infer,
+#: split_leakage_audit, quality_percentile_gate, corpus_diversity,
+#: branch_multiway_value_bands, anomaly_hourly_error_spikes,
+#: log_template_mining, multimodal_features, knn_cosine_numpy
+#: (+ any round-4 additions).
 PRIORITY: list[str] = [
     # -- reference core: trace plane (SURVEY §2.1 T1/T2/K1/K2, Q1-Q3, X5) --
     "trace_route_even",
@@ -91,7 +102,56 @@ PRIORITY: list[str] = [
     "trace_baggage_propagation",
     "trace_hash_sampling",
     "logscan_grep",
-    # -- relational: flagship + operators whose implementation changed r3 --
+    # -- rotated IN round 4: TPC-H closure (never driver-checked) --
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q20_promotion_suppliers",
+    "q22_dormant_balance",
+    # -- rotated IN round 4: graph suite --
+    "graph_pagerank_parts",
+    "graph_triangle_count",
+    "graph_walks_recursive_cte",
+    # -- rotated IN round 4: corpus ops (incl. scale-fixed semdedup) --
+    "pii_redaction",
+    "dup_chunk_filter",
+    "bm25_search",
+    "inverted_index_postings",
+    "semdedup_prune",
+    # -- rotated IN round 4: timeseries --
+    "ts_gap_fill_forward",
+    "ts_max_concurrency_daily",
+    "ts_markov_transitions",
+    # -- rotated IN round 4: diagnostics --
+    "diag_key_skew",
+    "diag_join_cardinality",
+    "diag_psi_value_drift",
+    "diag_value_histogram",
+    "diag_column_profile",
+    # -- rotated IN round 4: real multimodal codecs --
+    "multimodal_wav_roundtrip",
+    "multimodal_image_resize",
+    "multimodal_video_frame_stats",
+    # -- rotated IN round 4: sources / CDC diff --
+    "source_orc_lineitem",
+    "cdc_snapshot_diff",
+    # -- rotated IN round 4: Spark-4 type/API surface --
+    "scalar_variant_extract",
+    "udtf_sentence_explode",
+    "pipe_syntax_shipping_margin",
+    # -- rotated IN round 4: dedup / LM / tokenizer --
+    "dedup_prefix_jaccard",
+    "dedup_incremental_minhash",
+    "text_bigram_logprob",
+    "bpe_merge_steps",
+    # ---------------- position 51+: deliberate tail ----------------
+    # rotated OUT round 4 (driver-green in CORRECTNESS_r03.json):
     "q1_pricing_summary",
     "q3_shipping_priority",
     "join_range_bands",
@@ -102,7 +162,6 @@ PRIORITY: list[str] = [
     "events_tumbling_hourly",
     "events_sliding_2h",
     "sessionize_events",
-    # -- rotated IN round 3: never driver-checked before --
     "q6_forecast_revenue",
     "q10_returned_items",
     "q14_promo_effect",
@@ -122,7 +181,6 @@ PRIORITY: list[str] = [
     "retention_weekly_cohorts",
     "subquery_exists_not_exists",
     "ks_click_purchase_drift",
-    # -- LLM-pipeline first-class families --
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -133,7 +191,6 @@ PRIORITY: list[str] = [
     "text_robust_zscore",
     "multimodal_meta_summary",
     "multimodal_frame_sample",
-    # ---------------- position 51+: deliberate tail ----------------
     # rotated OUT round 3 (driver-green in CORRECTNESS_r02.json):
     "join_broadcast_dims",
     "join_semi_buyers",
@@ -148,9 +205,6 @@ PRIORITY: list[str] = [
     "scalar_json_props",
     "scalar_datetime_monthly",
     "scalar_array_map_suite",
-    "scalar_variant_extract",
-    "udtf_sentence_explode",
-    "pipe_syntax_shipping_margin",
     "agg_grouping_sets",
     "agg_distinct_per_segment",
     "agg_collect_user_journey",
@@ -166,9 +220,6 @@ PRIORITY: list[str] = [
     "pack_token_shards",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_prefix_jaccard",
-    "source_orc_lineitem",
-    "cdc_snapshot_diff",
     "text_vocab_topk",
     "q5_local_revenue",
     "join_anti_dormant",
@@ -187,7 +238,6 @@ PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "scan_partition_pruned",
     "text_unigram_logprob",
-    "text_bigram_logprob",
     "corpus_mixture_weights",
     "aggstate_incremental_merge",
     "join_bloom_runtime_filter",
@@ -196,47 +246,16 @@ PRIORITY: list[str] = [
     "quality_classifier_infer",
     "split_leakage_audit",
     "quality_percentile_gate",
-    "dedup_incremental_minhash",
-    # round-3 TPC-H plan-shape closure (tpch.py):
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_order_count_distribution",
-    "q22_dormant_balance",
-    # round-3 TPC-H completion — full 22-query suite now covered
-    # (q21-shape = subquery_exists_not_exists in relational.py):
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q17_small_quantity_revenue",
-    "q20_promotion_suppliers",
-    # round-3 corpus ops (corpus.py):
-    "pii_redaction",
-    "dup_chunk_filter",
-    "bm25_search",
-    "inverted_index_postings",
-    "semdedup_prune",
-    "graph_pagerank_parts",
-    "graph_triangle_count",
-    "graph_walks_recursive_cte",
-    "ts_gap_fill_forward",
-    "ts_max_concurrency_daily",
-    "ts_markov_transitions",
-    "bpe_merge_steps",
-    "diag_key_skew",
-    "diag_join_cardinality",
-    "diag_psi_value_drift",
-    "diag_value_histogram",
-    "diag_column_profile",
     "corpus_diversity",
     "branch_multiway_value_bands",
     "anomaly_hourly_error_spikes",
     "log_template_mining",
+    # round-4 additions (never driver-checked yet — round-5 candidates):
+    "graph_triangle_degree_ordered",
+    "ts_downsample_ohlc",
+    "ts_time_weighted_avg",
+    "corpus_importance_resample",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
-    "multimodal_wav_roundtrip",  # oracle: arithmetic prediction of the real WAV decode
-    "multimodal_image_resize",  # oracle: arithmetic prediction of the real PGM resize+decode
-    "multimodal_video_frame_stats",  # oracle: arithmetic prediction of the real Y4M frame sampling
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "agg_approx_percentile",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)

@@ -328,16 +328,31 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_K_CENTROIDS = 16
+_SEM_MIN_STRIDE = 4
 _SEM_TAU = 0.4
+
+
+def _sem_stride(n: int) -> int:
+    """Centroid stride from the corpus count: every stride-th vec_id seeds
+    a centroid, so k = ceil(n/stride) GROWS with the corpus and expected
+    cluster size stays ~stride. stride = floor(sqrt(n)) balances the two
+    cost terms (assignment n·k and within-cluster pairs k·stride²) at
+    O(n^1.5) each. isqrt == DuckDB FLOOR(SQRT(..)) for all n < 2^52
+    (IEEE sqrt is correctly rounded; the nearest representable double to
+    sqrt(k²-1) is below k until k² > 2^52)."""
+    import math
+
+    return max(_SEM_MIN_STRIDE, math.isqrt(n))
 
 
 @register(
     "semdedup_prune",
     f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (SELECT GREATEST({_SEM_MIN_STRIDE},
+        CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS stride FROM e),
 c AS (SELECT vec_id AS centroid_id, embedding AS cvec
-      FROM e ORDER BY vec_id LIMIT {_K_CENTROIDS}),
+      FROM e, p WHERE vec_id % p.stride = 0),
 sim AS (SELECT e.vec_id, c.centroid_id,
                {_dd_sim('e.embedding', 'c.cvec')} AS sim
         FROM e CROSS JOIN c),
@@ -362,27 +377,34 @@ LEFT JOIN (SELECT centroid_id, COUNT(*) AS n_pruned FROM pruned GROUP BY centroi
   USING (centroid_id)
 """,
     doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every "
-    f"embedding to its nearest of {_K_CENTROIDS} centroids (cosine), then "
-    "prune near-duplicates (sim >= "
+    "embedding to its nearest centroid (cosine), then prune "
+    "near-duplicates (sim >= "
     f"{_SEM_TAU}, keep-lowest-id) WITHIN clusters only — the pairwise "
-    "step is O(cluster²·k), never corpus². Centroids here are the k "
-    "lowest-vec_id embeddings (deterministic, oracle-checkable); a "
-    "production run seeds k-means and iterates Lloyd steps exactly like "
-    "dedup_cluster_canonical's convergence loop, and scales k with the "
-    "corpus so cluster size stays bounded. Centroids broadcast (assign "
-    "is map-side); the within-cluster self-join shuffles once on "
-    "centroid_id. τ=0.4 fits the synthetic embedding similarity range "
-    "(max pairwise cosine ≈0.51; production text embeddings use "
+    "step is O(k·cluster²), never corpus². k is DERIVED FROM THE CORPUS "
+    "COUNT: every stride-th vec_id seeds a centroid with stride = "
+    "floor(sqrt(n)) (deterministic and oracle-expressible — no global "
+    "row_number window, just a map-side modulus), so k ≈ √n grows with "
+    "the data and expected cluster size stays ~√n: both the assignment "
+    "(n·k) and the pair join (k·cluster²) are O(n^1.5), the balanced "
+    "optimum for one-level clustering. Past that regime a production "
+    "run goes hierarchical (coarse-quantize the centroids IVF-style so "
+    "assignment probes a subset) and refines seeds with Lloyd steps on "
+    "dedup_cluster_canonical's convergence loop. Centroids broadcast "
+    "(assign is map-side); the within-cluster self-join shuffles once "
+    "on centroid_id. τ=0.4 fits the synthetic embedding similarity "
+    "range (max pairwise cosine ≈0.51; production text embeddings use "
     "τ≈0.95+). Cosines rounded to 6dp before compare, assignment "
     "tie-broken by centroid_id.",
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     e = emb.select("vec_id", "embedding")
-    cents = (
-        e.orderBy("vec_id")
-        .limit(_K_CENTROIDS)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
+    # Corpus count → stride (one metadata-scale job; the 100 TB analogue
+    # reads the table's row-count statistic). The oracle recomputes the
+    # identical stride in SQL from the same table.
+    stride = _sem_stride(e.count())
+    cents = e.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     sim = F.round(
         _dot(F.col("embedding"), F.col("cvec"))

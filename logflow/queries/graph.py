@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from logflow.operators.cache import track
 from logflow.queries import register
 from logflow.sources.tables import load_table
 
@@ -72,7 +73,7 @@ def _copurchase_edges(
     )
     if w_min > 1:
         e = e.filter(F.col("w") >= w_min)
-    return e.select("u", "v").coalesce(4).persist()
+    return track(e.select("u", "v").coalesce(4).persist())
 
 _EDGE_CTES = """
 op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -197,23 +198,38 @@ GROUP BY p_partkey
     "no rounding rules at all.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.graph import triangle_counts_ordered
+
     # shared edge contract; persisted because the wedge + closure joins
     # read it three times
     e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN)
-    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    ac = e.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
-    tri = (
-        ab.join(bc, "b")
-        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
-        .select("a", "b", "c")
+    return triangle_counts_ordered(e).select(
+        F.col("n").alias("p_partkey"), "n_triangles"
     )
-    nodes = (
-        tri.select(F.col("a").alias("p_partkey"))
-        .unionAll(tri.select(F.col("b").alias("p_partkey")))
-        .unionAll(tri.select(F.col("c").alias("p_partkey")))
+
+
+@register(
+    "graph_triangle_degree_ordered",
+    _TRIANGLE_SQL,
+    doc="Degree-ordered triangle counting (Latapy 2008 compact-forward) — "
+    "the O(m^1.5) refinement graph_triangle_count's docstring names as "
+    "the 100 TB form: edges re-oriented low→high under rank=(degree,id), "
+    "wedges built only from each triangle's lowest-RANK corner, so a "
+    "skewed hub (which ranks above almost all its neighbors) contributes "
+    "almost no wedges and total wedge work is O(m^1.5) regardless of "
+    "degree skew. Output is provably identical to the id-ordered form "
+    "(unique rank-lowest corner per triangle; hypothesis-tested against "
+    "both the id-ordered operator and a brute-force reference on random "
+    "graphs), so both share one oracle. Exact integer counts — "
+    "deterministic cross-engine with no rounding rules at all.",
+)
+def graph_triangle_degree_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.graph import triangle_counts_degree_ordered
+
+    e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN)
+    return triangle_counts_degree_ordered(e).select(
+        F.col("n").alias("p_partkey"), "n_triangles"
     )
-    return nodes.groupBy("p_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
 _BFS_SQL = f"""

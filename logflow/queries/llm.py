@@ -1698,10 +1698,12 @@ FROM scored GROUP BY doc_id
     "hash-shuffle join on the (w1,w2) key — uniform by construction. "
     "Determinism: exact-integer count ratio → one IEEE log2 → round 6 → "
     "exact DECIMAL sum → final round. Docs under 2 tokens drop out in "
-    "both engines (empty bigram list). sequence() is >=2-guarded (Spark "
-    "sequence DESCENDS for n<1) and exploded with explode_outer + "
-    "isNotNull so Catalyst can't push a size()>0 filter that re-inlines "
-    "the tokenize chain.",
+    "both engines (NULL zip → no bigrams). The zip-of-slices is guarded "
+    "by when(size >= 2): slice(toks, 1, sz-1) under ANSI mode raises for "
+    "a negative length, so sub-2-token docs must short-circuit to NULL; "
+    "the NULL rows are exploded with explode_outer + isNotNull so "
+    "Catalyst can't push a size()>0 filter that re-inlines the tokenize "
+    "chain.",
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -1782,3 +1784,72 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~3M true pairs); the operator itself is sampling-free.
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
     return prefix_filter_jaccard_join(docs, "doc_id", "text", 4, 5)
+
+
+@register(
+    "corpus_importance_resample",
+    """
+WITH nat AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+             FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS k
+        FROM nat),
+r AS (SELECT source, c,
+             LEAST(1.0, 0.5 * CAST(t AS DOUBLE)
+                        / (CAST(k AS DOUBLE) * CAST(c AS DOUBLE))) AS rate
+      FROM nat CROSS JOIN tot),
+acc AS (
+  SELECT d.source, r.c, r.rate,
+         CASE WHEN CAST(concat('0x',
+                substr(md5(concat('rs:', CAST(d.doc_id AS VARCHAR))), 1, 8))
+                AS BIGINT) / 4294967296.0 < r.rate
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN r ON d.source = r.source
+)
+SELECT source,
+       CAST(MIN(c) AS BIGINT) AS n_total,
+       ROUND(MIN(rate), 6) AS rate,
+       CAST(SUM(keep) AS BIGINT) AS n_sampled
+FROM acc
+GROUP BY source
+""",
+    doc="Importance resampling toward a TARGET mixture (here: uniform "
+    "across sources at half mass): per-source acceptance rate = "
+    "min(1, 0.5·target_share/natural_share), docs kept by the same "
+    "deterministic md5-threshold accept as sample_hash_weighted — the "
+    "step that turns corpus_mixture_weights' DESIGN into an actual "
+    "resampled corpus, reproducible across engines, partitionings and "
+    "task retries. Rate determinism: shares computed with the identical "
+    "IEEE op sequence in both engines (exact BIGINT counts cast to "
+    "double, one multiply, one divide, one LEAST), compared unrounded, "
+    "reported rounded. Plan: natural shares are one partial-agg'd "
+    "count; the rate table is source-cardinality sized and broadcast "
+    "back onto the corpus; the accept test is a map-side filter — no "
+    "corpus-sized shuffle anywhere. At 100 TB over-represented crawl "
+    "sources downsample in one pass; under-represented sources (rate "
+    "capped at 1) upsample by epoch repetition in the training loader, "
+    "not by row duplication here.",
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    nat = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = nat.agg(
+        F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("k")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(0.5) * F.col("t").cast("double")
+        / (F.col("k").cast("double") * F.col("c").cast("double")),
+    )
+    r = nat.crossJoin(F.broadcast(tot)).select("source", "c", rate.alias("rate"))
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rs:"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long") / F.lit(4294967296.0)
+    acc = docs.join(F.broadcast(r), "source").select(
+        "source", "c", "rate", F.when(u < F.col("rate"), 1).otherwise(0).alias("keep")
+    )
+    return acc.groupBy("source").agg(
+        F.min("c").cast("long").alias("n_total"),
+        F.round(F.min("rate"), 6).alias("rate"),
+        F.sum("keep").cast("long").alias("n_sampled"),
+    )

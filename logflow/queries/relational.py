@@ -2431,7 +2431,7 @@ WITH new_snap AS (
          o_orderstatus
   FROM orders WHERE o_orderkey % 97 <> 0
   UNION ALL
-  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  SELECT -o_orderkey, o_totalprice, o_orderstatus
   FROM orders WHERE o_orderkey % 91 = 5
 ),
 old_snap AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
@@ -2468,7 +2468,10 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
     )
     inserts = base.filter(F.col("o_orderkey") % 91 == 5).select(
-        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        # Negated keys: real orderkeys are strictly positive at EVERY scale
+        # factor, so synthetic inserts can never collide with a surviving
+        # key (a fixed positive offset would collide once keys exceed it).
+        (-F.col("o_orderkey")).alias("o_orderkey"),
         "o_totalprice",
         "o_orderstatus",
     )

@@ -191,3 +191,131 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") / F.sum("cnt").over(w_src).cast("double"), 6
         ).alias("p_transition"),
     )
+
+
+@register(
+    "ts_downsample_ohlc",
+    """
+WITH w AS (
+  SELECT event_type, date_trunc('day', ts) AS day, value,
+         first_value(value) OVER (PARTITION BY event_type, date_trunc('day', ts)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+         last_value(value) OVER (PARTITION BY event_type, date_trunc('day', ts)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+  FROM events
+)
+SELECT event_type, day,
+       ROUND(MIN(o), 4) AS open,
+       ROUND(MAX(value), 4) AS high,
+       ROUND(MIN(value), 4) AS low,
+       ROUND(MIN(c), 4) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS vol_sum
+FROM w
+GROUP BY event_type, day
+""",
+    doc="Hypertable-style OHLC downsample: per (event_type, day) bucket, "
+    "open/close are the first/last observation in EVENT-TIME order and "
+    "high/low/volume are plain extremes/sums — the continuous-aggregate "
+    "rollup a metrics store maintains per bucket. Cross-engine "
+    "determinism: first_value/last_value run over a FULL frame ordered "
+    "by (ts, event_id) — event_id is the unique tiebreak, so same-"
+    "timestamp observations pick the same open/close in both engines; "
+    "volume is an exact decimal sum. Plan: ONE shuffle on the bucket "
+    "key shared by the window and the aggregate (Catalyst chains them "
+    "on one partitioning); at 100 TB this is the incremental-refresh "
+    "aggregate of aggstate_incremental_merge — new partitions roll up "
+    "independently and merge by bucket.",
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_trunc("day", "ts")
+    w = (
+        Window.partitionBy("event_type", day)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    prepared = ev.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        F.first("value").over(w).alias("o"),
+        F.last("value").over(w).alias("c"),
+    )
+    return prepared.groupBy("event_type", "day").agg(
+        F.round(F.min("o"), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.min("c"), 4).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(14,4)")), 2)
+        .cast("double")
+        .alias("vol_sum"),
+    )
+
+
+@register(
+    "ts_time_weighted_avg",
+    """
+WITH s AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ts, value,
+         lead(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                        ORDER BY ts, event_id) AS nxt
+  FROM events WHERE user_id % 20 = 0
+),
+d AS (
+  SELECT user_id, day, value,
+         date_diff('microsecond', ts, COALESCE(nxt, day + INTERVAL 1 DAY)) AS w
+  FROM s
+)
+SELECT user_id, day,
+       CAST(SUM(w) AS BIGINT) AS held_micros,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4)) * w) AS DOUBLE)
+             / CAST(SUM(w) AS DOUBLE), 4) AS twa
+FROM d
+GROUP BY user_id, day
+""",
+    doc="Time-weighted average (the hypertable/metrics 'time_weight' "
+    "aggregate): each observation's value is weighted by how long it "
+    "HELD — microseconds until the key's next observation, the final "
+    "one holding to end-of-day — so irregular sampling doesn't bias "
+    "toward chatty periods the way a plain AVG does. Determinism: "
+    "weights are exact integer microsecond diffs (probed identical in "
+    "Spark timestampdiff and DuckDB date_diff on NTZ, no tz anywhere); "
+    "value rounds to a DECIMAL(14,4) BEFORE the weight multiply so the "
+    "weighted sum is exact integer-scaled arithmetic summed in any "
+    "order; one IEEE division at the end. lead() tiebreaks on event_id. "
+    "Plan: ONE shuffle on (user_id, day) shared by the lead window and "
+    "the aggregate. user_id%20 keeps the checked result compact; the "
+    "operator is sampling-free at scale.",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") % 20 == 0)
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        day.alias("day"),
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("nxt"),
+    )
+    d = s.select(
+        "user_id",
+        "day",
+        "value",
+        F.expr(
+            "timestampdiff(MICROSECOND, ts, coalesce(nxt, day + INTERVAL 1 DAY))"
+        ).alias("w"),
+    )
+    weighted = F.round(F.col("value"), 4).cast("decimal(14,4)") * F.col("w")
+    return d.groupBy("user_id", "day").agg(
+        F.sum("w").cast("long").alias("held_micros"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.round(
+            F.sum(weighted).cast("double") / F.sum("w").cast("double"), 4
+        ).alias("twa"),
+    )

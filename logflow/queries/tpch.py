@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from logflow.operators.cache import track
 from logflow.queries import register
 from logflow.sources.tables import load_table
 
@@ -525,6 +526,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_dec("l_extendedprice", 18)).alias("val"))
         .persist()  # read twice: grand total + threshold filter
     )
+    track(per_part)
     threshold = per_part.agg(
         (F.sum("val") * F.lit(0.001).cast("decimal(6,4)")).alias("thr")
     )

@@ -37,6 +37,9 @@ _U32 = struct.Struct(">I")
 
 
 def _write_frame(fh, key: bytes, value: bytes, headers: list[tuple[str, bytes]]) -> None:
+    """Pure-Python reference framer — the byte-level spec that
+    :func:`wire_frame_bytes` (the production JVM-side assembly) is
+    equivalence-tested against."""
     fh.write(_U32.pack(len(key)))
     fh.write(key)
     fh.write(_U32.pack(len(value)))
@@ -67,11 +70,59 @@ def _read_frames(path: str) -> Iterator[tuple[bytes, bytes, list[tuple[str, byte
             yield key, value, headers
 
 
+def wire_frame_bytes() -> "object":
+    """Column expression: one fully framed wirelog record as binary.
+
+    The ENTIRE frame — length prefixes, key/value bytes, header count and
+    per-header records — is assembled with built-in binary expressions
+    (concat + the engine's IntegerSerde encoder + a fold over the header
+    array), so framing runs inside whole-stage codegen on the JVM and the
+    Python side of the writer only concatenates finished byte strings.
+    """
+    from pyspark.sql import functions as F
+
+    from logflow.functions.codec import int_be_encode
+
+    def u32(c):
+        return int_be_encode(c.cast("int"))
+
+    key = F.coalesce(F.col("key"), F.lit(b""))
+    value = F.coalesce(F.col("value"), F.lit(b""))
+    hdrs = F.coalesce(
+        F.col("headers"), F.expr("CAST(array() AS array<struct<key:string,value:binary>>)")
+    )
+    hdr_bytes = F.aggregate(
+        hdrs,
+        F.lit(b"").cast("binary"),
+        lambda acc, h: F.concat(
+            acc,
+            u32(F.octet_length(F.encode(h["key"], "UTF-8"))),
+            F.encode(h["key"], "UTF-8"),
+            u32(F.octet_length(h["value"])),
+            h["value"],
+        ),
+    )
+    return F.concat(
+        u32(F.octet_length(key)),
+        key,
+        u32(F.octet_length(value)),
+        value,
+        u32(F.size(hdrs)),
+        hdr_bytes,
+    )
+
+
 def write_wirelog(wire_frames, path: str, n_files: int = 4) -> int:
     """Persist a kafka_wire_frame DataFrame as wirelog files; returns the
     row count written. Executor-side writes (mapInPandas) — the driver
     never materializes the data; a real deployment would target shared
-    storage instead of the local tmpfs."""
+    storage instead of the local tmpfs.
+
+    Frames are assembled JVM-side (:func:`wire_frame_bytes`); the Python
+    writer receives one pre-framed binary column per row and does a single
+    ``b"".join`` + ``write`` per Arrow batch — no per-row Python work
+    (the previous ``iterrows`` loop paid pandas Series construction per
+    frame, measured as the #3 bench query at 2.4 s)."""
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
@@ -89,18 +140,14 @@ def write_wirelog(wire_frames, path: str, n_files: int = 4) -> int:
         n = 0
         with open(fname, "wb") as fh:
             for pdf in batches:
-                for _, row in pdf.iterrows():
-                    hs = row["headers"]
-                    hs = [] if hs is None else list(hs)  # numpy array → list
-                    headers = [(h["key"], bytes(h["value"])) for h in hs]
-                    _write_frame(fh, bytes(row["key"]), bytes(row["value"]), headers)
-                    n += 1
+                fh.write(b"".join(pdf["frame"]))
+                n += len(pdf)
         if n == 0:
             os.remove(fname)
         yield pd.DataFrame({"n": [n]})
 
     counts = (
-        wire_frames.select("key", "value", "headers")
+        wire_frames.select(wire_frame_bytes().alias("frame"))
         .repartition(n_files)
         .mapInPandas(write_partition, "n long")
         .collect()

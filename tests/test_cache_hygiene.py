@@ -1,0 +1,42 @@
+"""Cache-hygiene contract: library persists are tracked and releasable.
+
+Operators that persist intermediates (LSH signatures, co-purchase edges,
+prefix-filter token tables, TPC-H q11 per-part aggregate) register them
+with logflow.operators.cache.track; a consumer composing several queries
+in one session calls release_all() after materializing each result.
+This sweep runs every persisting query family, materializes it, releases,
+and asserts NO persisted RDD block survives — the library leaks nothing
+a caller cannot reclaim.
+"""
+
+from __future__ import annotations
+
+from logflow.operators.cache import release_all
+from logflow.queries import load_all
+
+PERSISTING_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+    "dedup_prefix_jaccard",
+    "graph_triangle_count",
+    "q11_important_parts",
+]
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_release_all_clears_every_library_persist(spark, sf_dir):
+    registry = load_all()
+    for name in PERSISTING_QUERIES:
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        assert _n_persistent_rdds(spark) > 0, f"{name}: expected a tracked persist"
+        release_all()
+        assert _n_persistent_rdds(spark) == 0, f"{name}: persisted blocks leaked"
+        spark.catalog.clearCache()  # belt-and-braces between query families
+
+
+def test_release_all_is_idempotent_and_safe(spark):
+    assert release_all() == 0
+    assert release_all() == 0

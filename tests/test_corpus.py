@@ -100,3 +100,25 @@ def test_semdedup_partitions_corpus_and_bounds_prunes(spark, sf_dir):
     n_vecs = load_table(spark, "embeddings", sf_dir).count()
     assert int(pdf["n_members"].sum()) == n_vecs  # every vector assigned once
     assert (pdf["n_pruned"] < pdf["n_members"]).all()  # keeper survives per cluster
+
+
+def test_semdedup_k_scales_with_corpus_and_clusters_stay_bounded(spark, sf_dir):
+    """The round-3 weak flag: k must DERIVE from the corpus count, not a
+    constant — as n grows, the centroid count grows (~√n) and the max
+    cluster size stays within a constant multiple of the √n stride, so
+    the within-cluster pair join never reverts to O((n/const)²)."""
+    import math
+
+    from logflow.queries import load_all
+
+    fn = load_all()["semdedup_prune"].fn
+    small = fn(spark, sf_dir).toPandas()  # sf0.001: n=500
+    large = fn(spark, "/root/testdata/sf0.1").toPandas()  # n=2000
+    n_small = int(small["n_members"].sum())
+    n_large = int(large["n_members"].sum())
+    assert n_large > n_small  # precondition: corpora actually differ
+    assert len(large) > len(small)  # more centroids on the bigger corpus
+    for pdf, n in ((small, n_small), (large, n_large)):
+        stride = max(4, math.isqrt(n))
+        assert len(pdf) >= n // stride  # k ~ n/stride, never collapses
+        assert int(pdf["n_members"].max()) <= 8 * stride  # bounded clusters

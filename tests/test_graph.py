@@ -56,6 +56,23 @@ def test_triangle_parity(spark, duck, sf_dir):
     check_query(spark, duck, "graph_triangle_count", sf_dir)
 
 
+def test_triangle_degree_ordered_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_triangle_degree_ordered", sf_dir)
+
+
+def test_triangle_degree_ordered_equals_id_ordered(spark, sf_dir):
+    from logflow.queries import load_all
+
+    reg = load_all()
+    a = reg["graph_triangle_count"].fn(spark, sf_dir).toPandas()
+    b = reg["graph_triangle_degree_ordered"].fn(spark, sf_dir).toPandas()
+    sa = a.sort_values("p_partkey").reset_index(drop=True)
+    sb = b.sort_values("p_partkey").reset_index(drop=True)
+    assert sa.equals(sb)
+
+
 def test_triangle_counts_symmetric_minimum(spark, sf_dir):
     """Every participating node closes at least one triangle, and the
     global triangle count (sum/3) is integral — each triangle contributes

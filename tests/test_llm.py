@@ -40,6 +40,7 @@ LLM_QUERIES = [
     "quality_percentile_gate",
     "dedup_incremental_minhash",
     "dedup_prefix_jaccard",
+    "corpus_importance_resample",
 ]
 
 
@@ -344,3 +345,20 @@ def test_prefix_jaccard_threshold_honored(spark, sf_dir):
     if len(pdf):
         assert (pdf["jaccard"] >= 0.8 - 1e-9).all()
         assert (pdf["doc_a"] < pdf["doc_b"]).all()
+
+
+def test_importance_resample_rates_and_counts(spark, sf_dir):
+    """Acceptance rates are in (0, 1], over-represented sources get lower
+    rates, and the sampled count is governed by the deterministic hash
+    accept (n_sampled <= n_total, equality only possible at rate 1)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["corpus_importance_resample"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf["rate"] > 0) & (pdf["rate"] <= 1)).all()
+    assert (pdf["n_sampled"] <= pdf["n_total"]).all()
+    # rate ordering mirrors inverse share ordering: the biggest source
+    # never has a higher rate than the smallest
+    big = pdf.loc[pdf["n_total"].idxmax()]
+    small = pdf.loc[pdf["n_total"].idxmin()]
+    assert big["rate"] <= small["rate"]

@@ -344,3 +344,30 @@ def test_range_band_join_degenerate_and_inverted_bands(spark):
     assert got == {(1, "ok")}
     with _pytest.raises(ValueError):
         range_band_join(fact, mixed, value="v", bin_width=0.0)
+
+
+@settings(**SETTINGS)
+@given(edges=edges_strategy)
+def test_triangle_degree_ordered_matches_id_ordered_and_brute(spark, edges):
+    """Both wedge formulations must agree with each other AND with a
+    brute-force per-node triangle count on random graphs — the proof that
+    degree-ordering changes only the join order, never the result."""
+    from itertools import combinations
+
+    from logflow.operators.graph import (
+        triangle_counts_degree_ordered,
+        triangle_counts_ordered,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(und), "u long, v long")
+    got_id = {r.n: r.n_triangles for r in triangle_counts_ordered(df).collect()}
+    got_deg = {r.n: r.n_triangles for r in triangle_counts_degree_ordered(df).collect()}
+    nodes = sorted({x for e in und for x in e})
+    brute: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for x in (a, b, c):
+                brute[x] = brute.get(x, 0) + 1
+    assert got_id == brute
+    assert got_deg == brute

@@ -32,39 +32,77 @@ def test_driver_window_is_fully_oracle_checked():
     assert len(trace) >= 10
 
 
-#: Round-3 rotation: these queries had NO driver-issued correctness row in
-#: rounds 1-2 (they sat past position 50); they now occupy window slots so
-#: driver-green rows accumulate across rounds. Their replacements are all
-#: driver-green in CORRECTNESS_r02.json and remain tail-parity-checked.
-ROTATED_IN_R3 = [
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_stats",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "cdc_apply_upsert",
-    "scd2_customer_history",
-    "contamination_ngram_overlap",
-    "source_custom_wirelog",
-    "source_json_events",
-    "source_csv_orders",
-    "scan_schema_evolution",
-    "maintenance_compact_files",
-    "funnel_signup_click_purchase",
-    "retention_weekly_cohorts",
-    "subquery_exists_not_exists",
-    "ks_click_purchase_drift",
+#: Round-4 rotation: all 39 non-trace window slots hold queries that had
+#: NO driver-issued correctness row in rounds 1-3 (they sat past position
+#: 50). Every query they displaced is driver-green in a committed
+#: CORRECTNESS_r0*.json and remains tail-parity-checked at both SFs.
+ROTATED_IN_R4 = [
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q20_promotion_suppliers",
+    "q22_dormant_balance",
+    "graph_pagerank_parts",
+    "graph_triangle_count",
+    "graph_walks_recursive_cte",
+    "pii_redaction",
+    "dup_chunk_filter",
+    "bm25_search",
+    "inverted_index_postings",
+    "semdedup_prune",
+    "ts_gap_fill_forward",
+    "ts_max_concurrency_daily",
+    "ts_markov_transitions",
+    "diag_key_skew",
+    "diag_join_cardinality",
+    "diag_psi_value_drift",
+    "diag_value_histogram",
+    "diag_column_profile",
+    "multimodal_wav_roundtrip",
+    "multimodal_image_resize",
+    "multimodal_video_frame_stats",
+    "source_orc_lineitem",
+    "cdc_snapshot_diff",
+    "scalar_variant_extract",
+    "udtf_sentence_explode",
+    "pipe_syntax_shipping_margin",
+    "dedup_prefix_jaccard",
+    "dedup_incremental_minhash",
+    "text_bigram_logprob",
+    "bpe_merge_steps",
 ]
 
 
-def test_round3_rotation_sits_in_driver_window():
+def test_round4_rotation_sits_in_driver_window():
     from logflow.queries import load_all
 
     window = list(load_all())[:DRIVER_WINDOW]
-    missing = [n for n in ROTATED_IN_R3 if n not in window]
+    missing = [n for n in ROTATED_IN_R4 if n not in window]
     assert not missing, f"rotated-in queries fell out of the window: {missing}"
+
+
+def test_round4_rotation_is_first_time_attestation():
+    """Every non-trace window slot must be spent on a query with no prior
+    driver-issued green row (the rotation's whole point)."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for r in (1, 2, 3):
+        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                if row.get("rows_match") and row.get("err") is None:
+                    green.add(name)
+    already = [n for n in ROTATED_IN_R4 if n in green]
+    assert not already, f"window slots wasted on already-attested queries: {already}"
 
 
 def test_load_table_works_on_vanilla_session(spark, sf_dir):

@@ -947,3 +947,81 @@ def test_streaming_interval_join_left_outer_emits_unmatched(spark, tmp_path):
         (2, base + datetime.timedelta(minutes=10), None),
     }
     assert got == want
+
+
+def test_streaming_interval_join_full_outer_emits_both_sides(spark, tmp_path):
+    """FULL OUTER stream-stream interval join: unmatched rows on EITHER
+    side must be NULL-padded once the watermark closes their match window
+    (the reference tie-in: cross-topic correlation where either topic may
+    be missing the partner record). Same two-run checkpoint protocol as
+    the left-outer eviction proof: run 1 persists the advanced watermark
+    (8h, via 10h carriers on both sides), run 2's batch evicts-and-emits
+    run-1's unmatched click AND unmatched buy. Carriers stay in state."""
+    import datetime
+
+    from logflow.streaming.joins import stream_interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+    cpath = str(tmp_path / "clicks")
+    bpath = str(tmp_path / "buys")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(path, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    write(
+        cpath,
+        [
+            (1, base),                                   # matched by buy@+30min
+            (2, base + datetime.timedelta(minutes=10)),  # no buy -> NULL-padded
+            (9, base + datetime.timedelta(hours=10)),    # watermark carrier
+        ],
+        "user_id long, click_ts timestamp",
+    )
+    write(
+        bpath,
+        [
+            (1, base + datetime.timedelta(minutes=30)),
+            (3, base + datetime.timedelta(minutes=20)),  # no click -> NULL-padded
+            (8, base + datetime.timedelta(hours=10)),    # watermark carrier
+        ],
+        "user_id long, buy_ts timestamp",
+    )
+
+    def run():
+        cs = spark.readStream.schema("user_id long, click_ts timestamp").parquet(cpath)
+        bs = spark.readStream.schema("user_id long, buy_ts timestamp").parquet(bpath)
+        j = stream_interval_join(
+            cs, bs, on="user_id", left_ts="click_ts", right_ts="buy_ts",
+            band="1 hour", watermark="2 hours", how="fullOuter",
+        ).select(
+            # either side may be the NULL-padded one: coalesce the key
+            F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+            "click_ts",
+            "buy_ts",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # run 2: one new buy row triggers the batch that applies the persisted
+    # 8h watermark and emits run-1's unmatched rows from BOTH sides
+    write(bpath, [(7, base + datetime.timedelta(hours=10, minutes=1))],
+          "user_id long, buy_ts timestamp")
+    run()
+
+    got = {(r.user_id, r.click_ts, r.buy_ts) for r in spark.read.parquet(out).collect()}
+    want = {
+        (1, base, base + datetime.timedelta(minutes=30)),
+        (2, base + datetime.timedelta(minutes=10), None),
+        (3, None, base + datetime.timedelta(minutes=20)),
+    }
+    assert got == want

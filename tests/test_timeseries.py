@@ -68,3 +68,53 @@ def test_markov_rows_are_stochastic(spark, sf_dir):
     assert len(pdf) > 0
     sums = pdf.groupby("src")["p_transition"].sum()
     assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+def test_ohlc_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_downsample_ohlc", sf_dir)
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    """low <= open,close <= high per bucket, and bucket counts sum to the
+    full event count (a rollup drops nothing)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ts_downsample_ohlc"].fn(spark, sf_dir).toPandas()
+    assert (pdf["low"] <= pdf[["open", "close"]].min(axis=1)).all()
+    assert (pdf["high"] >= pdf[["open", "close"]].max(axis=1)).all()
+    assert int(pdf["n"].sum()) == load_table(spark, "events", sf_dir).count()
+
+
+def test_time_weighted_avg_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_time_weighted_avg", sf_dir)
+
+
+def test_time_weighted_avg_invariants(spark, sf_dir):
+    """Each (user, day)'s held time never exceeds a day, the final
+    observation holds to end-of-day (so held time is positive), and twa
+    lies within the day's [min, max] observed value."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ts_time_weighted_avg"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    day_us = 86_400_000_000
+    assert (pdf["held_micros"] > 0).all()
+    assert (pdf["held_micros"] <= day_us).all()
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") % 20 == 0)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .toPandas()
+    )
+    m = pdf.merge(ev, on=["user_id", "day"])
+    assert len(m) == len(pdf)
+    assert ((m["twa"] >= m["lo"] - 1e-4) & (m["twa"] <= m["hi"] + 1e-4)).all()

@@ -123,3 +123,29 @@ def test_baggage_propagation_is_complete(spark, sf_dir):
 
     row = load_all()["trace_baggage_propagation"].fn(spark, sf_dir).collect()[0]
     assert row.n_propagated == row.n_even > 0
+
+
+def test_wire_frame_bytes_matches_python_reference_framing(spark):
+    """The JVM-side frame assembly (wire_frame_bytes) must be byte-identical
+    to the pure-Python _write_frame reference codec — including empty
+    headers, empty values, and multi-header frames."""
+    import io
+
+    from logflow.sources.wirelog import _write_frame, wire_frame_bytes
+
+    rows = [
+        (b"k1", b"\x00\x00\x00\x2a", [("b3", b"abc-def-1"), ("baggage", b"m=1")]),
+        (b"", b"", []),
+        (b"key-long" * 10, b"\xff\xfe\xfd\xfc", [("h", b"")]),
+        (b"k4", b"\x01\x02\x03\x04", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "key binary, value binary, headers array<struct<key:string,value:binary>>"
+    )
+    got = [bytes(r.frame) for r in df.select(wire_frame_bytes().alias("frame")).collect()]
+    want = []
+    for key, value, headers in rows:
+        buf = io.BytesIO()
+        _write_frame(buf, key, value, headers or [])
+        want.append(buf.getvalue())
+    assert got == want
