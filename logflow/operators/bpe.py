@@ -76,6 +76,38 @@ def bpe_merge_table(words: DataFrame, steps: int) -> DataFrame:
     return out
 
 
+def bpe_apply_table(words: DataFrame, steps: int) -> DataFrame:
+    """Train ``steps`` merges over a ``(w, freq)`` vocabulary and APPLY
+    them, returning ``(w, freq, sp)`` — each word's delimiter-guarded
+    spaced symbol string after the learned merges.
+
+    The tokenizer-apply half of the BPE story: training cost is identical
+    to :func:`bpe_merge_table` (the loop is the same update), and
+    application stays VOCABULARY-scale — encoding a 100 TB corpus is then
+    one hash join from the exploded corpus onto this table, never a
+    per-document merge loop. Merge semantics are the same delimiter-
+    guarded greedy replace (see :func:`bpe_merge_reference` for the
+    left-to-right contract all three engines share).
+    """
+    spaced = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+    cur = words.select("w", "freq", spaced.alias("sp"))
+    for step in range(1, steps + 1):
+        best = (
+            _bigram_counts(cur)
+            .orderBy(F.desc("cnt"), "sym_a", "sym_b")
+            .limit(1)
+            .select("sym_a", "sym_b", F.concat("sym_a", "sym_b").alias("merged"))
+        )
+        pat = F.concat(F.lit(" "), F.col("sym_a"), F.lit(" "), F.col("sym_b"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "w", "freq", F.replace(F.col("sp"), pat, rep).alias("sp")
+        )
+        if step < steps:
+            cur = cur.localCheckpoint(eager=False)  # see bpe_merge_table
+    return cur
+
+
 def bpe_merge_reference(
     word_freqs: dict[str, int], steps: int
 ) -> list[tuple[int, str, str, str, int]]:

@@ -255,6 +255,11 @@ PRIORITY: list[str] = [
     "ts_downsample_ohlc",
     "ts_time_weighted_avg",
     "corpus_importance_resample",
+    "bpe_encode_corpus",
+    "diag_correlation_matrix",
+    "scan_zorder_layout",
+    "attribution_last_touch",
+    "heavy_hitters_tokens",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "agg_approx_percentile",  # no oracle (rows-only; pytest error-bound)

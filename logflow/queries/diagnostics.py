@@ -383,3 +383,111 @@ def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         row("o_orderpriority", "nn_prio", "nd_prio", None, None),
     )
     return stats.select(F.explode(profile).alias("p")).select("p.*")
+
+
+_CORR_SUMS_SQL = """
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(14,4))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(ROUND(l_extendedprice, 4) AS DECIMAL(14,4))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(14,4))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(20,4))
+                * CAST(ROUND(l_quantity, 4) AS DECIMAL(20,4))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(ROUND(l_extendedprice, 4) AS DECIMAL(20,4))
+                * CAST(ROUND(l_extendedprice, 4) AS DECIMAL(20,4))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(20,4))
+                * CAST(ROUND(l_discount, 4) AS DECIMAL(20,4))) AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(20,4))
+                * CAST(ROUND(l_extendedprice, 4) AS DECIMAL(20,4))) AS DOUBLE) AS sqp,
+         CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(20,4))
+                * CAST(ROUND(l_discount, 4) AS DECIMAL(20,4))) AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(ROUND(l_extendedprice, 4) AS DECIMAL(20,4))
+                * CAST(ROUND(l_discount, 4) AS DECIMAL(20,4))) AS DOUBLE) AS spd
+  FROM lineitem
+"""
+
+
+@register(
+    "diag_correlation_matrix",
+    f"""
+WITH s AS ({_CORR_SUMS_SQL})
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sqp - sq * sp)
+             / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS pearson_r
+FROM s
+UNION ALL
+SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+       ROUND((n * sqd - sq * sd)
+             / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6)
+FROM s
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+       ROUND((n * spd - sp * sd)
+             / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6)
+FROM s
+""",
+    doc="Pairwise Pearson correlation matrix over lineitem's numeric "
+    "measures in ONE aggregate, one scan: all nine power sums are exact "
+    "DECIMAL accumulations (values rounded to 4dp and cast BEFORE any "
+    "product, so every sum is order-independent integer-scaled "
+    "arithmetic), then each r is derived with an IDENTICAL double "
+    "expression in both engines — identical inputs through the same IEEE "
+    "op sequence give identical output, rounded once at the end. "
+    "(Spark's built-in corr() is a streaming co-moment — numerically "
+    "fine but merge-order-dependent in its low bits, so it cannot be "
+    "hash-compared cross-engine; the power-sum form can.) The pytest "
+    "cross-checks every r against a pandas recompute, so the values are "
+    "semantically pinned, not just parity-pinned. At 100 TB this is one "
+    "partial-agg'd map-side pass — the profile step before feature "
+    "selection or drift monitoring.",
+)
+def diag_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def d(c: str):
+        return F.round(F.col(c), 4).cast("decimal(20,4)")
+
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d("l_quantity")).cast("double").alias("sq"),
+        F.sum(d("l_extendedprice")).cast("double").alias("sp"),
+        F.sum(d("l_discount")).cast("double").alias("sd"),
+        F.sum(d("l_quantity") * d("l_quantity")).cast("double").alias("sqq"),
+        F.sum(d("l_extendedprice") * d("l_extendedprice")).cast("double").alias("spp"),
+        F.sum(d("l_discount") * d("l_discount")).cast("double").alias("sdd"),
+        F.sum(d("l_quantity") * d("l_extendedprice")).cast("double").alias("sqp"),
+        F.sum(d("l_quantity") * d("l_discount")).cast("double").alias("sqd"),
+        F.sum(d("l_extendedprice") * d("l_discount")).cast("double").alias("spd"),
+    )
+
+    def r(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        n = F.col("n")
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / F.sqrt(
+                (n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * (n * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+
+    pairs = [
+        ("l_quantity", "l_extendedprice", r("sqp", "sq", "sp", "sqq", "spp")),
+        ("l_quantity", "l_discount", r("sqd", "sq", "sd", "sqq", "sdd")),
+        ("l_extendedprice", "l_discount", r("spd", "sp", "sd", "spp", "sdd")),
+    ]
+    # one aggregate row exploded into the matrix rows — a unionAll of three
+    # selects over `s` would re-derive (or at best ReusedExchange) the
+    # aggregate per branch; this keeps it literally one scan, one agg.
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                expr.alias("pearson_r"),
+            )
+            for cx, cy, expr in pairs
+        ]
+    )
+    return s.select(F.explode(rows).alias("m")).select("m.*")

@@ -1853,3 +1853,44 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("rate"), 6).alias("rate"),
         F.sum("keep").cast("long").alias("n_sampled"),
     )
+
+
+_HH_K = 35
+
+
+@register(
+    "heavy_hitters_tokens",
+    f"""
+WITH t AS (SELECT unnest(toks) AS tok
+           FROM (SELECT {TOKS} AS toks FROM documents)),
+tt AS (SELECT tok FROM t WHERE tok IS NOT NULL),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tt),
+c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tt GROUP BY tok)
+SELECT tok, cnt, n_total
+FROM c CROSS JOIN n
+WHERE cnt * {_HH_K} > n_total
+""",
+    doc=f"Frequent-items (heavy hitters) over the token stream: every "
+    f"token with count > n/{_HH_K}, EXACT. Two-pass mergeable-sketch "
+    "layout (operators/heavyhitters.py): pass 1 runs a Misra-Gries("
+    f"{_HH_K}) summary PER PARTITION in bounded memory — the union of "
+    "partition candidates provably contains every global heavy hitter "
+    "(if an item stayed under n_p/k in every partition, it is under n/k "
+    "globally) — and pass 2 exact-counts ONLY the broadcast candidate "
+    "set. The sketch bounds memory and shuffle width; it never decides "
+    "membership, so the output is exact and partitioning-independent — "
+    "which is why this sketch op is fully oracle-checkable where an "
+    "approximate top-k (agg_approx_*) is rows-only. At 100 TB the "
+    "full-vocabulary count shuffle (billions of distinct long-tail "
+    "items) never happens: pass 1 is map-side, pass 2 shuffles only "
+    "candidate-matching rows.",
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.heavyhitters import heavy_hitters_exact
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.select(F.explode_outer(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    return heavy_hitters_exact(toks, "tok", _HH_K)

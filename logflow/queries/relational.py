@@ -2623,3 +2623,147 @@ def pipe_syntax_shipping_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+_Z_BITS = 10
+
+
+def _z_interleave_sql(d1: str, d2: str, div_op: str) -> str:
+    """Bit-interleave expression (Morton / Z-order code) as portable
+    integer arithmetic — bit i of ``d1`` lands at position 2i, of ``d2``
+    at 2i+1. Pure div/mod/multiply so the IDENTICAL text (modulo the
+    integer-division operator spelling) runs in Spark SQL (DIV) and
+    DuckDB (//)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({d1} {div_op} {2**i}) % 2) * {2 ** (2 * i)}")
+        terms.append(f"(({d2} {div_op} {2**i}) % 2) * {2 ** (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "scan_zorder_layout",
+    f"""
+WITH d AS (
+  SELECT o_orderkey,
+         o_custkey % 1024 AS d1,
+         date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) % 1024 AS d2
+  FROM orders
+),
+z AS (SELECT d1, d2, ({_z_interleave_sql('d1', 'd2', '//')}) AS zval FROM d)
+SELECT zval // 65536 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(d1) AS BIGINT) AS d1_min, CAST(MAX(d1) AS BIGINT) AS d1_max,
+       CAST(MIN(d2) AS BIGINT) AS d2_min, CAST(MAX(d2) AS BIGINT) AS d2_max,
+       CAST(MAX(d1) - MIN(d1) + 1 AS BIGINT) AS d1_span,
+       CAST(MAX(d2) - MIN(d2) + 1 AS BIGINT) AS d2_span
+FROM z
+GROUP BY zval // 65536
+""",
+    doc="Z-order (Morton-curve) clustered layout for two-dimensional data "
+    "skipping: customer and order-day are bit-interleaved into one sort "
+    "key, rows land in z-RANGE buckets (top 4 bits — a map-side integer "
+    "divide, no global sort needed for range buckets), and each bucket's "
+    "min/max BOUNDING BOX over BOTH dims is what a lakehouse stores as "
+    "file statistics. The payoff vs a single-column sort: sorting by "
+    "customer alone gives perfect d1 spans but each file spans the WHOLE "
+    "date domain (d2_span ~ 1024), so date predicates prune nothing; "
+    "z-order bounds both spans at ~2^(bits/2) x domain/16 per bucket, so "
+    "point/range predicates on EITHER dim skip most buckets. The "
+    "interleave is pure integer div/mod arithmetic — bit-identical "
+    "cross-engine, no bit-op dialect differences. At 100 TB the write "
+    "path is repartitionByRange(zval) + sortWithinPartitions before the "
+    "parquet write (scan_partition_pruned's directory layout covers the "
+    "coarse partition axis; z-order covers the within-partition file "
+    "axis).",
+)
+def scan_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    d = orders.select(
+        (F.col("o_custkey") % 1024).alias("d1"),
+        (
+            F.expr("datediff(o_orderdate, TIMESTAMP '1995-01-01 00:00:00')") % 1024
+        ).alias("d2"),
+    )
+    z = d.select("d1", "d2", F.expr(_z_interleave_sql("d1", "d2", "DIV")).alias("zval"))
+    return (
+        z.groupBy(F.expr("zval DIV 65536").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("d1").cast("long").alias("d1_min"),
+            F.max("d1").cast("long").alias("d1_max"),
+            F.min("d2").cast("long").alias("d2_min"),
+            F.max("d2").cast("long").alias("d2_max"),
+            (F.max("d1") - F.min("d1") + 1).cast("long").alias("d1_span"),
+            (F.max("d2") - F.min("d2") + 1).cast("long").alias("d2_span"),
+        )
+    )
+
+
+@register(
+    "attribution_last_touch",
+    """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type IN ('click', 'signup', 'view')
+                         THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_ts,
+         last_value(CASE WHEN event_type IN ('click', 'signup', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_type
+  FROM events
+)
+SELECT CASE WHEN touch_ts IS NOT NULL AND touch_ts >= ts - INTERVAL 7 DAY
+            THEN touch_type ELSE 'direct' END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    doc="Last-touch marketing attribution: each purchase credits the "
+    "user's most recent click/signup/view within a 7-day lookback, else "
+    "'direct' — the workhorse report of every event pipeline. The two "
+    "IGNORE-NULLS last_value calls share one frame ordered by (ts, "
+    "event_id) — the unique tiebreak means both engines pick the same "
+    "touch row, and because both CASEs null out exactly the same rows, "
+    "touch_ts and touch_type always come from the SAME event (no "
+    "torn-row risk). The 7-day bound is a timestamp compare (ts - "
+    "INTERVAL, timezone-free on NTZ). Plan: ONE user_id shuffle shared "
+    "by the window and feeding a partial-agg'd count; purchases filter "
+    "AFTER the window (the carried state needs non-purchase rows). At "
+    "100 TB: same shape as sessionize_events — the window is the only "
+    "shuffle and it is the natural user-key partitioning.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin("click", "signup", "view")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    channel = F.when(
+        F.col("touch_ts").isNotNull()
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+        F.col("touch_type"),
+    ).otherwise("direct")
+    return (
+        s.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

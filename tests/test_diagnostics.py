@@ -4,7 +4,12 @@ from __future__ import annotations
 
 import pytest
 
-NEW_QUERIES = ["bpe_merge_steps", "diag_key_skew", "diag_join_cardinality"]
+NEW_QUERIES = [
+    "bpe_merge_steps",
+    "bpe_encode_corpus",
+    "diag_key_skew",
+    "diag_join_cardinality",
+]
 
 
 @pytest.mark.parametrize("name", NEW_QUERIES)
@@ -115,3 +120,45 @@ def test_value_histogram_partitions_the_table(spark, sf_dir):
     assert int(pdf["n_orders"].sum()) == n
     assert abs(pdf["share"].sum() - 1.0) < 1e-4
     assert pdf["bucket"].between(0, 19).all()
+
+
+def test_bpe_encode_compression_bounds(spark, sf_dir):
+    """Encoding never produces more tokens than characters, at least one
+    merge must actually compress something somewhere, and per-doc token
+    counts stay positive."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["bpe_encode_corpus"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_tokens"] <= pdf["n_syms0"]).all()
+    assert (pdf["n_tokens"] >= pdf["n_words"]).all()  # a word is >= 1 token
+    assert (pdf["compression"] <= 1.0).all()
+    assert (pdf["n_tokens"] < pdf["n_syms0"]).any(), "merges compressed nothing"
+
+
+def test_correlation_matrix_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_correlation_matrix", sf_dir)
+
+
+def test_correlation_matrix_bounds_and_signal(spark, sf_dir):
+    """|r| <= 1 everywhere, and each engine r matches a pandas recompute
+    of Pearson on the same (rounded) columns — a model-based check that
+    holds for ANY data distribution (CLAUDE.md: never assert
+    seed-dependent signal strengths)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["diag_correlation_matrix"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 3
+    assert (pdf["pearson_r"].abs() <= 1.0 + 1e-9).all()
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_quantity", "l_extendedprice", "l_discount")
+        .toPandas()
+        .round(4)
+    )
+    for _, row in pdf.iterrows():
+        want = li[row.col_x].corr(li[row.col_y])
+        assert abs(row.pearson_r - want) < 1e-4, (row.col_x, row.col_y)

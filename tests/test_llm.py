@@ -362,3 +362,35 @@ def test_importance_resample_rates_and_counts(spark, sf_dir):
     big = pdf.loc[pdf["n_total"].idxmax()]
     small = pdf.loc[pdf["n_total"].idxmin()]
     assert big["rate"] <= small["rate"]
+
+
+def test_heavy_hitters_candidate_recall_guarantee(spark, sf_dir):
+    """The Misra-Gries candidate pass must contain EVERY true heavy
+    hitter even under an adversarially small partition count, and the
+    exact-verified output must equal a plain exact count + threshold."""
+    from pyspark.sql import functions as F
+
+    from logflow.functions.text import tokenize
+    from logflow.operators.heavyhitters import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+    from logflow.sources.tables import load_table
+
+    k = 35
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode_outer(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .repartition(7)  # force multi-partition summaries
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).toPandas()
+    n = int(exact["cnt"].sum())
+    true_hh = set(exact[exact["cnt"] * k > n]["tok"])
+    cands = {r.tok for r in misra_gries_candidates(toks, "tok", k).collect()}
+    assert true_hh <= cands, "MG candidates missed a true heavy hitter"
+    got = {(r.tok, r.cnt) for r in heavy_hitters_exact(toks, "tok", k).collect()}
+    want = {
+        (t, int(c)) for t, c in exact[exact["cnt"] * k > n][["tok", "cnt"]].values
+    }
+    assert got == want

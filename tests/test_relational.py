@@ -274,3 +274,49 @@ def test_approx_percentile_error_bound(spark, sf_dir):
         for q, approx in ((0.5, r.p50_approx), (0.95, r.p95_approx)):
             rank = bisect.bisect_right(vs, approx + 1e-9)
             assert abs(rank - q * n) <= n / 10000 + 1.5, (r.event_type, q, rank, q * n)
+
+
+def test_zorder_layout_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "scan_zorder_layout", sf_dir)
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir):
+    """Every z-range bucket's bounding box must be bounded on BOTH dims —
+    strictly tighter than a one-column sort, whose non-sort dim spans the
+    whole domain. Top-4-bit buckets fix d1's two high bits and d2's two
+    high bits, so each span is at most a quarter of the 1024 domain."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["scan_zorder_layout"].fn(spark, sf_dir).toPandas()
+    n = load_table(spark, "orders", sf_dir).count()
+    assert int(pdf["n_rows"].sum()) == n  # buckets partition the table
+    assert (pdf["d1_span"] <= 256).all()
+    assert (pdf["d2_span"] <= 256).all()
+    assert pdf["bucket"].between(0, 15).all()
+
+
+def test_attribution_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "attribution_last_touch", sf_dir)
+
+
+def test_attribution_partitions_purchases(spark, sf_dir):
+    """Every purchase is attributed to exactly one channel; channels are
+    only the touch types + 'direct'."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["attribution_last_touch"].fn(spark, sf_dir).toPandas()
+    n_purch = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert int(pdf["n_purchases"].sum()) == n_purch
+    assert set(pdf["channel"]) <= {"click", "signup", "view", "direct"}
