@@ -260,6 +260,8 @@ PRIORITY: list[str] = [
     "scan_zorder_layout",
     "attribution_last_touch",
     "heavy_hitters_tokens",
+    "path_common_trigrams",
+    "ts_cusum_changepoint",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "agg_approx_percentile",  # no oracle (rows-only; pytest error-bound)

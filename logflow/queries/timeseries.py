@@ -319,3 +319,175 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(weighted).cast("double") / F.sum("w").cast("double"), 4
         ).alias("twa"),
     )
+
+
+@register(
+    "path_common_trigrams",
+    """
+WITH seq AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+),
+tri AS (
+  SELECT user_id, s[i] || '>' || s[i+1] || '>' || s[i+2] AS trigram
+  FROM seq, LATERAL (SELECT unnest(range(1, len(s) - 1)) AS i)
+  WHERE len(s) >= 3
+)
+SELECT trigram,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri
+GROUP BY trigram
+ORDER BY n DESC, trigram
+LIMIT 20
+""",
+    doc="Behavioral path mining: the 20 most common 3-step event-type "
+    "sequences across user journeys — the product-analytics flow report "
+    "(what do users actually do around a purchase?). Per-user sequences "
+    "are built with ONE user_id shuffle (sort_array over collected "
+    "(ts,event_id,type) structs — the unique tiebreak makes the "
+    "sequence identical cross-engine); trigrams come from the zip-of-"
+    "slices idiom (CLAUDE.md: transform(sequence)+element_at re-inlines "
+    "the array O(len^2)); counts are exact, top-20 is TakeOrdered with "
+    "a lexicographic tiebreak. At 100 TB the trigram table after "
+    "map-side combine is vocabulary-sized (|types|^3 max), not "
+    "event-sized.",
+)
+def path_common_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ).alias("s")
+    )
+    sz = F.size("s")
+    zipped = F.when(
+        sz >= 3,
+        F.arrays_zip(
+            F.slice("s", 1, sz - 2).alias("a"),
+            F.slice("s", 2, sz - 2).alias("b"),
+            F.slice("s", 3, sz - 2).alias("c"),
+        ),
+    )
+    tri = (
+        seq.select("user_id", F.explode_outer(zipped).alias("t"))
+        .filter(F.col("t").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", F.col("t.a"), F.col("t.b"), F.col("t.c")).alias("trigram"),
+        )
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), "trigram")
+        .limit(20)
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+base AS (
+  SELECT event_type,
+         CAST(SUM(CAST(ROUND(m, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS mu,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day,
+         CAST(ROUND(d.m - b.mu, 6) AS DECIMAL(18,6)) AS dv
+  FROM daily d JOIN base b ON d.event_type = b.event_type
+),
+cs AS (
+  SELECT event_type, day,
+         SUM(dv) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM dev
+),
+sd AS (
+  SELECT event_type,
+         sqrt(CAST(SUM(dv * dv) AS DOUBLE) / COUNT(*)) AS sigma
+  FROM dev GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(MIN(b.n_days) AS BIGINT) AS n_days,
+       ROUND(CAST(MAX(abs(c.cusum)) AS DOUBLE), 4) AS max_abs_cusum,
+       CAST(SUM(CASE WHEN CAST(abs(c.cusum) AS DOUBLE) > 2 * s.sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM cs c
+JOIN base b ON c.event_type = b.event_type
+JOIN sd s ON c.event_type = s.event_type
+GROUP BY c.event_type
+""",
+    doc="CUSUM change-point chart per event type: cumulative sum of "
+    "(daily mean - overall mean) deviations, flagging days where "
+    "|CUSUM| exceeds 2 sigma of the daily means — a mean SHIFT "
+    "accumulates deviation linearly and trips the flag where day-level "
+    "thresholds (anomaly_hourly_error_spikes) only catch spikes. "
+    "Cross-engine: deviations round to DECIMAL(18,6) BEFORE the "
+    "cumulative window sum, so the running sum is exact integer-scaled "
+    "arithmetic — a double cumulative sum would depend on each engine's "
+    "window summation tree. sigma and the final compare are identical "
+    "IEEE expressions on identical exact inputs. Plan: daily partial "
+    "agg, then day-count-sized windows — everything after the first "
+    "shuffle is date-cardinality work.",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        (
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    base = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.round(F.col("m"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    dev = daily.join(base, "event_type").select(
+        "event_type",
+        "day",
+        F.round(F.col("m") - F.col("mu"), 6).cast("decimal(18,6)").alias("dv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = dev.select("event_type", "day", F.sum("dv").over(w).alias("cusum"))
+    sd = dev.groupBy("event_type").agg(
+        F.sqrt(F.sum(F.col("dv") * F.col("dv")).cast("double") / F.count(F.lit(1))).alias(
+            "sigma"
+        )
+    )
+    return (
+        cs.join(base, "event_type")
+        .join(sd, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n_days").cast("long").alias("n_days"),
+            F.round(F.max(F.abs(F.col("cusum"))).cast("double"), 4).alias("max_abs_cusum"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cusum")).cast("double") > 2 * F.col("sigma"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+        )
+    )

@@ -68,3 +68,30 @@ def deduped_stream(records: DataFrame, keys: list[str], watermark: str = "1 hour
     """Streaming dedup within the watermark horizon — replay collapse
     (exactly-once-style semantics over an at-least-once transport)."""
     return _event_time_ltz(records).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def daily_ohlc(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-day OHLC rollup per event_type — the streaming twin of
+    the batch ``ts_downsample_ohlc`` query (batch-equivalence asserted in
+    tests). Open/close use ``min_by``/``max_by`` on the (ts, event_id)
+    struct — a unique event-time order key, so ties resolve identically
+    to the batch window form — and both are plain commutative aggregates,
+    which is what makes the rollup expressible as an ordinary watermarked
+    streaming agg (no ordered-window state needed): partial OHLC states
+    merge associatively, exactly how a continuous aggregate maintains
+    itself at 100 TB/day ingest."""
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        _event_time_ltz(events).withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("day"), "event_type", "open", "high", "low", "close", "n"
+        )
+    )

@@ -1025,3 +1025,43 @@ def test_streaming_interval_join_full_outer_emits_both_sides(spark, tmp_path):
         (3, None, base + datetime.timedelta(minutes=20)),
     }
     assert got == want
+
+
+def test_streaming_daily_ohlc_matches_batch(spark, tmp_path):
+    """The streaming OHLC continuous aggregate must equal the batch
+    ts_downsample_ohlc rollup on the same data (open/high/low/close/n per
+    (event_type, day)) — min_by/max_by on the unique (ts, event_id) key
+    resolves ties identically to the batch window form."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    from logflow.streaming.windows import daily_ohlc
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    load_table(spark, "events", sf).coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    q = (
+        daily_ohlc(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.day): (r.open, r.high, r.low, r.close, r.n)
+        for r in spark.sql("SELECT * FROM ohlc_stream").collect()
+    }
+    batch = load_all()["ts_downsample_ohlc"].fn(spark, sf).collect()
+    # the batch query rounds its outputs to 4dp; round the raw streaming
+    # aggregates the same way before comparing
+    want = {
+        (r.event_type, r.day): (r.open, r.high, r.low, r.close, r.n) for r in batch
+    }
+    assert set(got) == set(want)
+    for k, (o, h, l, c, n) in got.items():
+        assert (round(o, 4), round(h, 4), round(l, 4), round(c, 4), n) == want[k], k

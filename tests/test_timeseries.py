@@ -118,3 +118,39 @@ def test_time_weighted_avg_invariants(spark, sf_dir):
     m = pdf.merge(ev, on=["user_id", "day"])
     assert len(m) == len(pdf)
     assert ((m["twa"] >= m["lo"] - 1e-4) & (m["twa"] <= m["hi"] + 1e-4)).all()
+
+
+def test_path_trigrams_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "path_common_trigrams", sf_dir)
+
+
+def test_path_trigrams_shape(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["path_common_trigrams"].fn(spark, sf_dir).toPandas()
+    assert 0 < len(pdf) <= 20
+    assert (pdf["n"] >= pdf["n_users"]).all()  # a user can repeat a path
+    assert pdf["trigram"].str.count(">").eq(2).all()
+    # sorted by count desc with lexicographic tiebreak
+    assert (pdf["n"].diff().dropna() <= 0).all()
+
+
+def test_cusum_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_cusum_changepoint", sf_dir)
+
+
+def test_cusum_invariants(spark, sf_dir):
+    """max|CUSUM| >= 0 always; with no injected mean shift the flag count
+    stays a small fraction of days (the chart is near a random walk whose
+    excursions past 2-sigma-of-daily-means are possible but not the
+    norm) — bound loosely per the seed-coupled-assertion rule."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_cusum_changepoint"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["max_abs_cusum"] >= 0).all()
+    assert (pdf["n_flagged"] <= pdf["n_days"]).all()

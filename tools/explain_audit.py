@@ -61,10 +61,19 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "crossJoin of the single-row avgdl/N corpus-stats aggregate"
     },
     "semdedup_prune": {
-        "bnlj": "centroid set is the broadcast side (16 rows)"
+        "bnlj": "centroid set is the broadcast side (~sqrt(n) rows, corpus-derived)"
     },
     "graph_pagerank_parts": {
         "bnlj": "crossJoin of the single-row node-count aggregate (per iteration)"
+    },
+    "corpus_importance_resample": {
+        "bnlj": "crossJoin of the single-row corpus-total/source-count aggregate"
+    },
+    "bpe_encode_corpus": {
+        "bnlj": "crossJoin of the 1-row winning-pair argmax (per merge step)"
+    },
+    "heavy_hitters_tokens": {
+        "bnlj": "crossJoin of the single-row total-count aggregate (exact threshold)"
     },
     "bpe_merge_steps": {
         "bnlj": "crossJoin of the 1-row winning-pair argmax (per merge step)"

@@ -68,9 +68,10 @@ HEADLINERS: dict[str, str] = {
     "noop-sink write), regexes evaluated inside whole-stage codegen",
     "bm25_search": "postings restricted to query terms before any shuffle; "
     "df + 1-row avgdl stats broadcast; top-20 via TakeOrderedAndProject",
-    "semdedup_prune": "16 broadcast centroids -> map-side assignment; "
-    "within-cluster self-join reuses the assignment shuffle "
-    "(ReusedExchange), pairwise bounded by cluster size",
+    "semdedup_prune": "corpus-derived k (~sqrt(n) broadcast centroids) -> "
+    "map-side assignment; within-cluster self-join reuses the assignment "
+    "shuffle (ReusedExchange), pairwise bounded by the ~sqrt(n) cluster "
+    "size at ANY corpus scale",
     "graph_pagerank_parts": "Pregel-on-dataframes: persisted+coalesced "
     "edge list, broadcast rank table per iteration, fixed-point BIGINT "
     "update (cross-engine bit-identical)",
@@ -99,6 +100,24 @@ HEADLINERS: dict[str, str] = {
     "the final stats projection — payload bytes never leave the executor",
     "diag_join_cardinality": "one full-outer join of two per-key count "
     "tables + one aggregate -> all five fan-out metrics in a single pass",
+    "graph_triangle_degree_ordered": "degree-ordered wedges: oriented edge "
+    "table eager-persisted (3 consumers), wedge work bounded O(m^1.5) "
+    "regardless of hub skew",
+    "heavy_hitters_tokens": "map-side Misra-Gries candidates (bounded "
+    "memory, NO vocabulary shuffle) -> broadcast semi-join -> exact "
+    "verify of candidates only",
+    "ts_downsample_ohlc": "ONE bucket-key shuffle shared by the "
+    "first/last window and the OHLC aggregate",
+    "attribution_last_touch": "ONE user shuffle: paired IGNORE-NULLS "
+    "last_value windows + partial-agg'd channel counts on top",
+    "scan_zorder_layout": "Morton interleave as pure codegen arithmetic; "
+    "z-range buckets are a map-side divide (no global sort) + one "
+    "partial-agg'd bounding-box aggregate",
+    "source_custom_wirelog": "wire frames assembled JVM-side (concat + "
+    "IntegerSerde codec inside codegen); Python writer only joins "
+    "finished byte strings per Arrow batch",
+    "bpe_encode_corpus": "merges applied VOCABULARY-side; corpus encode "
+    "is one exploded-tokens hash join onto the word->symbols table",
 }
 
 
