@@ -262,6 +262,8 @@ PRIORITY: list[str] = [
     "heavy_hitters_tokens",
     "path_common_trigrams",
     "ts_cusum_changepoint",
+    "scd2_point_in_time_join",
+    "graph_kcore_peel",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "agg_approx_percentile",  # no oracle (rows-only; pytest error-bound)

@@ -305,3 +305,70 @@ def graph_walks_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY node
         """
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+@register(
+    "graph_kcore_peel",
+    f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= {_W_MIN}),
+und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+d0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM und GROUP BY u),
+s1 AS (SELECT u FROM d0 WHERE c >= {_KCORE_K}),
+e1 AS (SELECT und.u, und.v FROM und
+       JOIN s1 a ON und.u = a.u JOIN s1 b ON und.v = b.u),
+d1 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM e1 GROUP BY u),
+s2 AS (SELECT u FROM d1 WHERE c >= {_KCORE_K}),
+e2 AS (SELECT e1.u, e1.v FROM e1
+       JOIN s2 a ON e1.u = a.u JOIN s2 b ON e1.v = b.u),
+d2 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM e2 GROUP BY u),
+s3 AS (SELECT u FROM d2 WHERE c >= {_KCORE_K}),
+e3 AS (SELECT e2.u, e2.v FROM e2
+       JOIN s3 a ON e2.u = a.u JOIN s3 b ON e2.v = b.u)
+SELECT u AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM e3 GROUP BY u
+""",
+    doc=f"k-core peeling ({_KCORE_ROUNDS} unrolled rounds at k={_KCORE_K}) "
+    "over the weight-floored co-purchase graph: each round drops nodes "
+    "whose induced degree fell below k, then recomputes degrees on the "
+    "induced subgraph — the standard dense-community extraction that "
+    "PageRank/triangles don't give you (a node's neighbors must THEMSELVES "
+    "be well-connected). Each round is two node-keyed semi-joins + one "
+    "partial-agg'd count on a monotonically SHRINKING edge set; exact "
+    "integers, no tiebreaks needed. Fixed unrolling keeps the whole peel "
+    "one Catalyst plan with a plain nested-CTE oracle; the run-to-"
+    "convergence form at 100 TB is the dedup_cluster_canonical loop "
+    "(localCheckpoint per round, stop when no node drops).",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN)
+    und = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    cur = und
+    for step in range(_KCORE_ROUNDS):
+        s = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select("u")
+        )
+        cur = cur.join(s, "u", "left_semi").join(
+            s.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        if step < _KCORE_ROUNDS - 1:
+            # each round consumes `cur` twice (degree agg + the filter
+            # join), so the un-truncated lineage doubles per round — the
+            # CLAUDE.md iterative rule: lazy localCheckpoint, edge-sized,
+            # materialized by the next round's first action.
+            cur = cur.localCheckpoint(eager=False)
+    return cur.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("core_deg")).select(
+        F.col("u").alias("p_partkey"), "core_deg"
+    )

@@ -2767,3 +2767,76 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+WITH dim AS (
+  SELECT o_custkey AS custkey, o_orderdate AS valid_from,
+         o_orderpriority AS attr, o_orderkey
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+v AS (
+  SELECT custkey, valid_from, attr,
+         LEAD(valid_from) OVER (PARTITION BY custkey
+                                ORDER BY valid_from, o_orderkey) AS valid_to
+  FROM dim
+),
+facts AS (
+  SELECT o_orderkey, o_custkey AS custkey, o_orderdate AS d
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+pit AS (
+  SELECT f.o_orderkey, f.custkey, v.attr
+  FROM facts f
+  LEFT JOIN v ON f.custkey = v.custkey
+             AND v.valid_from <= f.d
+             AND (v.valid_to IS NULL OR f.d < v.valid_to)
+)
+SELECT COALESCE(attr, 'none') AS attr_at_time,
+       CAST(COUNT(*) AS BIGINT) AS n_facts,
+       CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_customers
+FROM pit
+GROUP BY COALESCE(attr, 'none')
+""",
+    doc="Point-in-time (temporal) join onto an SCD2 dimension — the read "
+    "side of scd2_customer_history: every-5th order is a dimension "
+    "change event, the remaining orders are facts, and each fact picks "
+    "the version whose [valid_from, valid_to) interval covers its date "
+    "(facts before the first version fall out as 'none' via the LEFT "
+    "join). Versions PARTITION each key's timeline (half-open "
+    "intervals, lead() with the unique o_orderkey tiebreak), so every "
+    "fact matches AT MOST ONE version — the join provably never "
+    "duplicates facts (pytest asserts row conservation). Plan: equi "
+    "hash join on custkey with the interval predicate as a residual "
+    "filter — never a range-explosion BNLJ; both sides shuffle once on "
+    "the key. At 100 TB this is the standard as-of enrichment against "
+    "dimension history without a table format's time travel.",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    dim = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_orderpriority").alias("attr"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from", "o_orderkey")
+    v = dim.withColumn("valid_to", F.lead("valid_from").over(w)).select(
+        F.col("custkey").alias("v_custkey"), "valid_from", "valid_to", "attr"
+    )
+    facts = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), F.col("o_orderdate").alias("d")
+    )
+    pit = facts.join(
+        v,
+        (F.col("custkey") == F.col("v_custkey"))
+        & (F.col("valid_from") <= F.col("d"))
+        & (F.col("valid_to").isNull() | (F.col("d") < F.col("valid_to"))),
+        "left_outer",
+    )
+    return pit.groupBy(F.coalesce(F.col("attr"), F.lit("none")).alias("attr_at_time")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.countDistinct("custkey").cast("long").alias("n_customers"),
+    )

@@ -104,3 +104,30 @@ def test_recursive_cte_walks_invariants(spark, sf_dir):
     assert pdf["min_hops"].between(0, 3).all()
     assert (pdf["n_walks"] >= 1).all()
     assert (pdf["min_hops"] == 0).sum() <= 3  # at most the 3 seeds
+
+
+def test_kcore_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_kcore_peel", sf_dir)
+
+
+def test_kcore_is_subset_with_monotone_degrees(spark, sf_dir):
+    """Survivors of the peel are a subset of the triangle-graph node set,
+    and every survivor's induced degree never exceeds its original
+    degree (peeling only removes edges)."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.queries.graph import _W_MIN, _copurchase_edges
+
+    pdf = load_all()["graph_kcore_peel"].fn(spark, sf_dir).toPandas()
+    e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN)
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    orig = {
+        r.u: r.c
+        for r in und.groupBy("u").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for _, row in pdf.iterrows():
+        assert row.core_deg <= orig[row.p_partkey]
+        assert row.core_deg >= 1

@@ -320,3 +320,25 @@ def test_attribution_partitions_purchases(spark, sf_dir):
     )
     assert int(pdf["n_purchases"].sum()) == n_purch
     assert set(pdf["channel"]) <= {"click", "signup", "view", "direct"}
+
+
+def test_scd2_pit_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "scd2_point_in_time_join", sf_dir)
+
+
+def test_scd2_pit_conserves_facts(spark, sf_dir):
+    """Versions partition each key's timeline, so the point-in-time join
+    must neither drop nor duplicate facts: attributed counts sum to the
+    fact count exactly."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["scd2_point_in_time_join"].fn(spark, sf_dir).toPandas()
+    n_facts = (
+        load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") % 5 != 0).count()
+    )
+    assert int(pdf["n_facts"].sum()) == n_facts
