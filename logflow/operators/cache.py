@@ -13,6 +13,12 @@ calls :func:`release_all` after materializing each result.  ``bench.py``
 and the hygiene pytest sweep do exactly that; the driver runs one query
 per process, where JVM teardown is the release.  LRU block eviction
 bounds the damage for consumers that never call it.
+
+``localCheckpoint`` blocks are deliberately OUT of scope: they ARE the
+data of the result frame that references them (no lineage survives to
+recompute from — unpersisting one breaks later reads of the result), so
+their lifetime is the result's lifetime and Spark's ContextCleaner
+reclaims them on garbage collection.
 """
 
 from __future__ import annotations

@@ -39,6 +39,8 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     """
     import pandas as pd
 
+    out_type = items.schema[col].dataType.simpleString()
+
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Batch-merged Misra-Gries (the mergeable-summaries form, Agarwal
         # et al. 2013): add each Arrow batch's EXACT value_counts, then if
@@ -58,7 +60,10 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
                 counters = {key: c - dec for key, c in counters.items() if c > dec}
         yield pd.DataFrame({col: list(counters.keys())}, dtype="object")
 
-    return items.mapInPandas(mg, f"{col} string").distinct()
+    # schema follows the input column's type — a hardcoded string schema
+    # would coerce the verify semi-join and break the recall guarantee
+    # for non-string items
+    return items.mapInPandas(mg, f"{col} {out_type}").distinct()
 
 
 def heavy_hitters_exact(items: DataFrame, col: str, k: int) -> DataFrame:
@@ -68,15 +73,20 @@ def heavy_hitters_exact(items: DataFrame, col: str, k: int) -> DataFrame:
     threshold ``cnt * k > n_total``) regardless of how the candidate
     pass partitioned the data.
     """
+    from logflow.operators.cache import track
+
+    # The item stream feeds three consumers (total count, MG candidate
+    # pass, verify semi-join) — materialize it eagerly so an upstream
+    # tokenize/explode chain runs ONCE, not 3x (the LSH-signature rule);
+    # the count action both fills the cache and supplies the exact total.
+    items = track(items.persist())
+    n_total = items.count()
     cands = misra_gries_candidates(items, col, k)
     verified = (
         items.join(F.broadcast(cands), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    total = items.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    return (
-        verified.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") * F.lit(k) > F.col("n_total"))
-        .select(col, "cnt", "n_total")
+    return verified.filter(F.col("cnt") * F.lit(k) > F.lit(n_total)).select(
+        col, "cnt", F.lit(n_total).cast("long").alias("n_total")
     )

@@ -264,6 +264,7 @@ PRIORITY: list[str] = [
     "ts_cusum_changepoint",
     "scd2_point_in_time_join",
     "graph_kcore_peel",
+    "corpus_chunk_documents",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "agg_approx_percentile",  # no oracle (rows-only; pytest error-bound)

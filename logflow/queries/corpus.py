@@ -515,3 +515,69 @@ def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_types").cast("long").alias("n_types"),
         )
     )
+
+
+_CHUNK_C = 40  # chunk size (tokens)
+_CHUNK_S = 30  # stride (tokens) -> 10-token overlap
+
+
+@register(
+    "corpus_chunk_documents",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id % 25 = 0),
+s AS (SELECT doc_id, toks, len(toks) AS sz FROM t WHERE len(toks) > 0),
+n AS (SELECT doc_id, toks, sz,
+             CASE WHEN sz <= {_CHUNK_C} THEN 1
+                  ELSE (sz - {_CHUNK_C} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+             END AS nc
+      FROM s),
+c AS (SELECT doc_id, i AS chunk_idx,
+             toks[i * {_CHUNK_S} + 1 : least(i * {_CHUNK_S} + {_CHUNK_C}, sz)] AS ct
+      FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i))
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(ct) AS BIGINT) AS n_toks,
+       md5(array_to_string(ct, ' ')) AS chunk_md5
+FROM c
+""",
+    doc=f"RAG document chunking: overlapping {_CHUNK_C}-token windows at "
+    f"stride {_CHUNK_S} ({_CHUNK_C - _CHUNK_S}-token overlap) — the "
+    "retrieval-corpus prep step between cleaning and embedding. The "
+    "token-array table is materialized EAGERLY before the chunk "
+    "explode (LSH-signature pattern): exploding chunk indices over an "
+    "UNCACHED tokenize chain re-inlines the chain per CHUNK (~sz/stride "
+    "re-tokenizations per doc — the CLAUDE.md transform/element_at "
+    "family of traps); from the cached column each chunk is one slice. "
+    "Chunk count is an exact integer ceil ((sz-C+S-1) DIV S + 1), so "
+    "coverage is provable: chunk 0 starts at token 1, consecutive "
+    "starts differ by the stride, the final chunk always reaches the "
+    "last token (pytest). Spark slice() and DuckDB list[a:b] both clamp "
+    "at the array end — same elements, hash-identical chunk md5s. "
+    "doc_id%25 sampling keeps the checked result compact; the operator "
+    "is sampling-free, and at 100 TB the materialize step IS the "
+    "written intermediate table an embedding job would read.",
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 25 == 0)
+    t = track(
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .persist()
+    )
+    t.count()  # materialize BEFORE the per-chunk consumer (see doc)
+    sz = F.size("toks")
+    nc = F.when(sz <= _CHUNK_C, 1).otherwise(
+        F.expr(f"(size(toks) - {_CHUNK_C} + {_CHUNK_S} - 1) DIV {_CHUNK_S} + 1")
+    )
+    c = t.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_idx")
+    )
+    ct = F.slice(F.col("toks"), F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_C)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(ct).cast("long").alias("n_toks"),
+        F.md5(F.array_join(ct, " ")).alias("chunk_md5"),
+    )

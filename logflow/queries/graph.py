@@ -158,12 +158,17 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _W_MIN = 2  # edge weight floor: parts co-purchased in >= 2 distinct orders
 
-_TRIANGLE_SQL = f"""
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+#: the ordered weight-floored edge CTEs — ONE copy shared by the triangle,
+#: BFS-walk and k-core oracles so the edge contract can never desynchronize
+#: between them (the Spark side shares _copurchase_edges the same way).
+_ORDERED_EDGE_CTES = f"""op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (SELECT a.p AS u, b.p AS v
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
       GROUP BY a.p, b.p
-      HAVING COUNT(*) >= {_W_MIN}),
+      HAVING COUNT(*) >= {_W_MIN})"""
+
+_TRIANGLE_SQL = f"""
+WITH {_ORDERED_EDGE_CTES},
 tri AS (
   SELECT ab.u AS a, ab.v AS b, bc.v AS c
   FROM e ab
@@ -234,11 +239,7 @@ def graph_triangle_degree_ordered(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _BFS_SQL = f"""
 WITH RECURSIVE
-op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-e AS (SELECT a.p AS u, b.p AS v
-      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-      GROUP BY a.p, b.p
-      HAVING COUNT(*) >= {_W_MIN}),
+{_ORDERED_EDGE_CTES},
 und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
 seeds AS (SELECT u AS node FROM und GROUP BY u ORDER BY u LIMIT 3),
 reach AS (
@@ -314,11 +315,7 @@ _KCORE_ROUNDS = 3
 @register(
     "graph_kcore_peel",
     f"""
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-e AS (SELECT a.p AS u, b.p AS v
-      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-      GROUP BY a.p, b.p
-      HAVING COUNT(*) >= {_W_MIN}),
+WITH {_ORDERED_EDGE_CTES},
 und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
 d0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM und GROUP BY u),
 s1 AS (SELECT u FROM d0 WHERE c >= {_KCORE_K}),

@@ -2647,7 +2647,8 @@ def _z_interleave_sql(d1: str, d2: str, div_op: str) -> str:
 WITH d AS (
   SELECT o_orderkey,
          o_custkey % 1024 AS d1,
-         date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) % 1024 AS d2
+         ((date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+           % 1024) + 1024) % 1024 AS d2
   FROM orders
 ),
 z AS (SELECT d1, d2, ({_z_interleave_sql('d1', 'd2', '//')}) AS zval FROM d)
@@ -2679,10 +2680,18 @@ GROUP BY zval // 65536
 )
 def scan_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
+    # floor-mod, not C-style %: regenerated testdata may start BEFORE the
+    # fixed epoch (both engines' % follows the dividend's sign), and a
+    # negative d2 would emit -1 "bits" and fold rows into bucket 0 with
+    # meaningless bounding boxes.
     d = orders.select(
         (F.col("o_custkey") % 1024).alias("d1"),
         (
-            F.expr("datediff(o_orderdate, TIMESTAMP '1995-01-01 00:00:00')") % 1024
+            (
+                (F.expr("datediff(o_orderdate, TIMESTAMP '1995-01-01 00:00:00')") % 1024)
+                + 1024
+            )
+            % 1024
         ).alias("d2"),
     )
     z = d.select("d1", "d2", F.expr(_z_interleave_sql("d1", "d2", "DIV")).alias("zval"))

@@ -19,12 +19,25 @@ PERSISTING_QUERIES = [
     "dedup_incremental_minhash",
     "dedup_prefix_jaccard",
     "graph_triangle_count",
+    "graph_triangle_degree_ordered",
+    "graph_kcore_peel",
     "q11_important_parts",
+    "heavy_hitters_tokens",
+    "corpus_chunk_documents",
 ]
 
 
 def _n_persistent_rdds(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+    """Tracked-persist leak count: persistent RDDs EXCLUDING local
+    checkpoints. Checkpoint blocks ARE the data of the result frame that
+    holds them (unpersisting one breaks later reads — verified: the read
+    fails, there is no lineage to recompute), so they are owned by the
+    result's lifetime and reclaimed by Spark's ContextCleaner on GC —
+    release_all() neither can nor should drop them."""
+    return sum(
+        0 if jrdd.rdd().isLocallyCheckpointed() else 1
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    )
 
 
 def test_release_all_clears_every_library_persist(spark, sf_dir):

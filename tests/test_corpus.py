@@ -122,3 +122,39 @@ def test_semdedup_k_scales_with_corpus_and_clusters_stay_bounded(spark, sf_dir):
         stride = max(4, math.isqrt(n))
         assert len(pdf) >= n // stride  # k ~ n/stride, never collapses
         assert int(pdf["n_members"].max()) <= 8 * stride  # bounded clusters
+
+
+def test_chunking_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "corpus_chunk_documents", sf_dir)
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Coverage proof: chunk 0 starts at token 1, consecutive chunks step
+    by the stride, every chunk is full-size except possibly the last,
+    and the last chunk always reaches the document's final token."""
+    from pyspark.sql import functions as F
+
+    from logflow.functions.text import tokenize
+    from logflow.queries import load_all
+    from logflow.queries.corpus import _CHUNK_C, _CHUNK_S
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["corpus_chunk_documents"].fn(spark, sf_dir).toPandas()
+    sizes = {
+        r.doc_id: r.sz
+        for r in load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.size(tokenize(F.col("text"))).alias("sz"))
+        .collect()
+    }
+    for doc_id, g in pdf.groupby("doc_id"):
+        g = g.sort_values("chunk_idx").reset_index(drop=True)
+        sz = sizes[doc_id]
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        assert (g["n_toks"].iloc[:-1] == _CHUNK_C).all()  # all but last full
+        last_start = (len(g) - 1) * _CHUNK_S
+        assert last_start + g["n_toks"].iloc[-1] == sz  # reaches the end
+        if sz > _CHUNK_C:  # no chunk fully contained in the previous one
+            assert g["n_toks"].iloc[-1] > _CHUNK_C - _CHUNK_S or len(g) == 1
