@@ -265,6 +265,8 @@ PRIORITY: list[str] = [
     "scd2_point_in_time_join",
     "graph_kcore_peel",
     "corpus_chunk_documents",
+    "diag_groupwise_ols",
+    "dq_constraint_audit",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
     "agg_approx_percentile",  # no oracle (rows-only; pytest error-bound)

@@ -491,3 +491,206 @@ def diag_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return s.select(F.explode(rows).alias("m")).select("m.*")
+
+
+@register(
+    "diag_groupwise_ols",
+    """
+WITH d AS (
+  SELECT event_type,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS x,
+         CAST(ROUND(value, 4) AS DECIMAL(20,4)) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(20,0)) * CAST(x AS DECIMAL(20,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(y * x) AS DOUBLE) AS sxy
+  FROM d GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+       ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n),
+             6) AS intercept,
+       ROUND(CASE WHEN n * syy - sy * sy = 0 THEN 1.0
+                  ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+             6) AS r2
+FROM s
+""",
+    doc="Group-wise OLS: closed-form slope/intercept/R² of value-vs-time "
+    "per event type in ONE aggregate, one scan — the per-segment trend "
+    "fit behind drift dashboards and burn-rate alerts. Same determinism "
+    "recipe as diag_correlation_matrix: x is an exact integer hour "
+    "offset, y rounds to DECIMAL(20,4) pre-product, every power sum is "
+    "exact integer-scaled arithmetic (order-independent), and the "
+    "closed-form expressions run the IDENTICAL IEEE op sequence in both "
+    "engines on those identical sums, rounded once. Degenerate flat "
+    "groups (zero y-variance) pin R²=1 rather than 0/0. At 100 TB: one "
+    "partial-agg'd map-side pass — per-key model fitting without ML "
+    "infrastructure (the distributed closed-form normal equation).",
+)
+def diag_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    x = F.expr(
+        "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)"
+    )
+    y = F.round(F.col("value"), 4).cast("decimal(20,4)")
+    d = ev.select("event_type", x.alias("x"), y.alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(20,0)") * F.col("x").cast("decimal(20,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("y") * F.col("x")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = F.when(n * syy - sy * sy == 0, F.lit(1.0)).otherwise(
+        ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(slope, 8).alias("slope"),
+        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+@register(
+    "dq_constraint_audit",
+    """
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_custkey,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nonpositive_price,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkeys
+  FROM orders
+),
+l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+         CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nonpositive_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad_discount
+  FROM lineitem
+),
+orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lineitems
+  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL
+),
+cust AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphan_orders
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT 'orders' AS tbl, 'row_count' AS rule, n_orders AS violations, TRUE AS informational FROM o
+UNION ALL SELECT 'orders', 'null_custkey', null_custkey, FALSE FROM o
+UNION ALL SELECT 'orders', 'nonpositive_totalprice', nonpositive_price, FALSE FROM o
+UNION ALL SELECT 'orders', 'duplicate_orderkeys', dup_orderkeys, FALSE FROM o
+UNION ALL SELECT 'orders', 'orphan_custkey_fk', orphan_orders, FALSE FROM cust
+UNION ALL SELECT 'lineitem', 'row_count', n_lineitems, TRUE FROM l
+UNION ALL SELECT 'lineitem', 'nonpositive_quantity', nonpositive_qty, FALSE FROM l
+UNION ALL SELECT 'lineitem', 'discount_out_of_range', bad_discount, FALSE FROM l
+UNION ALL SELECT 'lineitem', 'orphan_orderkey_fk', orphan_lineitems, FALSE FROM orphans
+""",
+    doc="Data-contract audit (the dbt-test / expectations suite as one "
+    "query): per-table null checks, range checks, primary-key "
+    "uniqueness, and both foreign-key orphan directions "
+    "(lineitem→orders, orders→customer), emitted as a (table, rule, "
+    "violations) report where non-informational rows must be 0 for the "
+    "contract to hold (pytest enforces exactly that, plus that the "
+    "informational row counts match the tables). All exact integer "
+    "counts. Plan: one aggregate per table + two left-anti-shaped "
+    "orphan joins on their natural keys; at 100 TB each rule rides an "
+    "existing scan (Catalyst merges the counters into ONE aggregate "
+    "per table) and the FK checks are the only shuffles — the audit "
+    "costs less than the first wrong join it prevents.",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    o = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_price"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("dup_orderkeys"),
+    )
+    l = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_qty"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("bad_discount"),
+    )
+    orphan_li = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_lineitems"))
+    )
+    orphan_o = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_orders"))
+    )
+
+    def rows(src, items):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    F.lit(r).alias("rule"),
+                    F.col(c).alias("violations"),
+                    F.lit(info).alias("informational"),
+                )
+                for t, r, c, info in items
+            ]
+        )
+        return src.select(F.explode(arr).alias("m")).select("m.*")
+
+    return (
+        rows(
+            o,
+            [
+                ("orders", "row_count", "n_orders", True),
+                ("orders", "null_custkey", "null_custkey", False),
+                ("orders", "nonpositive_totalprice", "nonpositive_price", False),
+                ("orders", "duplicate_orderkeys", "dup_orderkeys", False),
+            ],
+        )
+        .unionAll(rows(orphan_o, [("orders", "orphan_custkey_fk", "orphan_orders", False)]))
+        .unionAll(
+            rows(
+                l,
+                [
+                    ("lineitem", "row_count", "n_lineitems", True),
+                    ("lineitem", "nonpositive_quantity", "nonpositive_qty", False),
+                    ("lineitem", "discount_out_of_range", "bad_discount", False),
+                ],
+            )
+        )
+        .unionAll(
+            rows(orphan_li, [("lineitem", "orphan_orderkey_fk", "orphan_lineitems", False)])
+        )
+    )

@@ -162,3 +162,60 @@ def test_correlation_matrix_bounds_and_signal(spark, sf_dir):
     for _, row in pdf.iterrows():
         want = li[row.col_x].corr(li[row.col_y])
         assert abs(row.pearson_r - want) < 1e-4, (row.col_x, row.col_y)
+
+
+def test_groupwise_ols_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_groupwise_ols", sf_dir)
+
+
+def test_groupwise_ols_matches_numpy(spark, sf_dir):
+    """Each group's slope/intercept must match numpy.polyfit on the same
+    (rounded) points — model-based, distribution-independent."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["diag_groupwise_ols"].fn(spark, sf_dir).toPandas()
+    pts = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)"
+            ).alias("x"),
+            F.round("value", 4).alias("y"),
+        )
+        .toPandas()
+    )
+    for _, row in pdf.iterrows():
+        g = pts[pts.event_type == row.event_type]
+        slope, intercept = np.polyfit(g["x"], g["y"], 1)
+        assert abs(row.slope - slope) < 1e-6, row.event_type
+        assert abs(row.intercept - intercept) < 1e-3, row.event_type
+        assert 0 <= row.r2 <= 1 + 1e-9
+
+
+def test_dq_audit_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "dq_constraint_audit", sf_dir)
+
+
+def test_dq_audit_contract_holds_on_clean_testdata(spark, sf_dir):
+    """The generated tables satisfy the contract: every non-informational
+    rule reports 0 violations, and the informational row counts match
+    the actual table sizes."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["dq_constraint_audit"].fn(spark, sf_dir).toPandas()
+    bad = pdf[~pdf["informational"]]
+    assert (bad["violations"] == 0).all(), bad[bad["violations"] > 0]
+    counts = pdf[pdf["informational"]].set_index("tbl")["violations"]
+    assert counts["orders"] == load_table(spark, "orders", sf_dir).count()
+    assert counts["lineitem"] == load_table(spark, "lineitem", sf_dir).count()
