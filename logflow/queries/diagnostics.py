@@ -498,7 +498,8 @@ def diag_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH d AS (
   SELECT event_type,
-         CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS x,
+         CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+              AS BIGINT) AS x,
          CAST(ROUND(value, 4) AS DECIMAL(20,4)) AS y
   FROM events
 ),
@@ -514,31 +515,45 @@ s AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
-       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
-       ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n),
+       ROUND(((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))
+             * 3600000000.0, 8) AS slope_per_hour,
+       ROUND(sy / n - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))
+                      * (sx / n),
              6) AS intercept,
        ROUND(CASE WHEN n * syy - sy * sy = 0 THEN 1.0
                   ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+                       / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0) END,
              6) AS r2
 FROM s
 """,
     doc="Group-wise OLS: closed-form slope/intercept/R² of value-vs-time "
     "per event type in ONE aggregate, one scan — the per-segment trend "
     "fit behind drift dashboards and burn-rate alerts. Same determinism "
-    "recipe as diag_correlation_matrix: x is an exact integer hour "
-    "offset, y rounds to DECIMAL(20,4) pre-product, every power sum is "
-    "exact integer-scaled arithmetic (order-independent), and the "
-    "closed-form expressions run the IDENTICAL IEEE op sequence in both "
-    "engines on those identical sums, rounded once. Degenerate flat "
-    "groups (zero y-variance) pin R²=1 rather than 0/0. At 100 TB: one "
-    "partial-agg'd map-side pass — per-key model fitting without ML "
-    "infrastructure (the distributed closed-form normal equation).",
+    "recipe as diag_correlation_matrix: x is an exact integer "
+    "MICROSECOND offset from an NTZ epoch (hour units diverge cross-"
+    "engine for pre-epoch timestamps; micros probed identical), y "
+    "rounds to DECIMAL(20,4) pre-product, every power sum is exact "
+    "integer-scaled arithmetic (order-independent), and the closed-form "
+    "expressions run the IDENTICAL IEEE op sequence in both engines on "
+    "those identical sums; the slope rescales to per-hour at output. "
+    "Degenerate groups: zero y-variance pins R²=1; zero x-variance "
+    "NULLIFs every affected ratio in BOTH engines (unguarded double "
+    "division is DIVIDE_BY_ZERO under Spark ANSI but NULL in DuckDB). "
+    "At 100 TB: one partial-agg'd map-side pass — per-key model fitting "
+    "without ML infrastructure (the distributed closed-form normal "
+    "equation).",
 )
 def diag_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
+    # x in exact integer MICROSECONDS from an NTZ epoch literal: the HOUR
+    # unit diverges cross-engine for pre-epoch timestamps (Spark
+    # timestampdiff truncates toward zero, DuckDB date_diff counts hour
+    # boundaries — probed: 0 vs -1 for 23:30 the day before), and a plain
+    # TIMESTAMP literal against the NTZ column would coerce through the
+    # vanilla driver session's timezone. Micros are boundary-free.
     x = F.expr(
-        "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)"
+        "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts) "
+        "AS BIGINT)"
     )
     y = F.round(F.col("value"), 4).cast("decimal(20,4)")
     d = ev.select("event_type", x.alias("x"), y.alias("y"))
@@ -554,16 +569,20 @@ def diag_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # NULLIF guards every variance denominator: a zero-x-variance group
+    # (e.g. a singleton event type after regeneration) must yield NULL in
+    # BOTH engines — an unguarded double division throws DIVIDE_BY_ZERO
+    # under Spark's default ANSI mode where DuckDB returns NULL.
+    slope_us = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     r2 = F.when(n * syy - sy * sy == 0, F.lit(1.0)).otherwise(
         ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        / F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0))
     )
     return s.select(
         "event_type",
         n.cast("long").alias("n"),
-        F.round(slope, 8).alias("slope"),
-        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
+        F.round(slope_us * F.lit(3600000000.0), 8).alias("slope_per_hour"),
+        F.round(sy / n - slope_us * (sx / n), 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
 

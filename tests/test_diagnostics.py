@@ -186,7 +186,8 @@ def test_groupwise_ols_matches_numpy(spark, sf_dir):
         .select(
             "event_type",
             F.expr(
-                "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)"
+                "CAST(timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'2024-01-01 00:00:00', ts) AS BIGINT)"
             ).alias("x"),
             F.round("value", 4).alias("y"),
         )
@@ -194,8 +195,8 @@ def test_groupwise_ols_matches_numpy(spark, sf_dir):
     )
     for _, row in pdf.iterrows():
         g = pts[pts.event_type == row.event_type]
-        slope, intercept = np.polyfit(g["x"], g["y"], 1)
-        assert abs(row.slope - slope) < 1e-6, row.event_type
+        slope_us, intercept = np.polyfit(g["x"], g["y"], 1)
+        assert abs(row.slope_per_hour - slope_us * 3.6e9) < 1e-6, row.event_type
         assert abs(row.intercept - intercept) < 1e-3, row.event_type
         assert 0 <= row.r2 <= 1 + 1e-9
 
