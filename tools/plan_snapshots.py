@@ -118,6 +118,18 @@ HEADLINERS: dict[str, str] = {
     "finished byte strings per Arrow batch",
     "bpe_encode_corpus": "merges applied VOCABULARY-side; corpus encode "
     "is one exploded-tokens hash join onto the word->symbols table",
+    "graph_kcore_peel": "3 peel rounds on a monotonically shrinking edge "
+    "set: two semi-joins + one partial-agg'd count per round, lazy "
+    "localCheckpoint truncates the twice-consumed lineage",
+    "scd2_point_in_time_join": "equi hash join on the dimension key with "
+    "the half-open validity interval as a residual filter — the "
+    "temporal join without a range-explosion BNLJ",
+    "corpus_chunk_documents": "token table eager-persisted, then each "
+    "overlapping chunk is one slice of the cached array (per-chunk "
+    "re-tokenize trap avoided)",
+    "diag_groupwise_ols": "per-key closed-form normal equation: one "
+    "partial-agg'd pass collecting decimal-exact power sums, zero "
+    "further shuffles",
 }
 
 
