@@ -63,34 +63,78 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: the window. ALL queries — window and tail — additionally get sf0.01
 #: DuckDB parity in tools/parity_all.py (artifact: PARITY_FULL.json).
 #:
-#: ROTATION (round 4): driver-issued green rows accumulate across rounds
-#: (cumulative driver-green after r3: 83/151), so the window maximizes
-#: FIRST-TIME attestation: the trace plane (the reference's own
-#: semantics) keeps its 11 permanent slots, and all 39 remaining slots
-#: go to never-driver-checked queries — the full TPC-H closure
-#: (q2/q4/q7/q8/q9/q11/q12/q13/q17/q20/q22), the graph suite, the r3
-#: corpus ops (incl. the scale-fixed semdedup_prune), timeseries,
-#: diagnostics, the real WAV/PGM/Y4M codecs, ORC/CDC-diff sources,
-#: VARIANT/UDTF/pipe-syntax, and the exact-dedup + LM + BPE operators.
-#: Every query rotated OUT is driver-green in CORRECTNESS_r01/r02/r03
-#: and still parity-checked at both SFs every round (PARITY_FULL*.json).
-#: tests/test_registry.py pins the rotated-in set.
-#:
-#: ROUND-5 ROTATION CANDIDATES (oracle-backed, never driver-checked
-#: after this window lands): window_range_7day_revenue,
-#: agg_percentile_value, subquery_scalar_small_orders,
-#: subquery_in_supplier_nations, sample_hash_weighted,
-#: text_clean_normalize, text_repetition_ratio, corpus_dedup_stats,
-#: knn_recall_eval, embedding_quantize_int8, scan_partition_pruned,
-#: text_unigram_logprob, corpus_mixture_weights,
-#: aggstate_incremental_merge, join_bloom_runtime_filter,
-#: fuzzy_match_part_names, udaf_geomean_price, quality_classifier_infer,
-#: split_leakage_audit, quality_percentile_gate, corpus_diversity,
-#: branch_multiway_value_bands, anomaly_hourly_error_spikes,
-#: log_template_mining, multimodal_features, knn_cosine_numpy
-#: (+ any round-4 additions).
+#: ROTATION (round 5): driver-issued green rows accumulate across rounds
+#: (cumulative driver-green after r4: 126/167). ALL 50 window slots go
+#: to first-time attestation this round — even the trace plane rotates
+#: OUT (triple-green r2/r3/r4): the window is the 41 never-driver-
+#: checked queries (the full round-4 operator crop + the r2/r3 long
+#: tail), the two NEW round-5 operators (q21_waiting_suppliers,
+#: dedup_exact_substring), and 7 refreshers whose only attestation is
+#: round 1 (oldest evidence, re-confirmed on round-5 testdata). The
+#: one no-oracle entry in the window (agg_approx_percentile) is ranked
+#: last — it gets the driver's rows-only check. Every query rotated
+#: OUT is driver-green in CORRECTNESS_r01..r04 and still parity-checked
+#: at both SFs every round (PARITY_FULL*.json). tests/test_registry.py
+#: pins the rotated-in set.
 PRIORITY: list[str] = [
-    # -- reference core: trace plane (SURVEY §2.1 T1/T2/K1/K2, Q1-Q3, X5) --
+    # -- never driver-checked: relational / TPC-H-adjacent long tail --
+    "window_range_7day_revenue",
+    "agg_percentile_value",
+    "subquery_scalar_small_orders",
+    "subquery_in_supplier_nations",
+    "aggstate_incremental_merge",
+    "join_bloom_runtime_filter",
+    "udaf_geomean_price",
+    "branch_multiway_value_bands",
+    "anomaly_hourly_error_spikes",
+    "log_template_mining",
+    "scan_partition_pruned",
+    # -- NEW round 5: TPC-H Q21 proper + exact substring dedup --
+    "q21_waiting_suppliers",
+    "dedup_exact_substring",
+    # -- never driver-checked: LLM-pipeline / text long tail --
+    "sample_hash_weighted",
+    "text_clean_normalize",
+    "text_repetition_ratio",
+    "corpus_dedup_stats",
+    "knn_recall_eval",
+    "embedding_quantize_int8",
+    "text_unigram_logprob",
+    "corpus_mixture_weights",
+    "fuzzy_match_part_names",
+    "quality_classifier_infer",
+    "split_leakage_audit",
+    "quality_percentile_gate",
+    "corpus_diversity",
+    # -- never driver-checked: the full round-4 operator crop --
+    "graph_triangle_degree_ordered",
+    "ts_downsample_ohlc",
+    "ts_time_weighted_avg",
+    "corpus_importance_resample",
+    "bpe_encode_corpus",
+    "diag_correlation_matrix",
+    "scan_zorder_layout",
+    "attribution_last_touch",
+    "heavy_hitters_tokens",
+    "path_common_trigrams",
+    "ts_cusum_changepoint",
+    "scd2_point_in_time_join",
+    "graph_kcore_peel",
+    "corpus_chunk_documents",
+    "diag_groupwise_ols",
+    "dq_constraint_audit",
+    # -- refreshers: only attestation is round 1 (oldest evidence) --
+    "dedup_simhash",
+    "pack_token_shards",
+    "text_quality",
+    "text_tfidf_top_terms",
+    "q5_local_revenue",
+    "window_running_spend",
+    "agg_rollup_lineitem",
+    # -- window slot 50: no-oracle (driver rows-only check) --
+    "agg_approx_percentile",
+    # ---------------- position 51+: deliberate tail ----------------
+    # rotated OUT round 5 (triple-green r2/r3/r4): the trace plane
     "trace_route_even",
     "trace_route_odd",
     "trace_branch_law",
@@ -102,7 +146,7 @@ PRIORITY: list[str] = [
     "trace_baggage_propagation",
     "trace_hash_sampling",
     "logscan_grep",
-    # -- rotated IN round 4: TPC-H closure (never driver-checked) --
+    # rotated OUT round 5 (driver-green in CORRECTNESS_r04.json):
     "q2_min_cost_supplier",
     "q4_order_priority_check",
     "q7_nation_volume",
@@ -114,43 +158,34 @@ PRIORITY: list[str] = [
     "q17_small_quantity_revenue",
     "q20_promotion_suppliers",
     "q22_dormant_balance",
-    # -- rotated IN round 4: graph suite --
     "graph_pagerank_parts",
     "graph_triangle_count",
     "graph_walks_recursive_cte",
-    # -- rotated IN round 4: corpus ops (incl. scale-fixed semdedup) --
     "pii_redaction",
     "dup_chunk_filter",
     "bm25_search",
     "inverted_index_postings",
     "semdedup_prune",
-    # -- rotated IN round 4: timeseries --
     "ts_gap_fill_forward",
     "ts_max_concurrency_daily",
     "ts_markov_transitions",
-    # -- rotated IN round 4: diagnostics --
     "diag_key_skew",
     "diag_join_cardinality",
     "diag_psi_value_drift",
     "diag_value_histogram",
     "diag_column_profile",
-    # -- rotated IN round 4: real multimodal codecs --
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
     "multimodal_video_frame_stats",
-    # -- rotated IN round 4: sources / CDC diff --
     "source_orc_lineitem",
     "cdc_snapshot_diff",
-    # -- rotated IN round 4: Spark-4 type/API surface --
     "scalar_variant_extract",
     "udtf_sentence_explode",
     "pipe_syntax_shipping_margin",
-    # -- rotated IN round 4: dedup / LM / tokenizer --
     "dedup_prefix_jaccard",
     "dedup_incremental_minhash",
     "text_bigram_logprob",
     "bpe_merge_steps",
-    # ---------------- position 51+: deliberate tail ----------------
     # rotated OUT round 4 (driver-green in CORRECTNESS_r03.json):
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -212,64 +247,15 @@ PRIORITY: list[str] = [
     "unpivot_returnflag_measures",
     "subquery_exists_late_orders",
     # long-standing tail (parity-checked both SFs every round):
-    "text_quality",
-    "text_tfidf_top_terms",
     "text_lang_id",
     "text_token_count",
     "text_fingerprint",
-    "pack_token_shards",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "text_vocab_topk",
-    "q5_local_revenue",
     "join_anti_dormant",
-    "window_running_spend",
-    "window_range_7day_revenue",
-    "agg_rollup_lineitem",
     "agg_cube_orders",
-    "agg_percentile_value",
-    "subquery_scalar_small_orders",
-    "subquery_in_supplier_nations",
-    "sample_hash_weighted",
-    "text_clean_normalize",
-    "text_repetition_ratio",
-    "corpus_dedup_stats",
-    "knn_recall_eval",
-    "embedding_quantize_int8",
-    "scan_partition_pruned",
-    "text_unigram_logprob",
-    "corpus_mixture_weights",
-    "aggstate_incremental_merge",
-    "join_bloom_runtime_filter",
-    "fuzzy_match_part_names",
-    "udaf_geomean_price",
-    "quality_classifier_infer",
-    "split_leakage_audit",
-    "quality_percentile_gate",
-    "corpus_diversity",
-    "branch_multiway_value_bands",
-    "anomaly_hourly_error_spikes",
-    "log_template_mining",
-    # round-4 additions (never driver-checked yet — round-5 candidates):
-    "graph_triangle_degree_ordered",
-    "ts_downsample_ohlc",
-    "ts_time_weighted_avg",
-    "corpus_importance_resample",
-    "bpe_encode_corpus",
-    "diag_correlation_matrix",
-    "scan_zorder_layout",
-    "attribution_last_touch",
-    "heavy_hitters_tokens",
-    "path_common_trigrams",
-    "ts_cusum_changepoint",
-    "scd2_point_in_time_join",
-    "graph_kcore_peel",
-    "corpus_chunk_documents",
-    "diag_groupwise_ols",
-    "dq_constraint_audit",
     "multimodal_features",  # oracle: DuckDB hex-expansion byte stats
     "agg_approx_distinct",  # no oracle (rows-only; pytest error-bound)
-    "agg_approx_percentile",  # no oracle (rows-only; pytest error-bound)
     "knn_cosine_numpy",  # same oracle as knn_cosine_brute (identical results)
     "sample_stratified",  # no oracle (engine RNG, by design)
 ]

@@ -560,12 +560,15 @@ FROM c
 def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logflow.operators.cache import track
 
-    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 25 == 0)
-    t = track(
-        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-        .filter(F.size("toks") > 0)
-        .persist()
+    # Empty-doc guard on the RAW text (text matches \S iff tokenize is
+    # non-empty): a .filter(size(toks) > 0) over the projection would be
+    # pushed below it as size(tokenize(...)) > 0, re-inlining the chain
+    # into the Filter — 2x tokenize during cache materialization (the
+    # CLAUDE.md hof-in-filter trap, flagged by explain_audit in round 4).
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") % 25 == 0) & F.col("text").rlike(r"\S")
     )
+    t = track(docs.select("doc_id", tokenize(F.col("text")).alias("toks")).persist())
     t.count()  # materialize BEFORE the per-chunk consumer (see doc)
     sz = F.size("toks")
     nc = F.when(sz <= _CHUNK_C, 1).otherwise(

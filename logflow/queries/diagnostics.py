@@ -500,7 +500,14 @@ WITH d AS (
   SELECT event_type,
          CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
               AS BIGINT) AS x,
-         CAST(ROUND(value, 4) AS DECIMAL(20,4)) AS y
+         CAST(ROUND(value, 4) AS DECIMAL(20,4)) AS y,
+         -- y scaled to an exact integer (y has scale 4, so *10000 has a
+         -- zero fraction): y_int*y_int sums are exact integer arithmetic
+         -- in BOTH engines, where SUM(y*y) on decimals rounds the product
+         -- to scale 6 in Spark ((20,4)x(20,4) adjusts to DECIMAL(38,6))
+         -- but stays scale 8 in DuckDB — divergent once y carries 3-4
+         -- decimal digits.
+         CAST(y * 10000 AS BIGINT) AS y_int
   FROM events
 ),
 s AS (
@@ -509,7 +516,8 @@ s AS (
          CAST(SUM(x) AS DOUBLE) AS sx,
          CAST(SUM(y) AS DOUBLE) AS sy,
          CAST(SUM(CAST(x AS DECIMAL(20,0)) * CAST(x AS DECIMAL(20,0))) AS DOUBLE) AS sxx,
-         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(y_int AS DECIMAL(20,0)) * CAST(y_int AS DECIMAL(20,0)))
+              AS DOUBLE) / 100000000.0 AS syy,
          CAST(SUM(y * x) AS DOUBLE) AS sxy
   FROM d GROUP BY event_type
 )
@@ -556,7 +564,18 @@ def diag_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS BIGINT)"
     )
     y = F.round(F.col("value"), 4).cast("decimal(20,4)")
-    d = ev.select("event_type", x.alias("x"), y.alias("y"))
+    # y_int: y scaled to an exact BIGINT (scale-4 decimal * 10000 has a
+    # zero fraction, so the cast is exact in both engines). syy sums
+    # y_int*y_int in DECIMAL(20,0) products — exact integer arithmetic —
+    # because SUM(y*y) on scale-4 decimals rounds the product to scale 6
+    # in Spark ((20,4)x(20,4) adjusts to DECIMAL(38,6)) while DuckDB
+    # keeps scale 8 exact, diverging once y carries 3-4 decimal digits.
+    d = ev.select(
+        "event_type",
+        x.alias("x"),
+        y.alias("y"),
+        (y * F.lit(10000)).cast("bigint").alias("y_int"),
+    )
     s = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
@@ -564,7 +583,12 @@ def diag_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("decimal(20,0)") * F.col("x").cast("decimal(20,0)"))
         .cast("double")
         .alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        (
+            F.sum(
+                F.col("y_int").cast("decimal(20,0)") * F.col("y_int").cast("decimal(20,0)")
+            ).cast("double")
+            / F.lit(100000000.0)
+        ).alias("syy"),
         F.sum(F.col("y") * F.col("x")).cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")

@@ -1580,14 +1580,21 @@ GROUP BY source
     "Kept mass is reported as an exact decimal sum (no AVG divergence).",
 )
 def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    # Empty-doc guard as a RAW-COLUMN predicate: text matches \S iff
+    # size(tokenize(text)) > 0 (tokenize splits on \s+ and drops empties),
+    # so filtering BEFORE the tokenize projection is equivalent — and a
+    # post-projection .filter(n_tokens > 0) would be pushed down as
+    # size(tokenize(...)) > 0, re-inlining the whole tokenize chain into
+    # the Filter (the corpus is tokenized twice per scan — the CLAUDE.md
+    # hof-in-filter trap, flagged by tools/explain_audit.py in round 4).
+    # Bonus: this predicate pushes all the way to the parquet scan.
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("text").rlike(r"\S"))
     toks = tokenize(F.col("text"))
     t = docs.select("doc_id", "source", toks.alias("toks"))
     n_tokens = F.size("toks")
     n_stop = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
     q = (
         t.select("doc_id", "source", n_tokens.alias("n_tokens"), n_stop.alias("n_stop"))
-        .filter(F.col("n_tokens") > 0)
         .select(
             "doc_id",
             "source",
@@ -1894,3 +1901,104 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").isNotNull())
     )
     return heavy_hitters_exact(toks, "tok", _HH_K)
+
+
+# -- exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+#    Makes Language Models Better") --
+
+_SUBSTR_K = 20  # span length in tokens (the paper uses 50 BPE tokens; the
+#                 driver corpus averages ~54 whitespace tokens per doc, so
+#                 20 keeps multi-span resolution at every SF)
+_SUBSTR_PACK = 1 << 20  # packed (doc_id, pos) key: pos < 2^20 tokens/doc
+
+
+@register(
+    "dedup_exact_substring",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ') AS gram
+  FROM toks, unnest(range(1, greatest(len(t) - {_SUBSTR_K - 2}, 1))) u(i)
+),
+g AS (
+  SELECT md5(gram) AS gram_hash, MIN(gram) AS gram,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         MIN(doc_id * {_SUBSTR_PACK} + pos) AS first_span
+  FROM grams
+  GROUP BY md5(gram)
+  HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1
+)
+SELECT gram_hash, gram, n_spans, n_docs,
+       CAST(first_span // {_SUBSTR_PACK} AS BIGINT) AS first_doc,
+       CAST(first_span % {_SUBSTR_PACK} AS BIGINT) AS first_pos
+FROM g
+ORDER BY n_spans DESC, n_docs DESC, gram_hash
+LIMIT 200
+""",
+    doc="Exact substring dedup (Lee et al. 2022): cross-document repeated "
+    f"{_SUBSTR_K}-token spans via sorted positional k-grams — the "
+    "distributed equivalent of the paper's suffix-array scan. "
+    "posexplode_outer materializes the token stream ONCE (tokenize is "
+    "evaluated once per doc; plain posexplode would let Catalyst push a "
+    "size()>0 filter that re-inlines the chain — CLAUDE.md trap), a "
+    "doc-partitioned window frame [cur, cur+k-1] rebuilds each "
+    "positional k-gram, and repeated spans are one GROUP BY on the "
+    "128-bit md5 of the gram (the group key a 100 TB shuffle would use; "
+    "the gram text rides along as MIN — all members are the identical "
+    "string). The EXISTS-another-doc condition is n_docs > 1; the first "
+    "occurrence is an exact integer argmin over a packed "
+    "(doc_id, pos) key, so both engines pick the same span without "
+    "min_by. Output is the top-200 most-repeated spans under a total "
+    "order (n_spans DESC, n_docs DESC, gram_hash) — bounded even on "
+    "corpora with huge near-dup clusters (the round-3 testdata has "
+    "~3M Jaccard>=0.8 pairs at sf0.1; reporting GROUPS, not pairs, "
+    "keeps output linear in distinct repeated spans). At 100 TB: one "
+    "explode (row count = token count), one doc-local window sort, one "
+    "hash-key shuffle — no pairwise anything.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode_outer(tokenize("text")).alias("pos", "token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _SUBSTR_K - 1)
+    )
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.collect_list("token").over(w)).alias("gram"),
+            F.count("token").over(w).alias("glen"),
+        )
+        .filter(F.col("glen") == _SUBSTR_K)
+    )
+    g = (
+        grams.groupBy(F.md5("gram").alias("gram_hash"))
+        .agg(
+            F.min("gram").alias("gram"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.col("doc_id") * _SUBSTR_PACK + F.col("pos")).alias("first_span"),
+        )
+        .filter((F.col("n_spans") > 1) & (F.col("n_docs") > 1))
+    )
+    return g.select(
+        "gram_hash",
+        "gram",
+        "n_spans",
+        "n_docs",
+        F.expr(f"CAST(first_span DIV {_SUBSTR_PACK} AS BIGINT)").alias("first_doc"),
+        (F.col("first_span") % _SUBSTR_PACK).cast("long").alias("first_pos"),
+    ).orderBy(F.desc("n_spans"), F.desc("n_docs"), "gram_hash").limit(200)

@@ -212,7 +212,7 @@ SELECT event_type, day,
        ROUND(MIN(value), 4) AS low,
        ROUND(MIN(c), 4) AS close,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS vol_sum
+       CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2) AS DOUBLE) AS vol_sum
 FROM w
 GROUP BY event_type, day
 """,
@@ -250,7 +250,7 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("low"),
         F.round(F.min("c"), 4).alias("close"),
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(14,4)")), 2)
+        F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2)
         .cast("double")
         .alias("vol_sum"),
     )
@@ -417,8 +417,14 @@ cs AS (
   FROM dev
 ),
 sd AS (
+  -- operands widened past 18 digits: DuckDB decimal MULTIPLY keeps int64
+  -- width (DECIMAL(18,6)*DECIMAL(18,6) -> DECIMAL(18,12)) and overflows
+  -- at runtime once |dv| >= ~3035; width > 18 forces int128 ->
+  -- DECIMAL(38,12), exact at any data distribution. Spark widens its
+  -- side automatically ((18,6)x(18,6) -> (37,12)), same exact rational.
   SELECT event_type,
-         sqrt(CAST(SUM(dv * dv) AS DOUBLE) / COUNT(*)) AS sigma
+         sqrt(CAST(SUM(CAST(dv AS DECIMAL(20,6)) * CAST(dv AS DECIMAL(20,6)))
+                   AS DOUBLE) / COUNT(*)) AS sigma
   FROM dev GROUP BY event_type
 )
 SELECT c.event_type,

@@ -669,3 +669,77 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    doc="TPC-H Q21 suppliers-who-kept-orders-waiting: the last genuinely "
+    "distinct TPC-H plan shape — a DOUBLE correlated self-reference on "
+    "the same fact (EXISTS another supplier in the order AND NOT EXISTS "
+    "another LATE supplier) + dim filter + top-100. Adaptation to the "
+    "driver schema (no l_receiptdate/l_commitdate): 'late' = returned "
+    "(l_returnflag = 'R'), finalized orders o_orderstatus = 'F'. The "
+    "oracle keeps the literal EXISTS/NOT-EXISTS form; the Spark plan "
+    "collapses both correlated subqueries into ONE per-orderkey "
+    "aggregate — n_supp>=2 IS the EXISTS, n_late_supp=1 IS the "
+    "NOT-EXISTS (l1 is itself late, so the late-supplier set equals "
+    "{l1.suppkey} iff its size is 1), and SUM(n_late_rows) reproduces "
+    "COUNT(*) over l1 rows exactly. At 100 TB: lineitem is scanned ONCE "
+    "and shuffled ONCE on l_orderkey (where the textbook plan re-scans "
+    "the fact twice for the two correlated subqueries); everything "
+    "downstream is order-cardinality, the supplier/nation dims "
+    "broadcast, and the final top-100 is a tiny ordered limit.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    late = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late_rows"),
+        # well-defined: only read under the n_late_supp = 1 filter, where
+        # the MIN over a single distinct suppkey IS that supplier
+        F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    orders_f = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_7")
+    qualifying = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    return (
+        qualifying.join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

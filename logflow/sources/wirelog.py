@@ -155,7 +155,41 @@ def write_wirelog(wire_frames, path: str, n_files: int = 4) -> int:
     return sum(r.n for r in counts)
 
 
+#: Frames per Arrow RecordBatch yielded by the reader. Bounds reader
+#: memory to one batch of decoded frames per task regardless of file size.
+_ARROW_BATCH_ROWS = 8192
+
+
+def _arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("key", pa.binary()),
+            pa.field("value", pa.binary()),
+            pa.field(
+                "headers",
+                pa.list_(
+                    pa.struct([pa.field("key", pa.string()), pa.field("value", pa.binary())])
+                ),
+            ),
+        ]
+    )
+
+
 class WirelogReader(DataSourceReader):
+    """Arrow-batched wirelog scan.
+
+    ``read()`` yields ``pyarrow.RecordBatch`` (supported by the Spark 4
+    Python DataSource API), not per-frame tuples: the round-4 row-at-a-time
+    generator made this the slowest non-iterative bench query (2.8 s) —
+    every frame paid the Python->JVM row boundary. Batching frames into
+    Arrow moves the boundary to once per ~8k frames; frame DECODE is still
+    the pure-Python reference parser (_read_frames — the byte-level spec),
+    which streams through the file, so a task buffers one batch, never a
+    whole file.
+    """
+
     def __init__(self, options: dict):
         self._path = options.get("path")
         if not self._path:
@@ -170,7 +204,32 @@ class WirelogReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition: InputPartition):
-        yield from _read_frames(partition.value)
+        import pyarrow as pa
+
+        schema = _arrow_schema()
+        keys: list[bytes] = []
+        vals: list[bytes] = []
+        hdrs: list[list[dict]] = []
+
+        def flush():
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys, type=schema.field("key").type),
+                    pa.array(vals, type=schema.field("value").type),
+                    pa.array(hdrs, type=schema.field("headers").type),
+                ],
+                schema=schema,
+            )
+
+        for key, value, headers in _read_frames(partition.value):
+            keys.append(key)
+            vals.append(value)
+            hdrs.append([{"key": hk, "value": hv} for hk, hv in headers])
+            if len(keys) >= _ARROW_BATCH_ROWS:
+                yield flush()
+                keys, vals, hdrs = [], [], []
+        if keys:
+            yield flush()
 
 
 class WirelogDataSource(DataSource):

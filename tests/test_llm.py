@@ -41,6 +41,7 @@ LLM_QUERIES = [
     "dedup_incremental_minhash",
     "dedup_prefix_jaccard",
     "corpus_importance_resample",
+    "dedup_exact_substring",
 ]
 
 
@@ -394,3 +395,47 @@ def test_heavy_hitters_candidate_recall_guarantee(spark, sf_dir):
         (t, int(c)) for t, c in exact[exact["cnt"] * k > n][["tok", "cnt"]].values
     }
     assert got == want
+
+
+def test_exact_substring_spans_really_repeat(spark, sf_dir):
+    """Lee-et-al. re-check: rebuild positional k-grams brute-force in
+    pandas and (a) verify every reported span's text matches the tokens
+    at its reported (first_doc, first_pos) byte-for-byte, (b) verify the
+    reported counts equal the brute-force group sizes. Works on any seed
+    — if the corpus has no cross-document repeats the result is empty
+    and so is the expectation (no seed-coupled existence assertion)."""
+    import collections
+    import re
+
+    import pandas as pd
+
+    from logflow.queries import load_all
+    from logflow.queries.llm import _SUBSTR_K
+
+    out = load_all()["dedup_exact_substring"].fn(spark, sf_dir).toPandas()
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = {
+        r.doc_id: [t for t in re.split(r"\s+", r.text.lower()) if t]
+        for r in docs.itertuples()
+    }
+    groups: dict[str, list[tuple[int, int]]] = collections.defaultdict(list)
+    for doc_id, t in toks.items():
+        for i in range(len(t) - _SUBSTR_K + 1):
+            groups[" ".join(t[i : i + _SUBSTR_K])].append((doc_id, i))
+    expected = {
+        g: spans
+        for g, spans in groups.items()
+        if len(spans) > 1 and len({d for d, _ in spans}) > 1
+    }
+
+    assert len(out) == min(200, len(expected))
+    for r in out.itertuples():
+        spans = expected[r.gram]
+        # (a) byte-equality: the span at the reported offset IS the gram
+        t = toks[r.first_doc]
+        assert " ".join(t[r.first_pos : r.first_pos + _SUBSTR_K]) == r.gram
+        # (b) counts and argmin-span match brute force
+        assert r.n_spans == len(spans)
+        assert r.n_docs == len({d for d, _ in spans})
+        assert (r.first_doc, r.first_pos) == min(spans)

@@ -16,6 +16,7 @@ TPCH_QUERIES = [
     "q12_late_shipment_priority",
     "q17_small_quantity_revenue",
     "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 
@@ -89,3 +90,35 @@ def test_q17_single_row_scalar(spark, sf_dir):
 
     pdf = load_all()["q17_small_quantity_revenue"].fn(spark, sf_dir).toPandas()
     assert len(pdf) == 1
+
+
+def test_q21_aggregate_rewrite_matches_literal_exists(spark, sf_dir):
+    """The Spark plan collapses Q21's two correlated subqueries into one
+    per-orderkey aggregate; re-derive the answer from a literal Spark
+    EXISTS/NOT-EXISTS formulation and require identical rows (the DuckDB
+    oracle checks the same equivalence cross-engine; this pins it
+    in-engine and documents WHY the rewrite is exact)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    for t in ("lineitem", "orders", "supplier", "nation"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(f"q21_{t}")
+    literal = spark.sql(
+        """
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM q21_supplier, q21_lineitem l1, q21_orders, q21_nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+        """
+    ).collect()
+    rewritten = load_all()["q21_waiting_suppliers"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in rewritten] == [tuple(r) for r in literal]
