@@ -72,16 +72,56 @@ def cosine_topk(
     )
 
 
+def _assign_nearest(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sim_digits: int = 6,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment, MAP-SIDE: the k centroids collapse to a
+    single array row (collect_list of a k-row frame — bounded by the index
+    fanout, never the corpus), broadcast, and the per-vector argmax is one
+    codegen ``array_max(transform(...))`` over (rounded sim, -cid) structs —
+    identical ranking to ``ORDER BY sim DESC, cid`` (struct comparison is
+    field-by-field; negating cid turns the ascending tiebreak into a max).
+
+    This is the shape that matters at 100 TB: assignment is embarrassingly
+    parallel — no n×k crossJoin row blow-up, no window sort, no shuffle at
+    all — where the previous window formulation shuffled n×k scored rows
+    per pass (measured 2× on kmeans training at sf0.1 from the extra
+    exchanges alone). ``keep_vec`` carries the vector through for
+    consumers that need (cid, vec) without re-joining the corpus.
+    """
+    c = with_norm(centroids, "cvec", "cnorm")
+    carr = c.agg(F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("cents"))
+    v = with_norm(
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")), "vec", "vnorm"
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda cc: F.struct(
+                F.round(
+                    _dot(F.col("vec"), cc["cvec"]) / (F.col("vnorm") * cc["cnorm"]),
+                    sim_digits,
+                ).alias("csim"),
+                (-cc["cid"]).alias("negcid"),
+            ),
+        )
+    )
+    out = v.crossJoin(F.broadcast(carr)).select(
+        "vid", (-best["negcid"]).alias("cid"), *(["vec"] if keep_vec else [])
+    )
+    return out
+
+
 def assign_buckets(
     vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, sim_digits: int = 6
 ) -> DataFrame:
     """IVF coarse quantization: nearest centroid per vector → (id, cid)."""
-    c = with_norm(centroids, "cvec", "cnorm")
-    v = with_norm(vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")), "vec", "vnorm")
-    sim = F.round(_dot(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")), sim_digits)
-    scored = v.crossJoin(F.broadcast(c)).select("vid", "cid", sim.alias("csim"))
-    w = Window.partitionBy("vid").orderBy(F.desc("csim"), "cid")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("vid", "cid")
+    return _assign_nearest(vectors, centroids, id_col, vec_col, sim_digits)
 
 
 def ivf_topk(
@@ -100,7 +140,11 @@ def ivf_topk(
     Returns (qid, neighbor_id, rank, sim) — approximate by construction.
     """
     c = with_norm(centroids, "cvec", "cnorm")
-    assignments = assign_buckets(corpus, centroids, id_col, vec_col, sim_digits)
+    # keep_vec: the candidate vectors ride along through the bucket join —
+    # no second corpus shuffle to re-fetch them by vid.
+    assignments = _assign_nearest(
+        corpus, centroids, id_col, vec_col, sim_digits, keep_vec=True
+    ).withColumnRenamed("vec", "cvec2")
 
     q = with_norm(queries, "qvec", "qnorm")
     qsim = F.round(_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), sim_digits)
@@ -108,13 +152,7 @@ def ivf_topk(
     wq = Window.partitionBy("qid").orderBy(F.desc("csim"), "cid")
     probes = qscored.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe)
 
-    cand = (
-        assignments.join(probes.select("qid", "qvec", "cid"), "cid")
-        .join(
-            corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cvec2")),
-            "vid",
-        )
-    )
+    cand = assignments.join(F.broadcast(probes.select("qid", "qvec", "cid")), "cid")
     sim = F.round(_dot(F.col("cvec2"), F.col("qvec")) / (_norm(F.col("cvec2")) * _norm(F.col("qvec"))), sim_digits)
     scored = cand.select("qid", F.col("vid").alias("neighbor_id"), sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "neighbor_id")
@@ -234,3 +272,66 @@ def cosine_topk_numpy(
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "rank", "sim")
     )
+
+
+def kmeans_iterate(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int = 2,
+    sim_digits: int = 6,
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means for IVF coarse quantizers → (cid, cvec).
+
+    ``seeds``: (cid, cvec) initial centroids (deterministic — the caller
+    picks them, e.g. the lowest-id vectors). Each iteration is (1) a
+    nearest-centroid assignment (broadcast centroids, rounded-sim +
+    cid tiebreak — identical ranking to :func:`assign_buckets`) and (2) a
+    per-(cid, dim) EXACT mean: elements round to DECIMAL(18,6) before the
+    sum, so the numerator is order-independent integer-scaled arithmetic
+    and mean = exact-sum-as-double / exact-count is the identical IEEE
+    division in any engine — this is what keeps a trained index
+    oracle-checkable (the DuckDB mirror unrolls the same ``iters``
+    updates as nested CTEs, the PageRank pattern). Cosine ranking is
+    scale-invariant, so the plain mean IS spherical k-means here —
+    normalizing the centroid would not change any assignment or probe.
+
+    Empty clusters drop out (no assigned rows → no mean); both engines
+    agree because the assignment ranking is identical.
+
+    At 100 TB: per iteration, one broadcast-join assignment pass over the
+    corpus and one explode + groupBy into k·d cells — textbook
+    distributed k-means, no driver-side math, cost linear in corpus size
+    times ``iters`` (a fixed small constant, not data-dependent
+    convergence — deliberate: a convergence loop would make the oracle
+    unexpressible and the job's cost unpredictable at scale). The
+    trained centroids are persisted EAGERLY (k rows, lineage = the whole
+    training job): IVF retrieval consumes them in 2+ plan branches
+    (corpus assignment + query probes), and an unpersisted 8-row frame
+    re-runs the full training per branch (the CLAUDE.md multi-consumer
+    lineage trap — measured ~2× on knn_ivf_kmeans). track()ed so
+    release_all() reclaims the blocks.
+    """
+    from logflow.operators.cache import track
+
+    cent = seeds
+    for _ in range(iters):
+        assigned = _assign_nearest(
+            corpus, cent, id_col, vec_col, sim_digits, keep_vec=True
+        )
+        dims = assigned.select("cid", F.posexplode("vec").alias("d", "x"))
+        cell = dims.groupBy("cid", "d").agg(
+            (
+                F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        cent = (
+            cell.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select("cid", F.expr("transform(dm, s -> s.m)").alias("cvec"))
+        )
+    cent = track(cent.coalesce(1).persist())
+    cent.count()
+    return cent

@@ -98,6 +98,7 @@ PRIORITY: list[str] = [
     "text_repetition_ratio",
     "corpus_dedup_stats",
     "knn_recall_eval",
+    "knn_ivf_kmeans",
     "embedding_quantize_int8",
     "text_unigram_logprob",
     "corpus_mixture_weights",
@@ -130,7 +131,6 @@ PRIORITY: list[str] = [
     "text_tfidf_top_terms",
     "q5_local_revenue",
     "window_running_spend",
-    "agg_rollup_lineitem",
     # -- window slot 50: no-oracle (driver rows-only check) --
     "agg_approx_percentile",
     # ---------------- position 51+: deliberate tail ----------------
@@ -247,6 +247,7 @@ PRIORITY: list[str] = [
     "unpivot_returnflag_measures",
     "subquery_exists_late_orders",
     # long-standing tail (parity-checked both SFs every round):
+    "agg_rollup_lineitem",
     "text_lang_id",
     "text_token_count",
     "text_fingerprint",

@@ -24,6 +24,8 @@ PERSISTING_QUERIES = [
     "q11_important_parts",
     "heavy_hitters_tokens",
     "corpus_chunk_documents",
+    "knn_ivf_kmeans",
+    "knn_recall_eval",
 ]
 
 

@@ -42,6 +42,7 @@ LLM_QUERIES = [
     "dedup_prefix_jaccard",
     "corpus_importance_resample",
     "dedup_exact_substring",
+    "knn_ivf_kmeans",
 ]
 
 
@@ -439,3 +440,42 @@ def test_exact_substring_spans_really_repeat(spark, sf_dir):
         assert r.n_spans == len(spans)
         assert r.n_docs == len({d for d, _ in spans})
         assert (r.first_doc, r.first_pos) == min(spans)
+
+
+def test_kmeans_lloyd_step_exact_means(spark):
+    """One Lloyd iteration on an unambiguous toy layout: two well-
+    separated directions, two points each — the trained centroid must be
+    the EXACT per-dimension mean of its assigned points (the exact-
+    decimal arithmetic that keeps the trained index oracle-checkable)."""
+    from logflow.operators.similarity import kmeans_iterate
+
+    pts = [
+        (10, [1.0, 0.0, 0.1]),
+        (11, [1.0, 0.0, 0.3]),
+        (12, [0.0, 1.0, 0.1]),
+        (13, [0.0, 1.0, 0.3]),
+    ]
+    corpus = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cid long, cvec array<double>",
+    )
+    cent = {
+        r.cid: list(r.cvec)
+        for r in kmeans_iterate(corpus, seeds, "vec_id", "embedding", iters=1).collect()
+    }
+    assert cent == {0: [1.0, 0.0, 0.2], 1: [0.0, 1.0, 0.2]}
+
+
+def test_kmeans_trained_recall_is_measured_both_ways(spark, sf_dir):
+    """recall_kmeans must be internally consistent (n_matched/n_truth)
+    and the trained index must return exactly k=3 rows per query — the
+    comparison itself is data-dependent (training can help OR hurt, see
+    the knn_recall_eval doc), so no direction is asserted."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["knn_recall_eval"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_truth"] == 3).all()
+    assert ((pdf["n_matched_kmeans"] / pdf["n_truth"]).round(4) == pdf["recall_kmeans"]).all()
+    ivf = load_all()["knn_ivf_kmeans"].fn(spark, sf_dir).toPandas()
+    assert (ivf.groupby("qid")["rank"].count() == 3).all()

@@ -62,6 +62,7 @@ ROTATED_IN_R5_FIRST_TIME = [
     "text_repetition_ratio",
     "corpus_dedup_stats",
     "knn_recall_eval",
+    "knn_ivf_kmeans",
     "embedding_quantize_int8",
     "text_unigram_logprob",
     "corpus_mixture_weights",
@@ -96,7 +97,6 @@ ROTATED_IN_R5_REFRESHERS = [
     "text_tfidf_top_terms",
     "q5_local_revenue",
     "window_running_spend",
-    "agg_rollup_lineitem",
 ]
 
 

@@ -38,6 +38,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     },
     "knn_cosine_brute": {"bnlj": "query set is the broadcast side (10 rows)"},
     "knn_cosine_ivf": {"bnlj": "centroid set is the broadcast side (8 rows)"},
+    "knn_ivf_kmeans": {
+        "bnlj": "centroid set is the broadcast side (8 rows, incl. the "
+        "per-Lloyd-iteration assignment crossJoins — k is fixed and tiny)"
+    },
     "knn_recall_eval": {
         "bnlj": "composes knn_cosine_brute + knn_cosine_ivf: broadcast "
         "sides are the 10-row query set / 8-row centroid set"
