@@ -246,6 +246,15 @@ PRIORITY: list[str] = [
     "agg_pivot_event_types",
     "unpivot_returnflag_measures",
     "subquery_exists_late_orders",
+    # NEW round 5 (post-window: candidates for the round-6 rotation):
+    "assoc_rules_copurchase",
+    "streak_longest_daily",
+    "skyline_pareto_parts",
+    "auc_label_separability",
+    "pmi_collocations",
+    "ts_ewma_daily",
+    "lateral_topk_per_brand",
+    "sql_udf_net_margin",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",
@@ -271,6 +280,7 @@ def load_all() -> dict[str, Query]:
         diagnostics,
         graph,
         llm,
+        mining,
         multimodal,
         relational,
         timeseries,

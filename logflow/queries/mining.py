@@ -1,0 +1,417 @@
+"""Pattern-mining / evaluation operators: association rules, streaks,
+skyline, AUC, PMI collocations.
+
+Reference tie-in: the reference's topology is a fixed pipeline over keyed
+records (StreamsConfig.java); these queries extend the same declarative
+surface to the classic data-mining shapes a production analytics engine is
+asked for — market-basket rules over order baskets, gaps-and-islands
+streaks over event days, Pareto frontiers over part attributes, ranking-
+quality (AUC) evaluation for in-engine classifiers, and PMI collocation
+extraction for the LLM-corpus plane.
+
+Cross-engine determinism: every ratio is a single IEEE division of exact
+BIGINT (or decimal-rounded) operands with identical parenthesization in
+both engines, then ROUND — the ln/log calls follow the PSI "ln recipe"
+(round the argument's exact-integer ratio only once, 6 dp output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logflow.queries import register
+from logflow.sources.tables import load_table
+
+
+@register(
+    "assoc_rules_copurchase",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c_i FROM li GROUP BY l_partkey),
+freq AS (SELECT l_orderkey, li.l_partkey, c_i FROM li JOIN item ON li.l_partkey = item.l_partkey
+         WHERE c_i >= 2),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS c_ab,
+         MAX(a.c_i) AS c_a, MAX(b.c_i) AS c_b
+  FROM freq a JOIN freq b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2)
+SELECT pa, pb, c_ab, c_a, c_b,
+       ROUND(CAST(c_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support,
+       ROUND(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE), 6) AS confidence,
+       ROUND((CAST(c_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+             / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)), 6) AS lift
+FROM pairs, n
+ORDER BY c_ab DESC, pa, pb
+LIMIT 100
+""",
+    doc="Market-basket association rules over order baskets (basket = the "
+    "distinct parts of one order): frequent co-purchased pairs with "
+    "support / confidence / lift. Apriori monotonicity is applied for "
+    "real — items below the pair support floor are pruned BEFORE the "
+    "basket self-join (a pair can never out-count its rarest item), so "
+    "the quadratic-in-basket-size pair generation runs on the reduced "
+    "basket table. At 100 TB: baskets co-partition on the order key (one "
+    "shuffle, which the self-join reuses), per-item counts are "
+    "vocabulary-sized, the basket total is a 1-row broadcast, and pair "
+    "blow-up is bounded by basket width (TPC-H ≤ 7 lines/order) times "
+    "the post-pruning basket count — the standard distributed Apriori "
+    "first pass. Metrics are single IEEE divisions of exact BIGINTs, "
+    "identically parenthesized in both engines.",
+)
+def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    # 4 consumers (item counts, both self-join sides via freq, basket
+    # total) — eager persist per the multi-branch lineage rule.
+    li = track(li.persist())
+    li.count()
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c_i"))
+    freq = li.join(item, "l_partkey").filter(F.col("c_i") >= 2)
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    )
+    a = freq.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_partkey").alias("pa"),
+        F.col("c_i").alias("ca_i"),
+    )
+    b = freq.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_partkey").alias("pb"),
+        F.col("c_i").alias("cb_i"),
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_ab"),
+            F.max("ca_i").alias("c_a"),
+            F.max("cb_i").alias("c_b"),
+        )
+        .filter(F.col("c_ab") >= 2)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(d("c_ab") / d("n_baskets"), 6).alias("support"),
+            F.round(d("c_ab") / d("c_a"), 6).alias("confidence"),
+            F.round((d("c_ab") * d("n_baskets")) / (d("c_a") * d("c_b")), 6).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("c_ab"), "pa", "pb")
+        .limit(100)
+    )
+
+
+@register(
+    "streak_longest_daily",
+    """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+n AS (SELECT user_id, d,
+             date_diff('day', DATE '1970-01-01', d) AS dayno,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM d),
+isl AS (SELECT user_id, MIN(d) AS streak_start,
+               CAST(COUNT(*) AS BIGINT) AS streak_days
+        FROM n GROUP BY user_id, dayno - rn),
+best AS (SELECT user_id, streak_start, streak_days,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY streak_days DESC, streak_start) AS pick
+         FROM isl)
+SELECT user_id, streak_days, CAST(streak_start AS TIMESTAMP) AS streak_start
+FROM best WHERE pick = 1
+ORDER BY streak_days DESC, user_id
+LIMIT 300
+""",
+    doc="Gaps-and-islands: each user's longest run of consecutive active "
+    "days (earliest such run on ties). The island key is the classic "
+    "dayno - row_number() — pure integer date arithmetic, so islands "
+    "are engine-exact. At 100 TB: the distinct, both windows, and the "
+    "island aggregate all share ONE user_id hash partitioning (Catalyst "
+    "chains them without re-shuffling); per-user state is bounded by "
+    "active days, never event count.",
+)
+def streak_longest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    n = d.select(
+        "user_id",
+        "d",
+        F.datediff("d", F.lit("1970-01-01")).alias("dayno"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("d"))
+        .alias("rn"),
+    )
+    isl = (
+        n.groupBy("user_id", (F.col("dayno") - F.col("rn")).alias("island"))
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.count(F.lit(1)).cast("long").alias("streak_days"),
+        )
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), "streak_start"
+    )
+    return (
+        isl.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.col("streak_start").cast("timestamp").alias("streak_start"),
+        )
+        .orderBy(F.desc("streak_days"), "user_id")
+        .limit(300)
+    )
+
+
+@register(
+    "skyline_pareto_parts",
+    """
+WITH p AS (SELECT p_partkey, p_size,
+                  CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+           FROM part WHERE p_partkey % 3 = 0)
+SELECT p_partkey, price_cents, CAST(p_size AS BIGINT) AS p_size
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
+ORDER BY price_cents, p_partkey
+""",
+    doc="2-D Pareto frontier (skyline) over parts: minimize price, "
+    "maximize size — no part on the frontier is beaten on both axes. "
+    "The oracle states dominance directly (NOT EXISTS); the engine side "
+    "is the DISTRIBUTED formulation: bucket by price band, per-band max "
+    "size (band-count-sized), a running max over bands as the broadcast "
+    "carry-in, then a per-band RANGE window for the strictly-cheaper max "
+    "— the same two-phase prefix-max decomposition as the interval "
+    "concurrency sweep, so no global single-partition sort ever forms. "
+    "A row survives iff its size beats every strictly-cheaper row's max "
+    "and ties the max at its own price point. Prices are exact integer "
+    "cents; equal (price, size) duplicates are mutually non-dominating "
+    "in both formulations.",
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_partkey") % 3 == 0)
+    p = part.select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    ).withColumn("band", F.expr("price_cents DIV 10000"))
+    # phase 1: per-band max (band-count-sized — one tiny aggregate)
+    bmax = p.groupBy("band").agg(F.max("p_size").alias("band_max"))
+    carry = bmax.select(
+        "band",
+        F.max("band_max")
+        .over(
+            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("carry_max"),
+    )
+    # phase 2: within-band strictly-cheaper max, seeded by the carry-in
+    wband = (
+        Window.partitionBy("band")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    scored = (
+        p.join(F.broadcast(carry), "band")
+        .withColumn("in_band_max", F.max("p_size").over(wband))
+        .withColumn(
+            "cheaper_max",
+            F.greatest(
+                F.coalesce(F.col("carry_max"), F.lit(-1)),
+                F.coalesce(F.col("in_band_max"), F.lit(-1)),
+            ),
+        )
+        .withColumn(
+            "at_price_max",
+            F.max("p_size").over(Window.partitionBy("band", "price_cents")),
+        )
+    )
+    return (
+        scored.filter(
+            (F.col("p_size") > F.col("cheaper_max"))
+            & (F.col("p_size") == F.col("at_price_max"))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+@register(
+    "auc_label_separability",
+    """
+WITH s AS (
+  SELECT vec_id,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+         ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64, 6) AS score
+  FROM embeddings),
+r AS (SELECT vec_id, y, score,
+             RANK() OVER (ORDER BY score) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) AS ties
+      FROM s),
+agg AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+               SUM(CASE WHEN y = 1
+                        THEN rk + (ties - 1) / 2.0 ELSE 0 END) AS rank_sum
+        FROM r)
+SELECT n_pos, n_neg,
+       ROUND((rank_sum - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc,
+       ROUND(2 * ((rank_sum - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1, 6) AS gini
+FROM agg
+""",
+    doc="Ranking-quality evaluation IN-ENGINE: tie-corrected AUC "
+    "(Mann-Whitney rank-sum) of a deterministic embedding score against "
+    "a binarized label, plus the Gini coefficient — the metric loop run "
+    "over every classifier the corpus plane trains (quality filters, "
+    "contamination detectors) without leaving the engine. Ties share an "
+    "average rank (rank + (ties-1)/2 — exact halves in doubles), the "
+    "rank sum stays far under 2^52, and the final AUC is one IEEE "
+    "division of identical operands in both engines. The global rank "
+    "window is EVAL-SET-sized by design (scored samples, not the "
+    "corpus) — the same bounded-sample contract as knn_recall_eval; "
+    "range-partitioned ranking takes over if an eval set ever outgrows "
+    "one partition.",
+)
+def auc_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    score = F.round(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / 64,
+        6,
+    )
+    s = emb.select(
+        "vec_id",
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        score.alias("score"),
+    )
+    r = s.select(
+        "y",
+        F.rank().over(Window.orderBy("score")).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("score"))
+        .cast("long")
+        .alias("ties"),
+    )
+    agg = r.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        F.sum(
+            F.when(
+                F.col("y") == 1, F.col("rk") + (F.col("ties") - 1) / 2.0
+            ).otherwise(0.0)
+        ).alias("rank_sum"),
+    )
+    np, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    auc = (F.col("rank_sum") - np * (np + 1) / 2) / (np * nn)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini"),
+    )
+
+
+@register(
+    "pmi_collocations",
+    r"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '') AS toks
+           FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM t),
+u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM uni GROUP BY w),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM uni),
+bg AS (SELECT x[1] AS w1, x[2] AS w2
+       FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS x
+             FROM t WHERE len(toks) >= 2)),
+b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_12 FROM bg GROUP BY w1, w2),
+n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM bg)
+SELECT w1, w2, c_12, u1.c_w AS c_1, u2.c_w AS c_2,
+       ROUND(LN(((CAST(c_12 AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                 / (CAST(u1.c_w AS DOUBLE) * CAST(u2.c_w AS DOUBLE)))
+                * (CAST(n_tokens AS DOUBLE) / CAST(n_bigrams AS DOUBLE))), 6) AS pmi
+FROM b JOIN u u1 ON b.w1 = u1.w
+       JOIN u u2 ON b.w2 = u2.w, n1, n2
+WHERE c_12 >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 100
+""",
+    doc="PMI collocation extraction over the document corpus: bigrams "
+    "whose co-occurrence beats the independence baseline, ln p(w1,w2) / "
+    "(p(w1)p(w2)) with a min-count floor — the classic phrase/collocation "
+    "detector for tokenizer vocab design and corpus QA (complements "
+    "text_bigram_logprob, which scores docs under the conditional LM "
+    "rather than ranking the pairs). Bigrams are the zip-of-slices form "
+    "(each slice evaluates the token array once — the transform/"
+    "element_at trap measured 10× slower), counts are map-side partial "
+    "aggregates into vocabulary-sized tables, totals are 1-row "
+    "broadcasts, and the PMI argument is assembled with IDENTICAL "
+    "parenthesization in both engines before the single ln (the PSI ln "
+    "recipe). At 100 TB the only corpus-scale work is the explode; "
+    "everything after is vocab-scale joins on uniform token keys.",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize("text")
+    sz = F.size(toks)
+    zipped = F.when(
+        sz >= 2, F.arrays_zip(F.slice(toks, 1, sz - 1), F.slice(toks, 2, sz - 1))
+    )
+    uni = docs.select(F.explode_outer(toks).alias("w")).filter(
+        F.col("w").isNotNull()
+    )
+    u = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    n1 = uni.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    bg = (
+        docs.select(F.explode_outer(zipped).alias("x"))
+        .filter(F.col("x").isNotNull())
+        .select(F.col("x.0").alias("w1"), F.col("x.1").alias("w2"))
+    )
+    b = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c_12"))
+    n2 = bg.agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pmi = F.round(
+        F.log(
+            ((d("c_12") * d("n_tokens")) / (d("c_1") * d("c_2")))
+            * (d("n_tokens") / d("n_bigrams"))
+        ),
+        6,
+    )
+    return (
+        b.filter(F.col("c_12") >= 5)
+        .join(u.select(F.col("w").alias("w1"), F.col("c_w").alias("c_1")), "w1")
+        .join(u.select(F.col("w").alias("w2"), F.col("c_w").alias("c_2")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("w1", "w2", "c_12", "c_1", "c_2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(100)
+    )

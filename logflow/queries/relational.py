@@ -2849,3 +2849,92 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_facts"),
         F.countDistinct("custkey").cast("long").alias("n_customers"),
     )
+
+
+@register(
+    "lateral_topk_per_brand",
+    """
+SELECT b.p_brand, l.p_partkey, l.p_retailprice
+FROM (SELECT DISTINCT p_brand FROM part) b,
+LATERAL (SELECT p_partkey, p_retailprice FROM part p
+         WHERE p.p_brand = b.p_brand
+         ORDER BY p_retailprice DESC, p_partkey LIMIT 3) l
+ORDER BY b.p_brand, l.p_retailprice DESC, l.p_partkey
+""",
+    doc="Correlated LATERAL subquery with per-group ORDER BY + LIMIT: the "
+    "3 priciest parts per brand, written as `FROM brands, LATERAL "
+    "(... LIMIT 3)` — the SQL-standard correlated-table-function form "
+    "(Spark 4 lateral join; byte-identical SQL text runs on DuckDB, the "
+    "same both-engines-one-text proof as pipe_syntax / recursive-CTE). "
+    "Catalyst decorrelates it to a windowed rank over ONE part scan — "
+    "no per-brand re-scan survives in the physical plan, which is the "
+    "whole point at 100 TB: lateral is surface syntax, the execution is "
+    "the same single-shuffle top-k-per-group as "
+    "window_top3_orders_per_customer. The brand domain is "
+    "dimension-sized; ties beyond the price carry the partkey tiebreak "
+    "so the row set is engine-exact.",
+)
+def lateral_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT b.p_brand, l.p_partkey, l.p_retailprice
+        FROM (SELECT DISTINCT p_brand FROM part) b,
+        LATERAL (SELECT p_partkey, p_retailprice FROM part p
+                 WHERE p.p_brand = b.p_brand
+                 ORDER BY p_retailprice DESC, p_partkey LIMIT 3) l
+        ORDER BY b.p_brand, l.p_retailprice DESC, l.p_partkey
+        """
+    )
+
+
+@register(
+    "sql_udf_net_margin",
+    """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))
+                      * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS net_charge
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="SQL scalar UDF surface (Spark 4 `CREATE TEMPORARY FUNCTION ... "
+    "RETURNS type RETURN expr`): the per-line net charge is packaged "
+    "as a catalog function and invoked from a plain aggregate query. "
+    "SQL UDFs are INLINED by Catalyst at analysis time — the optimized "
+    "plan is identical to writing the expression in place (unlike "
+    "Python UDFs there is no serialization boundary and codegen/"
+    "pushdown survive), which the oracle proves by hash: DuckDB runs "
+    "the expanded expression directly. The function body is EXACT "
+    "decimal arithmetic (the q1 idiom) returning DECIMAL(20,6) — a "
+    "double-returning body would re-hit the round-a-double divergence "
+    "(Spark rounds the shortest decimal repr, DuckDB the binary value, "
+    "measured diverging at sf0.01). At 100 TB this is the "
+    "governance story — shared business logic lives in one catalog "
+    "definition with zero plan cost.",
+)
+def sql_udf_net_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_charge(p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DECIMAL(20,6)
+        RETURN CAST(p AS DECIMAL(12,2)) * CAST(1 - d AS DECIMAL(4,2))
+               * CAST(1 + t AS DECIMAL(4,2))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(ROUND(SUM(net_charge(l_extendedprice, l_discount, l_tax)), 2)
+                    AS DOUBLE) AS net_charge
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

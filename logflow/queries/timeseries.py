@@ -497,3 +497,65 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_flagged"),
         )
     )
+
+
+@register(
+    "ts_ewma_daily",
+    """
+WITH f AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+           FROM events WHERE user_id % 9 = 0),
+d AS (SELECT user_id, day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS v
+      FROM f GROUP BY user_id, day),
+w AS (SELECT user_id, day, v,
+             array_agg(v) OVER (PARTITION BY user_id ORDER BY day
+                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs
+      FROM d)
+SELECT user_id, day, v,
+       list_reduce(vs, (acc, x) -> (acc + x) / 2) AS ewma
+FROM w
+ORDER BY user_id, day
+""",
+    doc="Exponentially weighted moving average (alpha = 1/2) of each "
+    "user's daily value over a 10-day frame — the standard smoothing "
+    "pass before thresholding or trend detection. The EWMA is a "
+    "SEQUENTIAL fold s' = (s + x)/2 over the ordered frame array "
+    "(collect over a 10-row window, then one reduce) — NOT a weighted "
+    "window sum: because both engines fold the identical value sequence "
+    "in the identical order, every intermediate IEEE add/halve is "
+    "bit-identical — the raw doubles hash-match with NO final rounding "
+    "(rounding is the one divergence: Spark rounds the shortest decimal "
+    "repr, DuckDB the binary value, and they split at half boundaries). At 100 TB: the "
+    "daily aggregate, the frame collect, and the fold share ONE user_id "
+    "shuffle; per-row state is the fixed 10-element frame, and the fold "
+    "is codegen'd JVM work (no Python, no UDF).",
+)
+def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") % 9 == 0)
+    d = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    frame = (
+        Window.partitionBy("user_id").orderBy("day").rowsBetween(-9, Window.currentRow)
+    )
+    w = d.withColumn("vs", F.collect_list("v").over(frame))
+    # NO final rounding: the fold is bit-identical across engines (same
+    # operand bits, same operation order), and ROUND itself is the only
+    # divergence risk (Spark rounds the shortest decimal repr, DuckDB the
+    # binary value — they disagree exactly at x.xxxxxx5 boundaries).
+    ewma = F.expr("reduce(slice(vs, 2, size(vs) - 1), vs[0], (acc, x) -> (acc + x) / 2)")
+    return (
+        w.select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            "v",
+            ewma.alias("ewma"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -26,6 +26,7 @@ PERSISTING_QUERIES = [
     "corpus_chunk_documents",
     "knn_ivf_kmeans",
     "knn_recall_eval",
+    "assoc_rules_copurchase",
 ]
 
 

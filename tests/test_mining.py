@@ -1,0 +1,156 @@
+"""Oracle parity + invariants for the pattern-mining/evaluation operators
+(logflow/queries/mining.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+MINING_QUERIES = [
+    "assoc_rules_copurchase",
+    "streak_longest_daily",
+    "skyline_pareto_parts",
+    "auc_label_separability",
+    "pmi_collocations",
+]
+
+
+@pytest.mark.parametrize("name", MINING_QUERIES)
+def test_mining_parity(spark, duck, sf_dir, name):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, name, sf_dir)
+
+
+def test_assoc_rules_metric_identities(spark, sf_dir):
+    """support/confidence/lift satisfy their definitional identities and
+    bounds on every emitted rule (pair counts can never exceed either
+    item count — Apriori monotonicity)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["assoc_rules_copurchase"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        pytest.skip("no pair reached the support floor at this SF/seed")
+    assert (pdf["c_ab"] <= pdf[["c_a", "c_b"]].min(axis=1)).all()
+    assert ((pdf["confidence"] > 0) & (pdf["confidence"] <= 1)).all()
+    assert (pdf["support"] > 0).all()
+    assert (pdf["lift"] > 0).all()
+    assert (pdf["pa"] < pdf["pb"]).all()
+
+
+def test_streaks_really_consecutive(spark, sf_dir):
+    """Every reported longest streak is a genuine run: re-derive each
+    user's day set and verify the [start, start+len) window is fully
+    active and not extendable on the left."""
+    import pandas as pd
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["streak_longest_daily"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .selectExpr("user_id", "to_date(ts) AS d")
+        .distinct()
+        .toPandas()
+    )
+    days_by_user = {u: set(g["d"]) for u, g in ev.groupby("user_id")}
+    for r in pdf.head(50).itertuples():
+        days = days_by_user[r.user_id]
+        start = pd.Timestamp(r.streak_start).date()
+        run = [start + pd.Timedelta(days=i) for i in range(r.streak_days)]
+        assert all(pd.Timestamp(x).date() in days for x in run)
+        assert (start - pd.Timedelta(days=1)) not in days, "run extends left"
+
+
+def test_skyline_is_exactly_the_undominated_set(spark, sf_dir):
+    """The distributed two-phase formulation equals the brute-force
+    dominance definition recomputed in pandas."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    got = (
+        load_all()["skyline_pareto_parts"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["price_cents", "p_partkey"])
+        .reset_index(drop=True)
+    )
+    pts = (
+        load_table(spark, "part", sf_dir)
+        .filter("p_partkey % 3 = 0")
+        .selectExpr(
+            "p_partkey",
+            "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents",
+            "CAST(p_size AS BIGINT) AS p_size",
+        )
+        .toPandas()
+    )
+    rows = pts.to_records(index=False)
+    keep = []
+    for k, pc, sz in rows:
+        dominated = any(
+            (qc <= pc and qs >= sz and (qc < pc or qs > sz)) for _, qc, qs in rows
+        )
+        if not dominated:
+            keep.append((k, pc, sz))
+    expect = sorted(keep, key=lambda t: (t[1], t[0]))
+    assert [tuple(r) for r in got.to_records(index=False)] == expect
+
+
+def test_auc_matches_sklearn_free_reference(spark, sf_dir):
+    """Tie-corrected rank-sum AUC equals a direct pairwise computation
+    (wins + half-ties over all pos/neg pairs) on the same scores."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    row = load_all()["auc_label_separability"].fn(spark, sf_dir).toPandas().iloc[0]
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .selectExpr(
+            "CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y",
+            "round(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            " 0D, (a, x) -> a + x) / 64, 6) AS s",
+        )
+        .toPandas()
+    )
+    pos = emb.loc[emb.y == 1, "s"].to_numpy()
+    neg = emb.loc[emb.y == 0, "s"].to_numpy()
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - auc) < 1e-6
+    assert abs(row["gini"] - (2 * auc - 1)) < 1e-6
+
+
+def test_pmi_is_symmetric_in_definition(spark, sf_dir):
+    """PMI recomputes exactly from the emitted counts (the ln argument is
+    a pure function of c_12, c_1, c_2 and the corpus totals), and every
+    emitted pair meets the count floor."""
+    import numpy as np
+
+    from logflow.functions.text import tokenize
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["pmi_collocations"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        pytest.skip("no bigram reached the count floor at this SF/seed")
+    assert (pdf["c_12"] >= 5).all()
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(tokenize("text")).alias("w"))
+    n1 = toks.count()
+    n2 = toks.count() - docs.filter(F.size(tokenize("text")) >= 1).count()
+    got = pdf["pmi"].to_numpy()
+    want = np.round(
+        np.log(
+            ((pdf.c_12.to_numpy() * float(n1)) / (pdf.c_1.to_numpy() * pdf.c_2.to_numpy()))
+            * (float(n1) / float(n2))
+        ),
+        6,
+    )
+    assert np.allclose(got, want, atol=2e-6)

@@ -76,6 +76,8 @@ RELATIONAL_QUERIES = [
     "retention_weekly_cohorts",
     "anomaly_hourly_error_spikes",
     "log_template_mining",
+    "lateral_topk_per_brand",
+    "sql_udf_net_margin",
 ]
 
 
@@ -342,3 +344,51 @@ def test_scd2_pit_conserves_facts(spark, sf_dir):
         load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") % 5 != 0).count()
     )
     assert int(pdf["n_facts"].sum()) == n_facts
+
+
+def test_lateral_topk_decorrelates_to_one_scan(spark, sf_dir):
+    """The LATERAL form must yield exactly the window-rank top-3 per
+    brand (cross-check against the classic formulation), and at most 3
+    rows per brand appear."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["lateral_topk_per_brand"].fn(spark, sf_dir).toPandas()
+    assert (pdf.groupby("p_brand")["p_partkey"].count() <= 3).all()
+    from logflow.sources.tables import load_table
+
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
+    classic = spark.sql(
+        """
+        SELECT p_brand, p_partkey, p_retailprice FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part) WHERE rn <= 3
+        ORDER BY p_brand, p_retailprice DESC, p_partkey
+        """
+    ).toPandas()
+    assert pdf.reset_index(drop=True).equals(classic.reset_index(drop=True))
+
+
+def test_sql_udf_inlines_to_expression_plan(spark, sf_dir):
+    """The SQL UDF must be analysis-time inlined: the optimized plan
+    contains no UDF/python-eval node, and the result equals writing the
+    expression in place."""
+    from logflow.queries import load_all
+
+    df = load_all()["sql_udf_net_margin"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    inline = spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(4,2))
+                              * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS net_charge
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).toPandas()
+    assert df.toPandas().equals(inline)

@@ -154,3 +154,33 @@ def test_cusum_invariants(spark, sf_dir):
     assert len(pdf) > 0
     assert (pdf["max_abs_cusum"] >= 0).all()
     assert (pdf["n_flagged"] <= pdf["n_days"]).all()
+
+
+def test_ewma_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_ewma_daily", sf_dir)
+
+
+def test_ewma_matches_sequential_recurrence(spark, sf_dir):
+    """The window-collect + fold equals the textbook per-user sequential
+    recurrence s' = (s + x)/2 restarted on a 10-day frame, recomputed in
+    plain Python — and is exactly the raw double (no rounding layer)."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ts_ewma_daily"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "day"])
+    )
+    assert len(pdf) > 0
+    for _, g in pdf.groupby("user_id"):
+        vs = g["v"].tolist()
+        got = g["ewma"].tolist()
+        for i in range(len(vs)):
+            frame = vs[max(0, i - 9) : i + 1]
+            acc = frame[0]
+            for x in frame[1:]:
+                acc = (acc + x) / 2
+            assert got[i] == acc, "fold diverges from sequential recurrence"

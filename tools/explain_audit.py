@@ -37,6 +37,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "hof-in-filter": "size(g)>0 over the bounded ≤60-doc subset",
     },
     "knn_cosine_brute": {"bnlj": "query set is the broadcast side (10 rows)"},
+    "assoc_rules_copurchase": {
+        "bnlj": "the 1-row basket-count aggregate is the broadcast side"
+    },
+    "pmi_collocations": {
+        "bnlj": "the two 1-row corpus totals (n_tokens, n_bigrams) are "
+        "the broadcast sides"
+    },
     "knn_cosine_ivf": {"bnlj": "centroid set is the broadcast side (8 rows)"},
     "knn_ivf_kmeans": {
         "bnlj": "centroid set is the broadcast side (8 rows, incl. the "
