@@ -255,6 +255,17 @@ PRIORITY: list[str] = [
     "ts_ewma_daily",
     "lateral_topk_per_brand",
     "sql_udf_net_margin",
+    "ml_nb_lang_confusion",
+    "source_binary_blobs",
+    "seq_regex_funnel",
+    "diag_benford_first_digit",
+    "ts_rolling_median7",
+    "ts_autocorrelation",
+    "diag_entropy_profile",
+    "diag_chi2_independence",
+    "diag_iqr_outliers",
+    "graph_link_prediction",
+    "agg_filter_clause",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",
@@ -281,6 +292,7 @@ def load_all() -> dict[str, Query]:
         graph,
         llm,
         mining,
+        ml,
         multimodal,
         relational,
         timeseries,

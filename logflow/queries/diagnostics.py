@@ -737,3 +737,265 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows(orphan_li, [("lineitem", "orphan_orderkey_fk", "orphan_lineitems", False)])
         )
     )
+
+
+@register(
+    "diag_benford_first_digit",
+    """
+WITH d AS (
+  SELECT substr(CAST(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) AS VARCHAR),
+                1, 1) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1.0),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+SELECT CAST(digit AS BIGINT) AS digit,
+       n,
+       ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share,
+       ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_share,
+       ROUND(ABS(ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                 - ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)), 6) AS abs_dev
+FROM obs CROSS JOIN tot
+ORDER BY digit
+""",
+    doc="Benford first-significant-digit audit over lineitem prices — the "
+    "classic anomaly screen for fabricated or truncated numeric columns "
+    "(a synthetic uniform price generator fails it; organic multi-"
+    "magnitude data passes). The first digit is taken from the DECIMAL "
+    "STRING rendering (ROUND-then-cast per the house double→decimal "
+    "rule), never from floor(x/10^floor(log10 x)) float math — string "
+    "extraction is exact in both engines. Expected shares are "
+    "log10(1+1/d) rounded once at 6dp; observed shares are exact "
+    "BIGINT/BIGINT divisions. One partial-agg shuffle over 9 digit "
+    "groups + a 1-row broadcast total: at 100 TB this is a single "
+    "map-side-combined pass over one column (column-pruned scan).",
+)
+def diag_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    d = li.filter(F.col("l_extendedprice") >= 1.0).select(
+        F.substring(
+            F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    obs_share = F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6)
+    benford = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6)
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            "n",
+            obs_share.alias("obs_share"),
+            benford.alias("benford_share"),
+            F.round(F.abs(obs_share - benford), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "diag_entropy_profile",
+    """
+WITH h AS (
+  SELECT event_type, hour(ts) AS hr, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, hour(ts)),
+tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY event_type),
+terms AS (
+  SELECT h.event_type, tot.n,
+         CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM h JOIN tot ON h.event_type = tot.event_type)
+SELECT event_type,
+       MAX(n) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(-SUM(term) AS DOUBLE) AS entropy_nats,
+       ROUND(CAST(-SUM(term) AS DOUBLE) / ln(24.0), 6) AS norm_entropy
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Shannon entropy of each event type's hour-of-day activity "
+    "profile, with the ln(24)-normalized [0,1] form — the diagnostic "
+    "separating always-on machine traffic (entropy near 1) from "
+    "business-hours human traffic. Each p·ln(p) term follows the ln "
+    "recipe: the probability is an exact BIGINT/BIGINT quotient, ln of "
+    "an identical double, one 6dp round, DECIMAL-summed exactly — no "
+    "float-order exposure. At 100 TB: one map-side-combined count "
+    "shuffle into at most |types|×24 cells; everything after is "
+    "cell-table-sized.",
+)
+def diag_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = h.groupBy("event_type").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = h.join(tot, "event_type").select(
+        "event_type",
+        "n",
+        F.round(p * F.log(p), 6).cast("decimal(18,6)").alias("term"),
+    )
+    ent = (-F.sum("term")).cast("double")
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            ent.alias("entropy_nats"),
+            F.round(ent / F.log(F.lit(24.0)), 6).alias("norm_entropy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "diag_chi2_independence",
+    """
+WITH o AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY event_type, isodow(ts)),
+rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY event_type),
+ct AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY dow),
+g AS (SELECT CAST(SUM(obs) AS BIGINT) AS grand FROM o),
+cells AS (
+  SELECT o.event_type, o.dow, o.obs,
+         CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE) AS e
+  FROM o JOIN rt ON o.event_type = rt.event_type
+         JOIN ct ON o.dow = ct.dow CROSS JOIN g),
+terms AS (
+  SELECT event_type, dow, obs, ROUND(e, 4) AS expected,
+         CAST(ROUND((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e, 6)
+              AS DECIMAL(18,6)) AS term
+  FROM cells)
+SELECT event_type, dow, obs, expected,
+       CAST(term AS DOUBLE) AS chi2_term,
+       CAST(SUM(term) OVER () AS DOUBLE) AS chi2_total
+FROM terms
+ORDER BY event_type, dow
+""",
+    doc="Chi-square independence test between event type and ISO "
+    "day-of-week (the drift screen for 'did the weekly traffic mix "
+    "change'): expected cell counts from exact BIGINT marginals in one "
+    "identical IEEE expression, per-cell (O-E)²/E rounded once at 6dp "
+    "and DECIMAL-summed into the statistic — order-independent, so the "
+    "windowed grand total is bit-stable. Spark's weekday(ts)+1 is "
+    "pinned to DuckDB's isodow (Monday=1; dayofweek DIVERGES: Spark "
+    "1=Sunday, DuckDB 0=Sunday — never use it cross-engine). At 100 "
+    "TB: one count shuffle into |types|×7 cells; marginals and the "
+    "window run on the cell table.",
+)
+def diag_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    o = ev.groupBy(
+        "event_type", (F.expr("weekday(ts)") + 1).cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
+    g = o.agg(F.sum("obs").alias("grand"))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    cells = (
+        o.join(rt, "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .select("event_type", "dow", "obs", e.alias("e"))
+    )
+    diff = F.col("obs").cast("double") - F.col("e")
+    terms = cells.select(
+        "event_type",
+        "dow",
+        F.col("obs").cast("long").alias("obs"),
+        F.round(F.col("e"), 4).alias("expected"),
+        F.round(diff * diff / F.col("e"), 6).cast("decimal(18,6)").alias("term"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        terms.select(
+            "event_type",
+            "dow",
+            "obs",
+            "expected",
+            F.col("term").cast("double").alias("chi2_term"),
+            F.sum("term").over(w_all).cast("double").alias("chi2_total"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@register(
+    "diag_iqr_outliers",
+    """
+WITH q AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type)
+SELECT e.event_type, q.n,
+       ROUND(q.q1, 4) AS q1, ROUND(q.q3, 4) AS q3,
+       CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type, q.n, q.q1, q.q3
+ORDER BY e.event_type
+""",
+    doc="Tukey IQR-fence outlier screen per event type: DISCRETE (selected, "
+    "never interpolated) quartiles — Spark side selects by row_number "
+    "rank ceil(p·n) over (value, event_id), exactly DuckDB's "
+    "quantile_disc element (probed across n=4..10) — so q1/q3 are "
+    "existing data values, "
+    "identical doubles in both engines, and the 1.5·IQR fences and "
+    "outlier comparisons are bit-stable with zero float-summation "
+    "exposure. At 100 TB: quartile selection is one sort-within-"
+    "partition window per event_type (no global sort) + a rank filter; "
+    "the recount pass broadcasts the 5-row fence table against the "
+    "fact scan.",
+)
+def diag_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    sel = lambda p: F.ceil(F.lit(p) * F.col("n")).cast("int")  # noqa: E731
+    q = (
+        ranked.filter((F.col("rn") == sel(0.25)) | (F.col("rn") == sel(0.75)))
+        .groupBy("event_type", "n")
+        .agg(
+            F.max(F.when(F.col("rn") == sel(0.25), F.col("value"))).alias("q1"),
+            F.max(F.when(F.col("rn") == sel(0.75), F.col("value"))).alias("q3"),
+        )
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.sum(F.when(F.col("value") < lo, 1).otherwise(0)).cast("long").alias("n_low"),
+            F.sum(F.when(F.col("value") > hi, 1).otherwise(0)).cast("long").alias("n_high"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            "n_low",
+            "n_high",
+        )
+        .orderBy("event_type")
+    )

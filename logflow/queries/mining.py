@@ -415,3 +415,74 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(100)
     )
+
+
+@register(
+    "seq_regex_funnel",
+    """
+WITH sym AS (
+  SELECT user_id, ts, event_id, upper(substr(event_type, 1, 1)) AS c
+  FROM events),
+seq AS (
+  SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS s
+  FROM sym GROUP BY user_id)
+SELECT user_id,
+       CAST(strlen(s) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(s, 'S[CV]*P')) AS BIGINT) AS n_funnels,
+       CAST(COALESCE(list_max(list_transform(regexp_extract_all(s, 'C+'),
+                                             x -> strlen(x))), 0)
+            AS BIGINT) AS max_click_run
+FROM seq
+WHERE len(regexp_extract_all(s, 'S[CV]*P')) >= 1
+ORDER BY n_funnels DESC, user_id
+LIMIT 200
+""",
+    doc="MATCH_RECOGNIZE-style sequence pattern matching over per-user "
+    "event streams, expressed as regex over a symbolized event string: "
+    "each user's events (ordered by ts with the unique event_id "
+    "tiebreak) map to one char (S=signup C=click P=purchase V=view "
+    "E=error), and the funnel 'signup, then only clicks/views, then "
+    "purchase' is the regex S[CV]*P counted non-overlapping. Both "
+    "engines count leftmost non-overlapping matches identically for "
+    "this star-free-ambiguity pattern, so counts are exact. At 100 TB: "
+    "one shuffle groups each user's events (array_sort on the struct "
+    "does the ordering map-side after the shuffle — no global sort), "
+    "per-user strings are session-sized, and the regex scan is "
+    "JVM-codegen per row. The same symbolization feeds "
+    "path_common_trigrams; this query adds the PATTERN(A B* C) "
+    "semantics SQL:2016 row-pattern matching provides.",
+)
+def seq_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    sym = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.upper(F.substring("event_type", 1, 1)).alias("c"),
+    )
+    seq = sym.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("s")
+    )
+    n_funnels = F.regexp_count(F.col("s"), F.lit(r"S[CV]*P"))
+    runs = F.regexp_extract_all(F.col("s"), F.lit(r"C+"), 0)
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").cast("long").alias("seq_len"),
+            n_funnels.cast("long").alias("n_funnels"),
+            F.coalesce(
+                F.array_max(F.transform(runs, lambda x: F.length(x))), F.lit(0)
+            )
+            .cast("long")
+            .alias("max_click_run"),
+        )
+        .filter(F.col("n_funnels") >= 1)
+        .orderBy(F.desc("n_funnels"), "user_id")
+        .limit(200)
+    )

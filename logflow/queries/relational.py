@@ -1783,6 +1783,65 @@ def source_orc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_binary_blobs",
+    """
+WITH s AS (
+  SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS blob
+  FROM documents WHERE doc_id < 200 GROUP BY source)
+SELECT source,
+       md5(blob) AS content_md5,
+       CAST(strlen(blob) AS BIGINT) AS n_bytes
+FROM s
+""",
+    doc="binaryFile source connector (the opaque-blob ingest path every "
+    "multimodal pipeline starts from): a BOUNDED slice of documents "
+    "(doc_id < 200 — the cap makes the landing collect O(1), not "
+    "corpus-proportional) is landed once as one .bin file per source "
+    "via derived_cache, then read back through Spark's binaryFile "
+    "format. md5 over the raw content column proves the bytes survived "
+    "the filesystem round-trip EXACTLY — the oracle recomputes the same "
+    "md5 from the parquet rows, so equality is byte-level, not "
+    "row-count-level. At 100 TB the landing step is a partitioned "
+    "foreachPartition write, and binaryFile scans parallelize per file "
+    "with no decode work on the executors until a downstream UDF asks "
+    "for it (operators/multimodal.py consumes the same shape).",
+)
+def source_binary_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.sources.derived import derived_cache
+
+    docs = load_table(spark, "documents", sf_dir, parallelize=False)
+
+    def _land(d: str) -> None:
+        rows = (
+            docs.filter(F.col("doc_id") < 200)
+            .groupBy("source")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                        lambda x: x["text"],
+                    ),
+                    "\n",
+                ).alias("blob")
+            )
+            .collect()  # bounded by the doc_id < 200 slice, never corpus-sized
+        )
+        import os
+
+        for r in rows:
+            with open(os.path.join(d, f"{r['source']}.bin"), "wb") as fh:
+                fh.write(r["blob"].encode("utf-8"))
+
+    base = derived_cache(sf_dir, "blobs", ["documents"], _land)
+    bf = spark.read.format("binaryFile").load(base)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.bin$", 1).alias("source"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Warehouse maintenance: CDC apply, SCD2 intervals, agg-state merge
 # --------------------------------------------------------------------------
@@ -2936,5 +2995,50 @@ def sql_udf_net_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "agg_filter_clause",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                  FILTER (WHERE o_totalprice > 100000), 2) AS DOUBLE) AS big_order_value,
+       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+         AS n_finished_custs
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="SQL:2003 FILTER clause on aggregates (the standard form of "
+    "conditional aggregation — one scan, many differently-predicated "
+    "aggregates, including a filtered DISTINCT): the IDENTICAL query "
+    "text runs on Spark SQL and DuckDB. This is the single-pass "
+    "replacement for N self-joined filtered subqueries; Catalyst plans "
+    "it as one partial+final hash aggregate, so at 100 TB it costs "
+    "exactly one map-side-combined shuffle regardless of how many "
+    "FILTER variants are added (the filtered DISTINCT adds the usual "
+    "expand-for-distinct path, still one scan).",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("lf_orders_fc")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                          FILTER (WHERE o_totalprice > 100000), 2) AS DOUBLE)
+                 AS big_order_value,
+               CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+                    AS BIGINT) AS n_finished_custs
+        FROM lf_orders_fc
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
         """
     )

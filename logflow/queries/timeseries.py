@@ -559,3 +559,148 @@ def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "ts_rolling_median7",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2) AS DOUBLE) AS rev
+  FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, rev,
+       ROUND(CAST(quantile_disc(rev, 0.5) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS med7
+FROM daily
+ORDER BY event_type, day
+""",
+    doc="7-day rolling MEDIAN of daily value per event type — the robust "
+    "trend smoother EWMA/mean smoothers can't provide (one outlier day "
+    "doesn't move it). Daily totals are exact decimal sums cast to "
+    "identical doubles first, and the window takes the DISCRETE (lower) "
+    "median — pure SELECTION of an existing element, zero float "
+    "arithmetic, so it is bit-stable across engines (interpolating "
+    "medians diverge: a+(b-a)/2 vs (a+b)/2 differ in IEEE rounding). "
+    "Day is unique per group, "
+    "so the frame is deterministic without extra tiebreaks. At 100 TB: "
+    "the daily roll-up is a map-side-combined shuffle; the window runs "
+    "inside each (event_type) partition sorted once — a 7-row frame "
+    "makes the per-row cost O(log k) via the running multiset, and no "
+    "second shuffle is needed (partitioned by event_type already).",
+)
+def ts_rolling_median7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("rev").over(w))
+    lower_med = F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int"))
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "rev",
+            F.round(lower_med.cast("double"), 2).alias("med7"),
+        )
+        .orderBy("event_type", "day")
+        .withColumn("day", F.col("day").cast("timestamp"))
+    )
+
+
+@register(
+    "ts_autocorrelation",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2)
+                         AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+lags AS (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3),
+pairs AS (
+  SELECT a.event_type, l.k, a.cents AS x, b.cents AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day - l.k),
+m AS (
+  SELECT event_type, k,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY event_type, k)
+SELECT event_type, CAST(k AS BIGINT) AS lag_days, n,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                      * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0), 6) AS acf
+FROM m
+ORDER BY event_type, lag_days
+""",
+    doc="Lag-1/2/3 autocorrelation of the daily value series per event "
+    "type — the stationarity probe run before any forecasting model. "
+    "Calendar-lag pairs come from a self-join on day-minus-k (gap days "
+    "simply drop pairs, same contract both engines); all Pearson "
+    "moments accumulate in exact BIGINT cents (order-independent sums, "
+    "products bounded well under int64), and the final correlation is "
+    "one identical IEEE expression with a NULLIF zero-variance guard. "
+    "At 100 TB: the daily roll-up is map-side combined; the lag join "
+    "runs on (event_type, day) keys — day-partitioned co-location makes "
+    "it shuffle-free when the daily table is bucketed by event_type, "
+    "and the moment agg is 15 rows.",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2)
+            .cast("double")
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    b = daily.select(
+        F.col("event_type").alias("et2"), F.col("day").alias("day2"), F.col("cents").alias("y")
+    )
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("day2") == F.date_sub(F.col("day"), F.col("k"))),
+        )
+        .select("event_type", "k", F.col("cents").alias("x"), "y")
+    )
+    m = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        m.select(
+            "event_type",
+            F.col("k").cast("long").alias("lag_days"),
+            F.col("n").cast("long").alias("n"),
+            F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag_days")
+    )

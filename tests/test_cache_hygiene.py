@@ -27,6 +27,7 @@ PERSISTING_QUERIES = [
     "knn_ivf_kmeans",
     "knn_recall_eval",
     "assoc_rules_copurchase",
+    "graph_link_prediction",
 ]
 
 

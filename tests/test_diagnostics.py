@@ -9,6 +9,10 @@ NEW_QUERIES = [
     "bpe_encode_corpus",
     "diag_key_skew",
     "diag_join_cardinality",
+    "diag_benford_first_digit",
+    "diag_entropy_profile",
+    "diag_chi2_independence",
+    "diag_iqr_outliers",
 ]
 
 
@@ -220,3 +224,44 @@ def test_dq_audit_contract_holds_on_clean_testdata(spark, sf_dir):
     counts = pdf[pdf["informational"]].set_index("tbl")["violations"]
     assert counts["orders"] == load_table(spark, "orders", sf_dir).count()
     assert counts["lineitem"] == load_table(spark, "lineitem", sf_dir).count()
+
+
+def test_entropy_bounds_and_chi2_identity(spark, sf_dir):
+    """Entropy lies in [0, ln 24]; chi2_total equals the sum of the
+    emitted per-cell terms (one number, every row)."""
+    import math
+
+    from logflow.queries import load_all
+
+    ent = load_all()["diag_entropy_profile"].fn(spark, sf_dir).toPandas()
+    assert (ent["entropy_nats"] >= 0).all()
+    assert (ent["entropy_nats"] <= math.log(24) + 1e-6).all()
+    assert ((ent["norm_entropy"] >= 0) & (ent["norm_entropy"] <= 1.0 + 1e-9)).all()
+
+    chi = load_all()["diag_chi2_independence"].fn(spark, sf_dir).toPandas()
+    assert (chi["chi2_term"] >= 0).all()
+    assert chi["chi2_total"].nunique() == 1
+    assert abs(chi["chi2_total"].iloc[0] - chi["chi2_term"].sum()) < 1e-6
+    assert abs(chi["obs"].sum() - round(chi["expected"].sum())) <= 1
+
+
+def test_iqr_fences_match_brute_force(spark, sf_dir):
+    """Quartiles equal numpy's sorted-element selection at ceil(p*n) and
+    the outlier counts match a brute recount."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["diag_iqr_outliers"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value").toPandas()
+    for r in pdf.itertuples():
+        vals = np.sort(ev.loc[ev.event_type == r.event_type, "value"].to_numpy())
+        n = len(vals)
+        assert r.n == n
+        q1 = vals[int(np.ceil(0.25 * n)) - 1]
+        q3 = vals[int(np.ceil(0.75 * n)) - 1]
+        assert r.q1 == round(q1, 4) and r.q3 == round(q3, 4)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        assert r.n_low == int((vals < lo).sum())
+        assert r.n_high == int((vals > hi).sum())

@@ -131,3 +131,35 @@ def test_kcore_is_subset_with_monotone_degrees(spark, sf_dir):
     for _, row in pdf.iterrows():
         assert row.core_deg <= orig[row.p_partkey]
         assert row.core_deg >= 1
+
+
+def test_link_prediction_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_link_prediction", sf_dir)
+
+
+def test_link_prediction_candidates_are_nonedges_with_real_overlap(spark, sf_dir):
+    """Every predicted pair: is NOT an existing (w>=2) edge, has
+    cn <= min(deg_a, deg_b), and jaccard recomputes exactly from the
+    emitted integer counts."""
+    import pytest
+
+    from logflow.queries import load_all
+    from logflow.queries.graph import _W_MIN, _copurchase_edges
+    from logflow.operators.cache import release_all
+
+    pdf = load_all()["graph_link_prediction"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        pytest.skip("w>=2 graph has no distance-2 non-edges at this SF/seed")
+    edges = {
+        (r.u, r.v)
+        for r in _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN).collect()
+    }
+    release_all()
+    for r in pdf.itertuples():
+        assert (r.part_a, r.part_b) not in edges
+        assert r.part_a < r.part_b
+        assert 0 < r.common_neighbors <= min(r.deg_a, r.deg_b)
+        expect = round(r.common_neighbors / (r.deg_a + r.deg_b - r.common_neighbors), 6)
+        assert r.jaccard == expect

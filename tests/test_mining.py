@@ -11,6 +11,7 @@ MINING_QUERIES = [
     "skyline_pareto_parts",
     "auc_label_separability",
     "pmi_collocations",
+    "seq_regex_funnel",
 ]
 
 
@@ -154,3 +155,31 @@ def test_pmi_is_symmetric_in_definition(spark, sf_dir):
         6,
     )
     assert np.allclose(got, want, atol=2e-6)
+
+
+def test_seq_funnel_matches_python_re(spark, sf_dir):
+    """Re-derive each reported user's symbol string and recount funnels
+    and click runs with Python's re module — the regex semantics must
+    agree engine-for-engine."""
+    import re
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["seq_regex_funnel"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .selectExpr("user_id", "ts", "event_id", "upper(substr(event_type,1,1)) AS c")
+        .toPandas()
+    )
+    by_user = {
+        u: "".join(g.sort_values(["ts", "event_id"])["c"])
+        for u, g in ev.groupby("user_id")
+    }
+    for r in pdf.head(50).itertuples():
+        s = by_user[r.user_id]
+        assert r.seq_len == len(s)
+        assert r.n_funnels == len(re.findall(r"S[CV]*P", s))
+        runs = re.findall(r"C+", s)
+        assert r.max_click_run == (max(len(x) for x in runs) if runs else 0)

@@ -61,6 +61,8 @@ RELATIONAL_QUERIES = [
     "source_json_events",
     "source_csv_orders",
     "source_orc_lineitem",
+    "source_binary_blobs",
+    "agg_filter_clause",
     "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",

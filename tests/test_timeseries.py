@@ -184,3 +184,47 @@ def test_ewma_matches_sequential_recurrence(spark, sf_dir):
             for x in frame[1:]:
                 acc = (acc + x) / 2
             assert got[i] == acc, "fold diverges from sequential recurrence"
+
+
+def test_rolling_median_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_rolling_median7", sf_dir)
+
+
+def test_rolling_median_matches_pandas_selection(spark, sf_dir):
+    """med7 equals the LOWER median (pure selection, element at
+    floor((n+1)/2) of the sorted 7-day frame) recomputed in pandas."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ts_rolling_median7"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    assert len(pdf) > 0
+    for _, g in pdf.groupby("event_type"):
+        revs = list(g["rev"])
+        for i, med in enumerate(g["med7"]):
+            frame = sorted(revs[max(0, i - 6) : i + 1])
+            expect = round(frame[(len(frame) + 1) // 2 - 1], 2)
+            assert med == expect, (i, med, expect)
+
+
+def test_autocorrelation_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_autocorrelation", sf_dir)
+
+
+def test_autocorrelation_bounds(spark, sf_dir):
+    """ACF is a true correlation: |r| <= 1 for every (event_type, lag),
+    and every lag 1..3 is present for every event type."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_autocorrelation"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert pdf["acf"].dropna().abs().le(1.0 + 1e-9).all()
+    per_type = pdf.groupby("event_type")["lag_days"].apply(sorted)
+    assert all(list(v) == [1, 2, 3] for v in per_type)

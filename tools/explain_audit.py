@@ -31,6 +31,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: queries allowed to contain the listed smell, with the reason.
 WHITELIST: dict[str, dict[str, str]] = {
+    "ml_nb_lang_confusion": {
+        "bnlj": "crossJoins of the 1-row vocab-size/doc-total aggregates and "
+        "the 5-row class table (model scoring fan-out)"
+    },
+    "diag_benford_first_digit": {
+        "bnlj": "crossJoin of the single-row total-count aggregate"
+    },
+    "ts_autocorrelation": {
+        "bnlj": "crossJoin of the constant 3-row lag table (fan-out by design)"
+    },
+    "diag_chi2_independence": {
+        "bnlj": "crossJoin of the single-row grand-total aggregate"
+    },
     "dedup_ngram_jaccard": {
         "cartesian": "bounded all-pairs verification (doc_id < 60 by contract)",
         "bnlj": "bounded all-pairs verification (doc_id < 60 by contract)",
