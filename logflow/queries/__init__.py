@@ -266,6 +266,10 @@ PRIORITY: list[str] = [
     "diag_iqr_outliers",
     "graph_link_prediction",
     "agg_filter_clause",
+    "ml_logreg_gd",
+    "golden_record_customers",
+    "ts_seasonal_decompose",
+    "segment_overlap_jaccard",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

@@ -486,3 +486,68 @@ def seq_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_funnels"), "user_id")
         .limit(200)
     )
+
+
+@register(
+    "segment_overlap_jaccard",
+    """
+WITH up AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+       FROM up GROUP BY event_type),
+ix AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM up a JOIN up b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT seg_a, seg_b, n_both, sa.n_users AS n_a, sb.n_users AS n_b,
+       ROUND(CAST(n_both AS DOUBLE)
+             / CAST(sa.n_users + sb.n_users - n_both AS DOUBLE), 6) AS jaccard,
+       ROUND(CAST(n_both AS DOUBLE) / CAST(LEAST(sa.n_users, sb.n_users) AS DOUBLE),
+             6) AS containment
+FROM ix JOIN sz sa ON sa.event_type = seg_a JOIN sz sb ON sb.event_type = seg_b
+ORDER BY seg_a, seg_b
+""",
+    doc="Audience-overlap matrix between behavioral segments (users who "
+    "ever fired each event type): pairwise intersection sizes via a "
+    "self-join of the DISTINCT (segment, user) table on the user key, "
+    "with Jaccard and containment coefficients from exact BIGINT "
+    "counts (one identical IEEE division each). At 100 TB: the "
+    "distinct-pair table is one map-side-combined shuffle; the "
+    "self-join fans out only per-user segment memberships (bounded by "
+    "|segments|, here 5, so ≤ C(5,2) pair rows per user), and the "
+    "result is |segments|² — driver-safe at any user count.",
+)
+def segment_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    up = ev.select("event_type", "user_id").distinct()
+    sz = up.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    b = up.select(F.col("event_type").alias("seg_b"), "user_id")
+    ix = (
+        up.select(F.col("event_type").alias("seg_a"), "user_id")
+        .join(b, "user_id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        ix.join(F.broadcast(sz.select(F.col("event_type").alias("seg_a"), F.col("n_users").alias("n_a"))), "seg_a")
+        .join(F.broadcast(sz.select(F.col("event_type").alias("seg_b"), F.col("n_users").alias("n_b"))), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_both").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )

@@ -3042,3 +3042,69 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "golden_record_customers",
+    """
+WITH v AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority, o_orderdate,
+         o_totalprice,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           * 10000000000 + o_orderkey AS ver_key,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 10000000000
+           + o_orderkey AS price_key
+  FROM orders)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_versions,
+       MIN(o_orderdate) AS first_seen,
+       MAX(o_orderdate) AS last_seen,
+       arg_max(o_orderstatus, ver_key) AS latest_status,
+       arg_max(o_orderpriority, ver_key) AS latest_priority,
+       arg_max(o_orderpriority, price_key) AS top_spend_priority,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS total_spend
+FROM v
+GROUP BY o_custkey
+""",
+    doc="Golden-record survivorship (the MDM merge step): each customer's "
+    "order stream is treated as attribute versions and collapsed to one "
+    "golden row with per-attribute survivorship rules — recency wins "
+    "for status/priority, highest-spend wins for the spend-derived "
+    "attribute, plus lifetime extent and exact spend. The trick making "
+    "max_by deterministic cross-engine: composite (date, orderkey) and "
+    "(price, orderkey) sort keys are ENCODED as single BIGINTs "
+    "(days·1e10 + key; cents·1e10 + key — both collision-free by "
+    "construction), because neither engine's arg_max takes a struct "
+    "key and ties on the raw attribute would diverge. One "
+    "map-side-combined shuffle on the customer key at any scale.",
+)
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    ver_key = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        * F.lit(10_000_000_000).cast("long")
+        + F.col("o_orderkey")
+    )
+    price_key = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        * F.lit(10_000_000_000).cast("long")
+        + F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("ver_key", ver_key)
+        .withColumn("price_key", price_key)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_versions"),
+            F.min("o_orderdate").alias("first_seen"),
+            F.max("o_orderdate").alias("last_seen"),
+            F.expr("max_by(o_orderstatus, ver_key)").alias("latest_status"),
+            F.expr("max_by(o_orderpriority, ver_key)").alias("latest_priority"),
+            F.expr("max_by(o_orderpriority, price_key)").alias("top_spend_priority"),
+            _money(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias(
+                "total_spend"
+            ),
+        )
+    )

@@ -704,3 +704,96 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag_days")
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2)
+                         AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+tr AS (
+  SELECT event_type, day, cents,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(cents) OVER w AS DOUBLE) / 7.0 END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+dt AS (
+  SELECT event_type, day, cents, trend,
+         CAST(ROUND(CAST(cents AS DOUBLE) - trend, 4) AS DECIMAL(18,4)) AS detr
+  FROM tr WHERE trend IS NOT NULL),
+se AS (
+  SELECT event_type, isodow(day) AS dow,
+         CAST(SUM(detr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS seasonal
+  FROM dt GROUP BY event_type, isodow(day))
+SELECT dt.event_type, CAST(dt.day AS TIMESTAMP) AS day,
+       ROUND(CAST(cents AS DOUBLE) / 100, 2) AS value,
+       ROUND(trend / 100, 4) AS trend,
+       ROUND(seasonal / 100, 4) AS seasonal,
+       ROUND((CAST(detr AS DOUBLE) - seasonal) / 100, 4) AS residual
+FROM dt JOIN se ON dt.event_type = se.event_type AND isodow(dt.day) = se.dow
+ORDER BY dt.event_type, dt.day
+""",
+    doc="Classical additive seasonal decomposition of the daily series per "
+    "event type: trend = centered 7-day moving mean (full windows only), "
+    "seasonal = day-of-week mean of the detrended series, residual = "
+    "remainder — the pre-model screen for weekly periodicity. "
+    "Determinism chain: daily totals are exact BIGINT cents; the trend "
+    "is an exact window SUM divided once by 7.0 (identical IEEE); the "
+    "detrended value is rounded ONCE to DECIMAL(18,4) so the "
+    "day-of-week mean is an exact decimal sum over an identical count "
+    "(one division); isodow is the pinned cross-engine dow. At 100 TB: "
+    "one shuffle to daily grain, one window sorted within event_type "
+    "partitions, one 7-row-per-type seasonal aggregate joined back "
+    "broadcast.",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2)
+            .cast("double")
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.sum("cents").over(w).cast("double") / 7.0
+        ).alias("trend"),
+    )
+    dt = tr.filter(F.col("trend").isNotNull()).withColumn(
+        "detr",
+        F.round(F.col("cents").cast("double") - F.col("trend"), 4).cast("decimal(18,4)"),
+    )
+    se = dt.groupBy(
+        "event_type", (F.expr("weekday(day)") + 1).alias("dow")
+    ).agg(
+        (F.sum("detr").cast("double") / F.count(F.lit(1)).cast("double")).alias("seasonal")
+    )
+    return (
+        dt.withColumn("dow", F.expr("weekday(day)") + 1)
+        .join(F.broadcast(se), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            F.round(F.col("cents").cast("double") / 100, 2).alias("value"),
+            F.round(F.col("trend") / 100, 4).alias("trend"),
+            F.round(F.col("seasonal") / 100, 4).alias("seasonal"),
+            F.round((F.col("detr").cast("double") - F.col("seasonal")) / 100, 4).alias(
+                "residual"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )

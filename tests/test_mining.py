@@ -12,6 +12,7 @@ MINING_QUERIES = [
     "auc_label_separability",
     "pmi_collocations",
     "seq_regex_funnel",
+    "segment_overlap_jaccard",
 ]
 
 
@@ -183,3 +184,16 @@ def test_seq_funnel_matches_python_re(spark, sf_dir):
         assert r.n_funnels == len(re.findall(r"S[CV]*P", s))
         runs = re.findall(r"C+", s)
         assert r.max_click_run == (max(len(x) for x in runs) if runs else 0)
+
+
+def test_segment_overlap_identities(spark, sf_dir):
+    """Overlap bounds: n_both <= min(n_a, n_b); jaccard/containment in
+    (0,1]; all C(5,2) pairs present when every segment is non-empty."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["segment_overlap_jaccard"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_both"] <= pdf[["n_a", "n_b"]].min(axis=1)).all()
+    assert ((pdf["jaccard"] > 0) & (pdf["jaccard"] <= 1)).all()
+    assert ((pdf["containment"] > 0) & (pdf["containment"] <= 1)).all()
+    assert (pdf["jaccard"] <= pdf["containment"] + 1e-9).all()

@@ -37,3 +37,45 @@ def test_nb_confusion_is_a_partition_of_the_test_fold(spark, sf_dir):
     assert per_true.to_dict() == expected.to_dict()
     assert set(pdf["lang_pred"]) <= set(train["lang"])
     assert (pdf["n_docs"] > 0).all()
+
+
+def test_logreg_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_logreg_gd", sf_dir)
+
+
+def test_logreg_matches_numpy_fixed_point_replay(spark, sf_dir):
+    """Re-run the 3 hard-sigmoid GD steps in numpy int64 with the same
+    fixed-point rules (round features once, truncating division) — the
+    engine's weights must match EXACTLY, unit for unit."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.queries.ml import _LR_ITERS, _LR_WS, _LR_XS
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ml_logreg_gd"].fn(spark, sf_dir).toPandas().sort_values("feature_idx")
+    emb = load_table(spark, "embeddings", sf_dir).select("embedding", "label").toPandas()
+    e = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    # half-AWAY-from-zero, matching Spark/DuckDB ROUND (np.round is
+    # half-to-even — the CLAUDE.md trap)
+    scaled = e * _LR_XS
+    terms = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+    x = np.column_stack(
+        [np.full(len(e), _LR_XS, dtype=np.int64)]
+        + [terms[:, 16 * j : 16 * (j + 1)].sum(axis=1) for j in range(4)]
+    )
+    y = (emb["label"].to_numpy() >= 5).astype(np.int64)
+    trunc = lambda a, b: np.fix(a / b).astype(np.int64)  # noqa: E731
+    w = np.zeros(5, dtype=np.int64)
+    for _ in range(_LR_ITERS):
+        z = x @ w
+        p6 = np.clip(_LR_WS // 2 + trunc(z, 4 * _LR_XS), 0, _LR_WS)
+        g = ((p6 - y * _LR_WS)[:, None] * x).sum(axis=0)
+        w = w - trunc(g, len(x) * _LR_XS)
+    assert list(pdf["w_fp"]) == list(w), (list(pdf["w_fp"]), list(w))
+    z = x @ w
+    p6 = np.clip(_LR_WS // 2 + trunc(z, 4 * _LR_XS), 0, _LR_WS)
+    n_correct = int(((p6 >= _LR_WS // 2) == (y == 1)).sum())
+    assert int(pdf["n_correct"].iloc[0]) == n_correct

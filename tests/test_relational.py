@@ -63,6 +63,7 @@ RELATIONAL_QUERIES = [
     "source_orc_lineitem",
     "source_binary_blobs",
     "agg_filter_clause",
+    "golden_record_customers",
     "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",

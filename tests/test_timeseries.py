@@ -228,3 +228,28 @@ def test_autocorrelation_bounds(spark, sf_dir):
     assert pdf["acf"].dropna().abs().le(1.0 + 1e-9).all()
     per_type = pdf.groupby("event_type")["lag_days"].apply(sorted)
     assert all(list(v) == [1, 2, 3] for v in per_type)
+
+
+def test_seasonal_decompose_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_seasonal_decompose", sf_dir)
+
+
+def test_seasonal_decompose_reconstructs(spark, sf_dir):
+    """Additivity: value == trend + seasonal + residual within the
+    rounding budget, and each event type's seasonal component sums to
+    ~0 over its rows (mean-centered by construction)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_seasonal_decompose"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    err = (pdf["value"] - (pdf["trend"] + pdf["seasonal"] + pdf["residual"])).abs()
+    assert (err < 2e-4 + 1e-9).all()
+    # seasonal is the per-(type, ISO dow) mean of (value - trend): recompute
+    pdf = pdf.assign(
+        dow=pdf["day"].dt.dayofweek + 1, detr=(pdf["value"] - pdf["trend"]).round(4)
+    )
+    for (_, _), g in pdf.groupby(["event_type", "dow"]):
+        assert abs(g["seasonal"].iloc[0] - g["detr"].mean()) < 1e-3
+        assert g["seasonal"].nunique() == 1

@@ -38,6 +38,11 @@ WHITELIST: dict[str, dict[str, str]] = {
     "diag_benford_first_digit": {
         "bnlj": "crossJoin of the single-row total-count aggregate"
     },
+    "ml_logreg_gd": {
+        "bnlj": "crossJoins of the 1-row weight vector / gradient / metric "
+        "aggregates (one per unrolled GD step — the broadcast-the-model "
+        "pattern)"
+    },
     "ts_autocorrelation": {
         "bnlj": "crossJoin of the constant 3-row lag table (fan-out by design)"
     },
