@@ -270,6 +270,10 @@ PRIORITY: list[str] = [
     "golden_record_customers",
     "ts_seasonal_decompose",
     "segment_overlap_jaccard",
+    "attribution_time_decay",
+    "diag_woe_binning",
+    "ml_calibration_bins",
+    "tfidf_cosine_pairs",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

@@ -584,3 +584,116 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ct).cast("long").alias("n_toks"),
         F.md5(F.array_join(ct, " ")).alias("chunk_md5"),
     )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    f"""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sub),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS tok FROM sub) GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+kept AS (
+  SELECT df.tok, df.df,
+         CAST(ROUND((ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                        / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0) * 1000, 0)
+              AS BIGINT) AS idf3
+  FROM df CROSS JOIN n
+  WHERE df.df >= 2 AND 2 * df.df <= n.n_docs),
+w AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * kept.idf3 AS wfp
+  FROM tf JOIN kept ON tf.tok = kept.tok),
+nrm AS (
+  SELECT doc_id, sqrt(CAST(SUM(wfp * wfp) AS DOUBLE)) AS nn
+  FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.wfp * b.wfp) AS BIGINT) AS dot_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_shared_terms,
+       ROUND(CAST(dot_fp AS DOUBLE) / (na.nn * nb.nn), 6) AS cosine
+FROM dots JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b
+ORDER BY cosine DESC, doc_a, doc_b
+LIMIT 20
+""",
+    doc="Vector-space-model document similarity: pairwise cosine over "
+    "SPARSE tf-idf vectors via the inverted index (postings self-join "
+    "on shared terms → per-pair dot products), the classic IR sibling "
+    "of the dense knn_cosine family. Weights are integer fixed point "
+    "(tf × 1e3-scaled idf, idf rounded once from an exact-ratio ln), "
+    "so dots and norm-squares are exact BIGINT sums and the cosine is "
+    "one identical IEEE expression. Two explosion guards, both "
+    "contract-style (cf. dedup_ngram_jaccard): the mod-10 doc subset "
+    "bounds the pair space, and max_df = 50% prunes hub terms so the "
+    "postings join fans out at most df² per kept term. At 100 TB the "
+    "production form keeps both guards (shard-local pair generation + "
+    "df-capped vocabulary — stopword-dense terms carry no signal and "
+    "all the join cost), exactly as written here.",
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sub = docs.filter(F.col("doc_id") % 10 == 0)
+    n = sub.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        sub.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf3 = F.round(
+        (
+            F.log(
+                (F.col("n_docs").cast("double") + 1.0)
+                / (F.col("df").cast("double") + 1.0)
+            )
+            + 1.0
+        )
+        * 1000,
+        0,
+    ).cast("long")
+    kept = (
+        df.crossJoin(F.broadcast(n))
+        .filter((F.col("df") >= 2) & (2 * F.col("df") <= F.col("n_docs")))
+        .select("tok", idf3.alias("idf3"))
+    )
+    w = tf.join(F.broadcast(kept), "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf3")).alias("wfp")
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wfp") * F.col("wfp")).cast("double")).alias("nn")
+    )
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("wfp").alias("wfp_b"))
+    dots = (
+        w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("wfp").alias("wfp_a"))
+        .join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wfp_a") * F.col("wfp_b")).cast("long").alias("dot_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        )
+    )
+    return (
+        dots.join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            F.round(F.col("dot_fp").cast("double") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(20)
+    )

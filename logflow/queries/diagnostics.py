@@ -999,3 +999,81 @@ def diag_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "diag_woe_binning",
+    """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders),
+c AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+  FROM b GROUP BY bin),
+t AS (SELECT CAST(SUM(n_good) AS BIGINT) AS g_tot, CAST(SUM(n_bad) AS BIGINT) AS b_tot
+      FROM c),
+woe AS (
+  SELECT bin, n_good, n_bad,
+         CAST(ROUND(ln((CAST(n_good AS DOUBLE) / g_tot)
+                       / (CAST(n_bad AS DOUBLE) / b_tot)), 6)
+              AS DECIMAL(18,6)) AS woe,
+         CAST(ROUND((CAST(n_good AS DOUBLE) / g_tot
+                     - CAST(n_bad AS DOUBLE) / b_tot)
+                    * ROUND(ln((CAST(n_good AS DOUBLE) / g_tot)
+                               / (CAST(n_bad AS DOUBLE) / b_tot)), 6), 6)
+              AS DECIMAL(18,6)) AS iv_term
+  FROM c CROSS JOIN t)
+SELECT CAST(bin AS BIGINT) AS bin, n_good, n_bad,
+       CAST(woe AS DOUBLE) AS woe,
+       CAST(SUM(iv_term) OVER () AS DOUBLE) AS information_value
+FROM woe
+ORDER BY bin
+""",
+    doc="Weight-of-evidence binning + information value (the credit-"
+    "scoring feature screen) of order price deciles against the "
+    "finished/open outcome: NTILE(10) over the totally-ordered "
+    "(price, orderkey) key — deterministic bin edges cross-engine — "
+    "then WoE = ln of a ratio of exact BIGINT-derived shares (the ln "
+    "recipe: identical-double argument, one 6dp round) and IV as the "
+    "decimal sum of once-rounded terms. At 100 TB the NTILE global "
+    "sort is the one expensive stage — production swaps it for "
+    "approx-quantile bin EDGES (one pass) + a broadcast bin lookup, "
+    "the same downstream algebra; here the exact form keeps the "
+    "oracle bit-stable. Window runs once; everything after is 10 rows.",
+)
+def diag_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    b = o.select(
+        "o_orderstatus",
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias("n_bad"),
+    )
+    t = c.agg(F.sum("n_good").alias("g_tot"), F.sum("n_bad").alias("b_tot"))
+    pg = F.col("n_good").cast("double") / F.col("g_tot")
+    pb = F.col("n_bad").cast("double") / F.col("b_tot")
+    woe = F.round(F.log(pg / pb), 6)
+    rows = c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        woe.cast("decimal(18,6)").alias("woe"),
+        F.round((pg - pb) * woe, 6).cast("decimal(18,6)").alias("iv_term"),
+    )
+    return (
+        rows.select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_good",
+            "n_bad",
+            F.col("woe").cast("double").alias("woe"),
+            F.sum("iv_term").over(Window.partitionBy()).cast("double").alias(
+                "information_value"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -265,31 +265,9 @@ ORDER BY feature_idx
 )
 
 
-@register(
-    "ml_logreg_gd",
-    _LR_SQL,
-    doc="Logistic-surrogate classifier trained IN-ENGINE by 3 unrolled "
-    "full-batch gradient-descent steps over embedding block-sum "
-    "features (4 blocks of 16 dims + bias), predicting label>=5, with "
-    "the HARD sigmoid p = clamp(0.5 + z/4, 0, 1) (the piecewise-linear "
-    "surrogate quantized training uses). The entire fit — features, "
-    "activation, gradients, updates — is INTEGER arithmetic end to "
-    "end: per-element-rounded 1e4-scale feature sums, exact BIGINT dot "
-    "products, the activation and the weight update as truncating "
-    "integer division (Spark DIV == DuckDB //, probed on negatives). "
-    "Zero float ops means zero ulp exposure — a smooth-sigmoid variant "
-    "was measured to drift one fixed-point unit at sf0.01 from a "
-    "single exp() ulp flip; this formulation cannot (the PageRank "
-    "recipe applied to supervised training). At 100 TB: each step is "
-    "one broadcast of "
-    "the 1-row weight vector + one map-side-combined gradient "
-    "aggregate — no shuffle of the feature table at all, and the "
-    "feature build is a single pass over the corpus (persisted once "
-    "for all steps). Gradient magnitudes bound |r·x| ≤ 3e10/row, so "
-    "BIGINT sums hold to ~3e8 rows/partition aggregate; past that the "
-    "partial sums widen to DECIMAL(38,0) with identical semantics.",
-)
-def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lr_fit(spark: SparkSession, sf_dir: str):
+    """Shared hard-sigmoid GD fit: returns (persisted feature frame,
+    1-row weight frame after _LR_ITERS steps, p6 column factory)."""
     from logflow.operators.cache import track
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -334,6 +312,35 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         )
+    return feat, w, p6_col
+
+
+@register(
+    "ml_logreg_gd",
+    _LR_SQL,
+    doc="Logistic-surrogate classifier trained IN-ENGINE by 3 unrolled "
+    "full-batch gradient-descent steps over embedding block-sum "
+    "features (4 blocks of 16 dims + bias), predicting label>=5, with "
+    "the HARD sigmoid p = clamp(0.5 + z/4, 0, 1) (the piecewise-linear "
+    "surrogate quantized training uses). The entire fit — features, "
+    "activation, gradients, updates — is INTEGER arithmetic end to "
+    "end: per-element-rounded 1e4-scale feature sums, exact BIGINT dot "
+    "products, the activation and the weight update as truncating "
+    "integer division (Spark DIV == DuckDB //, probed on negatives). "
+    "Zero float ops means zero ulp exposure — a smooth-sigmoid variant "
+    "was measured to drift one fixed-point unit at sf0.01 from a "
+    "single exp() ulp flip; this formulation cannot (the PageRank "
+    "recipe applied to supervised training). At 100 TB: each step is "
+    "one broadcast of "
+    "the 1-row weight vector + one map-side-combined gradient "
+    "aggregate — no shuffle of the feature table at all, and the "
+    "feature build is a single pass over the corpus (persisted once "
+    "for all steps). Gradient magnitudes bound |r·x| ≤ 3e10/row, so "
+    "BIGINT sums hold to ~3e8 rows/partition aggregate; past that the "
+    "partial sums widen to DECIMAL(38,0) with identical semantics.",
+)
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat, w, p6_col = _lr_fit(spark, sf_dir)
     final = feat.crossJoin(F.broadcast(w)).withColumn("p6", p6_col())
     metrics = final.agg(
         F.sum(
@@ -362,4 +369,64 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("feature_idx")
+    )
+
+
+_CAL_SQL = (
+    "WITH "
+    + _lr_feat_sql()
+    + ",\nw0_t AS (SELECT "
+    + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(5))
+    + "),"
+    + ",".join(_lr_iter_sql(f"w{i}_t", f"w{i + 1}_t") for i in range(_LR_ITERS))
+    + f""",
+final_scored AS (
+  SELECT f.y, {_P6.format(zsum=" + ".join(f"w.w{j} * f.x{j}" for j in range(5)))} AS p6
+  FROM feat f CROSS JOIN w{_LR_ITERS}_t w)
+SELECT LEAST(9, p6 // 100000) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(p6) AS DOUBLE) / CAST(COUNT(*) * {_LR_WS} AS DOUBLE), 6)
+         AS mean_pred,
+       ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS obs_rate
+FROM final_scored
+GROUP BY LEAST(9, p6 // 100000)
+ORDER BY bin
+"""
+)
+
+
+@register(
+    "ml_calibration_bins",
+    _CAL_SQL,
+    doc="Reliability diagram (calibration bins) for the hard-sigmoid GD "
+    "classifier: the fitted model's predicted probabilities are decile-"
+    "binned in fixed point (p6 // 1e5, integer-exact bin edges) and "
+    "each bin reports mean predicted probability vs observed positive "
+    "rate — the standard screen for over/under-confidence before a "
+    "model's scores gate a data pipeline. Shares the exact integer fit "
+    "with ml_logreg_gd (same unrolled steps, same persisted feature "
+    "frame), so the oracle re-derives identical weights; bin sums are "
+    "exact BIGINT and both output ratios are single identical IEEE "
+    "divisions. At 100 TB: scoring is map-side (broadcast weights); "
+    "the only shuffle is the 10-bin aggregate.",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat, w, p6_col = _lr_fit(spark, sf_dir)
+    scored = feat.crossJoin(F.broadcast(w)).withColumn("p6", p6_col())
+    return (
+        scored.groupBy(
+            F.least(F.lit(9), F.expr("p6 DIV 100000")).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum("p6").cast("double")
+                / (F.count(F.lit(1)) * _LR_WS).cast("double"),
+                6,
+            ).alias("mean_pred"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("obs_rate"),
+        )
+        .orderBy("bin")
     )

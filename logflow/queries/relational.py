@@ -3108,3 +3108,87 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "attribution_time_decay",
+    """
+WITH touches AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'signup', 'view')),
+purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT p.p_id, t.channel,
+         CAST(ROUND(power(2.0, -(CAST(date_diff('microsecond', t.t_ts, p.p_ts)
+                                      AS DOUBLE) / 86400000000.0)), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+   AND t.t_id <> p.p_id),
+tot AS (SELECT p_id, SUM(w) AS w_tot FROM pairs GROUP BY p_id)
+SELECT channel,
+       CAST(COUNT(DISTINCT pairs.p_id) AS BIGINT) AS n_purchases_touched,
+       CAST(ROUND(SUM(CAST(ROUND(CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE), 6)
+                           AS DECIMAL(18,6))), 4) AS DOUBLE) AS credit
+FROM pairs JOIN tot ON pairs.p_id = tot.p_id
+GROUP BY channel
+ORDER BY channel
+""",
+    doc="Time-decay (half-life 1 day) multi-touch attribution: every "
+    "click/signup/view in the 7 days before a purchase shares that "
+    "conversion's credit proportionally to 2^(-age_days) — the "
+    "fractional sibling of attribution_last_touch. Weights are "
+    "pow(2, x) of identical exact-microsecond doubles rounded once to "
+    "DECIMAL; per-purchase totals are exact decimal sums, each share "
+    "is one identical IEEE division rounded once, and channel credits "
+    "are decimal sums of those — no float-order exposure. The pair "
+    "join is a per-user interval join (fan-out bounded by "
+    "touches-per-user-week, the same bound as the as-of family). At "
+    "100 TB: one user_id shuffle feeds the interval join; totals and "
+    "credits are purchase- and channel-sized aggregates.",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    touches = ev.filter(F.col("event_type").isin("click", "signup", "view")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    age_days = (
+        F.expr("CAST(timestampdiff(MICROSECOND, t_ts, p_ts) AS DOUBLE)")
+        / 86400000000.0
+    )
+    pairs = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("t_ts") <= F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("t_id") != F.col("p_id"))
+        )
+        .select(
+            "p_id",
+            "channel",
+            F.round(F.pow(F.lit(2.0), -age_days), 6).cast("decimal(18,6)").alias("w"),
+        )
+    )
+    tot = pairs.groupBy("p_id").agg(F.sum("w").alias("w_tot"))
+    share = F.round(F.col("w").cast("double") / F.col("w_tot").cast("double"), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        pairs.join(tot, "p_id")
+        .select("p_id", "channel", share.alias("share"))
+        .groupBy("channel")
+        .agg(
+            F.countDistinct("p_id").cast("long").alias("n_purchases_touched"),
+            F.round(F.sum("share"), 4).cast("double").alias("credit"),
+        )
+        .orderBy("channel")
+    )

@@ -28,6 +28,8 @@ PERSISTING_QUERIES = [
     "knn_recall_eval",
     "assoc_rules_copurchase",
     "graph_link_prediction",
+    "ml_logreg_gd",
+    "ml_calibration_bins",
 ]
 
 

@@ -11,6 +11,7 @@ CORPUS_QUERIES = [
     "bm25_search",
     "inverted_index_postings",
     "semdedup_prune",
+    "tfidf_cosine_pairs",
 ]
 
 
@@ -158,3 +159,20 @@ def test_chunking_covers_every_token(spark, sf_dir):
         assert last_start + g["n_toks"].iloc[-1] == sz  # reaches the end
         if sz > _CHUNK_C:  # no chunk fully contained in the previous one
             assert g["n_toks"].iloc[-1] > _CHUNK_C - _CHUNK_S or len(g) == 1
+
+
+def test_tfidf_cosine_bounds_and_contract(spark, sf_dir):
+    """Cosines in (0,1]; both docs from the mod-10 subset; shared-term
+    counts positive; descending order with tiebreaks."""
+    import pytest
+
+    from logflow.queries import load_all
+
+    pdf = load_all()["tfidf_cosine_pairs"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        pytest.skip("max_df pruning left no pairable terms at this SF/seed")
+    assert ((pdf["cosine"] > 0) & (pdf["cosine"] <= 1.0 + 1e-9)).all()
+    assert (pdf["doc_a"] % 10 == 0).all() and (pdf["doc_b"] % 10 == 0).all()
+    assert (pdf["doc_a"] < pdf["doc_b"]).all()
+    assert (pdf["n_shared_terms"] > 0).all()
+    assert (pdf["cosine"].diff().dropna() <= 1e-12).all()

@@ -13,6 +13,7 @@ NEW_QUERIES = [
     "diag_entropy_profile",
     "diag_chi2_independence",
     "diag_iqr_outliers",
+    "diag_woe_binning",
 ]
 
 
@@ -265,3 +266,23 @@ def test_iqr_fences_match_brute_force(spark, sf_dir):
         lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
         assert r.n_low == int((vals < lo).sum())
         assert r.n_high == int((vals > hi).sum())
+
+
+def test_woe_iv_identities(spark, sf_dir):
+    """Bins 1..10 partition orders; every IV term is non-negative by
+    construction so IV >= 0; WoE recomputes from the emitted counts."""
+    import math
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["diag_woe_binning"].fn(spark, sf_dir).toPandas().sort_values("bin")
+    n = load_table(spark, "orders", sf_dir).count()
+    assert list(pdf["bin"]) == list(range(1, 11))
+    assert int((pdf["n_good"] + pdf["n_bad"]).sum()) == n
+    assert pdf["information_value"].nunique() == 1
+    assert pdf["information_value"].iloc[0] >= 0
+    g_tot, b_tot = pdf["n_good"].sum(), pdf["n_bad"].sum()
+    for r in pdf.itertuples():
+        want = round(math.log((r.n_good / g_tot) / (r.n_bad / b_tot)), 6)
+        assert abs(r.woe - want) < 1e-9

@@ -7,6 +7,7 @@ import pytest
 
 ML_QUERIES = [
     "ml_nb_lang_confusion",
+    "ml_calibration_bins",
 ]
 
 
@@ -79,3 +80,19 @@ def test_logreg_matches_numpy_fixed_point_replay(spark, sf_dir):
     p6 = np.clip(_LR_WS // 2 + trunc(z, 4 * _LR_XS), 0, _LR_WS)
     n_correct = int(((p6 >= _LR_WS // 2) == (y == 1)).sum())
     assert int(pdf["n_correct"].iloc[0]) == n_correct
+
+
+def test_calibration_bins_partition_and_bounds(spark, sf_dir):
+    """Bins partition the corpus (counts sum to the table size), both
+    rates live in [0,1], and mean_pred is monotone in bin index (bin
+    edges are fixed-point deciles of the prediction itself)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ml_calibration_bins"].fn(spark, sf_dir).toPandas().sort_values("bin")
+    n = load_table(spark, "embeddings", sf_dir).count()
+    assert int(pdf["n"].sum()) == n
+    assert pdf["bin"].between(0, 9).all()
+    assert pdf["mean_pred"].between(0, 1).all()
+    assert pdf["obs_rate"].between(0, 1).all()
+    assert (pdf["mean_pred"].diff().dropna() >= 0).all()

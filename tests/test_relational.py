@@ -64,6 +64,7 @@ RELATIONAL_QUERIES = [
     "source_binary_blobs",
     "agg_filter_clause",
     "golden_record_customers",
+    "attribution_time_decay",
     "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",
@@ -395,3 +396,33 @@ def test_sql_udf_inlines_to_expression_plan(spark, sf_dir):
         """
     ).toPandas()
     assert df.toPandas().equals(inline)
+
+
+def test_time_decay_credit_conserves_conversions(spark, sf_dir):
+    """Per-purchase shares sum to ~1, so total credit across channels must
+    equal the number of touched purchases within the rounding budget."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["attribution_time_decay"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", sf_dir)
+    touches = ev.filter(F.col("event_type").isin("click", "signup", "view")).select(
+        "user_id", F.col("ts").alias("t_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "event_id"
+    )
+    touched = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("t_ts") <= F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+        )
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert abs(pdf["credit"].sum() - touched) < max(1.0, 1e-4 * touched)

@@ -38,6 +38,17 @@ WHITELIST: dict[str, dict[str, str]] = {
     "diag_benford_first_digit": {
         "bnlj": "crossJoin of the single-row total-count aggregate"
     },
+    "diag_woe_binning": {
+        "bnlj": "crossJoin of the single-row good/bad-total aggregate"
+    },
+    "ml_calibration_bins": {
+        "bnlj": "crossJoins of the 1-row weight vector / gradient aggregates "
+        "(shared _lr_fit broadcast-the-model pattern)"
+    },
+    "tfidf_cosine_pairs": {
+        "bnlj": "crossJoin of the single-row subset-doc-count aggregate (N "
+        "for idf)"
+    },
     "ml_logreg_gd": {
         "bnlj": "crossJoins of the 1-row weight vector / gradient / metric "
         "aggregates (one per unrolled GD step — the broadcast-the-model "
