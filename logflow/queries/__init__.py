@@ -274,6 +274,10 @@ PRIORITY: list[str] = [
     "diag_woe_binning",
     "ml_calibration_bins",
     "tfidf_cosine_pairs",
+    "ts_holt_linear",
+    "diag_equidepth_histogram",
+    "agg_share_of_parent",
+    "join_shuffle_hash_hint",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

@@ -1077,3 +1077,71 @@ def diag_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "diag_equidepth_histogram",
+    """
+WITH e AS (
+  SELECT event_type, quantile_disc(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+           AS edges
+  FROM events GROUP BY event_type),
+b AS (
+  SELECT ev.event_type,
+         CAST(len(list_filter(e.edges, x -> ev.value > x)) AS BIGINT) AS bucket
+  FROM events ev JOIN e ON ev.event_type = e.event_type)
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+""",
+    doc="Equi-DEPTH (decile) histogram per event type — the companion to "
+    "the equi-width diag_value_histogram and the shape optimizers "
+    "actually want for selectivity estimates. Edges are DISCRETE "
+    "quantiles (selection rank ceil(p·n), probed equal to DuckDB "
+    "quantile_disc — the diag_iqr_outliers pin), so they are existing "
+    "data values identical in both engines, and the bucket id is an "
+    "exact comparison count against the 9-element broadcast edge "
+    "array. Buckets are near-equal-count up to ties at edge values "
+    "(discrete edges make tie handling exact, not fuzzy). At 100 TB: "
+    "one within-partition sort window per group selects the edges, "
+    "one broadcast-join counting pass bins the table — two "
+    "map-side-combined shuffles total.",
+)
+def diag_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    ps = spark.createDataFrame([(i / 10.0,) for i in range(1, 10)], "p double")
+    edges = (
+        ranked.crossJoin(F.broadcast(ps))
+        .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("p", "value"))
+            ).alias("pe")
+        )
+        .select(
+            "event_type", F.transform("pe", lambda x: x["value"]).alias("edges")
+        )
+    )
+    return (
+        ev.join(F.broadcast(edges), "event_type")
+        .select(
+            "event_type",
+            F.size(F.filter("edges", lambda x: F.col("value") > x))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "bucket")
+    )

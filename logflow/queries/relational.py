@@ -3192,3 +3192,108 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "agg_share_of_parent",
+    """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+           AS nation_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name)
+SELECT region, nation, nation_rev,
+       CAST(ROUND(SUM(CAST(nation_rev AS DECIMAL(16,2)))
+                  OVER (PARTITION BY region), 2) AS DOUBLE) AS region_rev,
+       ROUND(nation_rev
+             / CAST(ROUND(SUM(CAST(nation_rev AS DECIMAL(16,2)))
+                          OVER (PARTITION BY region), 2) AS DOUBLE), 6)
+         AS share_of_region,
+       ROUND(CAST(ROUND(SUM(CAST(nation_rev AS DECIMAL(16,2)))
+                        OVER (PARTITION BY region), 2) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST(nation_rev AS DECIMAL(16,2))) OVER (), 2)
+                    AS DOUBLE), 6) AS region_share_of_total
+FROM rev
+ORDER BY region, nation
+""",
+    doc="Share-of-parent contribution report down the region → nation "
+    "hierarchy: nation revenue, its share of the region, and the "
+    "region's share of the grand total — the drill-down percent "
+    "column every BI rollup needs. Leaf revenues are exact decimal "
+    "sums surfaced as identical doubles; BOTH window totals re-enter "
+    "decimal before summing (the cumulative-sum-of-doubles rule), so "
+    "each share is one identical IEEE division of bit-equal operands. "
+    "The dims chain is broadcast joins on the fact scan; the windows "
+    "run over the 25-row nation aggregate, not the fact table.",
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(_money(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("nation_rev"))
+    )
+    wreg = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    region_rev = F.round(
+        F.sum(F.col("nation_rev").cast("decimal(16,2)")).over(wreg), 2
+    ).cast("double")
+    total_rev = F.round(
+        F.sum(F.col("nation_rev").cast("decimal(16,2)")).over(wall), 2
+    ).cast("double")
+    return rev.select(
+        "region",
+        "nation",
+        "nation_rev",
+        region_rev.alias("region_rev"),
+        F.round(F.col("nation_rev") / region_rev, 6).alias("share_of_region"),
+        F.round(region_rev / total_rev, 6).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
+
+
+@register(
+    "join_shuffle_hash_hint",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Join-strategy HINT control: the same orders⋈lineitem aggregate "
+    "planned as a SHUFFLE_HASH join instead of the default sort-merge "
+    "— the knob that matters when one side fits per-partition memory "
+    "and the sort dominates (hash build skips both sorts). The hint "
+    "changes ONLY the physical strategy, never the result: the oracle "
+    "is the plain join, and the pytest asserts ShuffledHashJoin (not "
+    "SortMergeJoin) survives in the executed plan. At 100 TB this is "
+    "the documented escape hatch when AQE's per-partition stats pick "
+    "SMJ for a side that is hash-buildable — same shuffle count, no "
+    "sort phases.",
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("lf_orders_shh")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lf_lineitem_shh")
+    return spark.sql(
+        """
+        SELECT /*+ SHUFFLE_HASH(o) */
+               o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))), 2)
+                    AS DOUBLE) AS total_price
+        FROM lf_orders_shh o JOIN lf_lineitem_shh l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )

@@ -797,3 +797,87 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "ts_holt_linear",
+    """
+WITH f AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+           FROM events WHERE user_id % 9 = 0),
+d AS (SELECT user_id, day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS v
+      FROM f GROUP BY user_id, day),
+w AS (SELECT user_id, day, v,
+             array_agg(v) OVER (PARTITION BY user_id ORDER BY day
+                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs
+      FROM d),
+h AS (SELECT user_id, day, v,
+             list_transform(generate_series(1, len(vs)),
+                            j -> list_reduce(vs[1:j], (acc, x) -> (acc + x) / 2))
+               AS s1s
+      FROM w),
+b AS (SELECT user_id, day, v,
+             s1s[len(s1s)] AS s1,
+             list_reduce(s1s, (acc, x) -> (acc + x) / 2) AS s2
+      FROM h)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day, v,
+       2 * s1 - s2 AS level, s1 - s2 AS trend, 3 * s1 - 2 * s2 AS forecast_next
+FROM b
+ORDER BY user_id, day
+""",
+    doc="Brown's double exponential smoothing (alpha = 1/2) over each "
+    "user's 10-day frame: s1 = EWMA of the values, s2 = EWMA of the s1 "
+    "series, level = 2s1 - s2, trend = s1 - s2, one-step forecast = "
+    "level + trend — the trend-aware upgrade of ts_ewma_daily. Both "
+    "smoothing passes are SINGLE-SCALAR sequential folds (the s1 "
+    "prefix series via a bounded nested transform over the 10-element "
+    "frame, then one fold over it): every op is an IEEE add or exact "
+    "halving on identical operands, so raw doubles hash-match with NO "
+    "rounding layer (the EWMA precedent). A struct-state Holt fold was "
+    "tried first and REJECTED: DuckDB list_reduce mutates accumulator "
+    "fields in pack order (the t expression observed the already-"
+    "updated l — probed), so any multi-field fold state is quietly "
+    "engine-dependent; scalar folds are immune. At 100 TB: daily agg, "
+    "frame collect, and folds share ONE user_id shuffle; the nested "
+    "transform is O(frame^2) = 100 codegen ops per row, no Python.",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") % 9 == 0)
+    d = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    frame = (
+        Window.partitionBy("user_id").orderBy("day").rowsBetween(-9, Window.currentRow)
+    )
+    w = d.withColumn("vs", F.collect_list("v").over(frame))
+    s1s = F.expr(
+        "transform(sequence(1, size(vs)),"
+        " j -> reduce(slice(vs, 2, j - 1), vs[0], (acc, x) -> (acc + x) / 2))"
+    )
+    h = w.withColumn("s1s", s1s)
+    b = h.select(
+        "user_id",
+        "day",
+        "v",
+        F.element_at("s1s", F.size("s1s")).alias("s1"),
+        F.expr(
+            "reduce(slice(s1s, 2, size(s1s) - 1), s1s[0], (acc, x) -> (acc + x) / 2)"
+        ).alias("s2"),
+    )
+    return (
+        b.select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            "v",
+            (2 * F.col("s1") - F.col("s2")).alias("level"),
+            (F.col("s1") - F.col("s2")).alias("trend"),
+            (3 * F.col("s1") - 2 * F.col("s2")).alias("forecast_next"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -14,6 +14,7 @@ NEW_QUERIES = [
     "diag_chi2_independence",
     "diag_iqr_outliers",
     "diag_woe_binning",
+    "diag_equidepth_histogram",
 ]
 
 
@@ -286,3 +287,25 @@ def test_woe_iv_identities(spark, sf_dir):
     for r in pdf.itertuples():
         want = round(math.log((r.n_good / g_tot) / (r.n_bad / b_tot)), 6)
         assert abs(r.woe - want) < 1e-9
+
+
+def test_equidepth_buckets_partition_and_balance(spark, sf_dir):
+    """Buckets partition each group (counts sum to group size), ids lie
+    in [0, 9], and no bucket is catastrophically unbalanced (> 3x the
+    ideal decile — discrete edges allow tie-driven imbalance, not
+    collapse)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["diag_equidepth_histogram"].fn(spark, sf_dir).toPandas()
+    sizes = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+    )
+    assert pdf["bucket"].between(0, 9).all()
+    for et, g in pdf.groupby("event_type"):
+        assert int(g["n"].sum()) == int(sizes[et])
+        assert (g["n"] <= 3 * (sizes[et] / 10) + 1).all()

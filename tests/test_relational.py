@@ -65,6 +65,8 @@ RELATIONAL_QUERIES = [
     "agg_filter_clause",
     "golden_record_customers",
     "attribution_time_decay",
+    "agg_share_of_parent",
+    "join_shuffle_hash_hint",
     "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",
@@ -426,3 +428,29 @@ def test_time_decay_credit_conserves_conversions(spark, sf_dir):
         .count()
     )
     assert abs(pdf["credit"].sum() - touched) < max(1.0, 1e-4 * touched)
+
+
+def test_share_of_parent_sums(spark, sf_dir):
+    """Within each region the nation shares sum to ~1; the region shares
+    of total sum to ~1 across distinct regions."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["agg_share_of_parent"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for _, g in pdf.groupby("region"):
+        assert abs(g["share_of_region"].sum() - 1.0) < 1e-3
+        assert g["region_rev"].nunique() == 1
+    regions = pdf.drop_duplicates("region")
+    assert abs(regions["region_share_of_total"].sum() - 1.0) < 1e-3
+
+
+def test_shuffle_hash_hint_changes_strategy(spark, sf_dir):
+    """The hint must actually flip the physical join: ShuffledHashJoin in
+    the executed plan, no SortMergeJoin."""
+    from logflow.queries import load_all
+
+    df = load_all()["join_shuffle_hash_hint"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -253,3 +253,40 @@ def test_seasonal_decompose_reconstructs(spark, sf_dir):
     for (_, _), g in pdf.groupby(["event_type", "dow"]):
         assert abs(g["seasonal"].iloc[0] - g["detr"].mean()) < 1e-3
         assert g["seasonal"].nunique() == 1
+
+
+def test_holt_linear_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_holt_linear", sf_dir)
+
+
+def test_holt_matches_python_recurrence(spark, sf_dir):
+    """Brown's double smoothing recomputed row-by-row in Python over each
+    user's 10-day frame must match exactly (same fold order, same IEEE
+    ops — no tolerance needed)."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ts_holt_linear"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "day"])
+    )
+    assert len(pdf) > 0
+
+    def ewma(seq):
+        acc = seq[0]
+        for x in seq[1:]:
+            acc = (acc + x) / 2
+        return acc
+
+    for _, g in pdf.groupby("user_id"):
+        vs = list(g["v"])
+        for i, row in enumerate(g.itertuples()):
+            frame = vs[max(0, i - 9) : i + 1]
+            s1s = [ewma(frame[: j + 1]) for j in range(len(frame))]
+            s1, s2 = s1s[-1], ewma(s1s)
+            assert row.level == 2 * s1 - s2
+            assert row.trend == s1 - s2
+            assert row.forecast_next == 3 * s1 - 2 * s2

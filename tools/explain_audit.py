@@ -38,6 +38,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "diag_benford_first_digit": {
         "bnlj": "crossJoin of the single-row total-count aggregate"
     },
+    "diag_equidepth_histogram": {
+        "bnlj": "crossJoin of the constant 9-row quantile-probability table "
+        "(edge selection fan-out by design)"
+    },
     "diag_woe_binning": {
         "bnlj": "crossJoin of the single-row good/bad-total aggregate"
     },

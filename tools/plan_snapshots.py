@@ -130,6 +130,24 @@ HEADLINERS: dict[str, str] = {
     "diag_groupwise_ols": "per-key closed-form normal equation: one "
     "partial-agg'd pass collecting decimal-exact power sums, zero "
     "further shuffles",
+    "ml_nb_lang_confusion": "train = two partial-agg shuffles; the "
+    "vocab×classes model and priors broadcast into the scoring join — "
+    "the corpus-side token stream shuffles only on doc_id for the "
+    "score roll-up",
+    "ml_logreg_gd": "each GD step = broadcast 1-row weights + one "
+    "map-side-combined gradient aggregate over the persisted feature "
+    "frame; the fact table never shuffles",
+    "graph_link_prediction": "wedge join over the persisted weight-"
+    "floored adjacency; candidates (not all pairs) flow into the "
+    "anti-join; vertex-sized degree table broadcast",
+    "tfidf_cosine_pairs": "postings self-join on shared terms with "
+    "max_df hub pruning — pair fan-out bounded per term; dict-sized "
+    "idf table broadcast",
+    "ts_seasonal_decompose": "one shuffle to daily grain; trend window "
+    "sorted within event_type partitions; 7-row-per-type seasonal "
+    "table joined back broadcast",
+    "golden_record_customers": "single map-side-combined shuffle on the "
+    "customer key; all survivorship rules ride one aggregate",
 }
 
 
