@@ -278,6 +278,10 @@ PRIORITY: list[str] = [
     "diag_equidepth_histogram",
     "agg_share_of_parent",
     "join_shuffle_hash_hint",
+    "agg_group_by_all",
+    "join_null_safe",
+    "dim_date_build",
+    "agg_mode_daily",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

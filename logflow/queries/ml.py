@@ -277,13 +277,18 @@ def _lr_fit(spark: SparkSession, sf_dir: str):
         F.lit(0).cast("long"),
         lambda a, e: a + term(e),
     ).alias(f"x{j + 1}")
+    # coalesced: the feature frame is rows × 6 longs (tiny at any SF that
+    # fits one machine) and every GD step re-reads it — without this each
+    # of the 4 passes pays 32-task scheduling overhead (CLAUDE.md rule)
     feat = track(
         emb.select(
             "vec_id",
             (F.col("label") >= 5).cast("long").alias("y"),
             F.lit(_LR_XS).cast("long").alias("x0"),
             *[block(j) for j in range(4)],
-        ).persist()
+        )
+        .coalesce(4)
+        .persist()
     )
 
     def p6_col() -> F.Column:

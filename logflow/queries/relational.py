@@ -3297,3 +3297,195 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderpriority
         """
     )
+
+
+@register(
+    "agg_group_by_all",
+    """
+SELECT o_orderstatus,
+       o_orderpriority,
+       year(o_orderdate) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority, yr
+""",
+    doc="GROUP BY ALL (the modern SQL ergonomic both engines implement): "
+    "every non-aggregate select item becomes a grouping key "
+    "automatically — the IDENTICAL query text runs on Spark SQL and "
+    "DuckDB, including the computed year() key. Semantically identical "
+    "to spelling the keys out, so the plan is the usual partial+final "
+    "hash aggregate; the value is the surface-parity demonstration "
+    "(refactors can't silently desync the SELECT list from the GROUP "
+    "BY).",
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("lf_orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               year(o_orderdate) AS yr,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+                 AS revenue
+        FROM lf_orders_gba
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority, yr
+        """
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+WITH k AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg_key
+  FROM customer),
+agg AS (
+  SELECT seg_key, CAST(COUNT(*) AS BIGINT) AS seg_size
+  FROM k GROUP BY seg_key)
+SELECT COALESCE(k.seg_key, '<null>') AS seg_key,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       MAX(agg.seg_size) AS seg_size
+FROM k JOIN agg ON k.seg_key IS NOT DISTINCT FROM agg.seg_key
+GROUP BY COALESCE(k.seg_key, '<null>')
+ORDER BY seg_key
+""",
+    doc="NULL-safe equality join: a deliberately-nullable derived key "
+    "(NULLIF collapses one segment to NULL) joined back to its own "
+    "aggregate with Spark's <=> operator — which is EXACTLY DuckDB's "
+    "IS NOT DISTINCT FROM — so the NULL group matches the NULL "
+    "aggregate row instead of silently dropping (the classic bug a "
+    "plain equi-join ships). n_matched == seg_size for every group "
+    "proves the NULL bucket round-tripped. Null-safe equality remains "
+    "a HASHABLE join key in both engines (NULL hashes as a regular "
+    "bucket), so the plan is a plain shuffle/broadcast hash join — no "
+    "BNLJ penalty for null handling.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    k = c.select(
+        "c_custkey", F.expr("NULLIF(c_mktsegment, 'BUILDING')").alias("seg_key")
+    )
+    agg = k.groupBy("seg_key").agg(F.count(F.lit(1)).alias("seg_size"))
+    j = k.join(
+        F.broadcast(agg.withColumnRenamed("seg_key", "agg_key")),
+        F.col("seg_key").eqNullSafe(F.col("agg_key")),
+    )
+    return (
+        j.groupBy(F.coalesce("seg_key", F.lit("<null>")).alias("seg_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.max("seg_size").cast("long").alias("seg_size"),
+        )
+        .orderBy("seg_key")
+    )
+
+
+@register(
+    "dim_date_build",
+    """
+WITH span AS (
+  SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+         CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d1
+  FROM events),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM span)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       CAST(year(d) AS BIGINT) AS yr,
+       CAST(month(d) AS BIGINT) AS mo,
+       CAST(isodow(d) AS BIGINT) AS iso_dow,
+       isodow(d) >= 6 AS is_weekend,
+       CAST(CASE WHEN month(d) >= 2 THEN year(d) ELSE year(d) - 1 END AS BIGINT)
+         AS fiscal_year,
+       CAST(((month(d) + 10) % 12) // 3 + 1 AS BIGINT) AS fiscal_quarter
+FROM cal
+ORDER BY day
+""",
+    doc="Date-dimension build (the calendar spine every warehouse "
+    "maintains): one row per day across the fact span with calendar "
+    "and Feb-start fiscal attributes — generated IN-ENGINE from a "
+    "2-value span aggregate + sequence/generate_series explode, no "
+    "driver loop, no external table. isodow is the pinned cross-engine "
+    "dow; the fiscal quarter is pure integer arithmetic ((mo+10)%12 "
+    "DIV 3 + 1). At 100 TB the spine is still span-days-sized (tiny) "
+    "and broadcast into every date-attribute join, which is the whole "
+    "point of materializing it.",
+)
+def dim_date_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    cal = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    iso_dow = (F.expr("weekday(d)") + 1).cast("long")
+    return cal.select(
+        F.col("d").cast("timestamp").alias("day"),
+        F.year("d").cast("long").alias("yr"),
+        F.month("d").cast("long").alias("mo"),
+        iso_dow.alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.when(F.month("d") >= 2, F.year("d"))
+        .otherwise(F.year("d") - 1)
+        .cast("long")
+        .alias("fiscal_year"),
+        ((F.month("d") + 10) % 12).cast("long").alias("_m"),
+    ).select(
+        "day",
+        "yr",
+        "mo",
+        "iso_dow",
+        "is_weekend",
+        "fiscal_year",
+        (F.expr("_m DIV 3") + 1).cast("long").alias("fiscal_quarter"),
+    ).orderBy("day")
+
+
+@register(
+    "agg_mode_daily",
+    """
+WITH b AS (
+  SELECT event_type, CAST(FLOOR(value / 100) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(FLOOR(value / 100) AS BIGINT)),
+r AS (
+  SELECT event_type, band, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, band) AS rk
+  FROM b)
+SELECT event_type, band AS mode_band, cnt AS mode_count
+FROM r WHERE rk = 1
+ORDER BY event_type
+""",
+    doc="Grouped MODE (most frequent value band) per event type, spelled "
+    "as count + ROW_NUMBER with the (count DESC, band) tiebreak instead "
+    "of the engines' native mode() aggregates — whose tie behavior is "
+    "UNSPECIFIED and engine-dependent (DuckDB docs say 'the first "
+    "encountered'; Spark has no mode over arbitrary types pre-3.4 and "
+    "ties are partition-order-dependent). The explicit form is one "
+    "partial-agg shuffle plus a window over the tiny band table, and "
+    "the tiebreak makes the answer a function of the DATA, not the "
+    "execution order — the only mode formulation that can pass a "
+    "cross-engine hash gate.",
+)
+def agg_mode_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.groupBy(
+        "event_type", F.floor(F.col("value") / 100).cast("long").alias("band")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "band")
+    return (
+        b.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("band").alias("mode_band"),
+            F.col("cnt").cast("long").alias("mode_count"),
+        )
+        .orderBy("event_type")
+    )

@@ -67,6 +67,10 @@ RELATIONAL_QUERIES = [
     "attribution_time_decay",
     "agg_share_of_parent",
     "join_shuffle_hash_hint",
+    "agg_group_by_all",
+    "join_null_safe",
+    "dim_date_build",
+    "agg_mode_daily",
     "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",
@@ -454,3 +458,30 @@ def test_shuffle_hash_hint_changes_strategy(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_null_safe_join_keeps_the_null_bucket(spark, sf_dir):
+    """Every group (including '<null>') must satisfy n_matched ==
+    seg_size — the whole point of <=> vs = is that NULLs match."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["join_null_safe"].fn(spark, sf_dir).toPandas()
+    assert "<null>" in set(pdf["seg_key"])
+    assert (pdf["n_matched"] == pdf["seg_size"]).all()
+
+
+def test_date_dim_is_a_dense_spine(spark, sf_dir):
+    """One row per day, no holes, weekend flag consistent with iso_dow,
+    fiscal quarter in 1..4 and fiscal year rolls at February."""
+    import pandas as pd
+
+    from logflow.queries import load_all
+
+    pdf = load_all()["dim_date_build"].fn(spark, sf_dir).toPandas().sort_values("day")
+    days = pd.to_datetime(pdf["day"]).reset_index(drop=True)
+    assert (days.diff().dropna() == pd.Timedelta(days=1)).all()
+    assert (pdf["is_weekend"] == (pdf["iso_dow"] >= 6)).all()
+    assert pdf["fiscal_quarter"].between(1, 4).all()
+    jan = pdf[pdf["mo"] == 1]
+    if len(jan):
+        assert (jan["fiscal_year"] == jan["yr"] - 1).all()
