@@ -282,6 +282,11 @@ PRIORITY: list[str] = [
     "join_null_safe",
     "dim_date_build",
     "agg_mode_daily",
+    "ts_seasonal_anomaly",
+    "seq_run_length_encode",
+    "funnel_within_window",
+    "sample_weighted_es",
+    "ts_purchase_latency",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

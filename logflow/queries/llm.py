@@ -2150,3 +2150,56 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return ivf_topk(corpus, queries, cent, "vec_id", "embedding", k=3, nprobe=2)
+
+
+@register(
+    "sample_weighted_es",
+    """
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         -ln((CAST(concat('0x', substr(md5(concat('es:', CAST(doc_id AS VARCHAR))), 1, 8))
+                   AS BIGINT) + 1) / 4294967297.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(es_key * 1000000, 6) AS key_ppm
+FROM k
+ORDER BY es_key, doc_id
+LIMIT 50
+""",
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES): each doc draws u from a deterministic md5 hash (the "
+    "sample_hash_weighted keyed-uniform technique, +1 shift so u is "
+    "never 0) and the k smallest -ln(u)/weight keys are the sample — "
+    "inclusion probability proportional to doc length, reproducible "
+    "across engines, partitionings and retries, unlike RNG reservoir "
+    "sampling (and therefore oracle-checkable, which RNG never is). "
+    "The ln argument is an identical exact-ratio double; selection "
+    "compares raw keys with a doc_id tiebreak. At 100 TB: the keying "
+    "is pure map-side and top-k is TakeOrdered (no global sort) — the "
+    "one-pass distributed weighted sampler.",
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    es_key = -F.log((h + 1) / F.lit(4294967297.0)) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            es_key.alias("es_key"),
+        )
+        .orderBy("es_key", "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.col("es_key") * 1000000, 6).alias("key_ppm"),
+        )
+    )

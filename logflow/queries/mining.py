@@ -551,3 +551,56 @@ def segment_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_a", "seg_b")
     )
+
+
+@register(
+    "seq_run_length_encode",
+    """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_t
+  FROM events),
+runs AS (
+  SELECT user_id, event_type, rn - rn_t AS grp,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         MIN(ts) AS run_start
+  FROM s GROUP BY user_id, event_type, rn - rn_t)
+SELECT user_id, event_type, run_len, run_start
+FROM runs
+WHERE run_len >= 3
+ORDER BY run_len DESC, user_id, event_type, run_start
+LIMIT 100
+""",
+    doc="Run-length encoding of per-user event streams (the gaps-and-"
+    "islands trick generalized from calendar days to arbitrary ordered "
+    "sequences): rn - rn_per_type is constant exactly within a "
+    "maximal run of one event type, so one GROUP BY recovers every "
+    "run with its length and start. Surfaces repeated-action bursts "
+    "(3+ consecutive same-type events — rage clicks, error storms). "
+    "Both ROW_NUMBERs share the (ts, event_id) unique total order, so "
+    "runs are identical cross-engine; counts exact. At 100 TB: both "
+    "windows and the run aggregate share ONE user_id shuffle.",
+)
+def seq_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    return (
+        s.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min("ts").alias("run_start"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .select("user_id", "event_type", "run_len", "run_start")
+        .orderBy(F.desc("run_len"), "user_id", "event_type", "run_start")
+        .limit(100)
+    )

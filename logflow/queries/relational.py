@@ -3489,3 +3489,78 @@ def agg_mode_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "funnel_within_window",
+    """
+WITH su AS (SELECT user_id, ts AS t1, event_id AS id1 FROM events
+            WHERE event_type = 'signup'),
+cl AS (SELECT user_id, ts AS t2, event_id AS id2 FROM events
+       WHERE event_type = 'click'),
+pu AS (SELECT user_id, ts AS t3 FROM events WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT su.user_id, su.t1, MIN(cl.t2) AS first_click
+  FROM su JOIN cl ON su.user_id = cl.user_id
+   AND cl.t2 > su.t1 AND cl.t2 <= su.t1 + INTERVAL 1 HOUR
+  GROUP BY su.user_id, su.t1, su.id1),
+s3 AS (
+  SELECT s2.user_id, s2.t1, s2.first_click, MIN(pu.t3) AS first_purchase
+  FROM s2 JOIN pu ON s2.user_id = pu.user_id
+   AND pu.t3 > s2.first_click AND pu.t3 <= s2.first_click + INTERVAL 1 HOUR
+  GROUP BY s2.user_id, s2.t1, s2.first_click)
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_converted,
+       CAST(COUNT(*) AS BIGINT) AS n_funnels,
+       CAST(SUM(CAST(date_diff('microsecond', t1, first_purchase) AS BIGINT))
+            AS BIGINT) AS total_latency_us
+FROM s3
+""",
+    doc="Time-CONSTRAINED funnel (each step within 1 hour of the "
+    "previous, the SLA-funnel variant of funnel_signup_click_purchase "
+    "which only requires eventual order): signup → earliest click "
+    "within the hour → earliest purchase within an hour of THAT click, "
+    "via two per-user interval joins with MIN-aggregated step "
+    "resolution (earliest-next semantics make the chosen path unique, "
+    "so counts are deterministic). Latency sums in exact microseconds "
+    "(the timestampdiff/date_diff micro pin). At 100 TB: both interval "
+    "joins co-partition on user_id — one shuffle reused — and fan-out "
+    "is bounded by per-user events-per-hour.",
+)
+def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    su = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("t1"), F.col("event_id").alias("id1")
+    )
+    cl = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("t2")
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t3")
+    )
+    s2 = (
+        su.join(cl, "user_id")
+        .filter(
+            (F.col("t2") > F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id", "t1", "id1")
+        .agg(F.min("t2").alias("first_click"))
+    )
+    s3 = (
+        s2.join(pu, "user_id")
+        .filter(
+            (F.col("t3") > F.col("first_click"))
+            & (F.col("t3") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id", "t1", "first_click")
+        .agg(F.min("t3").alias("first_purchase"))
+    )
+    return s3.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_converted"),
+        F.count(F.lit(1)).cast("long").alias("n_funnels"),
+        F.sum(
+            F.expr("CAST(timestampdiff(MICROSECOND, t1, first_purchase) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("total_latency_us"),
+    )

@@ -881,3 +881,180 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "ts_seasonal_anomaly",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2)
+                         AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+tr AS (
+  SELECT event_type, day, cents,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(cents) OVER w AS DOUBLE) / 7.0 END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+dt AS (
+  SELECT event_type, day,
+         CAST(ROUND(CAST(cents AS DOUBLE) - trend, 4) AS DECIMAL(18,4)) AS resid
+  FROM tr WHERE trend IS NOT NULL),
+med AS (
+  SELECT event_type, quantile_disc(resid, 0.5) AS m FROM dt GROUP BY event_type),
+ad AS (
+  SELECT dt.event_type, dt.day, dt.resid,
+         CAST(abs(CAST(dt.resid AS DOUBLE) - CAST(med.m AS DOUBLE))
+              AS DECIMAL(18,4)) AS adev
+  FROM dt JOIN med ON dt.event_type = med.event_type),
+mad AS (
+  SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM ad GROUP BY event_type)
+SELECT ad.event_type, CAST(ad.day AS TIMESTAMP) AS day,
+       ROUND(CAST(ad.resid AS DOUBLE) / 100, 4) AS residual,
+       ROUND(CAST(mad.mad AS DOUBLE) / 100, 4) AS mad
+FROM ad JOIN mad ON ad.event_type = mad.event_type
+WHERE CAST(ad.adev AS DOUBLE) > 3.5 * CAST(mad.mad AS DOUBLE)
+ORDER BY ad.event_type, ad.day
+""",
+    doc="Seasonality-aware anomaly detection composed from the engine's "
+    "own operators: detrend with the centered 7-day exact-cents moving "
+    "mean (ts_seasonal_decompose's trend stage), then flag days whose "
+    "residual deviates from the per-series median residual by more "
+    "than 3.5 robust MAD units — median and MAD both via DISCRETE "
+    "quantile selection (the diag_iqr_outliers rank pin), so every "
+    "threshold is an existing data value and the flag comparison is "
+    "exact. Robust stats make one outlier day unable to mask itself "
+    "(unlike mean/stddev control limits). At 100 TB: one shuffle to "
+    "daily grain, windows within series partitions, two tiny "
+    "median-selection aggregates broadcast back.",
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2)
+            .cast("double")
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    dt = (
+        daily.select(
+            "event_type",
+            "day",
+            "cents",
+            F.when(
+                F.count(F.lit(1)).over(w) == 7,
+                F.sum("cents").over(w).cast("double") / 7.0,
+            ).alias("trend"),
+        )
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("cents").cast("double") - F.col("trend"), 4)
+            .cast("decimal(18,4)")
+            .alias("resid"),
+        )
+    )
+
+    def disc_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        ww = Window.partitionBy("event_type").orderBy(col, "day")
+        cnt = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            "day",
+            F.row_number().over(ww).alias("rn"),
+            F.count(F.lit(1)).over(cnt).alias("n"),
+        )
+        return (
+            ranked.filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("int"))
+            .groupBy("event_type")
+            .agg(F.max(col).alias(out))
+        )
+
+    med = disc_median(dt, "resid", "m")
+    ad = dt.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "resid",
+        F.abs(F.col("resid").cast("double") - F.col("m").cast("double"))
+        .cast("decimal(18,4)")
+        .alias("adev"),
+    )
+    mad = disc_median(ad, "adev", "mad")
+    return (
+        ad.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev").cast("double") > 3.5 * F.col("mad").cast("double"))
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            F.round(F.col("resid").cast("double") / 100, 4).alias("residual"),
+            F.round(F.col("mad").cast("double") / 100, 4).alias("mad"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "ts_purchase_latency",
+    """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events WHERE event_type = 'purchase'),
+g AS (
+  SELECT CAST(date_diff('microsecond', ts, next_ts) AS BIGINT) AS gap_us
+  FROM p WHERE next_ts IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_us,
+       CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_us
+FROM g
+""",
+    doc="Inter-purchase latency distribution: per-user lead() over "
+    "purchase events ((ts, event_id) total order), exact-microsecond "
+    "gaps, summarized with DISCRETE percentile selection (the "
+    "quantile_disc rank pin — existing BIGINT values, zero "
+    "interpolation). The repeat-purchase cadence metric every "
+    "retention model starts from. At 100 TB: one user_id shuffle for "
+    "the sequence window; the summary is a single global selection — "
+    "swap to approx_percentile when the gap table itself is "
+    "cluster-scale (agg_approx_percentile is the documented path).",
+)
+def ts_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.select("user_id", "ts", "event_id", F.lead("ts").over(w).alias("next_ts"))
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            F.expr("CAST(timestampdiff(MICROSECOND, ts, next_ts) AS BIGINT)").alias(
+                "gap_us"
+            )
+        )
+    )
+    wr = Window.orderBy("gap_us")
+    cnt = Window.partitionBy()
+    ranked = g.select(
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    sel = lambda p: F.ceil(F.lit(p) * F.col("n")).cast("int")  # noqa: E731
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_us"),
+        F.max(F.when(F.col("rn") == sel(0.5), F.col("gap_us"))).cast("long").alias("p50_us"),
+        F.max(F.when(F.col("rn") == sel(0.9), F.col("gap_us"))).cast("long").alias("p90_us"),
+        F.max("gap_us").cast("long").alias("max_us"),
+    )

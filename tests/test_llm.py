@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 LLM_QUERIES = [
     "dedup_exact",
+    "sample_weighted_es",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -479,3 +480,27 @@ def test_kmeans_trained_recall_is_measured_both_ways(spark, sf_dir):
     assert ((pdf["n_matched_kmeans"] / pdf["n_truth"]).round(4) == pdf["recall_kmeans"]).all()
     ivf = load_all()["knn_ivf_kmeans"].fn(spark, sf_dir).toPandas()
     assert (ivf.groupby("qid")["rank"].count() == 3).all()
+
+
+def test_es_sampling_keys_recompute(spark, sf_dir):
+    """A-ES keys recompute exactly from md5 in Python; the emitted 50 are
+    the globally smallest keys (checked against a full recompute)."""
+    import hashlib
+    import math
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["sample_weighted_es"].fn(spark, sf_dir).toPandas()
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars").toPandas()
+
+    def key(doc_id, n_chars):
+        h = int(hashlib.md5(f"es:{doc_id}".encode()).hexdigest()[:8], 16)
+        return -math.log((h + 1) / 4294967297.0) / n_chars
+
+    allk = sorted(
+        (key(r.doc_id, r.n_chars), r.doc_id) for r in docs.itertuples()
+    )[: len(pdf)]
+    assert list(pdf["doc_id"]) == [d for _, d in allk]
+    for r, (k, _) in zip(pdf.itertuples(), allk):
+        assert abs(r.key_ppm - round(k * 1e6, 6)) < 1e-6

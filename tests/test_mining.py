@@ -13,6 +13,7 @@ MINING_QUERIES = [
     "pmi_collocations",
     "seq_regex_funnel",
     "segment_overlap_jaccard",
+    "seq_run_length_encode",
 ]
 
 
@@ -197,3 +198,32 @@ def test_segment_overlap_identities(spark, sf_dir):
     assert ((pdf["jaccard"] > 0) & (pdf["jaccard"] <= 1)).all()
     assert ((pdf["containment"] > 0) & (pdf["containment"] <= 1)).all()
     assert (pdf["jaccard"] <= pdf["containment"] + 1e-9).all()
+
+
+def test_rle_runs_are_really_consecutive(spark, sf_dir):
+    """Re-derive each reported user's ordered event-type sequence and
+    verify a maximal run of exactly run_len at run_start."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["seq_run_length_encode"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["run_len"] >= 3).all()
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+    )
+    seqs = {
+        u: list(zip(g.sort_values(["ts", "event_id"])["ts"], g.sort_values(["ts", "event_id"])["event_type"]))
+        for u, g in ev.groupby("user_id")
+    }
+    for r in pdf.head(30).itertuples():
+        seq = seqs[r.user_id]
+        idx = next(i for i, (t, _) in enumerate(seq) if t == r.run_start)
+        run = [et for _, et in seq[idx : idx + r.run_len]]
+        assert all(et == r.event_type for et in run), (r, run)
+        if idx > 0:
+            assert seq[idx - 1][1] != r.event_type, "run extends left"
+        if idx + r.run_len < len(seq):
+            assert seq[idx + r.run_len][1] != r.event_type, "run extends right"

@@ -71,6 +71,7 @@ RELATIONAL_QUERIES = [
     "join_null_safe",
     "dim_date_build",
     "agg_mode_daily",
+    "funnel_within_window",
     "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",
@@ -485,3 +486,15 @@ def test_date_dim_is_a_dense_spine(spark, sf_dir):
     jan = pdf[pdf["mo"] == 1]
     if len(jan):
         assert (jan["fiscal_year"] == jan["yr"] - 1).all()
+
+
+def test_funnel_within_window_subset_of_unconstrained(spark, sf_dir):
+    """The time-constrained funnel can never convert MORE users than the
+    order-only funnel, and latency is positive and bounded by 2h per
+    funnel."""
+    from logflow.queries import load_all
+
+    r = load_all()["funnel_within_window"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert r.n_users_converted <= r.n_funnels
+    if r.n_funnels > 0:
+        assert 0 < r.total_latency_us <= r.n_funnels * 2 * 3600 * 1_000_000

