@@ -431,3 +431,121 @@ def decode_y4m_sampled(media: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(dec, Y4M_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL color-image path: PPM (netpbm P6), the RGB sibling of the P5 path —
+# interleaved R,G,B bytes after the text header. Channel extraction and
+# integer luma conversion are the two byte-level ops a multimodal training
+# pipeline runs on color images before any model sees them.
+# ---------------------------------------------------------------------------
+
+PPM_CHANNEL_SCHEMA = (
+    "media_id long, width long, height long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def synthesize_ppm(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic P6 color images: same dims as the P5 synth, byte
+    stream ``b[j] = ((m*7 + j) * 13) % 256`` over the interleaved
+    R,G,B,R,G,B,... pixel block (j in 0..3wh-1)."""
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for m in pdf[id_col]:
+                m = int(m)
+                w, h = 16 + (m % 5) * 8, 12 + (m % 3) * 8
+                header = f"P6\n{w} {h}\n255\n".encode()
+                pixels = bytes(((m * 7 + j) * 13) % 256 for j in range(3 * w * h))
+                payloads.append(header + pixels)
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return ids.select(id_col).mapInPandas(synth, "media_id long, payload binary")
+
+
+def _parse_ppm(payload: bytes):
+    """Parse a P6 header; returns (w, h, maxval, pixels[h, w, 3]).
+    Raises on malformed input — corrupt media must surface."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens, pos, tok = [], 2, b""
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos:pos + 1]
+        pos += 1
+        if c.isspace():
+            if tok:
+                tokens.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+    w, h, maxval = tokens
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=pos)
+    if pixels.size != 3 * w * h:
+        raise ValueError("truncated pixel block")
+    return w, h, maxval, pixels.reshape(h, w, 3)
+
+
+def decode_ppm_channels(media: DataFrame) -> DataFrame:
+    """REAL color decode: parse the P6 container and return exact
+    per-channel pixel means (integer sums over exact counts — one IEEE
+    division each)."""
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                k: []
+                for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _maxval, img = _parse_ppm(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                n = w * h
+                for ci, col in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[col].append(int(img[:, :, ci].sum(dtype="int64")) / n)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(dec, PPM_CHANNEL_SCHEMA)
+
+
+def ppm_to_gray_pgm(media: DataFrame) -> DataFrame:
+    """REAL colorspace conversion: integer ITU-R 601 luma
+    ``(299R + 587G + 114B) // 1000`` per pixel, re-encoded as a valid P5
+    grayscale payload (decodable by decode_pgm) — all-integer so the
+    result is byte-exact and oracle-predictable."""
+    import pandas as pd
+
+    def conv(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, maxval, img = _parse_ppm(bytes(payload))
+                px = img.astype("int64")
+                luma = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                payloads.append(
+                    f"P5\n{w} {h}\n{maxval}\n".encode()
+                    + luma.astype("uint8").tobytes()
+                )
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return media.mapInPandas(conv, "media_id long, payload binary")

@@ -287,6 +287,8 @@ PRIORITY: list[str] = [
     "funnel_within_window",
     "sample_weighted_es",
     "ts_purchase_latency",
+    "ts_gap_fill_linear",
+    "multimodal_color_to_gray",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

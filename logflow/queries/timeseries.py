@@ -1058,3 +1058,112 @@ def ts_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == sel(0.9), F.col("gap_us"))).cast("long").alias("p90_us"),
         F.max("gap_us").cast("long").alias("max_us"),
     )
+
+
+@register(
+    "ts_gap_fill_linear",
+    """
+WITH f AS (SELECT user_id, ts, value FROM events WHERE user_id % 10 = 0),
+h AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS hv
+      FROM f GROUP BY user_id, date_trunc('hour', ts)),
+span AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM h GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+         FROM span),
+j AS (SELECT g.user_id, g.hr, h.hv FROM grid g
+      LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr),
+ctx AS (
+  SELECT user_id, hr, hv,
+         last_value(hv IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN hv IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER w_prev AS pt,
+         first_value(hv IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN hv IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER w_next AS nt
+  FROM j
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, hr, hv, hv IS NULL AS is_gap,
+       CASE
+         WHEN hv IS NOT NULL THEN hv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv)
+                   * (CAST(date_diff('microsecond', pt, hr) AS BIGINT)
+                      / CAST(date_diff('microsecond', pt, nt) AS BIGINT))
+       END AS filled_value
+FROM ctx
+""",
+    doc="Linear-INTERPOLATION gap fill (the smooth sibling of "
+    "ts_gap_fill_forward's step fill): each gap hour takes "
+    "pv + (nv-pv)·(t-pt)/(nt-pt) between its bracketing observations, "
+    "trailing gaps fall back to forward fill. The paired IGNORE-NULLS "
+    "windows (last_value looking back, first_value looking forward) "
+    "share one user_id partitioning; the time fraction is an exact "
+    "BIGINT-micros ratio, so the interpolated double is one identical "
+    "IEEE expression, rounded once. Determinism hinges on both value "
+    "AND timestamp coming from the SAME bracketing rows — the paired "
+    "CASE-null windows pick them atomically (the attribution_last_"
+    "touch torn-row guard). At 100 TB: identical shape to the forward "
+    "fill — grid explode bounded by span-hours, everything on one "
+    "user_id shuffle.",
+)
+def ts_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") % 10 == 0)
+    h = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+        .cast("double")
+        .alias("hv")
+    )
+    span = h.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    j = grid.join(h, ["user_id", "hr"], "left_outer")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward-looking values via a REVERSED-sort running frame, not a
+    # (currentRow, unboundedFollowing) frame: Spark's UnboundedFollowing
+    # WindowFunctionFrame rescans the partition remainder per row — O(n²)
+    # per key, measured 3.3 s vs 0.7 s for the forward-fill sibling at
+    # sf0.1. Descending order + unboundedPreceding is the same running
+    # O(n) state machine as the backward pass (one extra sort, linear).
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_hr = F.when(F.col("hv").isNotNull(), F.col("hr"))
+    ctx = j.select(
+        "user_id",
+        "hr",
+        "hv",
+        F.last("hv", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_hr, ignorenulls=True).over(w_prev).alias("pt"),
+        F.last("hv", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(obs_hr, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    frac = F.expr(
+        "CAST(timestampdiff(MICROSECOND, pt, hr) AS BIGINT)"
+    ) / F.expr("CAST(timestampdiff(MICROSECOND, pt, nt) AS BIGINT)")
+    filled = (
+        F.when(F.col("hv").isNotNull(), F.col("hv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "user_id",
+        "hr",
+        "hv",
+        F.col("hv").isNull().alias("is_gap"),
+        # NO final rounding: the interpolation is one identical IEEE
+        # expression in both engines so raw doubles hash-match — ROUND
+        # itself is the only divergence risk (measured: 21.98625 at 4dp
+        # split the engines, the shortest-repr-vs-binary half boundary)
+        filled.alias("filled_value"),
+    )

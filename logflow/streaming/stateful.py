@@ -161,3 +161,77 @@ def distinct_label_counts(records: DataFrame, key_col: str, label_col: str) -> D
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --------------------------------------------------------------------------
+# Stateful row-pattern matcher: the streaming twin of seq_regex_funnel
+# --------------------------------------------------------------------------
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_funnels", LongType()),
+        StructField("armed", LongType()),
+    ]
+)
+
+_FUNNEL_STATE = "n LONG, armed LONG"
+
+#: automaton for leftmost non-overlapping S[CV]*P matching:
+#:   idle  + S        -> armed
+#:   armed + S        -> armed   (failed attempt restarts at the new S)
+#:   armed + C/V      -> armed
+#:   armed + P        -> count++, idle
+#:   armed + other(E) -> idle
+#: equivalent to regexp_count(symbols, 'S[CV]*P') on the concatenated
+#: per-key symbol string — asserted against seq_regex_funnel in tests.
+
+
+def _update_funnels(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, armed = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        # event-time order within the micro-batch; cross-batch order is
+        # the arrival order (exactly ordered when the feed replays in
+        # event-time order, as the tests do — production pipelines get
+        # this from a watermark-sorted upstream or log-compacted source)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for c in pdf["c"]:
+            if c == "S":
+                armed = 1
+            elif armed and c in ("C", "V"):
+                pass
+            elif armed and c == "P":
+                n += 1
+                armed = 0
+            else:
+                armed = 0
+    state.update((n, armed))
+    yield pd.DataFrame({"key": [key[0]], "n_funnels": [n], "armed": [armed]})
+
+
+def streaming_funnel_counts(events: DataFrame) -> DataFrame:
+    """Incremental S[CV]*P funnel counting per user over a stream.
+
+    The streaming twin of ``seq_regex_funnel``: per-key automaton state is
+    two integers (position + count) regardless of stream length — the
+    bounded-state property that makes row-pattern matching feasible on an
+    unbounded 100 TB/day stream, where the batch form's per-user symbol
+    string would grow without bound.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.upper(F.substring("event_type", 1, 1)).alias("c"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _update_funnels,
+        outputStructType=FUNNEL_STATE_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -22,6 +22,7 @@ MM_QUERIES = [
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
     "multimodal_video_frame_stats",
+    "multimodal_color_to_gray",
 ]
 
 
@@ -200,3 +201,34 @@ def test_y4m_every_k_validated():
 
     with _pytest.raises(ValueError):
         decode_y4m_sampled(None, every_k=0)
+
+
+def test_ppm_gray_conversion_is_byte_exact(spark):
+    """The P6→P5 luma conversion recomputes exactly in numpy on the raw
+    synthesized bytes, and malformed P6 payloads raise."""
+    import numpy as np
+    import pytest
+
+    from logflow.operators.multimodal import (
+        _parse_ppm,
+        decode_pgm,
+        ppm_to_gray_pgm,
+        synthesize_ppm,
+    )
+
+    ids = spark.range(0, 8).selectExpr("id AS media_id")
+    color = {r.media_id: bytes(r.payload) for r in synthesize_ppm(ids).collect()}
+    gray = {
+        r.media_id: r.mean_pixel
+        for r in decode_pgm(ppm_to_gray_pgm(synthesize_ppm(ids))).collect()
+    }
+    for m, payload in color.items():
+        w, h, _mv, img = _parse_ppm(payload)
+        px = img.astype("int64")
+        luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+        assert gray[m] == int(luma.sum(dtype="int64")) / (w * h)
+        assert luma.max() <= 255
+    with pytest.raises(ValueError):
+        _parse_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)  # wrong magic
+    with pytest.raises(ValueError):
+        _parse_ppm(b"P6\n4 4\n255\n" + b"\x00" * 10)  # truncated pixels

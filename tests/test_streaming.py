@@ -1065,3 +1065,65 @@ def test_streaming_daily_ohlc_matches_batch(spark, tmp_path):
     assert set(got) == set(want)
     for k, (o, h, l, c, n) in got.items():
         assert (round(o, 4), round(h, 4), round(l, 4), round(c, 4), n) == want[k], k
+
+
+def test_streaming_funnel_matches_batch_regex(spark, tmp_path):
+    """The stateful S[CV]*P automaton over an event-time-ordered stream
+    (two micro-batches split at the median ts) must equal the batch
+    regexp_count over each user's full symbol string — the streaming /
+    batch twin law for row-pattern matching."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logflow.sources.tables import load_table
+    from logflow.streaming.stateful import streaming_funnel_counts
+
+    ev = (
+        load_table(spark, "events", "/root/testdata/sf0.001", parallelize=False)
+        .selectExpr(
+            "user_id",
+            # int64 micros: orderable, and round-trips pandas->parquet
+            # without timestamp-physical-type surprises
+            "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) AS BIGINT) AS ts",
+            "event_id",
+            "event_type",
+        )
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    path = tmp_path / "ev_funnel"
+    path.mkdir()
+    half = len(ev) // 2
+    # lexicographic name order == write (mtime) order == event-time order
+    pq.write_table(pa.Table.from_pandas(ev.iloc[:half]), str(path / "a_old.parquet"))
+    pq.write_table(pa.Table.from_pandas(ev.iloc[half:]), str(path / "b_new.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long, event_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(path))
+    )
+    q = (
+        streaming_funnel_counts(stream)
+        .writeStream.format("memory")
+        .queryName("funnels_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    latest: dict[str, int] = {}
+    for r in spark.sql("select * from funnels_stream").collect():
+        latest[r.key] = max(r.n_funnels, latest.get(r.key, 0))
+
+    import re
+
+    want = {}
+    for u, g in ev.groupby("user_id"):
+        s = "".join(g.sort_values(["ts", "event_id"])["event_type"].str[0].str.upper())
+        want[str(u)] = len(re.findall(r"S[CV]*P", s))
+    assert len(want) >= 10
+    for u, n in want.items():
+        assert latest.get(u, 0) == n, (u, latest.get(u), n)

@@ -323,3 +323,31 @@ def test_seasonal_anomaly_flags_exceed_threshold(spark, sf_dir):
     if len(pdf) == 0:
         pytest.skip("no residual exceeded 3.5 MAD at this SF/seed")
     assert (pdf["mad"] >= 0).all()
+
+
+def test_gap_fill_linear_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_gap_fill_linear", sf_dir)
+
+
+def test_gap_fill_linear_between_brackets(spark, sf_dir):
+    """Interpolated gap values lie strictly between (or equal to) their
+    bracketing observations, and observed rows pass through unchanged."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ts_gap_fill_linear"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "hr"])
+    )
+    assert (pdf.loc[~pdf["is_gap"], "filled_value"] == pdf.loc[~pdf["is_gap"], "hv"]).all()
+    for _, g in pdf.groupby("user_id"):
+        g = g.reset_index(drop=True)
+        obs_idx = list(g.index[~g["is_gap"]])
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            lo = min(g["hv"][a], g["hv"][b])
+            hi = max(g["hv"][a], g["hv"][b])
+            mid = g["filled_value"][a + 1 : b]
+            assert ((mid >= lo - 1e-9) & (mid <= hi + 1e-9)).all()
