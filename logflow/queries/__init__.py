@@ -289,6 +289,7 @@ PRIORITY: list[str] = [
     "ts_purchase_latency",
     "ts_gap_fill_linear",
     "multimodal_color_to_gray",
+    "ml_pca_power_iteration",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

@@ -435,3 +435,109 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_PCA_ITERS = 3
+_PCA_XS = 10_000  # element fixed-point scale
+_PCA_WS = 1_000_000  # eigenvector fixed-point scale
+
+
+def _pca_iter_sql(prev: str, cur: str) -> str:
+    """One power-iteration step y = Aᵀ(Aw) in pure BIGINT: the row
+    projection s is down-scaled by the element scale to keep the second
+    product within int64 at any corpus size; normalization is max-abs
+    (integer division), not L2 — power iteration converges under any
+    positive rescaling and integer ops keep it bit-stable."""
+    return f"""
+s_{cur} AS (
+  SELECT el.vec_id, CAST(SUM(el.v * w.wv) AS BIGINT) // {_PCA_XS} AS s
+  FROM el JOIN {prev} w ON el.d = w.d GROUP BY el.vec_id),
+y_{cur} AS (
+  SELECT el.d, CAST(SUM(s_{cur}.s * el.v) AS BIGINT) AS y
+  FROM el JOIN s_{cur} ON el.vec_id = s_{cur}.vec_id GROUP BY el.d),
+m_{cur} AS (SELECT GREATEST(1, MAX(ABS(y)) // {_PCA_WS}) AS m FROM y_{cur}),
+{cur} AS (SELECT d, y // m AS wv FROM y_{cur} CROSS JOIN m_{cur})"""
+
+
+_PCA_SQL = (
+    """WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000, 0) AS BIGINT) AS v
+  FROM embeddings),
+w0_p AS (SELECT unnest(range(1, 65)) AS d, CAST(1000000 AS BIGINT) AS wv),"""
+    + ",".join(_pca_iter_sql(f"w{i}_p", f"w{i + 1}_p") for i in range(_PCA_ITERS))
+    + f"""
+SELECT CAST(d AS BIGINT) AS dim, CAST(wv AS BIGINT) AS w_fp,
+       ROUND(CAST(wv AS DOUBLE)
+             / (SELECT MAX(ABS(wv)) FROM w{_PCA_ITERS}_p), 6) AS component
+FROM w{_PCA_ITERS}_p
+ORDER BY dim
+"""
+)
+
+
+@register(
+    "ml_pca_power_iteration",
+    _PCA_SQL,
+    doc="Dominant principal direction of the embedding corpus by 3 "
+    "unrolled POWER-ITERATION steps, computed as y = Aᵀ(Aw) — two "
+    "matrix-vector passes over the long-form (vec, dim, value) table, "
+    "NEVER materializing the 64×64 covariance (the formulation that "
+    "survives when dims are 4096 and the Gram matrix is the thing you "
+    "can't afford). Entirely BIGINT fixed point: elements rounded once "
+    "to 1e4 scale, the row projection down-scaled before the second "
+    "product so every sum fits int64 at any corpus size, max-abs "
+    "integer normalization per step — bit-stable cross-engine like "
+    "PageRank and ml_logreg_gd (zero float ops until the final display "
+    "division). At 100 TB: each step is one broadcast of the 64-row "
+    "vector + two map-side-combined aggregates over the persisted "
+    "long-form table; the fact data never shuffles.",
+)
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    el = track(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("p", "e")
+        )
+        .select(
+            "vec_id",
+            (F.col("p") + 1).alias("d"),
+            F.round(F.col("e").cast("double") * _PCA_XS, 0).cast("long").alias("v"),
+        )
+        .coalesce(4)
+        .persist()
+    )
+    w = spark.range(1, 65).select(
+        F.col("id").alias("d"), F.lit(_PCA_WS).cast("long").alias("wv")
+    )
+    for _ in range(_PCA_ITERS):
+        s = (
+            el.join(F.broadcast(w), "d")
+            .groupBy("vec_id")
+            .agg(F.expr(f"CAST(SUM(v * wv) AS BIGINT) DIV {_PCA_XS}").alias("s"))
+        )
+        y = (
+            el.join(s, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("s") * F.col("v")).cast("long").alias("y"))
+        )
+        m = y.agg(
+            F.greatest(F.lit(1).cast("long"), F.expr(f"MAX(ABS(y)) DIV {_PCA_WS}")).alias("m")
+        )
+        w = y.crossJoin(F.broadcast(m)).select(
+            "d", F.expr("y DIV m").cast("long").alias("wv")
+        )
+    mx = w.agg(F.max(F.abs(F.col("wv"))).alias("mx"))
+    return (
+        w.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("d").cast("long").alias("dim"),
+            F.col("wv").cast("long").alias("w_fp"),
+            F.round(F.col("wv").cast("double") / F.col("mx").cast("double"), 6).alias(
+                "component"
+            ),
+        )
+        .orderBy("dim")
+    )

@@ -30,6 +30,7 @@ PERSISTING_QUERIES = [
     "graph_link_prediction",
     "ml_logreg_gd",
     "ml_calibration_bins",
+    "ml_pca_power_iteration",
 ]
 
 

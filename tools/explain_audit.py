@@ -53,6 +53,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "crossJoin of the single-row subset-doc-count aggregate (N "
         "for idf)"
     },
+    "ml_pca_power_iteration": {
+        "bnlj": "crossJoins of the 1-row max-abs normalizer per power step "
+        "(broadcast-the-model pattern)"
+    },
     "ml_logreg_gd": {
         "bnlj": "crossJoins of the 1-row weight vector / gradient / metric "
         "aggregates (one per unrolled GD step — the broadcast-the-model "
