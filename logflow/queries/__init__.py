@@ -290,6 +290,9 @@ PRIORITY: list[str] = [
     "ts_gap_fill_linear",
     "multimodal_color_to_gray",
     "ml_pca_power_iteration",
+    "quantile_exact_twopass",
+    "sqlvar_dynamic_threshold",
+    "transpose_band_metrics",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",
@@ -319,6 +322,7 @@ def load_all() -> dict[str, Query]:
         ml,
         multimodal,
         relational,
+        sqlfeat,
         timeseries,
         tokenizer,
         tpch,
