@@ -182,3 +182,94 @@ def triangle_counts_degree_ordered(edges: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("n")))
     )
     return nodes.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def two_phase_connected_components(
+    edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the O(log²n)-round scheme whose per-round cost
+    is independent of component DIAMETER, complementing
+    operators/dedup.py:connected_components (min-label propagation, one
+    round per diameter hop): path-shaped graphs with diameter in the
+    thousands finish in ~log² rounds here while label propagation would
+    run thousands.
+
+    ``edges``: undirected edge list ``(u, v)``, any orientation, self
+    loops ignored. Returns ``(node, comp)`` with ``comp`` = min node id
+    of the component.
+
+    Per round, each step is one groupBy + one join on the CURRENT edge
+    set (which only shrinks toward the star forest): large-star hangs
+    every neighbor larger than ``u`` off ``u``'s minimum neighborhood
+    node; small-star re-parents every smaller neighbor (and ``u``) onto
+    the minimum. Both preserve connectivity and strictly reduce a
+    monovariant, so termination is guaranteed; convergence is detected
+    when the canonical edge set reaches a fixpoint (count + set-diff —
+    exact, no checksums). localCheckpoint truncates the per-round
+    lineage; the edge frame is coalesced by measured size so a small
+    graph doesn't pay 32-task scheduling per step (CLAUDE.md iterative-
+    algorithm rules).
+    """
+    e = (
+        edges.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_parts = max(1, e.count() // 100_000 + 1)
+    e = e.coalesce(n_parts)
+    nodes = (
+        e.select(F.col("hi").alias("node"))
+        .unionByName(e.select(F.col("lo").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+        .coalesce(n_parts)
+    )
+
+    def canonical(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+
+    for _ in range(max_iterations):
+        bid = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        # large-star: m(u) = min(Γ(u) ∪ {u}); attach strictly-larger
+        # neighbors to m
+        m = bid.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = canonical(
+            bid.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star on the large-star output: orient big→small, re-parent
+        # each smaller neighbor (and the center) onto the minimum
+        dirE = ls.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        sm = dirE.groupBy("u").agg(F.min("v").alias("m"))
+        ss = canonical(
+            dirE.join(sm, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(sm.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        ).localCheckpoint(eager=False)
+        same = (
+            ss.count() == e.count()
+            and ss.exceptAll(e.select("hi", "lo")).count() == 0
+        )
+        e = ss.coalesce(n_parts)
+        if same:
+            star = e.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))
+            return nodes.join(star, "node", "left").select(
+                "node", F.coalesce("comp", "node").alias("comp")
+            )
+    raise RuntimeError(
+        f"two_phase_connected_components did not converge in {max_iterations} rounds"
+    )

@@ -549,3 +549,52 @@ def ppm_to_gray_pgm(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return media.mapInPandas(conv, "media_id long, payload binary")
+
+
+def wav_frame_features(media: DataFrame, frame_len: int = 128) -> DataFrame:
+    """Frame-level audio features from REAL WAV payloads: per full frame
+    of ``frame_len`` PCM samples, the exact integer energy
+    ``sum((s-128)²)`` (8-bit unsigned PCM centers at 128) and the
+    zero-crossing count (sign-bit changes of the centered signal) — the
+    two features every VAD / audio-quality gate starts from.
+
+    All math is exact int64 on the decoded bytes, so the output is
+    bit-identical to any engine that can predict the synthesis formula —
+    the audio analog of the PGM/Y4M oracle trick. Trailing partial
+    frames are dropped (both sides agree by construction). One
+    Arrow-batched map-side pass; a 100 TB corpus fans out per-frame rows
+    map-side with zero shuffle. Malformed payloads raise (decode
+    operators must surface corruption, never zero it out).
+    """
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    def feats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("media_id", "frame_idx", "energy", "zero_crossings")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+                nf = len(s) // frame_len
+                fr = s[: nf * frame_len].reshape(nf, frame_len)
+                energy = (fr * fr).sum(axis=1)
+                pos = fr >= 0
+                zc = (pos[:, 1:] != pos[:, :-1]).sum(axis=1).astype(np.int64)
+                out["media_id"].append(np.full(nf, int(mid), dtype=np.int64))
+                out["frame_idx"].append(np.arange(nf, dtype=np.int64))
+                out["energy"].append(energy)
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(
+                {k: np.concatenate(v) if v else np.array([], dtype=np.int64)
+                 for k, v in out.items()}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        feats, "media_id long, frame_idx long, energy long, zero_crossings long"
+    )

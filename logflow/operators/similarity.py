@@ -335,3 +335,92 @@ def kmeans_iterate(
     cent = track(cent.coalesce(1).persist())
     cent.count()
     return cent
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries_pdf,
+    codebook_pdf,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Product-quantization ANN: encode + ADC top-k in one corpus pass.
+
+    ``codebook_pdf``: pandas (cid, cvec) — the per-subspace codebooks are
+    the sub-vectors of these donor rows (deterministic, bounded; a trained
+    codebook would come from :func:`kmeans_iterate` per subspace).
+    ``queries_pdf``: pandas (qid, qvec).
+
+    Everything is int64 fixed point (elements rounded half-away to
+    ``scale``), so encode, the per-query lookup tables, and every ADC
+    distance are EXACT integers — bit-identical to the long-form SQL
+    oracle, no float summation order anywhere.  Per Arrow batch: vectors
+    reshape to (n, m, dsub); codes = argmin over centroids of the exact
+    squared L2 per subspace (np.argmin's first-occurrence rule IS the
+    smallest-cid tiebreak); ADC distances come from the per-query
+    (m × n_centroids) table the batch indexes into — the PQ trick that
+    replaces a 64-dim distance with m table lookups.  The per-batch prune
+    keeps each query's top-k in the exact global order (dist, id) via
+    lexsort, which makes the prune provably lossless; a final window
+    reduces batches.
+
+    At 100 TB: the corpus is scanned ONCE map-side (codebook + queries
+    ride the closure like a broadcast); only n_queries·k·#batches rows
+    reach the reduce window.  Codes are 8 bytes/vector here (m=8, k=16 →
+    4 bits/subspace) — the compression that lets a trillion-vector index
+    fit a cluster's RAM.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def to_int(a: "np.ndarray") -> "np.ndarray":
+        scaled = a.astype(np.float64) * scale
+        return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+    qids = queries_pdf["qid"].to_numpy()
+    qmat = to_int(np.stack(queries_pdf["qvec"].to_numpy()))
+    cmat = to_int(np.stack(codebook_pdf["cvec"].to_numpy()))
+    dim = qmat.shape[1]
+    dsub = dim // m
+    # C[s, cid, pos]; rows of codebook_pdf must already be cid-sorted
+    cent = cmat.reshape(len(cmat), m, dsub).transpose(1, 0, 2)
+    qsub = qmat.reshape(len(qids), m, dsub)
+    # LUT[q, s, cid] = exact squared L2 between query sub-vector and centroid
+    lut = ((qsub[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(axis=3)
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            x = to_int(np.stack(pdf[vec_col].to_numpy())).reshape(len(pdf), m, dsub)
+            d2 = ((x[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(axis=3)
+            codes = np.argmin(d2, axis=2)  # first occurrence == smallest cid
+            # adc[n, q] = sum_s LUT[q, s, codes[n, s]]
+            adc = lut[:, np.arange(m)[None, :], codes].sum(axis=2).T
+            out_q, out_id, out_d = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, adc[:, qi]))[: min(k, len(ids))]
+                out_q.append(np.full(len(order), qids[qi]))
+                out_id.append(ids[order])
+                out_d.append(adc[order, qi])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="qid long, neighbor_id long, adc_dist long"
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "rank", "adc_dist")
+    )

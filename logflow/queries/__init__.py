@@ -293,6 +293,13 @@ PRIORITY: list[str] = [
     "quantile_exact_twopass",
     "sqlvar_dynamic_threshold",
     "transpose_band_metrics",
+    "lm_kneser_ney_bigram",
+    "knn_pq_adc",
+    "graph_cc_two_phase",
+    "multimodal_audio_frame_energy",
+    "ml_decision_stump",
+    "ml_feature_hashing",
+    "ml_target_encoding_kfold",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

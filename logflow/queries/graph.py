@@ -440,3 +440,56 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("jaccard"), "part_a", "part_b").limit(100)
+
+
+@register(
+    "graph_cc_two_phase",
+    """
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p),
+s AS (SELECT u, v FROM e WHERE w >= 2 AND u % 2 = 0 AND v % 2 = 0),
+bid AS (SELECT u, v FROM s UNION ALL SELECT v, u FROM s),
+nodes AS (SELECT DISTINCT u AS id FROM bid),
+lab AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT bid.v AS id, lab.comp FROM lab JOIN bid ON bid.u = lab.id
+)
+SELECT CAST(id AS BIGINT) AS p_partkey, CAST(MIN(comp) AS BIGINT) AS comp
+FROM lab GROUP BY id
+ORDER BY p_partkey
+""",
+    doc="Connected components of the (sampled, weight>=2) co-purchase "
+    "graph via the alternating large-star/small-star rewrite "
+    "(operators/graph.py:two_phase_connected_components — Kiveris et "
+    "al. 2014): O(log²n) rounds regardless of component DIAMETER, the "
+    "published 100 TB-scale CC algorithm, complementing the min-label "
+    "propagation of dedup_cluster_canonical (O(diameter) rounds — "
+    "fine for shallow near-dup clusters, hopeless for path-shaped "
+    "graphs). Each round is two groupBy+join passes over an edge set "
+    "that only SHRINKS toward the star forest; every label is an "
+    "integer min (order-independent — no float drift possible), so "
+    "the converged output equals the oracle's recursive-CTE "
+    "transitive-min EXACTLY, independent of round count. The mod-2 "
+    "node sample bounds the oracle's reachability closure (CLAUDE.md "
+    "output-explosion rule); the Spark side scales to the full graph "
+    "unchanged. Convergence is an exact edge-set fixpoint check, "
+    "never a checksum.",
+)
+def graph_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.graph import two_phase_connected_components
+
+    edges = _copurchase_edges(spark, sf_dir, ordered=True, w_min=2).filter(
+        (F.col("u") % 2 == 0) & (F.col("v") % 2 == 0)
+    )
+    return (
+        two_phase_connected_components(edges)
+        .select(
+            F.col("node").cast("long").alias("p_partkey"),
+            F.col("comp").cast("long").alias("comp"),
+        )
+        .orderBy("p_partkey")
+    )

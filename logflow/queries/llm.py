@@ -2203,3 +2203,157 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("es_key") * 1000000, 6).alias("key_ppm"),
         )
     )
+
+
+@register(
+    "lm_kneser_ney_bigram",
+    r"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                      t -> t <> '') AS toks FROM documents),
+b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg
+      FROM t),
+p AS (SELECT bg['w1'] AS w1, bg['w2'] AS w2 FROM b),
+lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY w1, w2),
+ctx AS (SELECT w1, w2, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS cnt1,
+               CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1r,
+               CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n1l
+        FROM lm),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM lm)
+SELECT w1, w2, cnt, cnt1, n1r, n1l,
+       ROUND(CAST(4 * cnt - 3 AS DOUBLE) / CAST(4 * cnt1 AS DOUBLE)
+             + (CAST(3 * n1r AS DOUBLE) / CAST(4 * cnt1 AS DOUBLE))
+               * (CAST(n1l AS DOUBLE) / CAST(t_types AS DOUBLE)), 6) AS p_kn
+FROM ctx CROSS JOIN tt
+ORDER BY cnt DESC, w1, w2
+LIMIT 100
+""",
+    doc="Interpolated Kneser-Ney bigram probabilities (D = 0.75) — the "
+    "real smoothing behind KenLM-grade corpus quality filters, one step "
+    "past text_bigram_logprob's MLE: p(w2|w1) = (c-D)/c(w1) + "
+    "D·N1+(w1,·)/c(w1) · N1+(·,w2)/T, where the continuation counts "
+    "N1+ are DISTINCT-neighbor counts (a word seen after many contexts "
+    "gets mass, 'francisco' does not). With D = 3/4 every term is a "
+    "ratio of exact integers — (4c-3)/(4c1) etc. — so both engines run "
+    "the identical 3-division IEEE sequence on identical BIGINTs; no "
+    "float accumulates anywhere. Plan: bigrams build map-side (zip of "
+    "slices), one groupBy(w1,w2) shuffle; both right-continuation "
+    "windows share the w1 sort; the left-continuation window re-sorts "
+    "the bigram TYPE table (vocabulary²-bounded, not corpus-bounded); "
+    "T is a 1-row broadcast. At 100 TB the corpus is touched exactly "
+    "once.",
+)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize("text")
+    sz = F.size(toks)
+    zipped = F.when(
+        sz >= 2, F.arrays_zip(F.slice(toks, 1, sz - 1), F.slice(toks, 2, sz - 1))
+    )
+    p = (
+        docs.select(F.explode_outer(zipped).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    )
+    lm = p.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    ctx = lm.select(
+        "w1",
+        "w2",
+        "cnt",
+        F.sum("cnt").over(w1w).cast("long").alias("cnt1"),
+        F.count(F.lit(1)).over(w1w).cast("long").alias("n1r"),
+        F.count(F.lit(1)).over(w2w).cast("long").alias("n1l"),
+    )
+    tt = lm.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    p_kn = F.round(
+        (4 * F.col("cnt") - 3).cast("double") / (4 * F.col("cnt1")).cast("double")
+        + (
+            (3 * F.col("n1r")).cast("double") / (4 * F.col("cnt1")).cast("double")
+        )
+        * (F.col("n1l").cast("double") / F.col("t_types").cast("double")),
+        6,
+    )
+    return (
+        ctx.crossJoin(F.broadcast(tt))
+        .select("w1", "w2", "cnt", "cnt1", "n1r", "n1l", p_kn.alias("p_kn"))
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(100)
+    )
+
+
+@register(
+    "knn_pq_adc",
+    """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000, 0) AS BIGINT) AS v
+  FROM embeddings),
+e2 AS (SELECT vec_id, (d - 1) // 8 AS s, (d - 1) % 8 AS pos, v FROM el),
+cent AS (SELECT vec_id AS cid, s, pos, v AS cv FROM e2 WHERE vec_id < 16),
+corp AS (SELECT * FROM e2 WHERE vec_id >= 26),
+q AS (SELECT * FROM e2 WHERE vec_id >= 16 AND vec_id < 26),
+cd AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT c.vec_id, c.s, ct.cid,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+                              ORDER BY SUM((c.v - ct.cv) * (c.v - ct.cv)),
+                                       ct.cid) AS rn
+    FROM corp c JOIN cent ct ON c.s = ct.s AND c.pos = ct.pos
+    GROUP BY c.vec_id, c.s, ct.cid
+  ) WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS qid, ct.s, ct.cid,
+         CAST(SUM((q.v - ct.cv) * (q.v - ct.cv)) AS BIGINT) AS dsub
+  FROM q JOIN cent ct ON q.s = ct.s AND q.pos = ct.pos
+  GROUP BY q.vec_id, ct.s, ct.cid),
+adc AS (
+  SELECT l.qid, c.vec_id AS neighbor_id, CAST(SUM(l.dsub) AS BIGINT) AS adc_dist
+  FROM cd c JOIN lut l ON l.s = c.s AND l.cid = c.cid
+  GROUP BY l.qid, c.vec_id)
+SELECT qid, neighbor_id, rank, adc_dist FROM (
+  SELECT qid, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= 10
+ORDER BY qid, rank
+""",
+    doc="Product-quantization ANN with asymmetric distance computation "
+    "(Jégou et al. 2011): 64 dims split into 8 subspaces, each "
+    "quantized against a 16-entry codebook (deterministic donor "
+    "sub-vectors, cid-tiebroken argmin; a trained codebook would reuse "
+    "kmeans_iterate per subspace), queries compare via per-subspace "
+    "lookup tables — m table hits replace a 64-dim distance, and codes "
+    "are 8 bytes/vector (the compression that fits a trillion-vector "
+    "index in cluster RAM). All encode/LUT/ADC math is int64 fixed "
+    "point (operators/similarity.py:pq_adc_topk), so Spark's one-pass "
+    "Arrow/numpy path and the long-form SQL oracle produce BIT-"
+    "IDENTICAL integer distances — the per-batch lexsort prune is "
+    "provably lossless under the exact (dist, id) total order. At "
+    "100 TB: codebook + queries ride the closure (broadcast), corpus "
+    "scanned once map-side, only n_queries·k rows per batch reach the "
+    "reduce.",
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    codebook = (
+        emb.filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .orderBy("cid")
+        .toPandas()  # bounded: 16 donor rows
+    )
+    queries = (
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 26))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .toPandas()  # bounded: 10 query rows
+    )
+    corpus = emb.filter(F.col("vec_id") >= 26)
+    return (
+        pq_adc_topk(corpus, queries, codebook, "vec_id", "embedding", k=10)
+        .orderBy("qid", "rank")
+    )

@@ -541,3 +541,246 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "ml_decision_stump",
+    """
+WITH ev AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         user_id % 10 AS uid_mod,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+  FROM events),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos FROM ev),
+feat AS (
+  SELECT 'hour' AS feature, hour AS fv, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS p FROM ev GROUP BY hour
+  UNION ALL
+  SELECT 'uid_mod', uid_mod, CAST(COUNT(*) AS BIGINT), CAST(SUM(y) AS BIGINT)
+  FROM ev GROUP BY uid_mod),
+cum AS (
+  SELECT feature, fv AS threshold,
+         CAST(SUM(cnt) OVER w AS BIGINT) AS n_left,
+         CAST(SUM(p) OVER w AS BIGINT) AS pos_left
+  FROM feat
+  WINDOW w AS (PARTITION BY feature ORDER BY fv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT feature, threshold, n_left, pos_left,
+         n - n_left AS n_right, pos - pos_left AS pos_right,
+         (CAST(n_left AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1 - (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+                   * (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+                 - (CAST(n_left - pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+                   * (CAST(n_left - pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)))
+         + (CAST(n - n_left AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1 - (CAST(pos - pos_left AS DOUBLE) / CAST(n - n_left AS DOUBLE))
+                   * (CAST(pos - pos_left AS DOUBLE) / CAST(n - n_left AS DOUBLE))
+                 - (CAST((n - n_left) - (pos - pos_left) AS DOUBLE)
+                    / CAST(n - n_left AS DOUBLE))
+                   * (CAST((n - n_left) - (pos - pos_left) AS DOUBLE)
+                      / CAST(n - n_left AS DOUBLE)))
+           AS gini
+  FROM cum CROSS JOIN tot
+  WHERE n_left > 0 AND n - n_left > 0)
+SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+       ROUND(gini, 6) AS gini_split,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(gini, 6), feature, threshold)
+            AS BIGINT) AS pos
+FROM scored
+ORDER BY pos
+""",
+    doc="Decision-stump training in-engine: the best binary split over "
+    "two integer features (event hour, user-id mod bucket) by weighted "
+    "Gini impurity — the primitive inside every boosted-tree fit, as "
+    "pure DataFrame algebra. The threshold sweep is NOT a per-threshold "
+    "scan: per-feature value histograms (one shuffle) turn into every "
+    "candidate split's left/right counts via a cumulative window — the "
+    "histogram trick XGBoost uses, O(distinct values) not O(n·thresholds). "
+    "Degenerate splits (empty side) are excluded exactly in both "
+    "engines. Determinism: all counts are exact BIGINTs; the Gini "
+    "expression is the identical parenthesized IEEE sequence on both "
+    "sides, ROUNDed once at 6 dp, and the ranking tiebreaks on "
+    "(feature, threshold). At 100 TB: one partial-agg pass over the "
+    "fact table per feature + vocabulary-sized window work; the model "
+    "(best split) is the top row of a ~34-row frame.",
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        F.hour("ts").cast("long").alias("hour"),
+        (F.col("user_id") % 10).alias("uid_mod"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("y"),
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    feat = (
+        ev.groupBy(F.lit("hour").alias("feature"), F.col("hour").alias("fv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.sum("y").cast("long").alias("p"))
+        .unionByName(
+            ev.groupBy(F.lit("uid_mod").alias("feature"), F.col("uid_mod").alias("fv"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("y").cast("long").alias("p"),
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("fv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = feat.select(
+        "feature",
+        F.col("fv").alias("threshold"),
+        F.sum("cnt").over(w).cast("long").alias("n_left"),
+        F.sum("p").over(w).cast("long").alias("pos_left"),
+    )
+    d = F.col("n").cast("double")
+    nl = F.col("n_left").cast("double")
+    pl = F.col("pos_left").cast("double")
+    nr = (F.col("n") - F.col("n_left")).cast("double")
+    pr = (F.col("pos") - F.col("pos_left")).cast("double")
+    gini = (nl / d) * (
+        1 - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+    ) + (nr / d) * (
+        1 - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_left") > 0) & (F.col("n") - F.col("n_left") > 0))
+        .select(
+            "feature",
+            "threshold",
+            "n_left",
+            "pos_left",
+            (F.col("n") - F.col("n_left")).cast("long").alias("n_right"),
+            (F.col("pos") - F.col("pos_left")).cast("long").alias("pos_right"),
+            F.round(gini, 6).alias("gini_split"),
+        )
+    )
+    return scored.withColumn(
+        "pos",
+        F.row_number()
+        .over(Window.orderBy("gini_split", "feature", "threshold"))
+        .cast("long"),
+    ).orderBy("pos")
+
+
+@register(
+    "ml_feature_hashing",
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id, tok,
+         CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS BIGINT) AS bucket
+  FROM tok)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hashed
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="Hashing-trick featurization (Weinberger et al. 2009): every "
+    "token maps to one of 64 feature buckets via the first 8 hex chars "
+    "of md5 (the repo's only cross-engine hash) — the fixed-width, "
+    "vocabulary-free encoding that turns unbounded text into a "
+    "trainable feature space with zero global state (no vocab build, "
+    "no dictionary shuffle — THE property that matters at 100 TB: "
+    "featurization is embarrassingly map-side, one partial-agg shuffle "
+    "for the bucket stats). Collision pressure is observable as "
+    "n_distinct_tokens per bucket. Bucket ids are exact integer md5 "
+    "prefixes mod 64 in both engines.",
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    hashed = tok.withColumn(
+        "bucket",
+        (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % 64),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("tok").cast("long").alias("n_distinct_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "ml_target_encoding_kfold",
+    """
+WITH o AS (
+  SELECT o_orderpriority AS key, o_orderkey % 5 AS fold,
+         CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS y
+  FROM orders),
+per_fold AS (
+  SELECT key, fold, CAST(COUNT(*) AS BIGINT) AS n_fold,
+         SUM(y) AS sum_fold
+  FROM o GROUP BY key, fold),
+per_key AS (
+  SELECT key, CAST(SUM(n_fold) AS BIGINT) AS n_key,
+         SUM(sum_fold) AS sum_key
+  FROM per_fold GROUP BY key)
+SELECT f.key, CAST(f.fold AS BIGINT) AS fold, f.n_fold,
+       ROUND(CAST(k.sum_key - f.sum_fold AS DOUBLE)
+             / CAST(k.n_key - f.n_fold AS BIGINT), 6) AS target_enc
+FROM per_fold f JOIN per_key k ON f.key = k.key
+WHERE k.n_key > f.n_fold
+ORDER BY f.key, fold
+""",
+    doc="Leakage-free K-fold target encoding — the categorical encoding "
+    "every tabular-ML pipeline needs, built so a row NEVER sees its own "
+    "fold's target: encoding(key, fold) = mean of y over the key's "
+    "OTHER four folds, computed as (sum_key - sum_fold)/(n_key - "
+    "n_fold) from ONE per-(key,fold) partial aggregate — the "
+    "subtraction trick that makes K-fold encoding one shuffle instead "
+    "of K self-joins (the property that matters at 100 TB; the "
+    "per-key rollup is vocabulary-sized). Exact DECIMAL sums make both "
+    "numerator and denominator bit-identical cross-engine; one IEEE "
+    "division, ROUNDed once. Keys whose rows all sit in one fold drop "
+    "out identically in both engines (no other-fold data to encode "
+    "from).",
+)
+def ml_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("key"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").alias("y"),
+    )
+    per_fold = o.groupBy("key", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fold"),
+        F.sum("y").alias("sum_fold"),
+    )
+    per_key = per_fold.groupBy("key").agg(
+        F.sum("n_fold").cast("long").alias("n_key"),
+        F.sum("sum_fold").alias("sum_key"),
+    )
+    return (
+        per_fold.join(per_key, "key")
+        .filter(F.col("n_key") > F.col("n_fold"))
+        .select(
+            "key",
+            F.col("fold").cast("long").alias("fold"),
+            "n_fold",
+            F.round(
+                (F.col("sum_key") - F.col("sum_fold")).cast("double")
+                / (F.col("n_key") - F.col("n_fold")).cast("long"),
+                6,
+            ).alias("target_enc"),
+        )
+        .orderBy("key", "fold")
+    )

@@ -345,3 +345,53 @@ def multimodal_color_to_gray(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_gray", 4).alias("mean_gray"),
         )
     )
+
+
+@register(
+    "multimodal_audio_frame_energy",
+    """
+WITH fr AS (
+  SELECT doc_id, unnest(range(0, (400 + (doc_id % 7) * 100) // 128)) AS f
+  FROM documents)
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(list_sum(list_transform(range(f * 128, (f + 1) * 128),
+            i -> ((doc_id * 31 + i * 17) % 256 - 128)
+                 * ((doc_id * 31 + i * 17) % 256 - 128))) AS BIGINT) AS energy,
+       CAST(list_sum(list_transform(range(f * 128 + 1, (f + 1) * 128),
+            i -> CASE WHEN ((doc_id * 31 + i * 17) % 256 >= 128)
+                        <> ((doc_id * 31 + (i - 1) * 17) % 256 >= 128)
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+       ROUND(sqrt(CAST(list_sum(list_transform(range(f * 128, (f + 1) * 128),
+            i -> ((doc_id * 31 + i * 17) % 256 - 128)
+                 * ((doc_id * 31 + i * 17) % 256 - 128))) AS DOUBLE) / 128),
+             4) AS rms
+FROM fr
+ORDER BY media_id, frame_idx
+""",
+    doc="Frame-level audio analysis through the REAL WAV codec: each "
+    "synthesized RIFF/WAVE payload is decoded by the stdlib wave "
+    "parser, split into 128-sample frames, and reduced to exact-int64 "
+    "energy sum((s-128)²), zero-crossing count, and RMS — the VAD/"
+    "audio-quality primitives (operators/multimodal.py:"
+    "wav_frame_features). DuckDB PREDICTS every value arithmetically "
+    "from the synthesis formula (the PGM/Y4M oracle trick applied to "
+    "audio): an exact hash match proves the real decode + framing + "
+    "feature math end-to-end. RMS is one IEEE division + sqrt on an "
+    "exact integer — identical in both engines. At 100 TB: one "
+    "Arrow-batched map-side pass, frames fan out executor-side, zero "
+    "shuffle before the (tiny) ordered output.",
+)
+def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.multimodal import synthesize_wav, wav_frame_features
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = wav_frame_features(synthesize_wav(docs))
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        "energy",
+        "zero_crossings",
+        F.round(F.sqrt(F.col("energy").cast("double") / F.lit(128)), 4).alias("rms"),
+    ).orderBy("media_id", "frame_idx")

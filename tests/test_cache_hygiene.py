@@ -31,6 +31,7 @@ PERSISTING_QUERIES = [
     "ml_logreg_gd",
     "ml_calibration_bins",
     "ml_pca_power_iteration",
+    "graph_cc_two_phase",
 ]
 
 

@@ -163,3 +163,51 @@ def test_link_prediction_candidates_are_nonedges_with_real_overlap(spark, sf_dir
         assert 0 < r.common_neighbors <= min(r.deg_a, r.deg_b)
         expect = round(r.common_neighbors / (r.deg_a + r.deg_b - r.common_neighbors), 6)
         assert r.jaccard == expect
+
+
+def test_cc_two_phase_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_cc_two_phase", sf_dir)
+
+
+def test_cc_two_phase_equals_label_propagation(spark, sf_dir):
+    """Both CC algorithms (large-star/small-star vs min-label propagation)
+    must produce the identical (node, comp) labeling on the same sampled
+    co-purchase graph."""
+    from pyspark.sql import functions as F
+
+    from logflow.operators.dedup import connected_components
+    from logflow.operators.graph import two_phase_connected_components
+    from logflow.queries.graph import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir, ordered=True, w_min=2).filter(
+        (F.col("u") % 2 == 0) & (F.col("v") % 2 == 0)
+    )
+    two = {
+        (r.node, r.comp) for r in two_phase_connected_components(edges).collect()
+    }
+    lp = {
+        (r.node, r.comp)
+        for r in connected_components(edges, src="u", dst="v").collect()
+    }
+    assert two == lp and len(two) > 0
+
+
+def test_cc_two_phase_adversarial_shapes(spark):
+    """Path (worst case for diameter-bound algorithms), star, two cliques
+    joined by a bridge, plus isolates-from-self-loop-free edges — the
+    two-phase scheme must label every shape with the component minimum."""
+    from logflow.operators.graph import two_phase_connected_components
+
+    path = [(i, i + 1) for i in range(20, 40)]  # diameter-20 path
+    star = [(100, v) for v in range(101, 110)]
+    cliq = [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    cliq += [(a, b) for a in range(300, 305) for b in range(a + 1, 305)]
+    bridge = [(204, 300)]
+    edges = spark.createDataFrame(path + star + cliq + bridge, "u long, v long")
+    got = {(r.node, r.comp) for r in two_phase_connected_components(edges).collect()}
+    want = {(v, 20) for v in range(20, 41)}
+    want |= {(v, 100) for v in range(100, 110)}
+    want |= {(v, 200) for v in list(range(200, 205)) + list(range(300, 305))}
+    assert got == want

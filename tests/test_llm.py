@@ -44,6 +44,8 @@ LLM_QUERIES = [
     "corpus_importance_resample",
     "dedup_exact_substring",
     "knn_ivf_kmeans",
+    "lm_kneser_ney_bigram",
+    "knn_pq_adc",
 ]
 
 
@@ -504,3 +506,90 @@ def test_es_sampling_keys_recompute(spark, sf_dir):
     assert list(pdf["doc_id"]) == [d for _, d in allk]
     for r, (k, _) in zip(pdf.itertuples(), allk):
         assert abs(r.key_ppm - round(k * 1e6, 6)) < 1e-6
+
+
+def test_kneser_ney_exact_fractions_and_mass(spark, sf_dir):
+    """p_kn matches an exact-Fraction replay for every returned row, and
+    the total smoothed mass per context (over ALL observed successors +
+    reserved continuation mass) never exceeds 1."""
+    from fractions import Fraction
+
+    from collections import Counter
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["lm_kneser_ney_bigram"].fn(spark, sf_dir).toPandas()
+    docs = load_table(spark, "documents", sf_dir).select("text").toPandas()
+    big = Counter()
+    for text in docs["text"]:
+        toks = [t for t in text.lower().split() if t]
+        big.update(zip(toks, toks[1:]))
+    c1 = Counter()
+    n1r = Counter()
+    n1l = Counter()
+    for (w1, w2), c in big.items():
+        c1[w1] += c
+        n1r[w1] += 1
+        n1l[w2] += 1
+    T = len(big)
+    D = Fraction(3, 4)
+    succ: dict[str, list[str]] = {}
+    for (w1, w2) in big:
+        succ.setdefault(w1, []).append(w2)
+    for _, r in pdf.iterrows():
+        w1, w2 = r["w1"], r["w2"]
+        c = big[(w1, w2)]
+        assert c == r["cnt"] and c1[w1] == r["cnt1"]
+        assert n1r[w1] == r["n1r"] and n1l[w2] == r["n1l"]
+        exact = (c - D) / c1[w1] + D * n1r[w1] / c1[w1] * Fraction(n1l[w2], T)
+        assert abs(float(exact) - r["p_kn"]) < 1e-5
+    # discounted + continuation mass over observed successors ≤ 1, for
+    # every context in the result (exact rational arithmetic)
+    for w1 in set(pdf["w1"]):
+        mass = sum(
+            (big[(w1, v)] - D) / c1[w1]
+            + D * n1r[w1] / c1[w1] * Fraction(n1l[v], T)
+            for v in succ[w1]
+        )
+        assert mass <= 1
+
+
+def test_pq_adc_numpy_replay(spark, sf_dir):
+    """Full int64 numpy replay of PQ encode + ADC reproduces every
+    (qid, neighbor_id, rank, adc_dist) row bit-for-bit."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = (
+        load_all()["knn_pq_adc"].fn(spark, sf_dir).toPandas()
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding").toPandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+
+    def to_int(a):
+        s = a.astype(np.float64) * 10000
+        return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+
+    mat = to_int(np.stack(emb["embedding"].to_numpy()))
+    ids = emb["vec_id"].to_numpy()
+    cent = mat[ids < 16].reshape(-1, 8, 8)
+    qm = mat[(ids >= 16) & (ids < 26)].reshape(-1, 8, 8)
+    qids = ids[(ids >= 16) & (ids < 26)]
+    cm = mat[ids >= 26].reshape(-1, 8, 8)
+    cids = ids[ids >= 26]
+    d2 = ((cm[:, :, None, :] - cent.transpose(1, 0, 2)[None]) ** 2).sum(3)
+    codes = np.argmin(d2, axis=2)
+    lut = ((qm[:, :, None, :] - cent.transpose(1, 0, 2)[None]) ** 2).sum(3)
+    adc = lut[:, np.arange(8)[None, :], codes].sum(axis=2)
+    rows = []
+    for qi, qid in enumerate(qids):
+        order = np.lexsort((cids, adc[qi]))[:10]
+        for rk, j in enumerate(order, 1):
+            rows.append((qid, cids[j], rk, adc[qi, j]))
+    rows.sort(key=lambda r: (r[0], r[2]))
+    got = list(pdf.itertuples(index=False, name=None))
+    assert [tuple(map(int, r)) for r in rows] == [tuple(map(int, g)) for g in got]

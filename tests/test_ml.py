@@ -9,6 +9,9 @@ ML_QUERIES = [
     "ml_nb_lang_confusion",
     "ml_calibration_bins",
     "ml_pca_power_iteration",
+    "ml_decision_stump",
+    "ml_feature_hashing",
+    "ml_target_encoding_kfold",
 ]
 
 
@@ -148,3 +151,80 @@ def test_pca_matches_numpy_replay_and_points_at_top_eigvec(spark, sf_dir):
     cos = abs(got @ wf) / (np.linalg.norm(got) * np.linalg.norm(wf))
     assert cos >= 0.999, cos
     assert all(b >= a * (1 - 1e-9) for a, b in zip(rayleighs, rayleighs[1:]))
+
+
+def test_decision_stump_matches_sklearn_style_replay(spark, sf_dir):
+    """Brute-force pandas replay of every candidate split's weighted Gini
+    agrees with the engine's ranking, and the top split is the true
+    argmin."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ml_decision_stump"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, "events", sf_dir).selectExpr(
+        "CAST(hour(ts) AS BIGINT) AS hour", "user_id % 10 AS uid_mod",
+        "CASE WHEN value > 50 THEN 1 ELSE 0 END AS y",
+    ).toPandas()
+    n, pos = len(ev), int(ev["y"].sum())
+
+    def gini(nl, pl):
+        nr, pr = n - nl, pos - pl
+        gl = 1 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2
+        gr = 1 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2
+        return nl / n * gl + nr / n * gr
+
+    want = {}
+    for feat in ("hour", "uid_mod"):
+        for t in sorted(ev[feat].unique()):
+            m = ev[feat] <= t
+            nl, pl = int(m.sum()), int(ev.loc[m, "y"].sum())
+            if 0 < nl < n:
+                want[(feat, t)] = round(gini(nl, pl), 6)
+    got = {(r.feature, r.threshold): r.gini_split for r in pdf.itertuples()}
+    assert got == want
+    best = pdf[pdf["pos"] == 1].iloc[0]
+    assert best["gini_split"] == min(want.values())
+    assert (pdf.sort_values("pos")["gini_split"].diff().dropna() >= 0).all()
+
+
+def test_feature_hashing_buckets_partition_tokens(spark, sf_dir):
+    """Bucket ids live in [0, 64); token totals across buckets equal the
+    corpus token count (the hashing trick drops nothing)."""
+    from pyspark.sql import functions as F
+
+    from logflow.functions.text import tokenize
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ml_feature_hashing"].fn(spark, sf_dir).toPandas()
+    assert pdf["bucket"].between(0, 63).all()
+    total = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.size(tokenize(F.col("text"))).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert int(pdf["n_tokens"].sum()) == total
+    assert (pdf["n_distinct_tokens"] <= pdf["n_tokens"]).all()
+
+
+def test_target_encoding_excludes_own_fold(spark, sf_dir):
+    """For every (key, fold), the encoding equals the mean of o_totalprice
+    over the key's rows in OTHER folds (pandas replay on exact cents)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ml_target_encoding_kfold"].fn(spark, sf_dir).toPandas()
+    o = load_table(spark, "orders", sf_dir).selectExpr(
+        "o_orderpriority AS key", "o_orderkey % 5 AS fold",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+    ).toPandas()
+    for r in pdf.itertuples():
+        other = o[(o["key"] == r.key) & (o["fold"] != r.fold)]
+        assert len(other) > 0
+        want = round(int(other["cents"].sum()) / 100 / len(other), 6)
+        assert abs(r.target_enc - want) < 1e-6
+        own = o[(o["key"] == r.key) & (o["fold"] == r.fold)]
+        assert r.n_fold == len(own)

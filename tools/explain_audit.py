@@ -57,6 +57,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "crossJoins of the 1-row max-abs normalizer per power step "
         "(broadcast-the-model pattern)"
     },
+    "ml_decision_stump": {
+        "bnlj": "crossJoin of the 1-row global (n, pos) total aggregate "
+        "(Gini normalizer)"
+    },
+    "lm_kneser_ney_bigram": {
+        "bnlj": "crossJoin of the 1-row bigram-type-count aggregate (the "
+        "Kneser-Ney continuation denominator)"
+    },
     "ml_logreg_gd": {
         "bnlj": "crossJoins of the 1-row weight vector / gradient / metric "
         "aggregates (one per unrolled GD step — the broadcast-the-model "
