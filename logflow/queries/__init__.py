@@ -300,6 +300,11 @@ PRIORITY: list[str] = [
     "ml_decision_stump",
     "ml_feature_hashing",
     "ml_target_encoding_kfold",
+    "ivm_join_delta",
+    "graph_label_prop_communities",
+    "scan_hilbert_layout",
+    "ts_kaplan_meier",
+    "source_xml_events",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

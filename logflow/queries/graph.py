@@ -33,7 +33,7 @@ nodes) salts the contribution aggregation exactly like join_salted_skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logflow.operators.cache import track
@@ -492,4 +492,110 @@ def graph_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("comp").cast("long").alias("comp"),
         )
         .orderBy("p_partkey")
+    )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_iter_sql(prev: str, cur: str) -> str:
+    """One synchronous LPA step: each node adopts its neighbors' most
+    frequent label (count DESC, then smallest label); isolated-in-theory
+    nodes keep their label via the left join."""
+    return f"""
+c_{cur} AS (
+  SELECT e.u AS id, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bid e JOIN {prev} l ON l.id = e.v GROUP BY e.u, l.lab),
+p_{cur} AS (
+  SELECT id, lab FROM (
+    SELECT id, lab,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+    FROM c_{cur}) WHERE rn = 1),
+{cur} AS (
+  SELECT n.id, COALESCE(p.lab, n.id) AS lab
+  FROM nodes n LEFT JOIN p_{cur} p ON p.id = n.id)"""
+
+
+_LPA_SQL = (
+    """WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p),
+s AS (SELECT u, v FROM e WHERE w >= 2),
+bid AS (SELECT u, v FROM s UNION ALL SELECT v, u FROM s),
+nodes AS (SELECT DISTINCT u AS id FROM bid),
+l0 AS (SELECT id, id AS lab FROM nodes),"""
+    + ",".join(_lpa_iter_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ITERS))
+    + f"""
+SELECT CAST(lab AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(id) AS BIGINT) AS min_member,
+       CAST(MAX(id) AS BIGINT) AS max_member
+FROM l{_LPA_ITERS}
+GROUP BY lab
+HAVING COUNT(*) >= 2
+ORDER BY n_members DESC, community
+LIMIT 50
+"""
+)
+
+
+@register(
+    "graph_label_prop_communities",
+    _LPA_SQL,
+    doc="Community detection by synchronous label propagation (Raghavan "
+    "et al. 2007), 3 unrolled rounds over the weight>=2 co-purchase "
+    "graph: every node adopts its neighbors' PLURALITY label with a "
+    "fully deterministic (count DESC, smallest-label) tiebreak — the "
+    "rule that makes sync-LPA reproducible cross-engine where the "
+    "textbook random tiebreak is not; labels are integer node ids, so "
+    "no float exists anywhere. Unlike connected components "
+    "(graph_cc_two_phase — one label per connected region), LPA splits "
+    "dense regions into communities denser inside than out. Fixed "
+    "iteration count keeps the oracle non-recursive (the PageRank "
+    "unroll pattern) and bounds cost predictably at scale. Plan per "
+    "round: one shuffle join of the (persisted, iteration-invariant) "
+    "bidirectional edge list against the current vocabulary-sized "
+    "label frame + one plurality window — Pregel-on-DataFrames. "
+    "Reports communities with >=2 members (singletons are noise at "
+    "every SF).",
+)
+def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir, ordered=True, w_min=2)
+    bid = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # nodes feeds every iteration's keep-own-label left join AND the
+    # final rollup (4 plan branches): eager-persist the one distinct
+    # shuffle or each branch re-runs it (CLAUDE.md multi-consumer rule)
+    nodes = track(bid.select(F.col("u").alias("id")).distinct().coalesce(1).persist())
+    nodes.count()
+    labels = nodes.select("id", F.col("id").alias("lab"))
+    for _ in range(_LPA_ITERS):
+        cand = (
+            bid.join(labels.select(F.col("id").alias("v"), "lab"), "v")
+            .groupBy(F.col("u").alias("id"), "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        # plurality pick as a max_by hash aggregate (partial-agg'd,
+        # no sort) instead of a row_number window: struct(c, -lab)
+        # lexicographic max == (count DESC, smallest label) — identical
+        # ranking to the oracle's window, one fewer sort per round
+        pick = cand.groupBy("id").agg(
+            F.expr("max_by(lab, struct(c, -lab))").alias("new_lab")
+        )
+        labels = nodes.join(pick, "id", "left").select(
+            "id", F.coalesce("new_lab", F.col("id")).alias("lab")
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("id").cast("long").alias("min_member"),
+            F.max("id").cast("long").alias("max_member"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), "community")
+        .limit(50)
     )

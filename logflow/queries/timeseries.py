@@ -1167,3 +1167,107 @@ def ts_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         # split the engines, the shortest-repr-vs-binary half boundary)
         filled.alias("filled_value"),
     )
+
+
+@register(
+    "ts_kaplan_meier",
+    """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS fs, MAX(ts) AS ls FROM events GROUP BY user_id),
+g AS (SELECT MAX(ls) AS study_end FROM u),
+s AS (
+  SELECT user_id, date_diff('day', fs, ls) AS t,
+         CASE WHEN ls > study_end - INTERVAL 7 DAY THEN 0 ELSE 1 END AS observed
+  FROM u CROSS JOIN g),
+by_t AS (
+  SELECT t, CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(COUNT(*) - SUM(observed) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM s GROUP BY t),
+risk AS (
+  SELECT t, d, c,
+         CAST(SUM(n_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+  FROM by_t),
+km AS (
+  SELECT t, d, c, n_at_risk,
+         CAST(MIN(n_at_risk - d) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS min_surv,
+         SUM(CASE WHEN d > 0 AND d < n_at_risk THEN
+               CAST(ROUND(ln(CAST(n_at_risk - d AS DOUBLE)
+                             / CAST(n_at_risk AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS lsum
+  FROM risk)
+SELECT CAST(t AS BIGINT) AS duration_days, n_at_risk,
+       d AS n_events, c AS n_censored,
+       CASE WHEN min_surv = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE ROUND(exp(CAST(lsum AS DOUBLE)), 6) END AS survival
+FROM km
+ORDER BY duration_days
+""",
+    doc="Kaplan-Meier survival estimator over user lifetimes (duration = "
+    "days between a user's first and last event; users still active in "
+    "the final 7 days of the observation window are right-CENSORED — "
+    "the textbook churn setup): S(t) = Π over event times ≤ t of "
+    "(1 − d_i/n_i), with censored users leaving the risk set without "
+    "an event. The risk set is a REVERSE cumulative window sum (no "
+    "self-join per time point), and the product follows the repo's ln "
+    "recipe: each factor is one IEEE ln of an exact-integer ratio, "
+    "rounded once to DECIMAL(18,6), summed exactly, exponentiated "
+    "once — cross-engine-stable where a naive running product would "
+    "depend on multiplication order. A time point where the whole risk "
+    "set dies pins survival to exactly 0 from there on (integer window "
+    "min, no -inf ln). At 100 TB: one groupBy(user) pass, then "
+    "date-cardinality window work — the per-entity rollup pattern.",
+)
+def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("fs"), F.max("ts").alias("ls"))
+    g = u.agg(F.max("ls").alias("study_end"))
+    s = u.crossJoin(F.broadcast(g)).select(
+        F.expr("datediff(ls, fs)").cast("long").alias("t"),
+        F.expr(
+            "CASE WHEN ls > study_end - INTERVAL 7 DAY THEN 0 ELSE 1 END"
+        ).alias("observed"),
+    )
+    by_t = s.groupBy("t").agg(
+        F.sum("observed").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("observed")).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+    )
+    w_rev = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = by_t.select(
+        "t", "d", "c", F.sum("n_t").over(w_rev).cast("long").alias("n_at_risk")
+    )
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            ),
+            6,
+        ).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    km = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_at_risk",
+        F.min(F.col("n_at_risk") - F.col("d")).over(w_fwd).cast("long").alias("min_surv"),
+        F.sum(term).over(w_fwd).alias("lsum"),
+    )
+    return km.select(
+        F.col("t").alias("duration_days"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("min_surv") == 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lsum").cast("double")), 6))
+        .alias("survival"),
+    ).orderBy("duration_days")

@@ -32,6 +32,7 @@ PERSISTING_QUERIES = [
     "ml_calibration_bins",
     "ml_pca_power_iteration",
     "graph_cc_two_phase",
+    "graph_label_prop_communities",
 ]
 
 

@@ -211,3 +211,33 @@ def test_cc_two_phase_adversarial_shapes(spark):
     want |= {(v, 100) for v in range(100, 110)}
     want |= {(v, 200) for v in list(range(200, 205)) + list(range(300, 305))}
     assert got == want
+
+
+def test_label_prop_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_label_prop_communities", sf_dir)
+
+
+def test_label_prop_members_bound_and_refine_cc(spark, sf_dir):
+    """Community sizes are consistent (min<=max, n>=2) and every
+    community is CONTAINED in one connected component of the same graph
+    (LPA refines CC — labels only travel along edges)."""
+    from pyspark.sql import functions as F
+
+    from logflow.operators.dedup import connected_components
+    from logflow.queries import load_all
+    from logflow.queries.graph import _copurchase_edges
+
+    pdf = load_all()["graph_label_prop_communities"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_members"] >= 2).all()
+    assert (pdf["min_member"] <= pdf["max_member"]).all()
+    edges = _copurchase_edges(spark, sf_dir, ordered=True, w_min=2)
+    comp = {
+        r.node: r.comp for r in connected_components(edges, src="u", dst="v").collect()
+    }
+    # community label is itself a node id; its min and max member must sit
+    # in the label's connected component
+    for r in pdf.itertuples():
+        assert comp[r.min_member] == comp[r.community]
+        assert comp[r.max_member] == comp[r.community]

@@ -1127,3 +1127,64 @@ def test_streaming_funnel_matches_batch_regex(spark, tmp_path):
     assert len(want) >= 10
     for u, n in want.items():
         assert latest.get(u, 0) == n, (u, latest.get(u), n)
+
+
+def test_wirelog_streaming_source_tails_appends_exactly_once(spark, tmp_path):
+    """The custom Python streaming source must deliver every appended
+    frame exactly once across micro-batch runs sharing a checkpoint:
+    run 1 sees the initial frames, run 2 (same checkpoint) sees ONLY the
+    frames appended after run 1 — including a file that appeared
+    mid-stream — and a replayed range decodes identically."""
+    from logflow.sources.wirelog import _write_frame, register_wirelog
+
+    def int_be(v: int) -> bytes:
+        return v.to_bytes(4, "big")
+
+    register_wirelog(spark)
+    d = tmp_path / "wstream"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt_wirelog")
+
+    def append(fname, items):
+        with open(d / fname, "ab") as fh:
+            for k, v in items:
+                _write_frame(fh, k.encode(), int_be(v), [("b3", b"trace-" + k.encode())])
+
+    received: list = []
+
+    def run():
+        batch_rows: list = []
+
+        def sink(df, _bid):
+            batch_rows.extend(df.collect())
+
+        q = (
+            spark.readStream.format("wirelog")
+            .option("path", str(d))
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        received.extend(batch_rows)
+        return {
+            (bytes(r.key).decode(), int.from_bytes(bytes(r.value), "big")): [
+                (h.key, bytes(h.value)) for h in r.headers
+            ]
+            for r in received
+        }
+
+    append("a.wirelog", [("u1", 1), ("u2", 2)])
+    got1 = run()
+    assert set(got1) == {("u1", 1), ("u2", 2)}
+    assert got1[("u1", 1)] == [("b3", b"trace-u1")]
+
+    append("a.wirelog", [("u3", 3)])  # grow an existing file
+    append("b.wirelog", [("u4", 4)])  # new file mid-stream
+    got2 = run()
+    # the second run must ADD exactly the two new frames — no replays of
+    # already-committed ranges (len(received) counts every delivered row)
+    assert set(got2) == {("u1", 1), ("u2", 2), ("u3", 3), ("u4", 4)}
+    assert len(received) == 4

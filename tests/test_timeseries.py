@@ -351,3 +351,62 @@ def test_gap_fill_linear_between_brackets(spark, sf_dir):
             hi = max(g["hv"][a], g["hv"][b])
             mid = g["filled_value"][a + 1 : b]
             assert ((mid >= lo - 1e-9) & (mid <= hi + 1e-9)).all()
+
+
+def test_kaplan_meier_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_kaplan_meier", sf_dir)
+
+
+def test_kaplan_meier_matches_textbook_replay(spark, sf_dir):
+    """Pure-pandas KM replay (risk sets, censoring, running product in
+    exact Fractions then float) matches every row; survival is monotone
+    non-increasing from 1."""
+    from fractions import Fraction
+
+    import math
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = (
+        load_all()["ts_kaplan_meier"].fn(spark, sf_dir).toPandas()
+        .sort_values("duration_days").reset_index(drop=True)
+    )
+    ev = load_table(spark, "events", sf_dir).selectExpr(
+        "user_id", "ts"
+    ).toPandas()
+    g = ev.groupby("user_id")["ts"].agg(["min", "max"]).reset_index()
+    study_end = g["max"].max()
+    import pandas as pd
+
+    g["t"] = (g["max"].dt.normalize() - g["min"].dt.normalize()).dt.days
+    g["observed"] = (g["max"] <= study_end - pd.Timedelta(days=7)).astype(int)
+    total = len(g)
+    rows = []
+    removed = 0
+    for t in sorted(g["t"].unique()):
+        sub = g[g["t"] == t]
+        d = int(sub["observed"].sum())
+        c = len(sub) - d
+        n_at_risk = total - removed
+        rows.append((t, n_at_risk, d, c))
+        removed += len(sub)
+    assert [
+        (r.duration_days, r.n_at_risk, r.n_events, r.n_censored)
+        for r in pdf.itertuples()
+    ] == rows
+    # survival via the same ln-recipe the engines use (round each factor's
+    # ln once at 6dp, exact decimal sum, one exp)
+    lsum = Fraction(0)
+    for (t, n, d, c), r in zip(rows, pdf.itertuples()):
+        if 0 < d < n:
+            lsum += Fraction(round(math.log((n - d) / n), 6)).limit_denominator(10**9)
+        if d >= n:
+            assert r.survival == 0.0
+        else:
+            assert abs(r.survival - round(math.exp(float(lsum)), 6)) < 2e-6
+    surv = pdf["survival"]
+    assert (surv.diff().dropna() <= 1e-12).all()
+    assert surv.iloc[0] <= 1.0

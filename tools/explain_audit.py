@@ -57,6 +57,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "crossJoins of the 1-row max-abs normalizer per power step "
         "(broadcast-the-model pattern)"
     },
+    "ts_kaplan_meier": {
+        "bnlj": "crossJoin of the 1-row study-end (MAX ts) aggregate "
+        "(censoring cutoff broadcast)"
+    },
     "ml_decision_stump": {
         "bnlj": "crossJoin of the 1-row global (n, pos) total aggregate "
         "(Gini normalizer)"

@@ -118,6 +118,24 @@ HEADLINERS: dict[str, str] = {
     "finished byte strings per Arrow batch",
     "bpe_encode_corpus": "merges applied VOCABULARY-side; corpus encode "
     "is one exploded-tokens hash join onto the word->symbols table",
+    "quantile_exact_twopass": "exact p25/50/75 with NO global sort: "
+    "domain-bounded histogram pass + target-bucket-only second pass "
+    "(~1/1000 slice shuffled)",
+    "knn_pq_adc": "PQ encode + ADC scoring in ONE Arrow map-side corpus "
+    "pass (codebook/queries ride the closure); only q*k rows per batch "
+    "reach the reduce window",
+    "graph_cc_two_phase": "large-star/small-star rounds: two groupBy+join "
+    "passes over a SHRINKING edge set, O(log^2 n) rounds independent of "
+    "component diameter",
+    "lm_kneser_ney_bigram": "corpus touched once (map-side bigram zip); "
+    "continuation counts are windows over the vocabulary^2-bounded type "
+    "table; T is a 1-row broadcast",
+    "scan_hilbert_layout": "10-level Hilbert xy2d unrolled as pure codegen "
+    "div/mod/CASE arithmetic; buckets are exact 256x256 quadrants "
+    "(tighter than z-order seams)",
+    "ivm_join_delta": "three delta-sized joins replace the full-view "
+    "recompute; the n_incremental == n_full identity is verified in the "
+    "same plan",
     "graph_kcore_peel": "3 peel rounds on a monotonically shrinking edge "
     "set: two semi-joins + one partial-agg'd count per round, lazy "
     "localCheckpoint truncates the twice-consumed lineage",
