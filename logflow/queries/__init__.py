@@ -305,6 +305,10 @@ PRIORITY: list[str] = [
     "scan_hilbert_layout",
     "ts_kaplan_meier",
     "source_xml_events",
+    "sessionize_session_window_batch",
+    "dq_referential_audit",
+    "nested_order_items_hof",
+    "agg_salted_distinct",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

@@ -1145,3 +1145,89 @@ def diag_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "dq_referential_audit",
+    """
+WITH rels AS (
+  SELECT 'customer.nation' AS relationship,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_child,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+  UNION ALL
+  SELECT 'supplier.nation',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = s.s_nationkey))
+  UNION ALL
+  SELECT 'orders.customer',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem.orders',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.part',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.supplier',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey)))
+SELECT relationship, n_child, n_orphans,
+       CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS fk_holds
+FROM rels
+ORDER BY relationship
+""",
+    doc="Whole-schema referential-integrity audit: every declared "
+    "foreign-key edge of the star schema (customer/supplier → nation, "
+    "orders → customer, lineitem → orders/part/supplier) checked as a "
+    "LEFT ANTI join counting orphans — the governance sweep a "
+    "warehouse runs after every load, complementing "
+    "dq_constraint_audit's single-table rules. Each anti join "
+    "broadcasts its dimension side (nation/customer/part/supplier are "
+    "the small sides; lineitem never shuffles) and all six checks "
+    "share each fact scan via the union plan. Counts are exact "
+    "BIGINTs; fk_holds is the machine-readable gate bit. At 100 TB "
+    "this is six broadcast-anti passes over two fact scans — no "
+    "full-table shuffle anywhere.",
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(rel: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
+        n_child = child.count()
+        n_orphans = child.join(
+            F.broadcast(parent.select(pkey)),
+            child[ckey] == F.col(pkey),
+            "left_anti",
+        ).count()
+        return (rel, n_child, n_orphans, 1 if n_orphans == 0 else 0)
+
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rows = [
+        check("customer.nation", cust, "c_nationkey", nat, "n_nationkey"),
+        check("supplier.nation", supp, "s_nationkey", nat, "n_nationkey"),
+        check("orders.customer", orders, "o_custkey", cust, "c_custkey"),
+        check("lineitem.orders", li, "l_orderkey", orders, "o_orderkey"),
+        check("lineitem.part", li, "l_partkey", part, "p_partkey"),
+        check("lineitem.supplier", li, "l_suppkey", supp, "s_suppkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "relationship string, n_child long, n_orphans long, fk_holds long"
+    ).orderBy("relationship")

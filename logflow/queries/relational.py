@@ -3814,3 +3814,204 @@ def source_xml_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money(F.sum(F.col("value").cast("decimal(14,4)"))).alias("sum_value"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "sessionize_session_window_batch",
+    """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         epoch_us(MAX(ts)) + 1800000000 - epoch_us(MIN(ts)) AS span_us
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS max_session_events,
+       CAST(MAX(span_us) AS BIGINT) AS max_session_span_us
+FROM per_session
+GROUP BY user_id
+""",
+    doc="Sessionization via Spark's native session_window TVF in BATCH "
+    "mode — the same merging engine Structured Streaming uses for "
+    "session state, driven here as an ordinary groupBy: "
+    "session_window(ts, '30 minutes') merges an event into the open "
+    "session iff gap <= 30min (probed: an event exactly at the +30:00 "
+    "boundary MERGES — window end is last_ts + gap, exclusive) — "
+    "bit-identical to the gaps-and-islands lag/running-sum form the "
+    "oracle (and sessionize_events) uses, which this query PROVES by "
+    "hash-matching counts AND exact microsecond session spans. Why "
+    "both exist: gaps-and-islands needs one sorted window pass (one "
+    "shuffle per user key); session_window is a hash-agg with in-place "
+    "session merge — no per-user sort — and is the form that carries "
+    "over to streaming unchanged. At 100 TB both shuffle once on "
+    "user_id; session_window's partial merge also combines map-side.",
+)
+def sessionize_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        per_session.select(
+            "user_id",
+            "n",
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND, sw.start, sw.end) AS BIGINT)"
+            ).alias("span_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.max("n").cast("long").alias("max_session_events"),
+            F.max("span_us").cast("long").alias("max_session_span_us"),
+        )
+    )
+
+
+@register(
+    "nested_order_items_hof",
+    """
+WITH per_o AS (
+  SELECT l.l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+         CAST(MAX(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS max_cents,
+         CAST(date_diff('day', MIN(l.l_shipdate), MAX(l.l_shipdate)) AS BIGINT)
+           AS span_days
+  FROM lineitem l GROUP BY l.l_orderkey)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(p.n_items) AS DOUBLE) / COUNT(*), 4) AS avg_items,
+       CAST(MAX(p.total_cents) AS DOUBLE) / 100 AS max_order_total,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(p.max_cents AS DOUBLE)
+                                 / CAST(p.total_cents AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_max_item_share,
+       ROUND(CAST(SUM(p.span_days) AS DOUBLE) / COUNT(*), 4) AS avg_span_days
+FROM per_o p JOIN orders o ON o.o_orderkey = p.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    doc="Nested-data pipeline: lineitems DENORMALIZED into one "
+    "array<struct> per order (collect_list — the one-shuffle nested "
+    "build that replaces N fact joins downstream), then every per-order "
+    "metric computed purely with HIGHER-ORDER FUNCTIONS on the array "
+    "(aggregate for the exact-cents total, transform+array_max for the "
+    "biggest item, transform+array_min/max over ship timestamps for "
+    "the span) — all order-INDEPENDENT expressions, so collect_list's "
+    "nondeterministic array order cannot leak into results (the rule "
+    "that makes nested pipelines reproducible). The flat-SQL oracle "
+    "computes identical metrics relationally, proving the nested "
+    "round-trip is lossless. Ratios follow round-then-decimal-sum. At "
+    "100 TB: one orderkey shuffle builds the nested table once; every "
+    "downstream read is map-side HOF work — the document-model layout "
+    "pattern (one wide nested table instead of a join per query).",
+)
+def nested_order_items_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nested = li.select(
+        "l_orderkey",
+        F.struct(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+            F.col("l_shipdate").alias("ship"),
+        ).alias("item"),
+    ).groupBy("l_orderkey").agg(F.collect_list("item").alias("items"))
+    per_o = nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.expr(
+            "aggregate(items, CAST(0 AS BIGINT), (acc, x) -> acc + x.cents)"
+        ).alias("total_cents"),
+        F.expr("array_max(transform(items, x -> x.cents))").alias("max_cents"),
+        F.expr(
+            "CAST(datediff(array_max(transform(items, x -> x.ship)), "
+            "array_min(transform(items, x -> x.ship))) AS BIGINT)"
+        ).alias("span_days"),
+    )
+    share = F.round(
+        F.col("max_cents").cast("double") / F.col("total_cents").cast("double"), 6
+    ).cast("decimal(18,6)")
+    return (
+        per_o.join(orders.select("o_orderkey", "o_orderpriority"),
+                   per_o["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum("n_items").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_items"),
+            (F.max("total_cents").cast("double") / F.lit(100)).alias("max_order_total"),
+            F.round(
+                F.sum(share).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_max_item_share"),
+            F.round(
+                F.sum("span_days").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_span_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_salted_distinct",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Skew-proof COUNT(DISTINCT) via two-stage salted aggregation: "
+    "stage 1 groups by (event_type, pmod(user_id, 16)) and counts "
+    "distinct users per salt bucket; stage 2 SUMS the partial distincts "
+    "— exact, because the salt is a function of the DISTINCT KEY "
+    "itself, so the per-bucket user sets are provably disjoint (the "
+    "trick that makes this a sum, not an approximate merge). Why it "
+    "matters at 100 TB: a plain COUNT(DISTINCT) on a skewed group key "
+    "funnels the hot key's entire user set through ONE reducer; the "
+    "salt splits that hot key 16 ways while stage 2 only merges 16 "
+    "small integers per key. The additive metrics ride along in the "
+    "same two-stage plan (exact decimal sums merge trivially). The "
+    "oracle is the naive single-stage GROUP BY — identical result, "
+    "different physical plan.",
+)
+def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    stage1 = ev.groupBy(
+        "event_type", F.pmod(F.col("user_id"), F.lit(16)).alias("salt")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias("sv"),
+    )
+    return (
+        stage1.groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_users").cast("long").alias("n_users"),
+            F.round(F.sum("sv"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

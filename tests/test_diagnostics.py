@@ -15,6 +15,7 @@ NEW_QUERIES = [
     "diag_iqr_outliers",
     "diag_woe_binning",
     "diag_equidepth_histogram",
+    "dq_referential_audit",
 ]
 
 

@@ -63,6 +63,9 @@ RELATIONAL_QUERIES = [
     "source_orc_lineitem",
     "source_xml_events",
     "source_binary_blobs",
+    "sessionize_session_window_batch",
+    "nested_order_items_hof",
+    "agg_salted_distinct",
     "agg_filter_clause",
     "golden_record_customers",
     "attribution_time_decay",
@@ -580,3 +583,66 @@ def test_hilbert_buckets_are_quadrants(spark, sf_dir):
     assert (pdf["d1_span"] <= 256).all()
     assert (pdf["d2_span"] <= 256).all()
     assert (pdf["n_rows"] > 0).all()
+
+
+def test_session_window_batch_equals_gaps_and_islands(spark, sf_dir):
+    """session_window's merge rule must agree with sessionize_events'
+    gaps-and-islands counts per user."""
+    from logflow.queries import load_all
+
+    sw = (
+        load_all()["sessionize_session_window_batch"].fn(spark, sf_dir).toPandas()
+        .set_index("user_id").sort_index()
+    )
+    gi = (
+        load_all()["sessionize_events"].fn(spark, sf_dir).toPandas()
+        .set_index("user_id").sort_index()
+    )
+    assert (sw["n_sessions"] == gi["n_sessions"]).all()
+    assert (sw["n_events"] == gi["n_events"]).all()
+    assert (sw["max_session_events"] == gi["max_session_events"]).all()
+    # every session spans at least the 30-minute close gap
+    assert (sw["max_session_span_us"] >= 1800 * 1_000_000).all()
+
+
+def test_referential_audit_clean_schema_and_orphan_detection(spark, sf_dir):
+    """The generated schema must be FK-clean, and a planted orphan must be
+    caught (the audit actually audits)."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["dq_referential_audit"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 6
+    assert (pdf["fk_holds"] == 1).all() and (pdf["n_orphans"] == 0).all()
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    planted = orders.select("o_custkey").limit(1).withColumn(
+        "o_custkey", F.lit(-999)
+    ).unionByName(orders.select("o_custkey"))
+    n = planted.join(
+        F.broadcast(cust.select("c_custkey")),
+        planted["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    ).count()
+    assert n == 1
+
+
+def test_salted_distinct_buckets_are_disjoint(spark, sf_dir):
+    """The salt is a function of the distinct key, so per-bucket distinct
+    counts must sum EXACTLY to the global distinct count per group."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["agg_salted_distinct"].fn(spark, sf_dir).toPandas()
+    ev = load_table(spark, "events", sf_dir)
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r.event_type: r.n_users for r in pdf.itertuples()} == want

@@ -1188,3 +1188,60 @@ def test_wirelog_streaming_source_tails_appends_exactly_once(spark, tmp_path):
     # already-committed ranges (len(received) counts every delivered row)
     assert set(got2) == {("u1", 1), ("u2", 2), ("u3", 3), ("u4", 4)}
     assert len(received) == 4
+
+
+def test_wirelog_stream_pipeline_matches_batch_source(spark, tmp_path):
+    """The streaming wirelog source feeding the record-decode pipeline
+    (IntegerSerde value decode + header extraction + keyed aggregation)
+    produces exactly the batch wirelog source's answer over the same
+    files — the consume-side analog of the reference's Kafka loop."""
+    from pyspark.sql import functions as F
+
+    from logflow.functions.codec import int_be_decode
+    from logflow.sources.wirelog import _write_frame, register_wirelog
+
+    register_wirelog(spark)
+    d = tmp_path / "wpipe"
+    d.mkdir()
+    with open(d / "a.wirelog", "wb") as fh:
+        for i in range(50):
+            _write_frame(
+                fh,
+                f"user-{i % 5}".encode(),
+                (i * 7).to_bytes(4, "big"),
+                [("b3", f"t{i}".encode())],
+            )
+
+    def decoded_totals(df):
+        return (
+            df.select(
+                F.col("key").cast("string").alias("user"),
+                int_be_decode("value").cast("long").alias("v"),
+            )
+            .groupBy("user")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        )
+
+    batch = {
+        (r.user, r.n, r.total)
+        for r in decoded_totals(
+            spark.read.format("wirelog").option("path", str(d)).load()
+        ).collect()
+    }
+    got = []
+
+    def sink(df, _bid):
+        got.extend(decoded_totals(df).collect())
+
+    q = (
+        spark.readStream.format("wirelog")
+        .option("path", str(d))
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_wpipe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {(r.user, r.n, r.total) for r in got}
+    assert stream == batch and len(batch) == 5
