@@ -309,6 +309,11 @@ PRIORITY: list[str] = [
     "dq_referential_audit",
     "nested_order_items_hof",
     "agg_salted_distinct",
+    "graph_bfs_levels",
+    "ts_ltob_downsample",
+    "bitmap_user_retention",
+    "scan_dpp_date_join",
+    "diag_observe_metrics",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

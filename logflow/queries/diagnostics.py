@@ -1231,3 +1231,82 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "relationship string, n_child long, n_orphans long, fk_holds long"
     ).orderBy("relationship")
+
+
+@register(
+    "diag_observe_metrics",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events,
+       (SELECT CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))), 2)
+               AS DOUBLE) FROM events) AS sum_value,
+       (SELECT CAST(MIN(date_diff('microsecond',
+                TIMESTAMP '2024-01-01 00:00:00', ts)) AS BIGINT)
+        FROM events) AS first_us,
+       (SELECT CAST(MAX(date_diff('microsecond',
+                TIMESTAMP '2024-01-01 00:00:00', ts)) AS BIGINT)
+        FROM events) AS last_us,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_groups,
+       (SELECT CAST(MAX(n) AS BIGINT) FROM daily) AS max_daily_events
+""",
+    doc="Pipeline observability via Spark's Observation API: data-quality "
+    "counters (row count, exact decimal value total, event-time bounds) "
+    "attach to the INPUT scan and output-shape metrics (group count, "
+    "max group size) to the aggregated OUTPUT — both collected as a "
+    "side effect of the ONE production pass (a noop-format write "
+    "triggers it), zero extra scans, no second job. This is the "
+    "monitoring contract a 100 TB ingest needs: the freshness/volume/"
+    "sum-control numbers a separate audit query would re-read the "
+    "whole table for ride along in the task metrics channel (observe "
+    "compiles to AggregatingAccumulator, merged on the driver per "
+    "task — no shuffle, no plan change). Metrics are deterministic "
+    "aggregates (count/sum-of-decimal/min/max in exact micros), so "
+    "the oracle recomputes them relationally and the returned 1-row "
+    "frame hash-matches.",
+)
+def diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, "events", sf_dir)
+    xus = F.expr(
+        "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+        " AS BIGINT)"
+    )
+    obs_in = Observation("logflow_input")
+    obs_out = Observation("logflow_output")
+    observed = ev.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+        F.min(xus).alias("first_us"),
+        F.max(xus).alias("last_us"),
+    )
+    daily = observed.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    audited = daily.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("n").alias("max_daily_events"),
+    )
+    # ONE action drives the pipeline and fills both observations
+    audited.write.format("noop").mode("overwrite").save()
+    m = {**obs_in.get, **obs_out.get}
+    row = (
+        int(m["n_events"]),
+        float(m["sum_value"]),
+        int(m["first_us"]),
+        int(m["last_us"]),
+        int(m["n_groups"]),
+        int(m["max_daily_events"]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_events long, sum_value double, first_us long, last_us long, "
+        "n_groups long, max_daily_events long",
+    )

@@ -599,3 +599,103 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# BFS frontier levels — the missing traversal primitive next to PageRank
+# (global propagation), CC/LPA (label convergence) and walks (path
+# enumeration): exact hop-distance layers from a seed set.
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 3
+_BFS_SEEDS = 5
+
+
+def _bfs_level_ctes() -> str:
+    """Unrolled frontier/visited CTE chain (l0..l3, v0..v2) on ``und``."""
+    parts = [
+        f"seeds AS (SELECT u FROM deg ORDER BY u LIMIT {_BFS_SEEDS})",
+        "l0 AS (SELECT u FROM seeds)",
+        "v0 AS (SELECT u FROM l0)",
+    ]
+    for h in range(1, _BFS_HOPS + 1):
+        parts.append(
+            f"l{h} AS (SELECT DISTINCT e.v AS u FROM und e "
+            f"JOIN l{h - 1} f ON e.u = f.u "
+            f"WHERE e.v NOT IN (SELECT u FROM v{h - 1}))"
+        )
+        if h < _BFS_HOPS:
+            parts.append(
+                f"v{h} AS (SELECT u FROM v{h - 1} UNION SELECT u FROM l{h})"
+            )
+    return ",\n".join(parts)
+
+
+_BFS_LEVELS_SQL = (
+    "WITH "
+    + _EDGE_CTES.strip()
+    + ",\n"
+    + _bfs_level_ctes()
+    + "\nSELECT hop, n_nodes, checksum FROM (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT CAST({h} AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,"
+        f" CAST(SUM(u) AS BIGINT) AS checksum FROM l{h}"
+        for h in range(_BFS_HOPS + 1)
+    )
+    + "\n) WHERE n_nodes > 0 ORDER BY hop"
+)
+
+
+@register(
+    "graph_bfs_levels",
+    _BFS_LEVELS_SQL,
+    doc=f"Single-source-set BFS: exact hop-distance layers (0..{_BFS_HOPS}) "
+    f"from the {_BFS_SEEDS} smallest part keys over the symmetric "
+    "co-purchase graph — the iterative FRONTIER-expansion primitive "
+    "(Pregel superstep with a visited set) that PageRank/LPA's "
+    "fixed-fanout updates don't exercise. Each hop is one edges⋈frontier "
+    "equi-join + distinct + an anti join against the visited set; "
+    "frontiers are localCheckpointed per round (lineage would otherwise "
+    "double per hop) and the iteration-invariant edge list is built once "
+    "(operators/cache.py-tracked persist). Levels report exact node "
+    "counts and a BIGINT id-checksum — order-independent integer sums, "
+    "so the unrolled-CTE oracle is hash-identical. At 100 TB the "
+    "frontier join is the standard BSP layout: edges bucketed by source "
+    "node make every superstep's join co-located, and the anti join is "
+    "a broadcast while the visited set stays small relative to edges.",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir, ordered=False)
+    seeds = (
+        edges.select("u").distinct().orderBy("u").limit(_BFS_SEEDS).coalesce(1)
+    )
+    frontier = track(seeds.persist())
+    visited = frontier
+    levels: list[tuple[int, DataFrame]] = [(0, frontier)]
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            edges.join(frontier, "u")
+            .select(F.col("v").alias("u"))
+            .distinct()
+            .join(visited, "u", "left_anti")
+            .coalesce(1)
+        )
+        # materialize the frontier before it feeds BOTH the next round's
+        # expansion and the level stats (two consumers, one computation);
+        # localCheckpoint cuts the per-hop doubling of the anti-join lineage
+        nxt = nxt.localCheckpoint(eager=True)
+        levels.append((hop, nxt))
+        visited = track(visited.union(nxt).coalesce(1).persist())
+        frontier = nxt
+    stats = [
+        lvl.agg(
+            F.lit(hop).cast("long").alias("hop"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("u").cast("long").alias("checksum"),
+        )
+        for hop, lvl in levels
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.filter(F.col("n_nodes") > 0).orderBy("hop")

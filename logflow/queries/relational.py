@@ -4015,3 +4015,137 @@ def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "bitmap_user_retention",
+    """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS day,
+         user_id // 32 AS chunk,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bm
+  FROM events
+  GROUP BY date_trunc('day', ts), user_id // 32
+)
+SELECT a.day,
+       CAST(SUM(bit_count(a.bm)) AS BIGINT) AS n_active,
+       CAST(COALESCE(SUM(bit_count(a.bm & n.bm)), 0) AS BIGINT)
+         AS n_retained_next,
+       ROUND(CAST(COALESCE(SUM(bit_count(a.bm & n.bm)), 0) AS DOUBLE)
+             / CAST(SUM(bit_count(a.bm)) AS DOUBLE), 6) AS retention
+FROM b a
+LEFT JOIN b n ON n.day = a.day + INTERVAL 1 DAY AND n.chunk = a.chunk
+GROUP BY a.day
+ORDER BY a.day
+""",
+    doc="Bitmap-index retention: daily active-user sets compressed into "
+    "BIGINT bitmap words (chunk = user DIV 32, bit = user MOD 32 — "
+    "lanes stay below the sign bit, which DuckDB's checked shift "
+    "refuses), built with a bit_or aggregate, then day-over-day "
+    "retained users counted as SUM(bit_count(today & tomorrow)) over a "
+    "(day+1, chunk) equi-join — the roaring-bitmap/BITMAP_COUNT "
+    "technique warehouses use for set-intersection metrics without "
+    "re-shuffling raw events. Exact (every user is one bit; bit_or and "
+    "bit_count are deterministic integer ops in both engines). At "
+    "100 TB: the event scan reduces 32:1 at the first partial agg, the "
+    "retention join moves only bitmap words (users/32 rows per day), "
+    "and longer windows (D7/D30) reuse the same bitmap table — one "
+    "build, every horizon.",
+)
+def bitmap_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("user_id DIV 32").alias("chunk"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))")
+        ).alias("bm")
+    )
+    a, n = b.alias("a"), b.alias("n")
+    joined = a.join(
+        n,
+        (F.col("n.day") == F.col("a.day") + F.expr("INTERVAL 1 DAY"))
+        & (F.col("n.chunk") == F.col("a.chunk")),
+        "left",
+    )
+    retained = F.coalesce(
+        F.sum(F.bit_count(F.col("a.bm").bitwiseAND(F.col("n.bm")))), F.lit(0)
+    )
+    active = F.sum(F.bit_count(F.col("a.bm")))
+    return (
+        joined.groupBy(F.col("a.day").alias("day"))
+        .agg(
+            active.cast("long").alias("n_active"),
+            retained.cast("long").alias("n_retained_next"),
+            F.round(
+                retained.cast("double") / active.cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "scan_dpp_date_join",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+WHERE isodow(CAST(ts AS DATE)) >= 6
+  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-03-31'
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Dynamic partition pruning: the dt-partitioned events layout "
+    "(shared with scan_partition_pruned) joined to a generated date "
+    "dimension filtered to WEEKENDS — a predicate the fact scan cannot "
+    "see statically (it lives on the dim side, on a derived attribute). "
+    "Catalyst's DPP inserts a runtime subquery filter on the fact's "
+    "partition column: the dim side evaluates first, its qualifying "
+    "dt keys broadcast, and ~22 of 30 day-directories are skipped "
+    "BEFORE file IO (plan carries `dynamicpruning` in PartitionFilters "
+    "— asserted in tests/test_relational.py). This is THE mechanism "
+    "that makes star-schema date-dim joins viable at 100 TB: partition "
+    "elimination driven by the dim filter, no manual predicate "
+    "duplication. Oracle applies the equivalent weekend predicate "
+    "directly (isodow>=6 == Spark weekday>=5, probed).",
+)
+def scan_dpp_date_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.sources.derived import derived_cache
+
+    ev = load_table(spark, "events", sf_dir, parallelize=False)
+    base = derived_cache(
+        sf_dir,
+        "prune",
+        ["events"],
+        lambda d: ev.withColumn("dt", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(d),
+    )
+    fact = spark.read.parquet(base)
+    dim = (
+        spark.range(91)
+        .select(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+                "d"
+            )
+        )
+        .filter(F.weekday("d") >= 5)
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["dt"] == dim["d"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("dt").cast("long").alias("n_days"),
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1271,3 +1271,148 @@ def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("lsum").cast("double")), 6))
         .alias("survival"),
     ).orderBy("duration_days")
+
+
+_LTOB_BUCKETS = 12
+
+
+@register(
+    "ts_ltob_downsample",
+    f"""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         ROUND(value, 4) AS val,
+         date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) // 1000
+           AS x,
+         CAST(ROUND(value * 10000, 0) AS BIGINT) AS y,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+nb AS (
+  SELECT *,
+         lag(x)  OVER w AS x0, lag(y)  OVER w AS y0,
+         lead(x) OVER w AS x2, lead(y) OVER w AS y2
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+interior AS (
+  SELECT event_type, ts, event_id, val,
+         abs((x0 - x2) * (y - y0) - (x0 - x) * (y2 - y0)) AS area,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS rn_i,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt_i
+  FROM nb WHERE x0 IS NOT NULL AND x2 IS NOT NULL
+),
+picked AS (
+  SELECT event_type,
+         (rn_i - 1) * {_LTOB_BUCKETS} // cnt_i AS bucket, ts, val, area,
+         row_number() OVER (
+           PARTITION BY event_type, (rn_i - 1) * {_LTOB_BUCKETS} // cnt_i
+           ORDER BY area DESC, ts, event_id) AS pick
+  FROM interior
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket, ts, val,
+       CAST(area AS BIGINT) AS area
+FROM picked WHERE pick = 1
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT), ts, val, CAST(0 AS BIGINT)
+FROM base WHERE rn = 1
+UNION ALL
+SELECT event_type, CAST({_LTOB_BUCKETS} AS BIGINT), ts, val, CAST(0 AS BIGINT)
+FROM base WHERE rn = cnt
+ORDER BY event_type, bucket
+""",
+    doc=f"Largest-Triangle-One-Bucket downsampling (Steinarsson 2013, the "
+    "window-parallel sibling of LTTB): each series keeps its endpoints "
+    f"plus, per {_LTOB_BUCKETS} equal-count buckets, the point whose "
+    "effective-area triangle with its IMMEDIATE neighbors is largest — "
+    "the shape-preserving decimation dashboards run before plotting "
+    "millions of points. Unlike LTTB (whose selected-point chain is "
+    "inherently sequential), LTOB's area uses only lag/lead neighbors, "
+    "so the whole reduction is two window passes + one per-bucket argmax "
+    "— embarrassingly parallel per series. Determinism: x in exact "
+    "integer MILLIS (micros DIV 1000 — Spark DIV == DuckDB //), y "
+    "scaled to BIGINT 1e4 fixed point (round-then-cast), so the cross "
+    "product is exact BIGINT arithmetic (|dx|<3e9 ms x |dy|<5e6 fits "
+    "int64) and the argmax carries the full (area DESC, ts, event_id) "
+    "tiebreak. At 100 TB each series partition downsamples "
+    "independently after ONE shuffle on the series key.",
+)
+def ts_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value"), 4).alias("val"),
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00',"
+            " ts) AS BIGINT) DIV 1000"
+        ).alias("x"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("y"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    nb = base.select(
+        "*",
+        F.lag("x").over(w).alias("x0"),
+        F.lag("y").over(w).alias("y0"),
+        F.lead("x").over(w).alias("x2"),
+        F.lead("y").over(w).alias("y2"),
+    )
+    interior = (
+        nb.filter(F.col("x0").isNotNull() & F.col("x2").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            "val",
+            F.abs(
+                (F.col("x0") - F.col("x2")) * (F.col("y") - F.col("y0"))
+                - (F.col("x0") - F.col("x")) * (F.col("y2") - F.col("y0"))
+            ).alias("area"),
+            F.row_number().over(w).alias("rn_i"),
+            F.count(F.lit(1)).over(wp).alias("cnt_i"),
+        )
+    )
+    bucket = F.expr(f"((rn_i - 1) * {_LTOB_BUCKETS}) DIV cnt_i")
+    picked = interior.select(
+        "event_type",
+        bucket.alias("bucket"),
+        "ts",
+        "val",
+        "area",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type", bucket).orderBy(
+                F.desc("area"), "ts", "event_id"
+            )
+        )
+        .alias("pick"),
+    ).filter(F.col("pick") == 1)
+    body = picked.select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        "ts",
+        "val",
+        F.col("area").cast("long").alias("area"),
+    )
+    first = base.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.lit(-1).cast("long").alias("bucket"),
+        "ts",
+        "val",
+        F.lit(0).cast("long").alias("area"),
+    )
+    last = base.filter(F.col("rn") == F.col("cnt")).select(
+        "event_type",
+        F.lit(_LTOB_BUCKETS).cast("long").alias("bucket"),
+        "ts",
+        "val",
+        F.lit(0).cast("long").alias("area"),
+    )
+    return body.unionByName(first).unionByName(last).orderBy("event_type", "bucket")

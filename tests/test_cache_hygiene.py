@@ -33,6 +33,7 @@ PERSISTING_QUERIES = [
     "ml_pca_power_iteration",
     "graph_cc_two_phase",
     "graph_label_prop_communities",
+    "graph_bfs_levels",
 ]
 
 

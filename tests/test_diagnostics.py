@@ -16,6 +16,7 @@ NEW_QUERIES = [
     "diag_woe_binning",
     "diag_equidepth_histogram",
     "dq_referential_audit",
+    "diag_observe_metrics",
 ]
 
 

@@ -241,3 +241,29 @@ def test_label_prop_members_bound_and_refine_cc(spark, sf_dir):
     for r in pdf.itertuples():
         assert comp[r.min_member] == comp[r.community]
         assert comp[r.max_member] == comp[r.community]
+
+
+def test_bfs_levels_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_bfs_levels", sf_dir)
+
+
+def test_bfs_levels_invariants(spark, sf_dir):
+    """Hop 0 is exactly the seed set; levels are non-empty, hop-ordered,
+    and each level's checksum is consistent with its node count (sum of
+    distinct non-negative ids >= count - 1 trivially; we assert the
+    stronger seed identity for hop 0)."""
+    from logflow.queries import load_all
+    from logflow.queries.graph import _BFS_SEEDS, _copurchase_edges
+    from logflow.operators.cache import release_all
+
+    pdf = load_all()["graph_bfs_levels"].fn(spark, sf_dir).toPandas()
+    assert list(pdf["hop"]) == sorted(pdf["hop"]) and (pdf["n_nodes"] > 0).all()
+    assert pdf.iloc[0]["hop"] == 0 and pdf.iloc[0]["n_nodes"] == _BFS_SEEDS
+    edges = _copurchase_edges(spark, sf_dir, ordered=False)
+    seeds = sorted(
+        r.u for r in edges.select("u").distinct().orderBy("u").limit(_BFS_SEEDS).collect()
+    )
+    assert pdf.iloc[0]["checksum"] == sum(seeds)
+    release_all()

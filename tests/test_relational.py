@@ -93,6 +93,8 @@ RELATIONAL_QUERIES = [
     "log_template_mining",
     "lateral_topk_per_brand",
     "sql_udf_net_margin",
+    "bitmap_user_retention",
+    "scan_dpp_date_join",
 ]
 
 
@@ -646,3 +648,43 @@ def test_salted_distinct_buckets_are_disjoint(spark, sf_dir):
         .collect()
     }
     assert {r.event_type: r.n_users for r in pdf.itertuples()} == want
+
+
+def test_dpp_subquery_filter_in_plan(spark, sf_dir):
+    """scan_dpp_date_join's whole point: the fact scan's partition filter
+    must be a RUNTIME dynamicpruning subquery (the weekend predicate is
+    invisible statically — it lives on the dim side)."""
+    from logflow.queries import load_all
+
+    df = load_all()["scan_dpp_date_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP did not fire on the dt scan"
+
+
+def test_bitmap_retention_bounds_and_exactness(spark, sf_dir):
+    """Retained(next) can never exceed today's or tomorrow's actives, and
+    the bitmap actives must equal the plain COUNT(DISTINCT) per day."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = (
+        load_all()["bitmap_user_retention"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    nxt = pdf["n_active"].shift(-1).fillna(0)
+    assert (pdf["n_retained_next"] <= pdf["n_active"]).all()
+    assert (pdf["n_retained_next"] <= nxt + 1e-9).all()
+    ev = load_table(spark, "events", sf_dir)
+    want = {
+        r.day: r.n
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = dict(zip(pdf["day"].dt.to_pydatetime(), pdf["n_active"]))
+    assert {k: int(v) for k, v in got.items()} == want

@@ -410,3 +410,36 @@ def test_kaplan_meier_matches_textbook_replay(spark, sf_dir):
     surv = pdf["survival"]
     assert (surv.diff().dropna() <= 1e-12).all()
     assert surv.iloc[0] <= 1.0
+
+
+def test_ltob_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_ltob_downsample", sf_dir)
+
+
+def test_ltob_selected_points_exist_and_buckets_unique(spark, sf_dir):
+    """Every selected point is a real observation of its series (ts+value
+    round-trip), endpoints are always kept, and each interior bucket
+    yields exactly one point."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.queries.timeseries import _LTOB_BUCKETS
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ts_ltob_downsample"].fn(spark, sf_dir).toPandas()
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", "ts", F.round("value", 4).alias("val"))
+        .toPandas()
+    )
+    have = set(map(tuple, ev[["event_type", "ts", "val"]].itertuples(index=False)))
+    assert all(
+        (r.event_type, r.ts, r.val) in have for r in pdf.itertuples()
+    ), "downsample invented a point"
+    for et, g in pdf.groupby("event_type"):
+        assert (g["bucket"] == -1).sum() == 1, f"{et}: first endpoint missing"
+        assert (g["bucket"] == _LTOB_BUCKETS).sum() == 1, f"{et}: last endpoint missing"
+        interior = g[(g["bucket"] >= 0) & (g["bucket"] < _LTOB_BUCKETS)]
+        assert interior["bucket"].is_unique, f"{et}: bucket picked twice"
