@@ -314,6 +314,10 @@ PRIORITY: list[str] = [
     "bitmap_user_retention",
     "scan_dpp_date_join",
     "diag_observe_metrics",
+    "alloc_largest_remainder",
+    "sqlscript_doubling_threshold",
+    "diag_huber_location",
+    "knn_matryoshka_recall",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

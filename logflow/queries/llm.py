@@ -2357,3 +2357,90 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_topk(corpus, queries, codebook, "vec_id", "embedding", k=10)
         .orderBy("qid", "rank")
     )
+
+
+_MRL_DIMS = 16  # truncated prefix length (Matryoshka operating point)
+
+
+@register(
+    "knn_matryoshka_recall",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings
+      WHERE vec_id >= 10),
+truth AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY {{SIM_FULL}} DESC, neighbor_id) AS rank
+    FROM c, q
+  ) WHERE rank <= 5
+),
+tq AS (SELECT qid, qvec[1:{_MRL_DIMS}] AS qvec FROM q),
+tc AS (SELECT neighbor_id, cvec[1:{_MRL_DIMS}] AS cvec FROM c),
+tr AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT tq.qid, tc.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY tq.qid
+                              ORDER BY {{SIM_TRUNC}} DESC, tc.neighbor_id)
+             AS rank
+    FROM tc, tq
+  ) WHERE rank <= 5
+)
+SELECT t.qid,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS recall
+FROM truth t
+LEFT JOIN tr a ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
+GROUP BY t.qid
+""".replace("{SIM_FULL}", _dd_sim("cvec", "qvec")).replace(
+        "{SIM_TRUNC}", _dd_sim("tc.cvec", "tq.qvec")
+    ),
+    doc=f"Matryoshka-truncation retrieval evaluation: top-5 recall of "
+    f"cosine search over the FIRST {_MRL_DIMS} embedding dimensions "
+    "against full-dimension ground truth — the measurement behind "
+    "dimension-adaptive retrieval (MRL, Kusupati et al. 2022), where a "
+    "coarse low-dim pass prunes candidates at a fraction of the "
+    "memory/compute before a full-dim rerank. Truncation is a plain "
+    "array slice (no re-embedding); cosine renormalizes implicitly, so "
+    "no rescale pass is needed. Cross-engine: similarities round to 6 "
+    "dp with a neighbor-id tiebreak (the knn_cosine_brute recipe), "
+    "slicing is positional in both engines. On THIS corpus the "
+    "synthetic embeddings carry no nested-subspace training, so "
+    "truncated recall quantifies exactly how much a naive prefix-slice "
+    "loses — the number you measure BEFORE trusting a truncated index "
+    "at 100 TB (where the 4x-narrower scan is the payoff). Queries "
+    "broadcast; the corpus never shuffles in either pass.",
+)
+def knn_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    truth = cosine_topk(corpus, queries, "vec_id", "embedding", k=5).select(
+        "qid", "neighbor_id"
+    )
+    tq = queries.select("qid", F.slice("qvec", 1, _MRL_DIMS).alias("qvec"))
+    tc = corpus.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    trunc = (
+        cosine_topk(tc, tq, "vec_id", "embedding", k=5)
+        .select("qid", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    hit = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        truth.join(trunc, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            hit.cast("long").alias("n_matched"),
+            F.round(hit.cast("double") / F.count(F.lit(1)), 4).alias("recall"),
+        )
+    )

@@ -4149,3 +4149,94 @@ def scan_dpp_date_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "alloc_largest_remainder",
+    """
+WITH o AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS target
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+li AS (
+  SELECT l.l_orderkey, l.l_linenumber, o.target,
+         CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS w
+  FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey
+),
+s AS (
+  SELECT *, SUM(w) OVER (PARTITION BY l_orderkey) AS wsum FROM li
+),
+b AS (
+  SELECT *, (target * w) // wsum AS base, (target * w) % wsum AS rem FROM s
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY rem DESC, l_linenumber) AS rn,
+         target - SUM(base) OVER (PARTITION BY l_orderkey) AS leftover
+  FROM b
+)
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS linenumber,
+       w AS w_cents,
+       CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents,
+       target AS target_cents
+FROM r
+ORDER BY l_orderkey, linenumber
+""",
+    doc="Exact proportional allocation with largest-remainder rounding "
+    "(Hamilton apportionment): each order's total, in integer cents, is "
+    "split across its lineitems proportional to extended price such "
+    "that the allocations SUM EXACTLY to the target — the financial "
+    "proration primitive (revenue splits, cost allocation, tax "
+    "apportionment) naive ROUND(share) gets wrong by a cent per order. "
+    "Floor shares via integer division, then the deficit (provably "
+    "< n_items) goes +1 cent to the largest fractional remainders "
+    "(rem DESC, linenumber tiebreak). All arithmetic is exact BIGINT "
+    "(target*w <= ~5e14 fits int64; Spark DIV == DuckDB //), so the "
+    "oracle hash-matches bit for bit. Plan: one orderkey window "
+    "partition does floors, remainders, ranks and the deficit — at "
+    "100 TB the allocation parallelizes per order after a single "
+    "shuffle, no iteration. Mod-sampled orders bound the output "
+    "(CLAUDE.md explosion rule).",
+)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("target"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "target",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("w"),
+    )
+    wo = Window.partitionBy("l_orderkey")
+    b = j.select(
+        "*",
+        (F.col("target") * F.col("w")).alias("share"),
+        F.sum("w").over(wo).alias("wsum"),
+    ).select(
+        "*",
+        F.expr("share DIV wsum").alias("base"),
+        F.expr("share % wsum").alias("rem"),
+    )
+    r = b.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy(F.desc("rem"), "l_linenumber"))
+        .alias("rn"),
+        (F.col("target") - F.sum("base").over(wo)).alias("leftover"),
+    )
+    return r.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.col("w").alias("w_cents"),
+        (F.col("base") + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_cents"),
+        F.col("target").alias("target_cents"),
+    ).orderBy("l_orderkey", "linenumber")

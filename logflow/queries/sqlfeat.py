@@ -228,3 +228,62 @@ def transpose_band_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("label")
     )
     return m.transpose().orderBy("key")
+
+
+@register(
+    "sqlscript_doubling_threshold",
+    """
+WITH ks AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CAST(100 AS BIGINT) * (CAST(1 AS BIGINT) << CAST(k AS INT)) AS t
+  FROM range(0, 21) r(k)
+),
+c AS (
+  SELECT ks.k, ks.t,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_totalprice >= ks.t) AS n
+  FROM ks
+),
+pick AS (
+  SELECT * FROM c WHERE n < 1000 OR k = 20 ORDER BY k LIMIT 1
+)
+SELECT k AS k_steps, CAST(t AS DOUBLE) AS threshold, n AS n_qualifying
+FROM pick
+""",
+    doc="Control-flow analytics via Spark 4 SQL SCRIPTING (BEGIN/DECLARE/"
+    "WHILE/SET): a WHILE loop doubles a revenue threshold until fewer "
+    "than 1000 orders qualify (capped at 20 doublings) — the 'find the "
+    "knob value that bounds the result' search an operator otherwise "
+    "scripts in Python around the engine. Each iteration is a full "
+    "engine query (COUNT under the candidate threshold) whose result "
+    "feeds the loop condition — state lives in script variables, not a "
+    "driver program. Deterministic: the trajectory is a pure function "
+    "of the data, so the oracle replays it SET-FREE as a generate-"
+    "series over all 21 candidate thresholds picking the first "
+    "qualifying row (the declarative unrolling of the loop). At "
+    "100 TB each probe is one scan-bound count — and because the "
+    "threshold doubles, the whole search is <= 21 probes regardless "
+    "of data size (binary-search-style convergence, not a per-row "
+    "loop).",
+)
+def sqlscript_doubling_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("lf_script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t BIGINT DEFAULT 100;
+          DECLARE k BIGINT DEFAULT 0;
+          DECLARE n BIGINT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM lf_script_orders WHERE o_totalprice >= t);
+          WHILE n >= 1000 AND k < 20 DO
+            SET t = t * 2;
+            SET k = k + 1;
+            SET n = (SELECT COUNT(*) FROM lf_script_orders
+                     WHERE o_totalprice >= t);
+          END WHILE;
+          SELECT CAST(k AS BIGINT) AS k_steps,
+                 CAST(t AS DOUBLE) AS threshold,
+                 CAST(n AS BIGINT) AS n_qualifying;
+        END
+        """
+    )

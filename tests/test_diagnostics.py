@@ -17,6 +17,7 @@ NEW_QUERIES = [
     "diag_equidepth_histogram",
     "dq_referential_audit",
     "diag_observe_metrics",
+    "diag_huber_location",
 ]
 
 

@@ -30,6 +30,7 @@ LLM_QUERIES = [
     "text_repetition_ratio",
     "corpus_dedup_stats",
     "knn_recall_eval",
+    "knn_matryoshka_recall",
     "embedding_quantize_int8",
     "contamination_ngram_overlap",
     "text_unigram_logprob",
@@ -593,3 +594,14 @@ def test_pq_adc_numpy_replay(spark, sf_dir):
     rows.sort(key=lambda r: (r[0], r[2]))
     got = list(pdf.itertuples(index=False, name=None))
     assert [tuple(map(int, r)) for r in rows] == [tuple(map(int, g)) for g in got]
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    """Recall over the truncated prefix is a proper fraction of the full
+    ground truth (n_truth == 5 per query; 0 <= n_matched <= 5)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["knn_matryoshka_recall"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_truth"] == 5).all()
+    assert pdf["n_matched"].between(0, 5).all()
+    assert pdf["recall"].between(0.0, 1.0).all()

@@ -95,6 +95,7 @@ RELATIONAL_QUERIES = [
     "sql_udf_net_margin",
     "bitmap_user_retention",
     "scan_dpp_date_join",
+    "alloc_largest_remainder",
 ]
 
 
@@ -688,3 +689,18 @@ def test_bitmap_retention_bounds_and_exactness(spark, sf_dir):
     }
     got = dict(zip(pdf["day"].dt.to_pydatetime(), pdf["n_active"]))
     assert {k: int(v) for k, v in got.items()} == want
+
+
+def test_alloc_sums_exactly_to_target(spark, sf_dir):
+    """The whole point of largest-remainder allocation: per order the
+    integer-cent allocations sum EXACTLY to the target, and each item
+    gets its floor share or floor+1."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["alloc_largest_remainder"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    g = pdf.groupby("l_orderkey")
+    sums = g["alloc_cents"].sum()
+    targets = g["target_cents"].first()
+    assert (sums == targets).all(), "allocation leaked cents"
+    assert (pdf["alloc_cents"] >= 0).all()

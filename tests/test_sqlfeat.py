@@ -9,6 +9,7 @@ SQLFEAT_QUERIES = [
     "quantile_exact_twopass",
     "sqlvar_dynamic_threshold",
     "transpose_band_metrics",
+    "sqlscript_doubling_threshold",
 ]
 
 
@@ -76,3 +77,25 @@ def test_transpose_shape_and_reconstruction(spark, sf_dir):
     ).toPandas()
     for b in range(3):
         assert pdf.loc["n_rows", f"band_{b}"] == float((li["band"] == b).sum())
+
+
+def test_sqlscript_threshold_is_tight(spark, sf_dir):
+    """The scripted loop must stop at the FIRST qualifying doubling: the
+    returned threshold has count < 1000 (unless capped), and half of it
+    (the previous probe) still had count >= 1000 when k > 0."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    row = load_all()["sqlscript_doubling_threshold"].fn(spark, sf_dir).collect()[0]
+    orders = load_table(spark, "orders", sf_dir)
+
+    def n_at(t):
+        return orders.filter(F.col("o_totalprice") >= t).count()
+
+    assert row.n_qualifying == n_at(row.threshold)
+    if row.k_steps < 20:
+        assert row.n_qualifying < 1000
+    if row.k_steps > 0:
+        assert n_at(row.threshold / 2) >= 1000

@@ -86,6 +86,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "hof-in-filter": "size(g)>0 over the bounded ≤60-doc subset",
     },
     "knn_cosine_brute": {"bnlj": "query set is the broadcast side (10 rows)"},
+    "knn_matryoshka_recall": {
+        "bnlj": "two cosine_topk passes (full + truncated dims): the "
+        "broadcast side is the 10-row query set both times"
+    },
     "assoc_rules_copurchase": {
         "bnlj": "the 1-row basket-count aggregate is the broadcast side"
     },
