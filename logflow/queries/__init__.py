@@ -318,6 +318,9 @@ PRIORITY: list[str] = [
     "sqlscript_doubling_threshold",
     "diag_huber_location",
     "knn_matryoshka_recall",
+    "sessionize_incremental_merge",
+    "text_readability_flesch",
+    "embedding_norm_profile_arrow",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

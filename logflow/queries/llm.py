@@ -2444,3 +2444,209 @@ def knn_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hit.cast("double") / F.count(F.lit(1)), 4).alias("recall"),
         )
     )
+
+
+@register(
+    "text_readability_flesch",
+    """
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         x -> length(trim(x)) > 0)) AS n_sent,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> length(x) > 0)) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_sent, n_words, n_syll,
+         206.835
+           - 1.015 * (CAST(n_words AS DOUBLE) / CAST(NULLIF(n_sent, 0) AS DOUBLE))
+           - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(NULLIF(n_words, 0) AS DOUBLE))
+           AS score
+  FROM m
+)
+SELECT CASE WHEN score IS NULL THEN 'undefined'
+            WHEN score >= 90 THEN 'very_easy'
+            WHEN score >= 70 THEN 'easy'
+            WHEN score >= 50 THEN 'medium'
+            WHEN score >= 30 THEN 'difficult'
+            ELSE 'very_difficult' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(SUM(CAST(ROUND(score, 4) AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_score,
+       ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 2) AS avg_words,
+       ROUND(CAST(SUM(n_syll) AS DOUBLE)
+             / CAST(NULLIF(SUM(n_words), 0) AS DOUBLE), 4) AS syll_per_word
+FROM scored
+GROUP BY band
+ORDER BY band
+""",
+    doc="Flesch reading-ease banding over the corpus: sentences = non-"
+    "empty '[.!?]+' splits, words = whitespace tokens, syllables = "
+    "vowel-group runs ('[aeiouy]+' matches — the standard cheap "
+    "heuristic), score = 206.835 - 1.015·(words/sentence) - "
+    "84.6·(syllables/word), banded into the five conventional "
+    "difficulty classes — the readability gate LLM data pipelines "
+    "run next to stopword/length quality scores (text_quality), "
+    "catching degenerate prose (run-on scrapes, token salad) that "
+    "length ratios miss. Determinism: all three counts are exact "
+    "BIGINTs from identical regexes, the score is the identical IEEE "
+    "expression on both engines (band cuts land identically), and the "
+    "per-band score sum rounds to DECIMAL before summing. Plan: one "
+    "map-side regex pass + a 5-row agg — embarrassingly parallel at "
+    "100 TB, no shuffle before the band rollup.",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    m = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda x: F.length(F.trim(x)) > 0,
+            )
+        ).alias("n_sent"),
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+        ).alias("n_words"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).alias(
+            "n_syll"
+        ),
+    )
+    # NO filter ANYWHERE in this plan: a row filter over this projection —
+    # or even a post-agg filter on the band GROUP KEY — pushes below and
+    # re-inlines the whole tokenize HOF chain into the scan Filter (the
+    # CLAUDE.md hof-in-filter trap, caught by tools/explain_audit.py;
+    # group-key predicates push THROUGH aggregates). Degenerate docs band
+    # to 'undefined' and are simply reported as their own row.
+    scored = m.select(
+        "n_sent",
+        "n_words",
+        "n_syll",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (
+                F.col("n_words").cast("double")
+                / F.nullif(F.col("n_sent"), F.lit(0)).cast("double")
+            )
+            - F.lit(84.6)
+            * (
+                F.col("n_syll").cast("double")
+                / F.nullif(F.col("n_words"), F.lit(0)).cast("double")
+            )
+        ).alias("score"),
+    )
+    band = (
+        F.when(F.col("score").isNull(), "undefined")
+        .when(F.col("score") >= 90, "very_easy")
+        .when(F.col("score") >= 70, "easy")
+        .when(F.col("score") >= 50, "medium")
+        .when(F.col("score") >= 30, "difficult")
+        .otherwise("very_difficult")
+    )
+    return (
+        scored.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.sum(F.round(F.col("score"), 4).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_score"),
+            F.round(F.sum("n_words").cast("double") / F.count(F.lit(1)), 2).alias(
+                "avg_words"
+            ),
+            F.round(
+                F.sum("n_syll").cast("double")
+                / F.nullif(F.sum("n_words").cast("double"), F.lit(0.0)),
+                4,
+            ).alias("syll_per_word"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "embedding_norm_profile_arrow",
+    """
+WITH per AS (
+  SELECT label, len(embedding) AS n_dims,
+         CAST(list_sum(list_transform(embedding,
+              e -> CAST(FLOOR(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                              * 1000000000000 + 0.5) AS BIGINT)))
+              AS BIGINT) AS ssq_fp
+  FROM embeddings
+),
+n6 AS (
+  SELECT label, n_dims, ssq_fp,
+         FLOOR(sqrt(CAST(ssq_fp AS DOUBLE) / 1000000000000) * 1000000 + 0.5)
+           / 1000000 AS norm6
+  FROM per
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(n_dims) AS BIGINT) AS total_dims,
+       CAST(SUM(ssq_fp) AS BIGINT) AS total_ssq_fp,
+       MIN(norm6) AS min_norm,
+       MAX(norm6) AS max_norm
+FROM n6
+GROUP BY label
+ORDER BY label
+""",
+    doc="Embedding L2-norm profile per label via mapInArrow — the "
+    "zero-copy Arrow-native UDF path (one deserialization fewer than "
+    "mapInPandas: the kernel reads the ListArray's values buffer "
+    "directly, no pandas object boxing), the right shape for "
+    "numeric-kernel stages over 100 TB of vectors. Determinism recipe "
+    "for float reductions in Python workers: each squared term is "
+    "floored to 1e12 fixed point (float32→float64 squares are exact; "
+    "floor(x+0.5) is half-away rounding that numpy and SQL compute "
+    "identically — np.round's half-to-even is banned per CLAUDE.md), "
+    "per-vector sums are exact int64, and the norm re-rounds via the "
+    "same floor formula — so the Arrow kernel and the DuckDB list-HOF "
+    "oracle hash-match bit for bit. Batch shape: np.add.reduceat over "
+    "the flat values buffer with the list offsets — no per-row Python. "
+    "The label rollup is an ordinary exact-integer aggregate after the "
+    "map-side pass.",
+)
+def embedding_norm_profile_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            la = batch.column("embedding")
+            offs = la.offsets.to_numpy()
+            if len(offs) < 2:
+                continue
+            vals = la.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            terms = np.floor(vals * vals * 1e12 + 0.5).astype(np.int64)
+            widths = np.diff(offs)
+            if (widths <= 0).any():
+                raise ValueError("empty embedding: norm profile requires dims > 0")
+            ssq = np.add.reduceat(terms, offs[:-1])
+            norm6 = np.floor(np.sqrt(ssq / 1e12) * 1e6 + 0.5) / 1e6
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("label").cast(pa.int64()),
+                    pa.array(widths.astype(np.int64), pa.int64()),
+                    pa.array(ssq, pa.int64()),
+                    pa.array(norm6, pa.float64()),
+                ],
+                ["label", "n_dims", "ssq_fp", "norm6"],
+            )
+
+    per = emb.mapInArrow(norms, "label long, n_dims long, ssq_fp long, norm6 double")
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("n_dims").cast("long").alias("total_dims"),
+            F.sum("ssq_fp").cast("long").alias("total_ssq_fp"),
+            F.min("norm6").alias("min_norm"),
+            F.max("norm6").alias("max_norm"),
+        )
+        .orderBy("label")
+    )

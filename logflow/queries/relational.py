@@ -4240,3 +4240,109 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc_cents"),
         F.col("target").alias("target_cents"),
     ).orderBy("l_orderkey", "linenumber")
+
+
+_SESS_GAP_US = 1800 * 1000 * 1000
+_SESS_CUTOFF = "2024-01-16 00:00:00"
+
+
+@register(
+    "sessionize_incremental_merge",
+    """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS max_session_events
+FROM per_session
+GROUP BY user_id
+""",
+    doc="INCREMENTAL sessionization (IVM for gaps-and-islands): events "
+    f"split at a cutoff ({_SESS_CUTOFF}) into 'yesterday's history' and "
+    "'today's delta'; history sessionizes once and collapses to a "
+    "1-row-per-user STATE (the open session's tail timestamp + per-"
+    "session sizes), then the delta sessionizes seeded by that state — "
+    "a delta row within 30 min of the stored tail EXTENDS the open "
+    "session (running-sum id 0), everything else opens new sessions — "
+    "and the merge is a union of closed-session sizes + the stitched "
+    "boundary session + delta sessions, aggregated per user. The "
+    "oracle sessionizes the FULL data in one pass: hash-equality "
+    "proves the incremental path is exactly equivalent, the property "
+    "that lets a 100 TB pipeline sessionize each day's partition "
+    "against a user-cardinality state table instead of re-scanning "
+    "history (cost: O(delta + users) per day, not O(history)). Same "
+    "(ts, event_id) tiebreaks and strict->30min gap as "
+    "sessionize_events.",
+)
+def sessionize_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = F.lit(_SESS_CUTOFF).cast("timestamp_ntz")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def islands(df, seed_col=None):
+        prev = F.lag("ts").over(w)
+        if seed_col is not None:
+            prev = F.coalesce(prev, F.col(seed_col))
+        gap = F.timestamp_diff("MICROSECOND", prev, F.col("ts"))
+        flagged = df.withColumn(
+            "ns", F.when(gap.isNull() | (gap > _SESS_GAP_US), 1).otherwise(0)
+        )
+        return flagged.withColumn("sid", F.sum("ns").over(wrun))
+
+    part1 = ev.filter(F.col("ts") < cutoff)
+    part2 = ev.filter(F.col("ts") >= cutoff)
+
+    s1 = (
+        islands(part1)
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.max("ts").alias("hi"))
+    )
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("sid"))
+    s1f = s1.withColumn("is_last", F.row_number().over(wlast) == 1)
+    # per-user state: the open session's tail timestamp (broadcastable —
+    # one row per user, the WHOLE point of the incremental layout)
+    state = s1f.filter("is_last").select("user_id", F.col("hi").alias("open_hi"))
+
+    p2 = part2.join(F.broadcast(state), "user_id", "left")
+    s2 = (
+        islands(p2, seed_col="open_hi")
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # sid 0 == the delta rows that EXTEND the open session (seeded flag 0)
+    ext = s2.filter(F.col("sid") == 0).select("user_id", F.col("n").alias("n_ext"))
+    news = s2.filter(F.col("sid") >= 1).select("user_id", "n")
+
+    closed = s1f.filter(~F.col("is_last")).select("user_id", "n")
+    boundary = (
+        s1f.filter("is_last")
+        .join(ext, "user_id", "left")
+        .select(
+            "user_id",
+            (F.col("n") + F.coalesce(F.col("n_ext"), F.lit(0))).alias("n"),
+        )
+    )
+    all_sessions = closed.unionByName(boundary).unionByName(news)
+    return all_sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.max("n").cast("long").alias("max_session_events"),
+    )

@@ -31,6 +31,8 @@ LLM_QUERIES = [
     "corpus_dedup_stats",
     "knn_recall_eval",
     "knn_matryoshka_recall",
+    "text_readability_flesch",
+    "embedding_norm_profile_arrow",
     "embedding_quantize_int8",
     "contamination_ngram_overlap",
     "text_unigram_logprob",
@@ -605,3 +607,40 @@ def test_matryoshka_recall_bounds(spark, sf_dir):
     assert (pdf["n_truth"] == 5).all()
     assert pdf["n_matched"].between(0, 5).all()
     assert pdf["recall"].between(0.0, 1.0).all()
+
+
+def test_flesch_bands_cover_corpus(spark, sf_dir):
+    """Band counts must sum to the number of docs with >= 1 sentence and
+    >= 1 word (here: every doc), and syllable rates stay in a sane range."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["text_readability_flesch"].fn(spark, sf_dir).toPandas()
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert int(pdf["n_docs"].sum()) == n_docs
+    rated = pdf[pdf["band"] != "undefined"]
+    assert ((rated["syll_per_word"] >= 1.0) & (rated["syll_per_word"] <= 4.0)).all()
+
+
+def test_arrow_norm_profile_matches_numpy(spark, sf_dir):
+    """The Arrow kernel's fixed-point sums must equal a straight numpy
+    recompute over collected vectors (model-based, any distribution)."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = (
+        load_all()["embedding_norm_profile_arrow"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("label")
+    )
+    rows = load_table(spark, "embeddings", sf_dir).select("label", "embedding").collect()
+    want: dict[int, int] = {}
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        want[r.label] = want.get(r.label, 0) + int(
+            np.floor(v * v * 1e12 + 0.5).astype(np.int64).sum()
+        )
+    assert {int(k): int(v) for k, v in pdf["total_ssq_fp"].items()} == want

@@ -96,6 +96,7 @@ RELATIONAL_QUERIES = [
     "bitmap_user_retention",
     "scan_dpp_date_join",
     "alloc_largest_remainder",
+    "sessionize_incremental_merge",
 ]
 
 
@@ -704,3 +705,27 @@ def test_alloc_sums_exactly_to_target(spark, sf_dir):
     targets = g["target_cents"].first()
     assert (sums == targets).all(), "allocation leaked cents"
     assert (pdf["alloc_cents"] >= 0).all()
+
+
+def test_incremental_sessionize_equals_full_pass(spark, sf_dir):
+    """The IVM path (state + delta + merge) must reproduce the one-pass
+    sessionization EXACTLY, row for row."""
+    from logflow.queries import load_all
+
+    inc = (
+        load_all()["sessionize_incremental_merge"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    full = (
+        load_all()["sessionize_events"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (inc["n_sessions"] == full["n_sessions"]).all()
+    assert (inc["n_events"] == full["n_events"]).all()
+    assert (inc["max_session_events"] == full["max_session_events"]).all()
