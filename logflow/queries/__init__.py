@@ -321,6 +321,9 @@ PRIORITY: list[str] = [
     "sessionize_incremental_merge",
     "text_readability_flesch",
     "embedding_norm_profile_arrow",
+    "ts_rate_limit_audit",
+    "scalar_timezone_dst",
+    "dq_replay_detection",
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

@@ -4346,3 +4346,125 @@ def sessionize_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_events"),
         F.max("n").cast("long").alias("max_session_events"),
     )
+
+
+@register(
+    "scalar_timezone_dst",
+    """
+WITH shifted AS (
+  SELECT user_id, event_id,
+         ts + INTERVAL (event_id % 330) DAY AS uts
+  FROM events
+),
+localized AS (
+  SELECT user_id, uts,
+         timezone('America/New_York', timezone('UTC', uts)) AS nyts
+  FROM shifted
+)
+SELECT CAST(date_diff('hour', uts, nyts) AS BIGINT) AS offset_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST(nyts AS DATE)) AS BIGINT) AS n_local_days,
+       CAST(SUM(user_id) AS BIGINT) AS user_checksum,
+       MIN(nyts) AS first_local,
+       MAX(nyts) AS last_local
+FROM localized
+GROUP BY date_diff('hour', uts, nyts)
+ORDER BY offset_hours
+""",
+    doc="Civil-time conversion across BOTH 2024 US DST transitions: event "
+    "times (UTC wall clock) spread deterministically over 330 days "
+    "(event_id-keyed calendar-day shifts cross Mar 10 spring-forward AND "
+    "Nov 3 fall-back), converted to America/New_York with Spark's "
+    "convert_timezone vs DuckDB's ICU timezone() — grouping by the "
+    "realized UTC-offset proves both engines place every instant on "
+    "the same side of both transitions (instant->local is total and "
+    "unambiguous; ONLY this direction is engine-portable — local->"
+    "instant hits the spring-forward gap and the fall-back double "
+    "hour, which engines resolve by convention). The offset itself is "
+    "an exact integer hour diff of the two NTZ columns. The layout "
+    "question this answers at 100 TB: partition-by-local-date tables "
+    "have 23h and 25h days — counts per offset quantify exactly how "
+    "much data moves between them.",
+)
+def scalar_timezone_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    shifted = ev.select(
+        "user_id",
+        F.expr("ts + make_interval(0, 0, 0, CAST(event_id % 330 AS INT), 0, 0, 0)")
+        .alias("uts"),
+    )
+    localized = shifted.select(
+        "user_id",
+        "uts",
+        F.expr("convert_timezone('UTC', 'America/New_York', uts)").alias("nyts"),
+    )
+    off = F.expr("CAST(timestampdiff(HOUR, uts, nyts) AS BIGINT)")
+    return (
+        localized.groupBy(off.alias("offset_hours"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct(F.to_date("nyts")).cast("long").alias("n_local_days"),
+            F.sum("user_id").cast("long").alias("user_checksum"),
+            F.min("nyts").alias("first_local"),
+            F.max("nyts").alias("last_local"),
+        )
+        .orderBy("offset_hours")
+    )
+
+
+@register(
+    "dq_replay_detection",
+    """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts FROM events
+)
+SELECT b.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT b.event_id) AS BIGINT) AS n_replayed,
+       CAST(MIN(date_diff('microsecond', a.ts, b.ts)) AS BIGINT)
+         AS min_gap_us
+FROM e a
+JOIN e b ON a.user_id = b.user_id
+        AND a.event_type = b.event_type
+        AND b.ts > a.ts
+        AND date_diff('microsecond', a.ts, b.ts) <= 600000000
+GROUP BY b.event_type
+ORDER BY b.event_type
+""",
+    doc="Replay/duplicate-submission detection: an event is a REPLAY if "
+    "the same user fired the same event type <= 10 minutes earlier — "
+    "the double-click / bot-retry / at-least-once-producer audit that "
+    "exact full-row dedup misses (event_ids and payloads differ). "
+    "Candidates come from an EQUI-join on the (user, type) identity — "
+    "the time band only post-filters pairs within an identity group, "
+    "so candidate cardinality is bounded by group sizes (never an "
+    "interval cross product); n_pairs vs n_replayed separates pair "
+    "multiplicity from distinct duplicated events, min_gap_us is the "
+    "tightest observed repeat. Exact: the band is integer micros; "
+    "strict b.ts > a.ts excludes equal-ts ties symmetrically in both "
+    "engines. At 100 TB this is one shuffle on the identity pair; a "
+    "hot identity (bot hammering one action) is exactly what it "
+    "surfaces — diag_key_skew on the same key is the pre-flight "
+    "guard.",
+)
+def dq_replay_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select("event_id", "user_id", "event_type", "ts")
+    a, b = e.alias("a"), e.alias("b")
+    tdiff = F.expr("timestampdiff(MICROSECOND, a.ts, b.ts)")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (tdiff <= 600 * 1000 * 1000),
+    )
+    return (
+        pairs.groupBy(F.col("b.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct(F.col("b.event_id")).cast("long").alias("n_replayed"),
+            F.min(tdiff).cast("long").alias("min_gap_us"),
+        )
+        .orderBy("event_type")
+    )

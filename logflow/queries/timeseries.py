@@ -1416,3 +1416,74 @@ def ts_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("area"),
     )
     return body.unionByName(first).unionByName(last).orderBy("event_type", "bucket")
+
+
+_RATE_WIN_US = 300 * 1000 * 1000  # 5-minute sliding window
+_RATE_K = 3  # events allowed per window
+
+
+@register(
+    "ts_rate_limit_audit",
+    f"""
+WITH x AS (
+  SELECT user_id, event_id,
+         date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+  FROM events
+),
+burst AS (
+  SELECT user_id, event_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN {_RATE_WIN_US} PRECEDING
+                        AND CURRENT ROW) AS in_window
+  FROM x
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(in_window) AS BIGINT) AS max_burst,
+       CAST(SUM(CASE WHEN in_window > {_RATE_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM burst
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc=f"Sliding-window rate-limit audit: for EVERY event, the count of "
+    f"same-user events in the trailing 5 minutes via a RANGE frame over "
+    "the integer microsecond axis — the value-range frame (vs the "
+    "ROWS frames everywhere else and the RANGE-over-days frame of "
+    "window_range_7day_revenue) that makes 'per-event trailing window' "
+    "a single window pass instead of a self-join. Events beyond "
+    f"{_RATE_K} per window flag as violations (bot/retry-storm "
+    "detection). Determinism: the frame bound is an exact integer "
+    "micros offset; same-timestamp peers are included symmetrically "
+    "in BOTH engines (RANGE peers, no row-order dependence). At "
+    "100 TB: one shuffle on user_id, then the frame is a two-pointer "
+    "scan per partition — compare the O(n·w) self-join alternative; "
+    "hot users salt like any skewed key.",
+)
+def ts_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    x = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00',"
+            " ts) AS BIGINT)"
+        ).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_RATE_WIN_US, Window.currentRow)
+    )
+    burst = x.select("user_id", F.count(F.lit(1)).over(w).alias("in_window"))
+    return (
+        burst.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("in_window").cast("long").alias("max_burst"),
+            F.sum(F.when(F.col("in_window") > _RATE_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .orderBy("user_id")
+    )

@@ -97,6 +97,8 @@ RELATIONAL_QUERIES = [
     "scan_dpp_date_join",
     "alloc_largest_remainder",
     "sessionize_incremental_merge",
+    "scalar_timezone_dst",
+    "dq_replay_detection",
 ]
 
 
@@ -729,3 +731,26 @@ def test_incremental_sessionize_equals_full_pass(spark, sf_dir):
     assert (inc["n_sessions"] == full["n_sessions"]).all()
     assert (inc["n_events"] == full["n_events"]).all()
     assert (inc["max_session_events"] == full["max_session_events"]).all()
+
+
+def test_dst_offsets_are_est_edt_and_partition(spark, sf_dir):
+    """New York offsets in 2024 are exactly -5 (EST) and -4 (EDT), and the
+    two groups partition the event set."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["scalar_timezone_dst"].fn(spark, sf_dir).toPandas()
+    assert sorted(pdf["offset_hours"]) == [-5, -4]
+    n = load_table(spark, "events", sf_dir).count()
+    assert int(pdf["n_events"].sum()) == n
+
+
+def test_replay_pairs_really_repeat(spark, sf_dir):
+    """Every reported replay gap is positive and within the 10-minute
+    band; replayed-event counts never exceed pair counts."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["dq_replay_detection"].fn(spark, sf_dir).toPandas()
+    assert (pdf["min_gap_us"] > 0).all()
+    assert (pdf["min_gap_us"] <= 600_000_000).all()
+    assert (pdf["n_replayed"] <= pdf["n_pairs"]).all()

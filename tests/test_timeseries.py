@@ -443,3 +443,24 @@ def test_ltob_selected_points_exist_and_buckets_unique(spark, sf_dir):
         assert (g["bucket"] == _LTOB_BUCKETS).sum() == 1, f"{et}: last endpoint missing"
         interior = g[(g["bucket"] >= 0) & (g["bucket"] < _LTOB_BUCKETS)]
         assert interior["bucket"].is_unique, f"{et}: bucket picked twice"
+
+
+def test_rate_limit_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_rate_limit_audit", sf_dir)
+
+
+def test_rate_limit_burst_bounds(spark, sf_dir):
+    """max_burst is at least 1 (every event sees itself in its window)
+    and never exceeds the user's total events; violations only exist
+    where max_burst exceeds the limit."""
+    from logflow.queries import load_all
+    from logflow.queries.timeseries import _RATE_K
+
+    pdf = load_all()["ts_rate_limit_audit"].fn(spark, sf_dir).toPandas()
+    assert (pdf["max_burst"] >= 1).all()
+    assert (pdf["max_burst"] <= pdf["n_events"]).all()
+    has_viol = pdf["n_violations"] > 0
+    assert (pdf.loc[has_viol, "max_burst"] > _RATE_K).all()
+    assert (pdf.loc[~has_viol, "max_burst"] <= _RATE_K).all()
