@@ -1245,3 +1245,95 @@ def test_wirelog_stream_pipeline_matches_batch_source(spark, tmp_path):
     q.awaitTermination(120)
     stream = {(r.user, r.n, r.total) for r in got}
     assert stream == batch and len(batch) == 5
+
+
+def test_streaming_interval_join_left_semi(spark, tmp_path):
+    """Stream-stream LEFT SEMI interval join: each left row emits AT MOST
+    ONCE (existence, not multiplicity — two in-band buys for click@0 must
+    not duplicate it), carries only left columns, and matches the batch
+    semi join on the same inputs."""
+    from logflow.streaming.joins import stream_interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+    clicks = [
+        (1, base + datetime.timedelta(minutes=0)),    # two in-band buys -> ONE row
+        (1, base + datetime.timedelta(minutes=90)),   # no buy in [90, 150]
+        (2, base + datetime.timedelta(minutes=10)),   # buy@80 outside band
+        (3, base + datetime.timedelta(minutes=30)),   # buy@45 in band
+    ]
+    buys = [
+        (1, base + datetime.timedelta(minutes=20)),
+        (1, base + datetime.timedelta(minutes=40)),
+        (2, base + datetime.timedelta(minutes=80)),
+        (3, base + datetime.timedelta(minutes=45)),
+        (4, base + datetime.timedelta(minutes=5)),
+    ]
+    cpath, bpath = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    spark.createDataFrame(clicks, "user_id long, click_ts timestamp").write.parquet(cpath)
+    spark.createDataFrame(buys, "user_id long, buy_ts timestamp").write.parquet(bpath)
+
+    cs = spark.readStream.schema("user_id long, click_ts timestamp").parquet(cpath)
+    bs = spark.readStream.schema("user_id long, buy_ts timestamp").parquet(bpath)
+    joined = stream_interval_join(
+        cs, bs, on="user_id", left_ts="click_ts", right_ts="buy_ts",
+        band="1 hour", how="leftSemi",
+    )
+    assert joined.columns == ["user_id", "click_ts"], "semi join leaked right columns"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssemi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.click_ts) for r in spark.sql("select * from ssemi").collect()
+    )
+    want = sorted([(1, clicks[0][1]), (3, clicks[3][1])])
+    assert got == want, "semi join multiplicity or membership wrong"
+
+    # batch equivalence on the same inputs
+    bc = spark.read.parquet(cpath).alias("l")
+    bb = spark.read.parquet(bpath).alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.buy_ts") >= F.col("l.click_ts"))
+        & (F.col("r.buy_ts") <= F.col("l.click_ts") + F.expr("INTERVAL 1 hour"))
+    )
+    batch = sorted(
+        (r.user_id, r.click_ts)
+        for r in bc.join(bb, cond, "leftSemi").collect()
+    )
+    assert got == batch
+
+
+def test_streaming_observe_metrics_reach_progress(spark, tmp_path):
+    """df.observe in a STREAMING query: the per-batch DQ counters surface
+    in StreamingQueryProgress.observedMetrics — the monitoring channel of
+    diag_observe_metrics carried over to continuous ingest (no extra
+    pass, no second query; the listener/progress API is how a 100 TB
+    pipeline alarms on volume drops batch by batch)."""
+    src = str(tmp_path / "obs_src")
+    rows = [(i, float(i) * 2.0) for i in range(50)]
+    spark.createDataFrame(rows, "id long, v double").write.parquet(src)
+
+    stream = spark.readStream.schema("id long, v double").parquet(src)
+    observed = stream.observe(
+        "ingest_dq",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("v"), 4).cast("decimal(18,4)")).alias("sum_v"),
+        F.max("id").alias("max_id"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p.observedMetrics.get("ingest_dq")]
+    assert progresses, "no progress event carried the observed metrics"
+    m = progresses[-1].observedMetrics["ingest_dq"]
+    assert m.n_rows == 50
+    assert float(m.sum_v) == float(sum(r[1] for r in rows))
+    assert m.max_id == 49
