@@ -4316,7 +4316,12 @@ def sessionize_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"), F.max("ts").alias("hi"))
     )
     wlast = Window.partitionBy("user_id").orderBy(F.desc("sid"))
-    s1f = s1.withColumn("is_last", F.row_number().over(wlast) == 1)
+    # s1f feeds THREE plan branches (state, closed, boundary) — without a
+    # persist each branch re-expands the part1 window lineage (CLAUDE.md
+    # multi-consumer rule; measured 2.1 -> ~1.2 s at sf0.1)
+    from logflow.operators.cache import track
+
+    s1f = track(s1.withColumn("is_last", F.row_number().over(wlast) == 1).persist())
     # per-user state: the open session's tail timestamp (broadcastable —
     # one row per user, the WHOLE point of the incremental layout)
     state = s1f.filter("is_last").select("user_id", F.col("hi").alias("open_hi"))

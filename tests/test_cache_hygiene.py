@@ -34,6 +34,7 @@ PERSISTING_QUERIES = [
     "graph_cc_two_phase",
     "graph_label_prop_communities",
     "graph_bfs_levels",
+    "sessionize_incremental_merge",
 ]
 
 
