@@ -31,9 +31,11 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 WIRELOG_SCHEMA = "key binary, value binary, headers array<struct<key:string,value:binary>>"
@@ -251,6 +253,9 @@ class WirelogDataSource(DataSource):
     def streamReader(self, schema) -> "WirelogStreamReader":
         return WirelogStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "WirelogArrowWriter":
+        return WirelogArrowWriter(self.options, overwrite)
+
 
 def register_wirelog(spark) -> None:
     """Idempotent registration of the wirelog format on a session."""
@@ -339,3 +344,92 @@ class WirelogStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class WirelogCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file the task staged + its count."""
+
+    def __init__(self, tmp_name: str, n: int):
+        self.tmp_name = tmp_name
+        self.n = n
+
+
+class WirelogArrowWriter(DataSourceArrowWriter):
+    """Batch SINK half of the wirelog connector (``df.write.format(
+    "wirelog")``) with the DSv2 TWO-PHASE COMMIT protocol — the part the
+    mapInPandas-based :func:`write_wirelog` path cannot express:
+
+    * ``write`` (executor, once per task) encodes its Arrow batches into a
+      STAGED file named ``.part-<uuid>.wirelog.tmp`` — the leading dot and
+      ``.tmp`` suffix keep it invisible to the reader's ``*.wirelog``
+      listing, so a crashed task can never leak half-written frames into
+      a concurrent read;
+    * ``commit`` (driver, after ALL tasks succeed) atomically renames every
+      staged file to its visible ``part-*.wirelog`` name (rename is atomic
+      on POSIX; on overwrite it first clears prior visible files);
+    * ``abort`` deletes the staged files — the directory's visible state is
+      byte-identical to before the failed write.
+
+    Rows arrive either pre-framed (a single ``frame binary`` column —
+    frames assembled JVM-side by :func:`wire_frame_bytes`, the fast path)
+    or as the raw (key, value, headers) wire schema, encoded here with the
+    same writer the tests' golden files use. On a cluster the staging dir
+    would live on the shared filesystem next to the target (same
+    rename-domain); tmpfs stands in here, as everywhere in this repo.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("wirelog writer requires a 'path' option")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> WirelogCommit:
+        import io
+        import uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        buf = io.BytesIO()
+        n = 0
+        for batch in iterator:
+            names = batch.schema.names
+            if names == ["frame"]:
+                for frame in batch.column("frame").to_pylist():
+                    buf.write(frame)
+                    n += 1
+            else:
+                d = batch.to_pydict()
+                for key, value, headers in zip(d["key"], d["value"], d["headers"]):
+                    _write_frame(
+                        buf,
+                        key or b"",
+                        value or b"",
+                        [(h["key"], h["value"]) for h in (headers or [])],
+                    )
+                    n += 1
+        tmp_name = f".part-{uuid.uuid4().hex}.wirelog.tmp"
+        if n:
+            with open(os.path.join(self._path, tmp_name), "wb") as fh:
+                fh.write(buf.getvalue())
+        return WirelogCommit(tmp_name, n)
+
+    def commit(self, messages) -> None:
+        staged = [m for m in messages if m.n > 0]
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith(".wirelog"):
+                    os.remove(os.path.join(self._path, f))
+        for m in staged:
+            final = m.tmp_name[1:-4]  # strip leading "." and ".tmp"
+            os.rename(
+                os.path.join(self._path, m.tmp_name),
+                os.path.join(self._path, final),
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            tmp = os.path.join(self._path, m.tmp_name)
+            if os.path.exists(tmp):
+                os.remove(tmp)

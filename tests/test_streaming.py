@@ -1337,3 +1337,66 @@ def test_streaming_observe_metrics_reach_progress(spark, tmp_path):
     assert m.n_rows == 50
     assert float(m.sum_v) == float(sum(r[1] for r in rows))
     assert m.max_id == 49
+
+
+def test_wirelog_datasource_writer_roundtrip_and_overwrite(spark, tmp_path):
+    """df.write.format('wirelog') — the DSv2 writer half of the custom
+    connector: staged-file two-phase commit, byte-exact round-trip
+    through the batch reader, and overwrite semantics."""
+    from logflow.sources.wirelog import register_wirelog
+
+    register_wirelog(spark)
+    d = str(tmp_path / "wsink")
+    rows = [
+        (f"k{i}".encode(), (i * 3).to_bytes(4, "big"), [{"key": "h", "value": b"v"}])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "key binary, value binary, headers array<struct<key:string,value:binary>>"
+    )
+    df.write.format("wirelog").option("path", d).mode("append").save()
+    back = spark.read.format("wirelog").option("path", d).load()
+    got = {(bytes(r.key), bytes(r.value)) for r in back.collect()}
+    assert got == {(k, v) for k, v, _ in rows}
+    assert all(h == [("h", b"v")] for h in [[(x.key, bytes(x.value)) for x in r.headers] for r in back.collect()])
+    # no staging leftovers after commit
+    import os
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+
+    # overwrite replaces, not appends
+    df2 = spark.createDataFrame(rows[:10], df.schema)
+    df2.write.format("wirelog").option("path", d).mode("overwrite").save()
+    n = spark.read.format("wirelog").option("path", d).load().count()
+    assert n == 10
+
+
+def test_wirelog_datasource_writer_abort_leaves_no_visible_files(spark, tmp_path):
+    """A failing task must ABORT the write: the directory's visible
+    *.wirelog state stays untouched (two-phase commit contract)."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from logflow.sources.wirelog import register_wirelog
+
+    register_wirelog(spark)
+    d = str(tmp_path / "wabort")
+    ok = spark.createDataFrame(
+        [(b"pre", b"x", [])],
+        "key binary, value binary, headers array<struct<key:string,value:binary>>",
+    )
+    ok.write.format("wirelog").option("path", d).mode("append").save()
+    before = sorted(f for f in os.listdir(d) if f.endswith(".wirelog"))
+
+    @F.udf("binary")
+    def boom(v):
+        raise RuntimeError("injected failure")
+
+    bad = ok.withColumn("value", boom(F.col("value")))
+    with _pytest.raises(Exception):
+        bad.write.format("wirelog").option("path", d).mode("append").save()
+    after = sorted(f for f in os.listdir(d) if f.endswith(".wirelog"))
+    assert after == before, "aborted write leaked visible files"
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")], "staging not cleaned"
