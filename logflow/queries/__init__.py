@@ -324,6 +324,8 @@ PRIORITY: list[str] = [
     "ts_rate_limit_audit",
     "scalar_timezone_dst",
     "dq_replay_detection",
+    "diag_group_median_arrow",
+    "diag_hll_sketch_union",  # no oracle (DataSketches estimates; pytest error bound)
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",
     "text_lang_id",

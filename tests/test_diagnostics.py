@@ -18,6 +18,7 @@ NEW_QUERIES = [
     "dq_referential_audit",
     "diag_observe_metrics",
     "diag_huber_location",
+    "diag_group_median_arrow",
 ]
 
 
@@ -312,3 +313,56 @@ def test_equidepth_buckets_partition_and_balance(spark, sf_dir):
     for et, g in pdf.groupby("event_type"):
         assert int(g["n"].sum()) == int(sizes[et])
         assert (g["n"] <= 3 * (sizes[et] / 10) + 1).all()
+
+
+def test_hll_sketch_union_error_bound_and_union_identity(spark, sf_dir):
+    """DataSketches HLL at lgConfigK=14 has ~0.8% standard error: assert
+    every daily estimate within 4 sigma of exact, and the union row's
+    estimate within 4 sigma of the global exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["diag_hll_sketch_union"].fn(spark, sf_dir).toPandas()
+    per = pdf[pdf["day"].notna()]
+    tol = 4 * 0.008
+    rel = (per["est_users"] - per["exact_users"]).abs() / per["exact_users"]
+    assert (rel <= tol).all(), rel.max()
+    union_row = pdf[pdf["day"].isna()]
+    assert len(union_row) == 1
+    exact_total = (
+        load_table(spark, "events", sf_dir)
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0]
+        .n
+    )
+    est = int(union_row["est_users"].iloc[0])
+    assert abs(est - exact_total) / exact_total <= tol
+
+
+def test_group_median_arrow_matches_pandas(spark, sf_dir):
+    """Lower/upper medians must equal a pandas recompute on the exact
+    cents column (model-based, any distribution)."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = (
+        load_all()["diag_group_median_arrow"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    raw = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c"))
+        .toPandas()
+    )
+    for et, g in raw.groupby("event_type"):
+        cs = sorted(g["c"])
+        n = len(cs)
+        assert pdf.loc[et, "median_lo_cents"] == cs[(n + 1) // 2 - 1]
+        assert pdf.loc[et, "median_hi_cents"] == cs[n // 2]
+        assert pdf.loc[et, "n"] == n
