@@ -166,6 +166,27 @@ HEADLINERS: dict[str, str] = {
     "table joined back broadcast",
     "golden_record_customers": "single map-side-combined shuffle on the "
     "customer key; all survivorship rules ride one aggregate",
+    "scan_dpp_date_join": "dynamic partition pruning: the weekend filter "
+    "lives on the dim side, yet the fact scan's PartitionFilters carry a "
+    "runtime dynamicpruning subquery — ~22 of 30 day-dirs skipped before IO",
+    "bitmap_user_retention": "events reduce 32:1 into bit_or word bitmaps "
+    "at the first partial agg; the retention join moves only bitmap words "
+    "and bit_count does the set intersection",
+    "sessionize_incremental_merge": "history collapses to a 1-row-per-user "
+    "broadcast state; the delta sessionizes against it and the merge is a "
+    "union of session-size rows — O(delta + users), not O(history)",
+    "graph_bfs_levels": "per-hop frontier⋈edges + broadcast anti-join vs "
+    "visited; frontiers localCheckpointed (lineage would double per hop), "
+    "edge table persisted once",
+    "ts_ltob_downsample": "two window passes + per-bucket argmax, all "
+    "within series partitions — shape-preserving decimation with ONE "
+    "shuffle on the series key",
+    "alloc_largest_remainder": "floors, remainders, ranks and the deficit "
+    "all ride ONE orderkey window partitioning — exact integer proration "
+    "with no iteration",
+    "diag_group_median_arrow": "grouped Arrow UDF: one shuffle on the "
+    "group key, per-group index selection on exact cents inside the "
+    "Arrow kernel",
 }
 
 
