@@ -325,6 +325,8 @@ PRIORITY: list[str] = [
     "scalar_timezone_dst",
     "dq_replay_detection",
     "diag_group_median_arrow",
+    "text_kwic_concordance",
+    "maintenance_retention_prune",
     "diag_hll_sketch_union",  # no oracle (DataSketches estimates; pytest error bound)
     # long-standing tail (parity-checked both SFs every round):
     "agg_rollup_lineitem",

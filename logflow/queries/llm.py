@@ -2650,3 +2650,94 @@ def embedding_norm_profile_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_KWIC_CTX = 3  # context tokens each side
+_KWIC_TOPN = 100
+
+
+@register(
+    "text_kwic_concordance",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id % 10 = 0),
+tf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({TOKS}) AS tok FROM documents)
+  WHERE length(tok) >= 6
+  GROUP BY tok
+),
+term AS (SELECT tok FROM tf ORDER BY cnt DESC, tok LIMIT 1),
+hits AS (
+  SELECT t.doc_id, p.pos
+  FROM t
+  CROSS JOIN term
+  JOIN LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS pos) p ON TRUE
+  WHERE t.toks[p.pos] = term.tok
+),
+ctx AS (
+  SELECT h.doc_id, CAST(h.pos AS BIGINT) AS pos,
+         COALESCE(array_to_string(
+             t.toks[greatest(1, h.pos - {_KWIC_CTX}):h.pos - 1], ' '), '')
+           AS left_ctx,
+         t.toks[h.pos] AS term,
+         COALESCE(array_to_string(
+             t.toks[h.pos + 1:least(len(t.toks), h.pos + {_KWIC_CTX})], ' '),
+                  '') AS right_ctx
+  FROM hits h JOIN t ON h.doc_id = t.doc_id
+)
+SELECT doc_id, pos, left_ctx, term, right_ctx
+FROM ctx
+ORDER BY doc_id, pos
+LIMIT {_KWIC_TOPN}
+""",
+    doc="KWIC concordance (keyword-in-context, the corpus-linguistics "
+    "inspection tool): the corpus's most frequent >=6-char token is "
+    "derived IN-QUERY (1-row broadcast — no hardcoded term to rot when "
+    "the driver regenerates testdata), then every occurrence in the "
+    f"mod-sampled doc subset emits its ±{_KWIC_CTX}-token window via "
+    "POSITIONAL explode. Spark side: posexplode_outer + output-side "
+    "match filter (the CLAUDE.md explode rule — a plain explode-then-"
+    "filter re-inlines the tokenize chain below the Generate), with "
+    "contexts as slice() of the array the Generate already carries — "
+    "each doc tokenizes ONCE (the transform/element_at form is the "
+    "documented O(len²) trap). Deterministic: exact counts pick the "
+    "term (count DESC, token tiebreak), output ordered (doc, pos) "
+    f"top-{_KWIC_TOPN}. At 100 TB the sample bounds the explode and "
+    "the term table broadcasts; concordance lines stream map-side.",
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks_all = docs.select(F.explode_outer(tokenize(F.col("text"))).alias("tok"))
+    term = (
+        toks_all.filter(F.col("tok").isNotNull() & (F.length("tok") >= 6))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(1)
+        .select(F.col("tok").alias("term_tok"))
+    )
+    t = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    exploded = t.select(
+        "doc_id", "toks", F.posexplode_outer("toks").alias("pos0", "tok")
+    ).filter(F.col("tok").isNotNull())
+    hits = exploded.join(
+        F.broadcast(term), F.col("tok") == F.col("term_tok")
+    ).select("doc_id", "toks", (F.col("pos0") + 1).alias("pos"))
+    ctx = hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.expr(f"slice(toks, greatest(1, pos - {_KWIC_CTX}), "
+                   f"CAST(pos - greatest(1, pos - {_KWIC_CTX}) AS INT))"),
+            " ",
+        ).alias("left_ctx"),
+        F.expr("element_at(toks, CAST(pos AS INT))").alias("term"),
+        F.array_join(
+            F.expr(f"slice(toks, pos + 1, "
+                   f"CAST(least(size(toks), pos + {_KWIC_CTX}) - pos AS INT))"),
+            " ",
+        ).alias("right_ctx"),
+    )
+    return ctx.orderBy("doc_id", "pos").limit(_KWIC_TOPN)

@@ -4473,3 +4473,64 @@ def dq_replay_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_RETAIN_CUTOFF = "2024-01-15"
+
+
+@register(
+    "maintenance_retention_prune",
+    f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       MIN(date_trunc('day', ts)) AS first_day,
+       MAX(date_trunc('day', ts)) AS last_day
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '{_RETAIN_CUTOFF}'
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Retention enforcement as a FILE-LEVEL operation: a dt-partitioned "
+    f"copy of events has every partition directory before {_RETAIN_CUTOFF} "
+    "DELETED outright (the GDPR/TTL maintenance job every time-partitioned "
+    "lake runs) — dropping a partition is an O(files) metadata operation, "
+    "where a row-level DELETE would rewrite the table. The subsequent scan "
+    "must agree EXACTLY with the predicate form on the raw table (the "
+    "oracle): partition-dir deletion == `WHERE day >= cutoff`, proving the "
+    "layout carries the retention boundary losslessly. Deletion happens "
+    "inside the fingerprinted derived-cache build (own landing dir, "
+    "separate from the pruning layout other queries share), so a "
+    "half-deleted state can never be cached. At 100 TB: this is why "
+    "ingest partitions on event date — retention becomes `rm -r` on "
+    "expired directories plus a catalog refresh, zero data rewrite.",
+)
+def maintenance_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from logflow.sources.derived import derived_cache
+
+    ev = load_table(spark, "events", sf_dir, parallelize=False)
+
+    def build(d: str) -> None:
+        ev.withColumn("dt", F.to_date("ts")).write.mode("overwrite").partitionBy(
+            "dt"
+        ).parquet(d)
+        import os
+
+        for entry in os.listdir(d):
+            if entry.startswith("dt=") and entry[3:] < _RETAIN_CUTOFF:
+                shutil.rmtree(os.path.join(d, entry))
+
+    base = derived_cache(sf_dir, "retain", ["events"], build)
+    kept = spark.read.parquet(base)
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("dt").cast("long").alias("n_days"),
+            F.min(F.date_trunc("day", "ts")).alias("first_day"),
+            F.max(F.date_trunc("day", "ts")).alias("last_day"),
+        )
+        .orderBy("event_type")
+    )

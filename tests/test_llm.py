@@ -33,6 +33,7 @@ LLM_QUERIES = [
     "knn_matryoshka_recall",
     "text_readability_flesch",
     "embedding_norm_profile_arrow",
+    "text_kwic_concordance",
     "embedding_quantize_int8",
     "contamination_ngram_overlap",
     "text_unigram_logprob",
@@ -644,3 +645,31 @@ def test_arrow_norm_profile_matches_numpy(spark, sf_dir):
             np.floor(v * v * 1e12 + 0.5).astype(np.int64).sum()
         )
     assert {int(k): int(v) for k, v in pdf["total_ssq_fp"].items()} == want
+
+
+def test_kwic_contexts_are_real_substrings(spark, sf_dir):
+    """Every concordance line must reconstruct from the source doc's token
+    stream at the reported position (left + term + right is a contiguous
+    token window)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+    from logflow.functions.text import tokenize
+
+    pdf = load_all()["text_kwic_concordance"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    toks = {
+        r.doc_id: r.toks
+        for r in load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .collect()
+    }
+    for r in pdf.itertuples():
+        ts = toks[r.doc_id]
+        p = int(r.pos)  # 1-based
+        assert ts[p - 1] == r.term
+        lo = max(1, p - 3)
+        assert " ".join(ts[lo - 1 : p - 1]) == r.left_ctx
+        hi = min(len(ts), p + 3)
+        assert " ".join(ts[p : hi]) == r.right_ctx

@@ -99,6 +99,7 @@ RELATIONAL_QUERIES = [
     "sessionize_incremental_merge",
     "scalar_timezone_dst",
     "dq_replay_detection",
+    "maintenance_retention_prune",
 ]
 
 
@@ -754,3 +755,22 @@ def test_replay_pairs_really_repeat(spark, sf_dir):
     assert (pdf["min_gap_us"] > 0).all()
     assert (pdf["min_gap_us"] <= 600_000_000).all()
     assert (pdf["n_replayed"] <= pdf["n_pairs"]).all()
+
+
+def test_retention_prune_deleted_old_partitions_on_disk(spark, sf_dir):
+    """The retention job must have REMOVED the expired partition dirs —
+    the scan agreeing with the predicate (oracle) plus no dt= dir before
+    the cutoff proves the file-level delete, not a runtime filter."""
+    import os
+
+    from logflow.queries import load_all
+    from logflow.queries.relational import _RETAIN_CUTOFF
+    from logflow.sources.derived import derived_cache  # noqa: F401
+
+    load_all()["maintenance_retention_prune"].fn(spark, sf_dir).collect()
+    import tempfile, re
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"logflow-retain-{tag}")
+    parts = [e for e in os.listdir(base) if e.startswith("dt=")]
+    assert parts, "no partitions left at all?"
+    assert all(e[3:] >= _RETAIN_CUTOFF for e in parts), "expired dirs survive"
