@@ -9,6 +9,12 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
+#: Round-6 window: every slot is oracle-backed (no rows-only entries this
+#: round — the remaining no-oracle queries are rows-only BY DESIGN and sit
+#: in the tail; spending a window slot on a weak rows-only row while 82
+#: oracle-backed queries lack any driver attestation would waste it).
+WINDOW_ROWS_ONLY_OK: set[str] = set()
+
 
 def test_priority_is_exactly_the_registry():
     from logflow.queries import PRIORITY, load_all
@@ -16,13 +22,6 @@ def test_priority_is_exactly_the_registry():
     names = list(load_all())
     assert names == PRIORITY, "every @register entry must be placed in PRIORITY"
     assert len(names) == len(set(names))
-
-
-#: Round-5 window slot deliberately spent on a rows-only check: the sketch
-#: decides output values, so it has no oracle BY DESIGN (pytest bounds its
-#: rank error); attesting the driver's weaker rows-only row is still
-#: first-time evidence. Ranked dead last in the window.
-WINDOW_ROWS_ONLY_OK = {"agg_approx_percentile"}
 
 
 def test_driver_window_is_oracle_checked_except_documented():
@@ -34,101 +33,90 @@ def test_driver_window_is_oracle_checked_except_documented():
         n for n in window if reg[n].oracle is None and n not in WINDOW_ROWS_ONLY_OK
     ]
     assert not missing, f"no-oracle queries waste driver window slots: {missing}"
-    # the documented rows-only entry must be the LAST window slot
-    assert window[-1] in WINDOW_ROWS_ONLY_OK
 
 
-#: Round-5 rotation: all 50 slots are first-time attestation. The trace
-#: plane rotated OUT (triple-green r2/r3/r4). 43 slots hold queries with
-#: NO driver-issued correctness row in rounds 1-4 (41 never-checked + the
-#: 2 new round-5 operators); 7 hold round-1-only refreshers whose sole
-#: attestation predates three testdata regenerations.
-ROTATED_IN_R5_FIRST_TIME = [
-    "window_range_7day_revenue",
-    "agg_percentile_value",
-    "subquery_scalar_small_orders",
-    "subquery_in_supplier_nations",
-    "aggstate_incremental_merge",
-    "join_bloom_runtime_filter",
-    "udaf_geomean_price",
-    "branch_multiway_value_bands",
-    "anomaly_hourly_error_spikes",
-    "log_template_mining",
-    "scan_partition_pruned",
-    "q21_waiting_suppliers",
-    "dedup_exact_substring",
-    "sample_hash_weighted",
-    "text_clean_normalize",
-    "text_repetition_ratio",
-    "corpus_dedup_stats",
-    "knn_recall_eval",
-    "knn_ivf_kmeans",
-    "embedding_quantize_int8",
-    "text_unigram_logprob",
-    "corpus_mixture_weights",
-    "fuzzy_match_part_names",
-    "quality_classifier_infer",
-    "split_leakage_audit",
-    "quality_percentile_gate",
-    "corpus_diversity",
-    "graph_triangle_degree_ordered",
-    "ts_downsample_ohlc",
-    "ts_time_weighted_avg",
-    "corpus_importance_resample",
-    "bpe_encode_corpus",
-    "diag_correlation_matrix",
-    "scan_zorder_layout",
-    "attribution_last_touch",
-    "heavy_hitters_tokens",
-    "path_common_trigrams",
-    "ts_cusum_changepoint",
-    "scd2_point_in_time_join",
-    "graph_kcore_peel",
-    "corpus_chunk_documents",
-    "diag_groupwise_ols",
-    "dq_constraint_audit",
-    "agg_approx_percentile",
-]
-
-ROTATED_IN_R5_REFRESHERS = [
-    "dedup_simhash",
-    "pack_token_shards",
-    "text_quality",
-    "text_tfidf_top_terms",
-    "q5_local_revenue",
-    "window_running_spend",
+#: Round-6 rotation (pass 1 of 2 over the attestation debt): all 50 slots
+#: are first-time attestation — the first 50 of the 82 oracle-backed
+#: queries with no driver-issued green row in CORRECTNESS_r01..r05.
+ROTATED_IN_R6_FIRST_TIME = [
+    "assoc_rules_copurchase",
+    "streak_longest_daily",
+    "skyline_pareto_parts",
+    "auc_label_separability",
+    "pmi_collocations",
+    "ts_ewma_daily",
+    "lateral_topk_per_brand",
+    "sql_udf_net_margin",
+    "ml_nb_lang_confusion",
+    "source_binary_blobs",
+    "seq_regex_funnel",
+    "diag_benford_first_digit",
+    "ts_rolling_median7",
+    "ts_autocorrelation",
+    "diag_entropy_profile",
+    "diag_chi2_independence",
+    "diag_iqr_outliers",
+    "graph_link_prediction",
+    "agg_filter_clause",
+    "ml_logreg_gd",
+    "golden_record_customers",
+    "ts_seasonal_decompose",
+    "segment_overlap_jaccard",
+    "attribution_time_decay",
+    "diag_woe_binning",
+    "ml_calibration_bins",
+    "tfidf_cosine_pairs",
+    "ts_holt_linear",
+    "diag_equidepth_histogram",
+    "agg_share_of_parent",
+    "join_shuffle_hash_hint",
+    "agg_group_by_all",
+    "join_null_safe",
+    "dim_date_build",
+    "agg_mode_daily",
+    "ts_seasonal_anomaly",
+    "seq_run_length_encode",
+    "funnel_within_window",
+    "sample_weighted_es",
+    "ts_purchase_latency",
+    "ts_gap_fill_linear",
+    "multimodal_color_to_gray",
+    "ml_pca_power_iteration",
+    "quantile_exact_twopass",
+    "sqlvar_dynamic_threshold",
+    "transpose_band_metrics",
+    "lm_kneser_ney_bigram",
+    "knn_pq_adc",
+    "graph_cc_two_phase",
+    "multimodal_audio_frame_energy",
 ]
 
 
-def test_round5_rotation_sits_in_driver_window():
+def test_round6_rotation_sits_in_driver_window():
     from logflow.queries import load_all
 
     window = list(load_all())[:DRIVER_WINDOW]
-    rotated = ROTATED_IN_R5_FIRST_TIME + ROTATED_IN_R5_REFRESHERS
-    assert len(rotated) == DRIVER_WINDOW
-    missing = [n for n in rotated if n not in window]
+    assert len(ROTATED_IN_R6_FIRST_TIME) == DRIVER_WINDOW
+    missing = [n for n in ROTATED_IN_R6_FIRST_TIME if n not in window]
     assert not missing, f"rotated-in queries fell out of the window: {missing}"
 
 
-def test_round5_rotation_is_first_time_attestation():
-    """Every non-refresher window slot must be spent on a query with no
-    prior driver-issued green row (the rotation's whole point)."""
+def test_round6_rotation_is_first_time_attestation():
+    """Every window slot must be spent on a query with no prior
+    driver-issued green row (the rotation's whole point)."""
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("rows_match") and row.get("err") is None:
                     green.add(name)
-    already = [n for n in ROTATED_IN_R5_FIRST_TIME if n in green]
+    already = [n for n in ROTATED_IN_R6_FIRST_TIME if n in green]
     assert not already, f"window slots wasted on already-attested queries: {already}"
-    # refreshers are deliberately re-attested: their only green is round 1
-    not_green = [n for n in ROTATED_IN_R5_REFRESHERS if n not in green]
-    assert not not_green, f"refreshers were never attested at all: {not_green}"
 
 
 def test_load_table_works_on_vanilla_session(spark, sf_dir):
