@@ -222,9 +222,13 @@ def two_phase_connected_components(
     )
     n_parts = max(1, e.count() // 100_000 + 1)
     e = e.coalesce(n_parts)
+    # Node set from the RAW endpoints (before the hi != lo filter): a node
+    # whose only edges are self-loops must still emit as its own singleton
+    # component — deriving nodes from the filtered edge set would silently
+    # drop it (round-5 advice).
     nodes = (
-        e.select(F.col("hi").alias("node"))
-        .unionByName(e.select(F.col("lo").alias("node")))
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
         .coalesce(n_parts)

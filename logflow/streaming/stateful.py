@@ -172,10 +172,11 @@ FUNNEL_STATE_SCHEMA = StructType(
         StructField("key", StringType()),
         StructField("n_funnels", LongType()),
         StructField("armed", LongType()),
+        StructField("n_out_of_order", LongType()),
     ]
 )
 
-_FUNNEL_STATE = "n LONG, armed LONG"
+_FUNNEL_STATE = "n LONG, armed LONG, max_us LONG, max_eid LONG, n_ooo LONG"
 
 #: automaton for leftmost non-overlapping S[CV]*P matching:
 #:   idle  + S        -> armed
@@ -190,14 +191,30 @@ _FUNNEL_STATE = "n LONG, armed LONG"
 def _update_funnels(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, armed = state.get if state.exists else (0, 0)
+    n, armed, max_us, max_eid, n_ooo = (
+        state.get if state.exists else (0, 0, -(1 << 62), -(1 << 62), 0)
+    )
     for pdf in batches:
         # event-time order within the micro-batch; cross-batch order is
         # the arrival order (exactly ordered when the feed replays in
         # event-time order, as the tests do — production pipelines get
-        # this from a watermark-sorted upstream or log-compacted source)
+        # this from a watermark-sorted upstream or log-compacted source).
+        # The ordered-feed CONTRACT is enforced, not assumed: the max
+        # (ts, event_id) seen is carried in state, and any event arriving
+        # below it is counted in n_out_of_order so a violating feed
+        # SURFACES instead of silently miscounting (round-5 advice).
         pdf = pdf.sort_values(["ts", "event_id"])
-        for c in pdf["c"]:
+        ts = pdf["ts"]
+        if str(ts.dtype).startswith("datetime64"):
+            us = ts.astype("datetime64[us]").astype("int64").to_numpy()
+        else:
+            us = ts.astype("int64").to_numpy()
+        eids = pdf["event_id"].astype("int64").to_numpy()
+        for t, e, c in zip(us, eids, pdf["c"]):
+            if (t, e) < (max_us, max_eid):
+                n_ooo += 1
+            else:
+                max_us, max_eid = int(t), int(e)
             if c == "S":
                 armed = 1
             elif armed and c in ("C", "V"):
@@ -207,8 +224,15 @@ def _update_funnels(
                 armed = 0
             else:
                 armed = 0
-    state.update((n, armed))
-    yield pd.DataFrame({"key": [key[0]], "n_funnels": [n], "armed": [armed]})
+    state.update((n, armed, max_us, max_eid, n_ooo))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_funnels": [n],
+            "armed": [armed],
+            "n_out_of_order": [n_ooo],
+        }
+    )
 
 
 def streaming_funnel_counts(events: DataFrame) -> DataFrame:

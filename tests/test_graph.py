@@ -205,11 +205,15 @@ def test_cc_two_phase_adversarial_shapes(spark):
     cliq = [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
     cliq += [(a, b) for a in range(300, 305) for b in range(a + 1, 305)]
     bridge = [(204, 300)]
-    edges = spark.createDataFrame(path + star + cliq + bridge, "u long, v long")
+    selfloop = [(999, 999)]  # self-loop-only node: must emit as a singleton
+    edges = spark.createDataFrame(
+        path + star + cliq + bridge + selfloop, "u long, v long"
+    )
     got = {(r.node, r.comp) for r in two_phase_connected_components(edges).collect()}
     want = {(v, 20) for v in range(20, 41)}
     want |= {(v, 100) for v in range(100, 110)}
     want |= {(v, 200) for v in list(range(200, 205)) + list(range(300, 305))}
+    want |= {(999, 999)}
     assert got == want
 
 

@@ -1117,6 +1117,8 @@ def test_streaming_funnel_matches_batch_regex(spark, tmp_path):
     latest: dict[str, int] = {}
     for r in spark.sql("select * from funnels_stream").collect():
         latest[r.key] = max(r.n_funnels, latest.get(r.key, 0))
+        # the feed is event-time ordered: the contract monitor must not fire
+        assert r.n_out_of_order == 0, (r.key, r.n_out_of_order)
 
     import re
 
@@ -1127,6 +1129,48 @@ def test_streaming_funnel_matches_batch_regex(spark, tmp_path):
     assert len(want) >= 10
     for u, n in want.items():
         assert latest.get(u, 0) == n, (u, latest.get(u), n)
+
+
+def test_streaming_funnel_flags_out_of_order_feed(spark, tmp_path):
+    """A feed whose micro-batch boundaries interleave event times across
+    batches violates the automaton's ordered-feed contract: the violation
+    must SURFACE in n_out_of_order instead of silently miscounting."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logflow.streaming.stateful import streaming_funnel_counts
+
+    path = tmp_path / "ev_ooo"
+    path.mkdir()
+    # batch a: the LATER events (ts 30, 40); batch b: the EARLIER (10, 20)
+    a = pd.DataFrame(
+        {"user_id": [1, 1], "ts": [30, 40], "event_id": [3, 4],
+         "event_type": ["signup", "purchase"]}
+    )
+    b = pd.DataFrame(
+        {"user_id": [1, 1], "ts": [10, 20], "event_id": [1, 2],
+         "event_type": ["click", "view"]}
+    )
+    pq.write_table(pa.Table.from_pandas(a), str(path / "a_first.parquet"))
+    pq.write_table(pa.Table.from_pandas(b), str(path / "b_second.parquet"))
+    stream = (
+        spark.readStream.schema("user_id long, ts long, event_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(path))
+    )
+    q = (
+        streaming_funnel_counts(stream)
+        .writeStream.format("memory")
+        .queryName("funnels_ooo")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from funnels_ooo").collect()
+    assert max(r.n_out_of_order for r in rows) == 2, rows
 
 
 def test_wirelog_streaming_source_tails_appends_exactly_once(spark, tmp_path):
