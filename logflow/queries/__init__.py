@@ -155,6 +155,9 @@ PRIORITY: list[str] = [
     "maintenance_retention_prune",
     "multimodal_features",
     "knn_cosine_numpy",
+    # ------- NEW round 6 (parity-attested both SFs; round-7 window
+    # candidates after the 32 above) -------
+    "graph_sssp_weighted",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",

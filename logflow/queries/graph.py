@@ -64,7 +64,12 @@ def _size_parts(n_rows: int) -> int:
 
 
 def _copurchase_edges(
-    spark: SparkSession, sf_dir: str, *, ordered: bool, w_min: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    ordered: bool,
+    w_min: int = 1,
+    weighted: bool = False,
 ) -> DataFrame:
     """The shared co-purchase edge build (single source of the edge
     contract for PageRank / triangles / recursive walks): ONE shuffle of
@@ -90,7 +95,8 @@ def _copurchase_edges(
     )
     if w_min > 1:
         e = e.filter(F.col("w") >= w_min)
-    return track(e.select("u", "v").coalesce(4).persist())
+    cols = ["u", "v", "w"] if weighted else ["u", "v"]
+    return track(e.select(*cols).coalesce(4).persist())
 
 _EDGE_CTES = """
 op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -738,3 +744,105 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out.filter(F.col("n_nodes") > 0).orderBy("hop")
+
+
+# --------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford relaxation) — the
+# last classic Pregel shape next to PageRank (global propagation), CC/LPA
+# (label convergence), BFS (unweighted frontiers) and walks (paths).
+# --------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+_SSSP_SCALE = 1_000_000  # fixed-point edge-cost scale (cost = SCALE DIV w)
+_SSSP_TOPK = 50
+
+
+def _sssp_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.cost AS dist
+    FROM we e JOIN {prev} d ON e.u = d.node
+  ) GROUP BY node
+)"""
+
+
+_SSSP_SQL = (
+    f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+we AS (SELECT a.p AS u, b.p AS v,
+              CAST({_SSSP_SCALE} // COUNT(*) AS BIGINT) AS cost
+       FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+       GROUP BY a.p, b.p),
+seed AS (SELECT CAST(MIN(u) AS BIGINT) AS node FROM we),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seed),"""
+    + ",".join(_sssp_iter_sql(f"d{i}", f"d{i + 1}") for i in range(_SSSP_ROUNDS))
+    + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist_fp,
+       CAST(ROUND(dist / {_SSSP_SCALE}.0, 6) AS DOUBLE) AS path_cost
+FROM d{_SSSP_ROUNDS}
+ORDER BY dist, node
+LIMIT {_SSSP_TOPK}
+"""
+)
+
+
+@register(
+    "graph_sssp_weighted",
+    _SSSP_SQL,
+    doc=f"Weighted single-source shortest paths by {_SSSP_ROUNDS} unrolled "
+    "Bellman-Ford relaxation rounds over the co-purchase graph "
+    "(reference tie-in: the dependency-graph analytics plane, "
+    "README.adoc:140-145, generalized to weighted edges). Edge cost is "
+    "the fixed-point INTEGER association distance SCALE DIV w (strong "
+    "co-purchase = short edge; Spark DIV == DuckDB //, both truncate), "
+    "so every relaxation is an exact BIGINT add + MIN — fully "
+    "deterministic cross-engine where float path sums would drift by "
+    "summation order (the PageRank fixed-point rule, queries/graph.py "
+    "module doc). Per round: one broadcast join of the node-scale "
+    "distance frame against the (persisted, iteration-invariant) edge "
+    "list + one min-agg; the distance frame is eager-localCheckpointed "
+    "per round (fixed-iteration loop, single terminal action — "
+    "CLAUDE.md) with SIZE-DERIVED partitioning (_size_parts on the "
+    "materializing count, never a hardcoded 1). At 100 TB the edge list "
+    "is bucketed by source node (co-located relaxation joins) and the "
+    "distance table outgrows broadcast into the same bucketed shuffle — "
+    "the standard Pregel SSSP layout. Returns the 50 nearest nodes with "
+    "exact fixed-point distances and the rounded double cost.",
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _copurchase_edges(spark, sf_dir, ordered=False, weighted=True)
+    we = raw.select(
+        "u", "v", F.expr(f"CAST({_SSSP_SCALE} DIV w AS BIGINT)").alias("cost")
+    )
+    seed = we.agg(F.min("u").cast("long").alias("node"))
+    dist = seed.select("node", F.lit(0).cast("long").alias("dist"))
+    n_nodes = 1
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = we.join(
+            F.broadcast(
+                dist.select(F.col("node").alias("u"), F.col("dist").alias("du"))
+            ),
+            "u",
+        ).select(F.col("v").alias("node"), (F.col("du") + F.col("cost")).alias("dist"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .coalesce(_size_parts(n_nodes * 8))
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = dist.count()  # cheap (checkpointed); re-anchors the estimate
+    return (
+        dist.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("dist").cast("long").alias("dist_fp"),
+            F.round(F.col("dist") / F.lit(float(_SSSP_SCALE)), 6)
+            .cast("double")
+            .alias("path_cost"),
+        )
+        .orderBy("dist_fp", "node")
+        .limit(_SSSP_TOPK)
+    )

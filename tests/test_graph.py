@@ -271,3 +271,34 @@ def test_bfs_levels_invariants(spark, sf_dir):
     )
     assert pdf.iloc[0]["checksum"] == sum(seeds)
     release_all()
+
+
+def test_sssp_weighted_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_sssp_weighted", sf_dir)
+
+
+def test_sssp_weighted_invariants(spark, sf_dir):
+    """Seed distance is 0; all distances non-negative and non-decreasing in
+    rank order; every reported node is reachable (finite fixed-point dist);
+    relaxing never beats a direct edge (dist(v) <= cost(seed,v))."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries.graph import _SSSP_SCALE, graph_sssp_weighted, _copurchase_edges
+
+    rows = graph_sssp_weighted(spark, sf_dir).collect()
+    assert rows and rows[0].dist_fp == 0
+    dists = [r.dist_fp for r in rows]
+    assert all(d >= 0 for d in dists) and dists == sorted(dists)
+    seed = rows[0].node
+    direct = {
+        r.v: _SSSP_SCALE // r.w
+        for r in _copurchase_edges(spark, sf_dir, ordered=False, weighted=True)
+        .filter(F.col("u") == seed)
+        .collect()
+    }
+    by_node = {r.node: r.dist_fp for r in rows}
+    for v, c in direct.items():
+        if v in by_node:
+            assert by_node[v] <= c, (v, by_node[v], c)
