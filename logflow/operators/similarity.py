@@ -424,3 +424,101 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook_pdf,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    scale: int = 10_000,
+    sim_digits: int = 6,
+) -> DataFrame:
+    """Composed IVF-PQ ANN — the production index layout (Jégou et al.
+    2011, §IV): a coarse quantizer routes each query to ``nprobe`` cells,
+    and PQ-ADC scores ONLY the vectors inside the probed cells.
+
+    Composition of the two existing halves, unchanged semantics each:
+
+    * routing = :func:`_assign_nearest` / the probe window from
+      :func:`ivf_topk` (rounded cosine + cid tiebreak, map-side broadcast
+      assignment);
+    * scoring = the int64 fixed-point encode/LUT/ADC math of
+      :func:`pq_adc_topk`, applied to the CANDIDATE frame (qid, vid, vec)
+      instead of a full corpus scan.
+
+    Distances stay exact integers, so the long-form SQL oracle is
+    bit-identical. At 100 TB this is the layout that serves: the corpus
+    is scanned once to assign cells + once to encode codes (both
+    map-side, fused here into the candidate pass), per-query work is
+    |corpus|·nprobe/n_cells table lookups, and the reduce sees only
+    n_queries·k rows per candidate batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def to_int(a: "np.ndarray") -> "np.ndarray":
+        scaled = a.astype(np.float64) * scale
+        return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+    # -- routing: cell assignment (vectors ride along) + query probes --
+    assigned = _assign_nearest(
+        corpus, centroids, id_col, vec_col, sim_digits, keep_vec=True
+    )
+    c = with_norm(centroids, "cvec", "cnorm")
+    q = with_norm(queries, "qvec", "qnorm")
+    qsim = F.round(
+        _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        sim_digits,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), "cid")
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select("qid", "cid", qsim.alias("csim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cid")
+    )
+    cand = assigned.join(F.broadcast(probes), "cid").select("qid", "vid", "vec")
+
+    # -- PQ-ADC scoring of the candidate set (exact int64, closure LUTs) --
+    queries_pdf = queries.select("qid", "qvec").toPandas()  # bounded query set
+    qids = queries_pdf["qid"].to_numpy()
+    qmat = to_int(np.stack(queries_pdf["qvec"].to_numpy()))
+    cmat = to_int(np.stack(codebook_pdf["cvec"].to_numpy()))
+    dim = qmat.shape[1]
+    dsub = dim // m
+    cent = cmat.reshape(len(cmat), m, dsub).transpose(1, 0, 2)
+    qsub = qmat.reshape(len(qids), m, dsub)
+    lut = ((qsub[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(axis=3)
+    qidx = {int(v): i for i, v in enumerate(qids)}
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = to_int(np.stack(pdf["vec"].to_numpy())).reshape(len(pdf), m, dsub)
+            d2 = ((x[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(axis=3)
+            codes = np.argmin(d2, axis=2)  # first occurrence == smallest cid
+            qi = pdf["qid"].map(qidx).to_numpy(dtype=np.int64)
+            adc = lut[qi[:, None], np.arange(m)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(),
+                    "neighbor_id": pdf["vid"].to_numpy(),
+                    "adc_dist": adc,
+                }
+            )
+
+    partial = cand.mapInPandas(score, schema="qid long, neighbor_id long, adc_dist long")
+    w = Window.partitionBy("qid").orderBy("adc_dist", "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "rank", "adc_dist")
+    )

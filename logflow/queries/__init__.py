@@ -158,6 +158,7 @@ PRIORITY: list[str] = [
     # ------- NEW round 6 (parity-attested both SFs; round-7 window
     # candidates after the 32 above) -------
     "graph_sssp_weighted",
+    "knn_ivfpq_adc",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",

@@ -2741,3 +2741,100 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("right_ctx"),
     )
     return ctx.orderBy("doc_id", "pos").limit(_KWIC_TOPN)
+
+
+@register(
+    "knn_ivfpq_adc",
+    f"""
+WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+{_KM_CTES}
+cent AS (SELECT * FROM {_KM_FINAL}),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id >= 16 AND vec_id < 26),
+sc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 26),
+assign AS (
+  SELECT vid, cid FROM (
+    SELECT v.vec_id AS vid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {{S_VC}} DESC, c.cid) AS rn
+    FROM sc v, cent c
+  ) WHERE rn = 1),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {{S_QC}} DESC, c.cid) AS rn
+    FROM q, cent c
+  ) WHERE rn <= 2),
+cand AS (SELECT p.qid, a.vid FROM probes p JOIN assign a ON p.cid = a.cid),
+el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000, 0) AS BIGINT) AS v
+  FROM embeddings),
+e2 AS (SELECT vec_id, (d - 1) // 8 AS s, (d - 1) % 8 AS pos, v FROM el),
+centpq AS (SELECT vec_id AS cid, s, pos, v AS cv FROM e2 WHERE vec_id < 16),
+corp AS (SELECT * FROM e2 WHERE vec_id >= 26),
+qpq AS (SELECT * FROM e2 WHERE vec_id >= 16 AND vec_id < 26),
+cd AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT c.vec_id, c.s, ct.cid,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+                              ORDER BY SUM((c.v - ct.cv) * (c.v - ct.cv)),
+                                       ct.cid) AS rn
+    FROM corp c JOIN centpq ct ON c.s = ct.s AND c.pos = ct.pos
+    GROUP BY c.vec_id, c.s, ct.cid
+  ) WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS qid, ct.s, ct.cid,
+         CAST(SUM((q.v - ct.cv) * (q.v - ct.cv)) AS BIGINT) AS dsub
+  FROM qpq q JOIN centpq ct ON q.s = ct.s AND q.pos = ct.pos
+  GROUP BY q.vec_id, ct.s, ct.cid),
+adc AS (
+  SELECT l.qid, c.vec_id AS neighbor_id, CAST(SUM(l.dsub) AS BIGINT) AS adc_dist
+  FROM cd c
+  JOIN lut l ON l.s = c.s AND l.cid = c.cid
+  JOIN cand ON cand.qid = l.qid AND cand.vid = c.vec_id
+  GROUP BY l.qid, c.vec_id)
+SELECT qid, neighbor_id, rank, adc_dist FROM (
+  SELECT qid, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= 10
+ORDER BY qid, rank
+""".replace("{S_VC}", _dd_sim("v.embedding", "c.cvec"))
+    .replace("{S_QC}", _dd_sim("q.qvec", "c.cvec")),
+    doc="Composed IVF-PQ ANN — the production index layout (Jégou et al. "
+    "2011 §IV) closing the ANN story: the k-means-TRAINED coarse "
+    "quantizer (knn_ivf_kmeans's exact-decimal Lloyd centroids) routes "
+    "each query to its nprobe=2 nearest cells, and PQ-ADC int64 "
+    "fixed-point distances (knn_pq_adc's encode/LUT math) score ONLY "
+    "the vectors assigned to the probed cells. Routing similarities "
+    "are rounded doubles with cid tiebreaks, ADC distances exact "
+    "integers — the whole composed index is hash-checkable against a "
+    "single long-form SQL oracle. Recall vs flat PQ at the same k is "
+    "gated in pytest (the knn_recall_eval measurement discipline). At "
+    "100 TB: assignment + encoding are one fused map-side candidate "
+    "pass, per-query scoring cost drops by nprobe/n_cells, and only "
+    "n_queries*k rows per batch reach the reduce window — the layout "
+    "that serves a trillion-vector index from cluster RAM.",
+)
+def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.similarity import ivfpq_adc_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, cent = _trained_centroids(spark, sf_dir)
+    codebook = (
+        emb.filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .orderBy("cid")
+        .toPandas()  # bounded: 16 donor rows
+    )
+    queries = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 26)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    sc = emb.filter(F.col("vec_id") >= 26)
+    return ivfpq_adc_topk(
+        sc, queries, cent, codebook, "vec_id", "embedding", k=10, nprobe=2
+    ).orderBy("qid", "rank")
