@@ -159,6 +159,9 @@ PRIORITY: list[str] = [
     # candidates after the 32 above) -------
     "graph_sssp_weighted",
     "knn_ivfpq_adc",
+    "funnel_conversion_rates",
+    "sample_stratified_topk_es",
+    "diag_theil_sen_slope",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",

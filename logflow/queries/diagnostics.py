@@ -1595,3 +1595,113 @@ def diag_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
     )
     return per_day.unionByName(total).orderBy(F.col("day").asc_nulls_last())
+
+
+_TS_SAMPLE = 40  # bounded per-group sample (pairs <= 40*39/2 = 780)
+
+
+@register(
+    "diag_theil_sen_slope",
+    f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+              AS BIGINT) AS x,
+         ROUND(value, 4) AS y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM events),
+s AS (SELECT * FROM pts WHERE rn <= {_TS_SAMPLE}),
+slopes AS (
+  SELECT a.event_type,
+         (b.y - a.y) / ((CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) / 1000000.0)
+           AS slope,
+         a.rn AS i, b.rn AS j
+  FROM s a JOIN s b
+    ON a.event_type = b.event_type AND a.rn < b.rn AND a.x <> b.x),
+ranked AS (
+  SELECT event_type, slope,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY slope, i, j) AS BIGINT) AS sr,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+  FROM slopes)
+SELECT event_type, n_pairs,
+       ROUND(slope * 1000000, 6) AS slope_ppm_per_sec
+FROM ranked
+WHERE sr = (n_pairs + 1) // 2
+ORDER BY event_type
+""",
+    doc="Theil-Sen robust trend slope per event type: the EXACT lower "
+    "median of all pairwise slopes over a bounded deterministic sample "
+    f"(first {_TS_SAMPLE} points per group by (ts, event_id) — pairwise "
+    "work is O(sample²), never corpus²), the 29%-breakdown-point "
+    "complement to the OLS (diag_groupwise_ols) and Huber "
+    "(diag_huber_location) estimators: a single wild outlier moves OLS "
+    "arbitrarily but shifts a slope MEDIAN by at most one rank. "
+    "Cross-engine exactness: y rounds to 4 dp (identical doubles), x is "
+    "exact epoch micros, so every pairwise (Δy)/(Δx/1e6) runs the "
+    "identical IEEE sequence in both engines, and the median is "
+    "SELECTED by rank (row_number at (n+1)//2 with (i,j) tiebreaks), "
+    "never interpolated — engine quantile interpolation formulas are "
+    "not trusted. Same-x pairs are excluded (ANSI divide-by-zero "
+    "guard). At 100 TB: the sample bound makes per-group cost constant; "
+    "the self-join shuffles only sample-scale rows on the group key.",
+)
+def diag_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ'2024-01-01 00:00:00', ts) AS BIGINT)"
+            ).alias("x"),
+            F.round("value", 4).alias("y"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TS_SAMPLE)
+        .select("event_type", "x", "y", "rn")
+    )
+    a = pts.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("rn").alias("i")
+    )
+    b = pts.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("rn").alias("j"),
+    )
+    slopes = a.join(
+        b,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("i") < F.col("j"))
+        & (F.col("xa") != F.col("xb")),
+    ).select(
+        "event_type",
+        (
+            (F.col("yb") - F.col("ya"))
+            / ((F.col("xb").cast("double") - F.col("xa").cast("double")) / F.lit(1000000.0))
+        ).alias("slope"),
+        "i",
+        "j",
+    )
+    ws = Window.partitionBy("event_type").orderBy("slope", "i", "j")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(ws).cast("long").alias("sr"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_pairs"),
+    )
+    return (
+        ranked.filter(F.col("sr") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.round(F.col("slope") * 1000000, 6).alias("slope_ppm_per_sec"),
+        )
+        .orderBy("event_type")
+    )

@@ -2838,3 +2838,64 @@ def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_adc_topk(
         sc, queries, cent, codebook, "vec_id", "embedding", k=10, nprobe=2
     ).orderBy("qid", "rank")
+
+
+@register(
+    "sample_stratified_topk_es",
+    """
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         -ln((CAST(concat('0x', substr(md5(concat('es:', CAST(doc_id AS VARCHAR))), 1, 8))
+                   AS BIGINT) + 1) / 4294967297.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents),
+r AS (
+  SELECT doc_id, source, n_chars, es_key,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY es_key, doc_id) AS BIGINT) AS rk
+  FROM k)
+SELECT source, rk, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(es_key * 1000000, 6) AS key_ppm
+FROM r
+WHERE rk <= 10
+ORDER BY source, rk
+""",
+    doc="PER-STRATUM weighted sampling without replacement: the "
+    "Efraimidis-Spirakis keying of sample_weighted_es (deterministic "
+    "md5 uniform, -ln(u)/weight keys — reproducible across engines, "
+    "partitionings and retries, unlike RNG reservoirs) partitioned by "
+    "source, taking each stratum's k=10 smallest keys — the "
+    "quota-per-source sampler a mixture pipeline runs so no stratum is "
+    "starved by a global draw. One window over a map-side-keyed frame "
+    "(shuffle on source); at 100 TB the per-stratum top-k is a "
+    "partial-agg'd bounded heap per partition before the final "
+    "per-source merge — never a global sort. Selection compares raw "
+    "keys with a doc_id tiebreak; only the reported key is rounded.",
+)
+def sample_stratified_topk_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    es_key = -F.log((h + 1) / F.lit(4294967297.0)) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy("es_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            es_key.alias("es_key"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "source",
+            "rk",
+            "doc_id",
+            "n_chars",
+            F.round(F.col("es_key") * 1000000, 6).alias("key_ppm"),
+        )
+        .orderBy("source", "rk")
+    )

@@ -4534,3 +4534,108 @@ def maintenance_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "funnel_conversion_rates",
+    """
+WITH su AS (SELECT user_id, ts AS t1, event_id AS id1 FROM events
+            WHERE event_type = 'signup'),
+cl AS (SELECT user_id, ts AS t2 FROM events WHERE event_type = 'click'),
+pu AS (SELECT user_id, ts AS t3 FROM events WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT su.user_id, su.t1, su.id1, MIN(cl.t2) AS first_click
+  FROM su LEFT JOIN cl ON su.user_id = cl.user_id
+   AND cl.t2 > su.t1 AND cl.t2 <= su.t1 + INTERVAL 1 HOUR
+  GROUP BY su.user_id, su.t1, su.id1),
+s3 AS (
+  SELECT s2.user_id, s2.t1, s2.id1, s2.first_click, MIN(pu.t3) AS first_purchase
+  FROM s2 LEFT JOIN pu ON s2.user_id = pu.user_id AND s2.first_click IS NOT NULL
+   AND pu.t3 > s2.first_click AND pu.t3 <= s2.first_click + INTERVAL 1 HOUR
+  GROUP BY s2.user_id, s2.t1, s2.id1, s2.first_click)
+SELECT date_trunc('day', t1) AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicked,
+       CAST(SUM(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchased,
+       ROUND(CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS rate_click,
+       ROUND(CAST(SUM(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END), 0),
+             4) AS rate_purchase_given_click,
+       ROUND(CAST(SUM(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS rate_overall
+FROM s3
+GROUP BY date_trunc('day', t1)
+ORDER BY cohort_day
+""",
+    doc="Windowed funnel CONVERSION-RATE report — the cohort analytics "
+    "layer over the MATCH_RECOGNIZE family (seq_regex_funnel counts "
+    "patterns, funnel_within_window counts completions; this reports "
+    "the per-stage drop-off a growth dashboard actually shows): signup "
+    "attempts cohorted by day, each attempting the SLA funnel (earliest "
+    "click within 1h, then earliest purchase within 1h of that click, "
+    "LEFT joins so non-converting attempts stay countable), emitting "
+    "stage counts and conversion rates per cohort. Rates divide exact "
+    "BIGINTs as identical IEEE quotients; the purchase-given-click "
+    "denominator is NULLIF-guarded in both engines (Spark ANSI would "
+    "throw on a zero-click cohort where DuckDB yields NULL). Cohort key "
+    "is a date_trunc TIMESTAMP, never DATE (dtype parity rule). At "
+    "100 TB: two per-user interval joins (shuffle on user_id, the "
+    "natural key), MIN-resolved steps keep the chosen path unique and "
+    "the join output one row per attempt; the rate rollup is one "
+    "partial-agg'd groupBy over attempt-scale rows.",
+)
+def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    su = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("t1"), F.col("event_id").alias("id1")
+    )
+    cl = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("t2")
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("t3")
+    )
+    s2 = (
+        su.join(
+            cl,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("t2") > F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("user_id", "t1", "id1")
+        .agg(F.min("t2").alias("first_click"))
+    )
+    s3 = (
+        s2.join(
+            pu,
+            (F.col("user_id") == F.col("pu"))
+            & F.col("first_click").isNotNull()
+            & (F.col("t3") > F.col("first_click"))
+            & (F.col("t3") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("user_id", "t1", "id1", "first_click")
+        .agg(F.min("t3").alias("first_purchase"))
+    )
+    clicked = F.sum(F.when(F.col("first_click").isNotNull(), 1).otherwise(0))
+    purchased = F.sum(F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return (
+        s3.groupBy(F.date_trunc("day", "t1").alias("cohort_day"))
+        .agg(
+            n.cast("long").alias("n_signups"),
+            clicked.cast("long").alias("n_clicked"),
+            purchased.cast("long").alias("n_purchased"),
+            F.round(clicked.cast("double") / n, 4).alias("rate_click"),
+            F.round(
+                purchased.cast("double") / F.nullif(clicked, F.lit(0)), 4
+            ).alias("rate_purchase_given_click"),
+            F.round(purchased.cast("double") / n, 4).alias("rate_overall"),
+        )
+        .orderBy("cohort_day")
+    )

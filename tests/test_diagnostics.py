@@ -19,6 +19,7 @@ NEW_QUERIES = [
     "diag_observe_metrics",
     "diag_huber_location",
     "diag_group_median_arrow",
+    "diag_theil_sen_slope",
 ]
 
 
@@ -366,3 +367,40 @@ def test_group_median_arrow_matches_pandas(spark, sf_dir):
         assert pdf.loc[et, "median_lo_cents"] == cs[(n + 1) // 2 - 1]
         assert pdf.loc[et, "median_hi_cents"] == cs[n // 2]
         assert pdf.loc[et, "n"] == n
+
+
+def test_theil_sen_matches_pandas_replay(spark, sf_dir):
+    """The distributed pairwise-median slope must equal a pure-pandas
+    replay of the identical sample, pair set and lower-median selection."""
+    from logflow.queries import load_all
+    from logflow.queries.diagnostics import _TS_SAMPLE
+    from logflow.sources.tables import load_table
+
+    got = {
+        r.event_type: (r.n_pairs, r.slope_ppm_per_sec)
+        for r in load_all()["diag_theil_sen_slope"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .selectExpr(
+            "event_type",
+            "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts) AS BIGINT) AS x",
+            "ROUND(value, 4) AS y",
+            "ts",
+            "event_id",
+        )
+        .toPandas()
+    )
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"]).head(_TS_SAMPLE).reset_index(drop=True)
+        slopes = []
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if g.x[i] != g.x[j]:
+                    slopes.append((g.y[j] - g.y[i]) / ((float(g.x[j]) - float(g.x[i])) / 1e6))
+        if not slopes:
+            assert et not in got
+            continue
+        slopes.sort()
+        want = round(slopes[(len(slopes) + 1) // 2 - 1] * 1e6, 6)
+        assert got[et] == (len(slopes), want), (et, got.get(et), len(slopes), want)

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 LLM_QUERIES = [
     "dedup_exact",
     "sample_weighted_es",
+    "sample_stratified_topk_es",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -705,3 +706,20 @@ def test_ivfpq_adc_recall_and_exactness_vs_flat_pq(spark, sf_dir):
         assert lst == sorted(lst), q
         assert len(lst) <= 10
     assert len(shared) / len(flat) >= 0.10
+
+
+def test_stratified_topk_es_shape(spark, sf_dir):
+    """Every source present in documents appears; per-source ranks are
+    contiguous from 1 and capped at 10."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["sample_stratified_topk_es"].fn(spark, sf_dir).toPandas()
+    sources = {
+        r.source for r in load_table(spark, "documents", sf_dir).select("source").distinct().collect()
+    }
+    assert set(pdf.source) == sources
+    for s, g in pdf.groupby("source"):
+        ranks = sorted(g.rk)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10

@@ -76,6 +76,7 @@ RELATIONAL_QUERIES = [
     "dim_date_build",
     "agg_mode_daily",
     "funnel_within_window",
+    "funnel_conversion_rates",
     "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",
@@ -774,3 +775,22 @@ def test_retention_prune_deleted_old_partitions_on_disk(spark, sf_dir):
     parts = [e for e in os.listdir(base) if e.startswith("dt=")]
     assert parts, "no partitions left at all?"
     assert all(e[3:] >= _RETAIN_CUTOFF for e in parts), "expired dirs survive"
+
+
+def test_funnel_conversion_rates_laws(spark, sf_dir):
+    """Stage counts are monotone per cohort (purchased <= clicked <=
+    signups), rates recompute from the integer counts, and the summed
+    purchased count equals funnel_within_window's n_funnels (identical
+    MIN-resolved SLA semantics, inner- vs left-join formulations)."""
+    from logflow.queries import load_all
+
+    reg = load_all()
+    pdf = reg["funnel_conversion_rates"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.n_purchased <= pdf.n_clicked).all()
+    assert (pdf.n_clicked <= pdf.n_signups).all()
+    for _, r in pdf.iterrows():
+        assert r.rate_click == round(r.n_clicked / r.n_signups, 4)
+        assert r.rate_overall == round(r.n_purchased / r.n_signups, 4)
+    fw = reg["funnel_within_window"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert int(pdf.n_purchased.sum()) == int(fw.n_funnels)
