@@ -162,6 +162,11 @@ PRIORITY: list[str] = [
     "funnel_conversion_rates",
     "sample_stratified_topk_es",
     "diag_theil_sen_slope",
+    "ts_cross_correlation",
+    "ts_mann_kendall",
+    "diag_gini_concentration",
+    "diag_mann_whitney_value",
+    "scan_zonemap_audit",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",

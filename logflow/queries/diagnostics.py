@@ -1705,3 +1705,186 @@ def diag_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "diag_gini_concentration",
+    """
+WITH spend AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(20,2))), 0) AS x
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment),
+ranked AS (
+  SELECT c_mktsegment, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY x, c_custkey) AS BIGINT) AS i
+  FROM spend),
+m AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx,
+         SUM(i * x) AS six
+  FROM ranked GROUP BY c_mktsegment)
+SELECT c_mktsegment,
+       n AS n_customers,
+       CAST(ROUND(sx, 2) AS DOUBLE) AS total_spend,
+       ROUND(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM m
+ORDER BY c_mktsegment
+""",
+    doc="Gini concentration of customer spend per market segment — the "
+    "inequality gate a mixture/revenue pipeline runs to detect "
+    "whale-dominated segments (complements diag_key_skew's top-k view "
+    "with a single summary statistic). Uses the rank formula "
+    "G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n over ascending spend: spends "
+    "sum as exact DECIMAL (order-independent), ranks are BIGINTs with a "
+    "custkey tiebreak (tied spends contribute identically under any "
+    "tie order, so the tiebreak never changes G), and the final formula "
+    "is one identical IEEE expression of exact operands. Zero-order "
+    "customers enter at x=0 (LEFT JOIN) — excluding them understates "
+    "concentration. At 100 TB: one fact shuffle on custkey + one "
+    "segment-partitioned sort; the moment rollup is segment-scale.",
+)
+def diag_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    spend = (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(20,2)")),
+                F.lit(0).cast("decimal(20,2)"),
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w).cast("long"))
+    m = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six").cast("double") / (nd * F.col("sx").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return m.select(
+        "c_mktsegment",
+        F.col("n").alias("n_customers"),
+        F.round(F.col("sx"), 2).cast("double").alias("total_spend"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "diag_mann_whitney_value",
+    """
+WITH v AS (SELECT event_type, ROUND(value, 4) AS y FROM events),
+grp AS (
+  SELECT event_type, y,
+         CAST(RANK() OVER (ORDER BY y) AS BIGINT) AS rlo,
+         CAST(COUNT(*) OVER (PARTITION BY y) AS BIGINT) AS t
+  FROM v),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+tie AS (
+  SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tie3
+  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY y) WHERE t > 1),
+r AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(2 * rlo + t - 1) AS BIGINT) AS sumr_x2
+  FROM grp GROUP BY event_type)
+SELECT r.event_type, r.n1, (tot.n - r.n1) AS n2,
+       CAST(r.sumr_x2 - r.n1 * (r.n1 + 1) AS BIGINT) AS u1_x2,
+       ROUND((CAST(r.sumr_x2 - r.n1 * (r.n1 + 1) AS DOUBLE) / 2.0
+              - CAST(r.n1 * (tot.n - r.n1) AS DOUBLE) / 2.0)
+             / NULLIF(sqrt((CAST(r.n1 AS DOUBLE) * CAST(tot.n - r.n1 AS DOUBLE) / 12.0)
+                    * (CAST(tot.n + 1 AS DOUBLE)
+                       - CAST(tie.tie3 AS DOUBLE)
+                         / (CAST(tot.n AS DOUBLE) * CAST(tot.n - 1 AS DOUBLE)))), 0.0),
+             6) AS z_u
+FROM r CROSS JOIN tot CROSS JOIN tie
+ORDER BY r.event_type
+""",
+    doc="Mann-Whitney U (one-vs-rest) on event values per type: does a "
+    "type's value distribution sit stochastically higher than the "
+    "others'? — the nonparametric A/B gate that survives the "
+    "heavy-tailed values where a t-test misleads. One GLOBAL ranking "
+    "serves every comparison: average ranks for ties are carried as "
+    "the exact INTEGER 2*avg_rank = 2*rank_lo + t - 1 (so per-type rank "
+    "sums are exact BIGINTs, immune to float summation order), "
+    "U1 arrives doubled as the exact integer u1_x2, and the "
+    "tie-corrected normal z is one identical IEEE expression with a "
+    "NULLIF guard for the all-values-tied edge. At 100 TB the plan "
+    "never sorts row-scale data: rows pre-aggregate to (type, value) "
+    "and (value) count tables (map-side combined, bounded by the "
+    "4-dp value DOMAIN, not the row count), rank-lows come from a "
+    "running sum over the value-scale table, and rank sums distribute "
+    "as n_ty-weighted group contributions.",
+)
+def diag_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select("event_type", F.round("value", 4).alias("y"))
+    # (type, value) and (value) count tables — the only corpus-scale pass
+    vy = v.groupBy("event_type", "y").agg(F.count(F.lit(1)).cast("long").alias("n_ty"))
+    yt = vy.groupBy("y").agg(F.sum("n_ty").cast("long").alias("t"))
+    # rank-low of each distinct value = 1 + #rows strictly below it: a
+    # running sum over the VALUE-scale table (never a row-scale sort)
+    wr = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    yr = yt.select(
+        "y",
+        "t",
+        (F.coalesce(F.sum("t").over(wr), F.lit(0)) + 1).cast("long").alias("rlo"),
+    )
+    tot = yt.agg(F.sum("t").cast("long").alias("n"))
+    tie = yt.filter(F.col("t") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+        )
+        .cast("long")
+        .alias("tie3")
+    )
+    r = (
+        vy.join(yr, "y")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ty").cast("long").alias("n1"),
+            F.sum(F.col("n_ty") * (2 * F.col("rlo") + F.col("t") - 1))
+            .cast("long")
+            .alias("sumr_x2"),
+        )
+    )
+    n = F.col("n")
+    n1 = F.col("n1")
+    n2 = (n - n1).cast("long")
+    u1x2 = (F.col("sumr_x2") - n1 * (n1 + 1)).cast("long")
+    var = (
+        (n1.cast("double") * n2.cast("double") / F.lit(12.0))
+        * (
+            (n + 1).cast("double")
+            - F.col("tie3").cast("double") / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    z = (u1x2.cast("double") / F.lit(2.0) - (n1 * n2).cast("double") / F.lit(2.0)) / F.nullif(
+        F.sqrt(var), F.lit(0.0)
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tie))
+        .select(
+            "event_type",
+            "n1",
+            n2.alias("n2"),
+            u1x2.alias("u1_x2"),
+            F.round(z, 6).alias("z_u"),
+        )
+        .orderBy("event_type")
+    )

@@ -1487,3 +1487,201 @@ def ts_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_cross_correlation",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)),
+lags AS (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+pairs AS (
+  SELECT l.k, a.x, b.y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + l.k),
+m AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY k)
+SELECT CAST(k AS BIGINT) AS lag_days, n,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                      * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0), 6) AS ccf
+FROM m
+ORDER BY lag_days
+""",
+    doc="Lead-lag CROSS-correlation between two event streams: Pearson "
+    "correlation of daily click counts against purchase counts k days "
+    "LATER (k = 0..3) — the lead-indicator probe behind conversion-lag "
+    "attribution and forecasting-feature selection, complementing "
+    "ts_autocorrelation (one series vs itself). Both series come from "
+    "ONE conditional-aggregate pass over events; counts are exact "
+    "BIGINTs, every Pearson moment is an order-independent integer "
+    "sum, and the final correlation is a single identical IEEE "
+    "expression with a NULLIF zero-variance guard (the "
+    "ts_autocorrelation recipe). At 100 TB: the daily rollup is "
+    "map-side combined to day-scale rows; the lag join and 4-row "
+    "moment table are negligible.",
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    lags = spark.range(0, 4).select(F.col("id").cast("int").alias("k"))
+    b = daily.select(F.col("day").alias("day2"), F.col("y").alias("y2"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day2") == F.date_add(F.col("day"), F.col("k")))
+        .select("k", "x", F.col("y2").alias("y"))
+    )
+    m = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        F.col("k").cast("long").alias("lag_days"),
+        F.col("n").cast("long").alias("n"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("ccf"),
+    ).orderBy("lag_days")
+
+
+@register(
+    "ts_mann_kendall",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2)
+                         AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY a.event_type),
+nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY event_type),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, cents)
+  WHERE t > 1
+  GROUP BY event_type)
+SELECT n.event_type, n.n AS n_days, s.s_stat,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(t.tie_term, 0) AS BIGINT)
+         AS var18,
+       ROUND(CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                       / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                                   - COALESCE(t.tie_term, 0) AS DOUBLE) / 18.0)
+                  WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                       / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                                   - COALESCE(t.tie_term, 0) AS DOUBLE) / 18.0)
+                  ELSE 0.0 END, 6) AS z_mk
+FROM nn n
+JOIN s ON s.event_type = n.event_type
+LEFT JOIN ties t ON t.event_type = n.event_type
+ORDER BY n.event_type
+""",
+    doc="Mann-Kendall monotone-trend test on the daily value series per "
+    "event type: S = sum of pairwise signs (an EXACT integer — the "
+    "nonparametric significance twin of diag_theil_sen_slope's "
+    "magnitude estimate), tie-corrected variance kept as the integer "
+    "numerator var18 (= 18*Var, exact), and the continuity-corrected "
+    "z-statistic as one identical IEEE expression. Day-scale series "
+    "keep the O(days^2) pair join trivially bounded (time, not data "
+    "volume, drives it); the daily rollup is the only corpus-scale "
+    "pass (map-side combined, exact integer cents). The "
+    "sign-of-difference formulation needs no distributional assumption "
+    "— the trend gate a pipeline runs when values are heavy-tailed and "
+    "OLS slopes mislead.",
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.round(
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2)
+            .cast("double")
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("cents").alias("c2"),
+    )
+    s = (
+        daily.join(
+            b,
+            (F.col("et2") == F.col("event_type")) & (F.col("day") < F.col("day2")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("cents"), 1)
+                .when(F.col("c2") < F.col("cents"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = daily.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    ties = (
+        t.filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ).cast("long")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        nn.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.alias("var18"),
+            F.round(z, 6).alias("z_mk"),
+        )
+        .orderBy("event_type")
+    )

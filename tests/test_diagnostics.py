@@ -20,6 +20,8 @@ NEW_QUERIES = [
     "diag_huber_location",
     "diag_group_median_arrow",
     "diag_theil_sen_slope",
+    "diag_gini_concentration",
+    "diag_mann_whitney_value",
 ]
 
 
@@ -404,3 +406,51 @@ def test_theil_sen_matches_pandas_replay(spark, sf_dir):
         slopes.sort()
         want = round(slopes[(len(slopes) + 1) // 2 - 1] * 1e6, 6)
         assert got[et] == (len(slopes), want), (et, got.get(et), len(slopes), want)
+
+
+def test_gini_bounds_and_exactness(spark, sf_dir):
+    """Gini in [0, 1-1/n]; recomputes exactly from a pandas replay of the
+    same rank formula over exact decimal spends."""
+    from decimal import Decimal
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    pdf = load_all()["diag_gini_concentration"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    spend = (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"), "c_custkey", "left"
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(20,2)")), F.lit(0).cast("decimal(20,2)")).alias("x"))
+        .toPandas()
+    )
+    for seg, g in spend.groupby("c_mktsegment"):
+        row = pdf[pdf.c_mktsegment == seg].iloc[0]
+        xs = sorted(zip(g.x, g.c_custkey))
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        six = sum(Decimal(i + 1) * x for i, (x, _) in enumerate(xs))
+        want = round(2.0 * float(six) / (float(n) * float(sx)) - (float(n) + 1.0) / float(n), 6)
+        assert row.n_customers == n
+        assert row.gini == want
+        assert 0.0 <= row.gini <= 1.0 - 1.0 / n
+
+
+def test_mann_whitney_laws(spark, sf_dir):
+    """Per type: U1 in [0, n1*n2] (doubled bound on u1_x2), and the rank
+    sums are globally consistent: sum of all types' doubled rank sums
+    equals n(n+1) (every rank distributed exactly once)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_mann_whitney_value"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    n = int(pdf.n1.sum())
+    sum_r_x2 = int((pdf.u1_x2 + pdf.n1 * (pdf.n1 + 1)).sum())
+    assert sum_r_x2 == n * (n + 1)
+    for _, r in pdf.iterrows():
+        assert 0 <= r.u1_x2 <= 2 * r.n1 * r.n2

@@ -77,6 +77,7 @@ RELATIONAL_QUERIES = [
     "agg_mode_daily",
     "funnel_within_window",
     "funnel_conversion_rates",
+    "scan_zonemap_audit",
     "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",
@@ -794,3 +795,23 @@ def test_funnel_conversion_rates_laws(spark, sf_dir):
         assert r.rate_overall == round(r.n_purchased / r.n_signups, 4)
     fw = reg["funnel_within_window"].fn(spark, sf_dir).toPandas().iloc[0]
     assert int(pdf.n_purchased.sum()) == int(fw.n_funnels)
+
+
+def test_zonemap_audit_laws(spark, sf_dir):
+    """Date-clustered layout never prunes fewer buckets than natural;
+    rows_scanned + pruned-bucket rows == rows_total; both layouts see the
+    identical row total; ratios recompute from the integers."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["scan_zonemap_audit"].fn(spark, sf_dir).toPandas()
+    assert set(pdf.layout) == {"natural", "date-clustered"}
+    nat = pdf[pdf.layout == "natural"].iloc[0]
+    dc = pdf[pdf.layout == "date-clustered"].iloc[0]
+    assert nat.rows_total == dc.rows_total
+    assert dc.n_pruned >= nat.n_pruned
+    assert dc.rows_scanned <= nat.rows_scanned
+    for _, r in pdf.iterrows():
+        assert 0 <= r.n_pruned <= r.n_buckets
+        assert 0 <= r.rows_scanned <= r.rows_total
+        assert r.prune_ratio == round(r.n_pruned / r.n_buckets, 4)
+        assert r.scan_ratio == round(r.rows_scanned / r.rows_total, 4)

@@ -464,3 +464,42 @@ def test_rate_limit_burst_bounds(spark, sf_dir):
     has_viol = pdf["n_violations"] > 0
     assert (pdf.loc[has_viol, "max_burst"] > _RATE_K).all()
     assert (pdf.loc[~has_viol, "max_burst"] <= _RATE_K).all()
+
+
+def test_cross_correlation_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_cross_correlation", sf_dir)
+
+
+def test_cross_correlation_bounds(spark, sf_dir):
+    """CCF values lie in [-1, 1]; lag-0 pairs cover every day; pair counts
+    shrink (weakly) as the lag grows."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_cross_correlation"].fn(spark, sf_dir).toPandas().sort_values("lag_days")
+    assert pdf.ccf.dropna().between(-1.0, 1.0).all()
+    assert (pdf.n.diff().dropna() <= 0).all()
+
+
+def test_mann_kendall_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_mann_kendall", sf_dir)
+
+
+def test_mann_kendall_bounds(spark, sf_dir):
+    """|S| <= n(n-1)/2, var18 = 18*Var is positive for n >= 2, and the
+    z statistic recomputes from the emitted integers."""
+    import math
+
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_mann_kendall"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for _, r in pdf.iterrows():
+        assert abs(r.s_stat) <= r.n_days * (r.n_days - 1) // 2
+        assert r.var18 > 0
+        sd = math.sqrt(r.var18 / 18.0)
+        want = (r.s_stat - 1) / sd if r.s_stat > 0 else (r.s_stat + 1) / sd if r.s_stat < 0 else 0.0
+        assert r.z_mk == round(want, 6)
