@@ -167,6 +167,9 @@ PRIORITY: list[str] = [
     "diag_gini_concentration",
     "diag_mann_whitney_value",
     "scan_zonemap_audit",
+    "shard_rendezvous_rebalance",
+    "ts_interval_coverage",
+    "ts_segmented_trend_split",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",

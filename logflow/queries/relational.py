@@ -4739,3 +4739,102 @@ def scan_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "shard_rendezvous_rebalance",
+    """
+WITH keys AS (SELECT c_custkey AS k FROM customer),
+n8 AS (SELECT unnest(range(0, 8)) AS sh),
+n9 AS (SELECT unnest(range(0, 9)) AS sh),
+hrw8 AS (
+  SELECT k, sh FROM (
+    SELECT keys.k, n8.sh,
+           ROW_NUMBER() OVER (PARTITION BY keys.k
+                              ORDER BY md5(CAST(keys.k AS VARCHAR) || ':' ||
+                                           CAST(n8.sh AS VARCHAR)) DESC,
+                                       n8.sh) AS rn
+    FROM keys CROSS JOIN n8) WHERE rn = 1),
+hrw9 AS (
+  SELECT k, sh FROM (
+    SELECT keys.k, n9.sh,
+           ROW_NUMBER() OVER (PARTITION BY keys.k
+                              ORDER BY md5(CAST(keys.k AS VARCHAR) || ':' ||
+                                           CAST(n9.sh AS VARCHAR)) DESC,
+                                       n9.sh) AS rn
+    FROM keys CROSS JOIN n9) WHERE rn = 1),
+schemes AS (
+  SELECT 'mod' AS scheme,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN k % 8 <> k % 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+  FROM keys
+  UNION ALL
+  SELECT 'rendezvous',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN a.sh <> b.sh THEN 1 ELSE 0 END) AS BIGINT)
+  FROM hrw8 a JOIN hrw9 b ON a.k = b.k)
+SELECT scheme, n_keys, n_moved,
+       ROUND(CAST(n_moved AS DOUBLE) / n_keys, 4) AS moved_ratio
+FROM schemes
+ORDER BY scheme
+""",
+    doc="Shard-rebalance audit: when a cluster grows 8 -> 9 shards, what "
+    "fraction of keys MOVE under (a) mod-N sharding vs (b) rendezvous "
+    "(highest-random-weight, Thaler-Ravishankar 1998) hashing — mod "
+    "reshuffles ~8/9 of all keys while HRW provably moves only the "
+    "~1/9 that the new shard wins, the property that makes "
+    "consistent-style placement mandatory for 100 TB shard maps. "
+    "Deterministic throughout: the per-(key, shard) weight is "
+    "md5(key:shard) compared as fixed-length lowercase hex (identical "
+    "in both engines), argmax tiebroken by shard id. The Spark side "
+    "computes each winner MAP-SIDE with an array_max over a "
+    "transform(sequence(...)) of (hash, shard) structs — zero joins, "
+    "zero shuffles, linear in keys; the oracle unrolls the same argmax "
+    "relationally.",
+)
+def shard_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    keys = cust.select(F.col("c_custkey").alias("k"))
+
+    def hrw(n: int):
+        # map-side argmax: struct comparison is lexicographic, so
+        # max(struct(md5, -sh)) == ORDER BY md5 DESC, sh ASC
+        return F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda sh: F.struct(
+                    F.md5(
+                        F.concat(
+                            F.col("k").cast("string"), F.lit(":"), sh.cast("string")
+                        )
+                    ).alias("h"),
+                    (-sh).alias("negsh"),
+                ),
+            )
+        )["negsh"] * -1
+
+    assigned = keys.select(
+        "k",
+        (F.col("k") % 8).alias("m8"),
+        (F.col("k") % 9).alias("m9"),
+        hrw(8).alias("h8"),
+        hrw(9).alias("h9"),
+    )
+    moved_mod = F.sum(F.when(F.col("m8") != F.col("m9"), 1).otherwise(0)).cast("long")
+    moved_hrw = F.sum(F.when(F.col("h8") != F.col("h9"), 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    agg = assigned.agg(
+        n.alias("n_keys"), moved_mod.alias("nm_mod"), moved_hrw.alias("nm_hrw")
+    )
+    out = agg.selectExpr(
+        "stack(2, 'mod', nm_mod, 'rendezvous', nm_hrw) AS (scheme, n_moved)",
+        "n_keys",
+    )
+    return out.select(
+        "scheme",
+        "n_keys",
+        "n_moved",
+        F.round(F.col("n_moved").cast("double") / F.col("n_keys"), 4).alias(
+            "moved_ratio"
+        ),
+    ).orderBy("scheme")

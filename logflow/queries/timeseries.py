@@ -1685,3 +1685,265 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_IVC_DUR_US = 300_000_000  # each event opens a 5-minute activity interval
+
+
+@register(
+    "ts_interval_coverage",
+    f"""
+WITH iv AS (
+  SELECT user_id,
+         CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+              AS BIGINT) AS s,
+         CAST(date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+              AS BIGINT) + {_IVC_DUR_US} AS e,
+         event_id
+  FROM events),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL THEN 1 ELSE
+           CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END END AS new_island,
+         event_id
+  FROM iv),
+islands AS (
+  SELECT user_id, s, e,
+         CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id)
+              AS BIGINT) AS isl
+  FROM flagged),
+merged AS (
+  SELECT user_id, isl, MIN(s) AS ms, MAX(e) AS me, CAST(COUNT(*) AS BIGINT) AS c
+  FROM islands GROUP BY user_id, isl)
+SELECT user_id,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(me - ms) AS BIGINT) AS covered_us,
+       CAST(MAX(me) - MIN(ms) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(me - ms) AS DOUBLE) / (MAX(me) - MIN(ms)), 4) AS coverage
+FROM merged
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Interval-union coverage per user: every event opens a 5-minute "
+    "activity interval; overlapping/touching intervals MERGE (the "
+    "gaps-and-islands running-max-end technique — an island breaks "
+    "only when a start exceeds the max end seen so far, which handles "
+    "intervals NESTED inside earlier longer ones where a lag(e) "
+    "comparison fails), and the union length over the user's span is "
+    "the activity duty cycle — the utilization/billing primitive "
+    "(uptime, on-call coverage, GPU occupancy) next to "
+    "ts_max_concurrency_daily's overlap COUNT. All arithmetic is exact "
+    "epoch-microsecond BIGINTs; the only double is the final ratio "
+    "(identical quotient of exact integers). At 100 TB: one shuffle on "
+    "user_id, two windows sharing the same (user, start) sort order, "
+    "and a user-scale rollup.",
+)
+def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'2024-01-01 00:00:00', ts) AS BIGINT)"
+        ).alias("s"),
+        "event_id",
+    ).withColumn("e", F.col("s") + F.lit(_IVC_DUR_US))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w)
+    new_island = (
+        F.when(prev_max.isNull(), 1).when(F.col("s") > prev_max, 1).otherwise(0)
+    )
+    wi = Window.partitionBy("user_id").orderBy("s", "event_id")
+    islands = iv.withColumn("isl", F.sum(new_island).over(wi).cast("long"))
+    merged = islands.groupBy("user_id", "isl").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+            (F.max("me") - F.min("ms")).cast("long").alias("span_us"),
+            F.round(
+                F.sum(F.col("me") - F.col("ms")).cast("double")
+                / (F.max("me") - F.min("ms")),
+                4,
+            ).alias("coverage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ts_segmented_trend_split",
+    """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(ROUND(CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2)
+                         AS DOUBLE) * 100, 0) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+idx AS (
+  SELECT event_type, day, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily),
+pre AS (
+  SELECT event_type, day, i, n,
+         CAST(SUM(i)     OVER w AS BIGINT) AS sx,
+         CAST(SUM(y)     OVER w AS BIGINT) AS sy,
+         CAST(SUM(i * i) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(i * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM idx
+  WINDOW w AS (PARTITION BY event_type ORDER BY i)),
+tot AS (
+  SELECT event_type, MAX(n) AS n, MAX(sx) AS tx, MAX(sy) AS ty,
+         MAX(sxx) AS txx, MAX(sxy) AS txy, MAX(syy) AS tyy
+  FROM pre GROUP BY event_type),
+parts AS (
+  SELECT p.event_type, p.day, p.i AS k, t.n,
+         CAST(p.syy AS DOUBLE) - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE) / CAST(p.i AS DOUBLE) AS a_l,
+         CAST(p.sxy AS DOUBLE) - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE) / CAST(p.i AS DOUBLE) AS b_l,
+         CAST(p.sxx AS DOUBLE) - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE) / CAST(p.i AS DOUBLE) AS c_l,
+         CAST(t.tyy - p.syy AS DOUBLE) - CAST(t.ty - p.sy AS DOUBLE) * CAST(t.ty - p.sy AS DOUBLE) / CAST(t.n - p.i AS DOUBLE) AS a_r,
+         CAST(t.txy - p.sxy AS DOUBLE) - CAST(t.tx - p.sx AS DOUBLE) * CAST(t.ty - p.sy AS DOUBLE) / CAST(t.n - p.i AS DOUBLE) AS b_r,
+         CAST(t.txx - p.sxx AS DOUBLE) - CAST(t.tx - p.sx AS DOUBLE) * CAST(t.tx - p.sx AS DOUBLE) / CAST(t.n - p.i AS DOUBLE) AS c_r,
+         CAST(t.tyy AS DOUBLE) - CAST(t.ty AS DOUBLE) * CAST(t.ty AS DOUBLE) / CAST(t.n AS DOUBLE) AS a_1,
+         CAST(t.txy AS DOUBLE) - CAST(t.tx AS DOUBLE) * CAST(t.ty AS DOUBLE) / CAST(t.n AS DOUBLE) AS b_1,
+         CAST(t.txx AS DOUBLE) - CAST(t.tx AS DOUBLE) * CAST(t.tx AS DOUBLE) / CAST(t.n AS DOUBLE) AS c_1
+  FROM pre p JOIN tot t ON t.event_type = p.event_type
+  WHERE p.i >= 2 AND p.i <= t.n - 2),
+scored AS (
+  SELECT event_type, day, k, n,
+         (a_l - b_l * b_l / NULLIF(c_l, 0.0))
+         + (a_r - b_r * b_r / NULLIF(c_r, 0.0)) AS sse_split,
+         a_1 - b_1 * b_1 / NULLIF(c_1, 0.0) AS sse_single
+  FROM parts),
+best AS (
+  SELECT event_type, day, k, n, sse_split, sse_single,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY sse_split, k) AS rn
+  FROM scored)
+SELECT event_type, n AS n_days, day AS split_day,
+       ROUND(sse_single / 10000.0, 2) AS sse_single,
+       ROUND(sse_split / 10000.0, 2) AS sse_split,
+       ROUND(1.0 - sse_split / NULLIF(sse_single, 0.0), 4) AS gain
+FROM best WHERE rn = 1
+ORDER BY event_type
+""",
+    doc="Segmented-trend changepoint: per event type, the optimal single "
+    "split of the daily value series into two OLS line segments "
+    "(exhaustive over all valid split days, >= 2 points per side) — "
+    "the structural-break detector behind 'did the trend change, and "
+    "when?', sharper than ts_cusum_changepoint's mean-shift chart when "
+    "drift is in SLOPE. Every candidate split's two SSEs come from "
+    "prefix/suffix BIGINT moments (one cumulative window pass, exact "
+    "integer cents), combined in one fixed IEEE expression (squares "
+    "written b*b, never POWER — pow may round differently per libm); "
+    "argmin is selected by ordering identical doubles with a day-index "
+    "tiebreak. SSEs report in squared value units (/100^2 of cents). "
+    "At 100 TB: the daily rollup is the only corpus pass; candidates "
+    "are day-scale, so the exhaustive split search costs nothing.",
+)
+def ts_segmented_trend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2)
+            .cast("double")
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("i")
+    pre = idx.select(
+        "event_type",
+        "day",
+        "i",
+        "n",
+        F.sum("i").over(wc).cast("long").alias("sx"),
+        F.sum("y").over(wc).cast("long").alias("sy"),
+        F.sum(F.col("i") * F.col("i")).over(wc).cast("long").alias("sxx"),
+        F.sum(F.col("i") * F.col("y")).over(wc).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).over(wc).cast("long").alias("syy"),
+    )
+    tot = pre.groupBy("event_type").agg(
+        F.max("n").alias("tn"),
+        F.max("sx").alias("tx"),
+        F.max("sy").alias("ty"),
+        F.max("sxx").alias("txx"),
+        F.max("sxy").alias("txy"),
+        F.max("syy").alias("tyy"),
+    )
+
+    def cmoms(s2, s, w_, n_):
+        return s2.cast("double") - s.cast("double") * w_.cast("double") / n_.cast("double")
+
+    p = pre.join(tot, "event_type").filter(
+        (F.col("i") >= 2) & (F.col("i") <= F.col("tn") - 2)
+    )
+    i, tn = F.col("i"), F.col("tn")
+    a_l = cmoms(F.col("syy"), F.col("sy"), F.col("sy"), i)
+    b_l = cmoms(F.col("sxy"), F.col("sx"), F.col("sy"), i)
+    c_l = cmoms(F.col("sxx"), F.col("sx"), F.col("sx"), i)
+    rsy = F.col("ty") - F.col("sy")
+    rsx = F.col("tx") - F.col("sx")
+    rn_ = tn - i
+    a_r = cmoms(F.col("tyy") - F.col("syy"), rsy, rsy, rn_)
+    b_r = cmoms(F.col("txy") - F.col("sxy"), rsx, rsy, rn_)
+    c_r = cmoms(F.col("txx") - F.col("sxx"), rsx, rsx, rn_)
+    a_1 = cmoms(F.col("tyy"), F.col("ty"), F.col("ty"), tn)
+    b_1 = cmoms(F.col("txy"), F.col("tx"), F.col("ty"), tn)
+    c_1 = cmoms(F.col("txx"), F.col("tx"), F.col("tx"), tn)
+    sse_split = (a_l - b_l * b_l / F.nullif(c_l, F.lit(0.0))) + (
+        a_r - b_r * b_r / F.nullif(c_r, F.lit(0.0))
+    )
+    sse_single = a_1 - b_1 * b_1 / F.nullif(c_1, F.lit(0.0))
+    scored = p.select(
+        "event_type",
+        "day",
+        F.col("i").alias("k"),
+        F.col("tn").alias("n"),
+        sse_split.alias("sse_split"),
+        sse_single.alias("sse_single"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("sse_split", "k")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("day").alias("split_day"),
+            F.round(F.col("sse_single") / F.lit(10000.0), 2).alias("sse_single"),
+            F.round(F.col("sse_split") / F.lit(10000.0), 2).alias("sse_split"),
+            F.round(
+                F.lit(1.0) - F.col("sse_split") / F.nullif(F.col("sse_single"), F.lit(0.0)),
+                4,
+            ).alias("gain"),
+        )
+        .orderBy("event_type")
+    )

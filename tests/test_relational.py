@@ -815,3 +815,17 @@ def test_zonemap_audit_laws(spark, sf_dir):
         assert 0 <= r.rows_scanned <= r.rows_total
         assert r.prune_ratio == round(r.n_pruned / r.n_buckets, 4)
         assert r.scan_ratio == round(r.rows_scanned / r.rows_total, 4)
+
+
+def test_rendezvous_rebalance_laws(spark, sf_dir):
+    """HRW moves a small fraction (must beat mod by a wide margin: mod
+    moves ~8/9 of keys, HRW ~1/9 in expectation); counts within bounds."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["shard_rendezvous_rebalance"].fn(spark, sf_dir).toPandas()
+    mod = pdf[pdf.scheme == "mod"].iloc[0]
+    hrw = pdf[pdf.scheme == "rendezvous"].iloc[0]
+    assert mod.n_keys == hrw.n_keys
+    assert 0 <= hrw.n_moved <= hrw.n_keys and 0 <= mod.n_moved <= mod.n_keys
+    # structural, seed-robust: HRW's minimal-movement property dominates
+    assert hrw.moved_ratio < mod.moved_ratio / 2

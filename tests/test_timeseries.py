@@ -503,3 +503,42 @@ def test_mann_kendall_bounds(spark, sf_dir):
         sd = math.sqrt(r.var18 / 18.0)
         want = (r.s_stat - 1) / sd if r.s_stat > 0 else (r.s_stat + 1) / sd if r.s_stat < 0 else 0.0
         assert r.z_mk == round(want, 6)
+
+
+def test_interval_coverage_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_interval_coverage", sf_dir)
+
+
+def test_interval_coverage_laws(spark, sf_dir):
+    """covered <= span; islands <= events; every user's coverage ratio
+    recomputes; a single-event user covers exactly the interval length."""
+    from logflow.queries import load_all
+    from logflow.queries.timeseries import _IVC_DUR_US
+
+    pdf = load_all()["ts_interval_coverage"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for _, r in pdf.iterrows():
+        assert r.n_islands <= r.n_events
+        assert _IVC_DUR_US <= r.covered_us <= r.span_us
+        assert r.coverage == round(r.covered_us / r.span_us, 4)
+        if r.n_events == 1:
+            assert r.covered_us == r.span_us == _IVC_DUR_US
+
+
+def test_segmented_trend_split_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_segmented_trend_split", sf_dir)
+
+
+def test_segmented_split_never_worse_than_single(spark, sf_dir):
+    """Two segments can always fit at least as well as one line: sse_split
+    <= sse_single (up to the reporting rounding), so gain >= 0."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_segmented_trend_split"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.sse_split <= pdf.sse_single + 0.01).all()
+    assert (pdf.gain >= -1e-4).all()
