@@ -170,6 +170,8 @@ PRIORITY: list[str] = [
     "shard_rendezvous_rebalance",
     "ts_interval_coverage",
     "ts_segmented_trend_split",
+    "er_blocking_quality",
+    "search_rrf_fusion",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",

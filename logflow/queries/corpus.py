@@ -697,3 +697,118 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@register(
+    "search_rrf_fusion",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END)
+                   AS avgdl,
+                 CAST(SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+          FROM d),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       WHERE term IN ({_BM25_IN})
+       GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+bm_scored AS (
+  SELECT tf.doc_id,
+         SUM(CAST(ROUND(
+               ln((n - df + 0.5) / (df + 0.5) + 1)
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+             6) AS DECIMAL(18,6))) AS s
+  FROM tf JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+bm AS (SELECT doc_id, rank FROM (
+         SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+         FROM bm_scored) WHERE rank <= 20),
+ql_scored AS (
+  SELECT tf.doc_id,
+         SUM(CAST(ROUND(CAST(tf AS DOUBLE) / dl, 6) AS DECIMAL(18,6))) AS s
+  FROM tf JOIN d USING (doc_id)
+  GROUP BY tf.doc_id),
+ql AS (SELECT doc_id, rank FROM (
+         SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+         FROM ql_scored) WHERE rank <= 20),
+fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CAST(COALESCE(a.rank, 0) AS BIGINT) AS rank_bm25,
+         CAST(COALESCE(b.rank, 0) AS BIGINT) AS rank_ql,
+         COALESCE(1.0 / (60 + a.rank), 0.0)
+           + COALESCE(1.0 / (60 + b.rank), 0.0) AS rrf
+  FROM bm a FULL JOIN ql b ON a.doc_id = b.doc_id)
+SELECT doc_id, rank_bm25, rank_ql, fused_rank, ROUND(rrf * 1000, 6) AS rrf_x1000
+FROM (SELECT doc_id, rank_bm25, rank_ql, rrf,
+             CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+               AS fused_rank
+      FROM fused)
+WHERE fused_rank <= 10
+ORDER BY fused_rank
+""",
+    doc="Reciprocal-rank fusion (Cormack et al. 2009, k=60) of two REAL "
+    "retrieval systems over the same fixed query: Okapi BM25 "
+    "(bm25_search's exact pipeline, reused as a subroutine) and a "
+    "length-normalized query-likelihood ranking (sum of tf/dl per "
+    "query term) — the standard way hybrid lexical+semantic search "
+    "merges rankers without score calibration, since RRF consumes "
+    "RANKS only. Each system contributes 1/(60+rank) for its top-20 "
+    "(absent -> 0, FULL OUTER join); both contributions and their "
+    "2-term sum are identical IEEE doubles, so the fused ordering is "
+    "engine-identical with a doc_id tiebreak. At 100 TB each ranker is "
+    "its own bounded top-k (partial top-k per partition, no global "
+    "sort) and the fusion join touches 2x20 rows.",
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = bm25_search(spark, sf_dir).select("doc_id", F.col("rank").alias("rank_a"))
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    d = t.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tf = (
+        t.select("doc_id", F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    ql_scored = (
+        tf.join(d, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("tf").cast("double") / F.col("dl"), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("s")
+        )
+    )
+    wq = Window.orderBy(F.desc("s"), "doc_id")
+    ql = (
+        ql_scored.withColumn("rank_b", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank_b") <= 20)
+        .select("doc_id", "rank_b")
+    )
+    fused = bm.join(ql, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_a", F.lit(0)).cast("long").alias("rank_bm25"),
+        F.coalesce("rank_b", F.lit(0)).cast("long").alias("rank_ql"),
+        (
+            F.coalesce(F.lit(1.0) / (F.col("rank_a") + 60), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.col("rank_b") + 60), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_ql",
+            "fused_rank",
+            F.round(F.col("rrf") * 1000, 6).alias("rrf_x1000"),
+        )
+        .orderBy("fused_rank")
+    )

@@ -176,3 +176,28 @@ def test_tfidf_cosine_bounds_and_contract(spark, sf_dir):
     assert (pdf["doc_a"] < pdf["doc_b"]).all()
     assert (pdf["n_shared_terms"] > 0).all()
     assert (pdf["cosine"].diff().dropna() <= 1e-12).all()
+
+
+def test_rrf_fusion_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "search_rrf_fusion", sf_dir)
+
+
+def test_rrf_fusion_laws(spark, sf_dir):
+    """Fused scores recompute from the two rank columns; a doc ranked by
+    BOTH systems always beats a doc ranked by neither at equal single
+    ranks; every bm25 top-1 doc appears in the fused top-10."""
+    from logflow.queries import load_all
+
+    reg = load_all()
+    pdf = reg["search_rrf_fusion"].fn(spark, sf_dir).toPandas()
+    assert 0 < len(pdf) <= 10
+    for _, r in pdf.iterrows():
+        want = (1.0 / (60 + r.rank_bm25) if r.rank_bm25 else 0.0) + (
+            1.0 / (60 + r.rank_ql) if r.rank_ql else 0.0
+        )
+        assert r.rrf_x1000 == round(want * 1000, 6)
+    bm = reg["bm25_search"].fn(spark, sf_dir).toPandas()
+    top1 = bm[bm["rank"] == 1].doc_id.iloc[0]
+    assert top1 in set(pdf.doc_id)

@@ -723,3 +723,24 @@ def test_stratified_topk_es_shape(spark, sf_dir):
         ranks = sorted(g.rk)
         assert ranks == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 10
+
+
+def test_er_blocking_quality_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "er_blocking_quality", sf_dir)
+
+
+def test_er_blocking_quality_laws(spark, sf_dir):
+    """hits <= min(truth, candidates); metrics recompute from the
+    integers; both schemes see the same truth set."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["er_blocking_quality"].fn(spark, sf_dir).toPandas()
+    assert set(pdf.scheme) == {"last-token", "prefix-3"}
+    assert pdf.n_truth.nunique() == 1
+    for _, r in pdf.iterrows():
+        assert r.n_hits <= min(r.n_truth, r.n_candidates)
+        if r.n_truth:
+            assert r.pair_completeness == round(r.n_hits / r.n_truth, 4)
+        assert 0.0 <= r.reduction_ratio <= 1.0
