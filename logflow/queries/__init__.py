@@ -172,6 +172,8 @@ PRIORITY: list[str] = [
     "ts_segmented_trend_split",
     "er_blocking_quality",
     "search_rrf_fusion",
+    "sqlparam_identifier_query",
+    "ab_sprt_monitor",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",

@@ -604,3 +604,112 @@ def seq_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("run_len"), "user_id", "event_type", "run_start")
         .limit(100)
     )
+
+
+# SPRT constants: H0 p=0.15 vs H1 p=0.25, alpha=beta=0.05. The log
+# values are PYTHON-evaluated literals inlined into BOTH engines' text —
+# engine ln() (JVM vs libm) can differ in the last ulp, a Python repr
+# literal cannot.
+_SPRT_K1 = 0.5108256237659907  # ln(p1/p0), per-success increment
+_SPRT_K2 = -0.12516314295400605  # ln((1-p1)/(1-p0)), per-failure increment
+_SPRT_A = 2.9444389791664403  # accept-H1 threshold  ln((1-beta)/alpha)
+_SPRT_B = -2.9444389791664403  # accept-H0 threshold  ln(beta/(1-alpha))
+
+
+@register(
+    "ab_sprt_monitor",
+    f"""
+WITH trials AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS success,
+         ts, event_id
+  FROM events),
+walk AS (
+  SELECT arm,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS n,
+         CAST(SUM(success) OVER w AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY arm) AS BIGINT) AS n_total
+  FROM trials
+  WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id)),
+scored AS (
+  SELECT arm, n, s, n_total,
+         CAST(s AS DOUBLE) * {_SPRT_K1} + CAST(n - s AS DOUBLE) * {_SPRT_K2} AS llr
+  FROM walk),
+flagged AS (
+  SELECT arm, n, s, llr,
+         CASE WHEN llr >= {_SPRT_A} OR llr <= {_SPRT_B} THEN 1 ELSE 0 END AS crossed
+  FROM scored),
+picked AS (
+  SELECT arm, n, s, llr, crossed,
+         ROW_NUMBER() OVER (PARTITION BY arm
+                            ORDER BY CASE WHEN crossed = 1 THEN 0 ELSE 1 END,
+                                     CASE WHEN crossed = 1 THEN n ELSE -n END) AS rn
+  FROM flagged)
+SELECT arm,
+       CASE WHEN llr >= {_SPRT_A} THEN 'accept_h1'
+            WHEN llr <= {_SPRT_B} THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       n AS n_events, s AS n_success,
+       ROUND(llr, 6) AS llr
+FROM picked WHERE rn = 1
+ORDER BY arm
+""",
+    doc="Sequential probability ratio test (Wald 1945) replayed over each "
+    "experiment arm's event stream (arm = user_id parity, success = "
+    "purchase): the earliest event at which the cumulative "
+    "log-likelihood ratio crosses the accept/reject boundary IS the "
+    "sequential decision — the always-valid alternative to fixed-"
+    "horizon A/B peeking. Exactness: llr after n trials is "
+    "s*K1 + (n-s)*K2 with s an exact window-summed BIGINT and K1/K2 "
+    "Python-repr literals inlined into BOTH engines (never engine "
+    "ln()), so every llr is an identical 2-term IEEE expression; the "
+    "first-crossing row is RANK-selected (crossings first by n, else "
+    "the final row reports 'continue'). At 100 TB the walk is one "
+    "window over arm-partitioned event order — the same shape as any "
+    "running-total audit — and the decision table is arm-scale.",
+)
+def ab_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    trials = ev.select(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("success"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("arm").orderBy("ts", "event_id")
+    walk = trials.select(
+        "arm",
+        F.row_number().over(w).cast("long").alias("n"),
+        F.sum("success").over(w).cast("long").alias("s"),
+    )
+    llr = F.col("s").cast("double") * F.lit(_SPRT_K1) + (
+        F.col("n") - F.col("s")
+    ).cast("double") * F.lit(_SPRT_K2)
+    flagged = walk.select(
+        "arm",
+        "n",
+        "s",
+        llr.alias("llr"),
+        F.when((llr >= _SPRT_A) | (llr <= _SPRT_B), 1).otherwise(0).alias("crossed"),
+    )
+    wp = Window.partitionBy("arm").orderBy(
+        F.when(F.col("crossed") == 1, 0).otherwise(1),
+        F.when(F.col("crossed") == 1, F.col("n")).otherwise(-F.col("n")),
+    )
+    decision = (
+        F.when(F.col("llr") >= _SPRT_A, F.lit("accept_h1"))
+        .when(F.col("llr") <= _SPRT_B, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return (
+        flagged.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "arm",
+            decision.alias("decision"),
+            F.col("n").alias("n_events"),
+            F.col("s").alias("n_success"),
+            F.round("llr", 6).alias("llr"),
+        )
+        .orderBy("arm")
+    )

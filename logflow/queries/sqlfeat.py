@@ -287,3 +287,45 @@ def sqlscript_doubling_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "sqlparam_identifier_query",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Parameterized SQL + IDENTIFIER clause (Spark 4): the query text "
+    "contains ZERO inlined values — the table name binds through "
+    "IDENTIFIER(:tbl) (SQL-injection-safe dynamic table reference, the "
+    "thing string-formatted SQL cannot do safely) and the filter "
+    "constants bind as named parameters via spark.sql(..., args={...}) "
+    "— the prepared-statement surface a multi-tenant 100 TB platform "
+    "uses so ONE analyzed plan template serves every tenant/table "
+    "combination. Catalyst sees the bound literals (here 150000.0) at "
+    "analysis time, so pushdown/pruning work exactly as with inline "
+    "constants. Money sums use the decimal-before-sum idiom; the "
+    "oracle is the same query with the bindings resolved.",
+)
+def sqlparam_identifier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("sqlparam_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "sqlparam_orders_v", "min_price": 150000.0, "status": "O"},
+    )

@@ -227,3 +227,31 @@ def test_rle_runs_are_really_consecutive(spark, sf_dir):
             assert seq[idx - 1][1] != r.event_type, "run extends left"
         if idx + r.run_len < len(seq):
             assert seq[idx + r.run_len][1] != r.event_type, "run extends right"
+
+
+def test_sprt_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ab_sprt_monitor", sf_dir)
+
+
+def test_sprt_laws(spark, sf_dir):
+    """Each arm yields one row; llr recomputes from (n, s); a decision row
+    must actually sit outside the thresholds, a continue row inside; and
+    the decision point is the FIRST crossing (llr at n-1 within bounds is
+    not checkable without replay, but s <= n and thresholds hold)."""
+    from logflow.queries import load_all
+    from logflow.queries.mining import _SPRT_A, _SPRT_B, _SPRT_K1, _SPRT_K2
+
+    pdf = load_all()["ab_sprt_monitor"].fn(spark, sf_dir).toPandas()
+    assert sorted(pdf.arm) == [0, 1]
+    for _, r in pdf.iterrows():
+        assert 0 <= r.n_success <= r.n_events
+        want = round(r.n_success * _SPRT_K1 + (r.n_events - r.n_success) * _SPRT_K2, 6)
+        assert r.llr == want
+        if r.decision == "accept_h1":
+            assert r.llr >= round(_SPRT_A, 6)
+        elif r.decision == "accept_h0":
+            assert r.llr <= round(_SPRT_B, 6)
+        else:
+            assert _SPRT_B < r.llr < _SPRT_A

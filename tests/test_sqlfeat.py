@@ -99,3 +99,30 @@ def test_sqlscript_threshold_is_tight(spark, sf_dir):
         assert row.n_qualifying < 1000
     if row.k_steps > 0:
         assert n_at(row.threshold / 2) >= 1000
+
+
+def test_sqlparam_identifier_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "sqlparam_identifier_query", sf_dir)
+
+
+def test_sqlparam_binding_equals_inline(spark, sf_dir):
+    """The parameterized form must produce exactly what the same query
+    with inlined literals produces (binding is transparent to results)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    got = load_all()["sqlparam_identifier_query"].fn(spark, sf_dir).toPandas()
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("sqlparam_orders_v2")
+    want = spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM sqlparam_orders_v2
+        WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    ).toPandas()
+    assert got.equals(want)
