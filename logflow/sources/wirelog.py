@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -255,6 +256,9 @@ class WirelogDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "WirelogArrowWriter":
         return WirelogArrowWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "WirelogStreamWriter":
+        return WirelogStreamWriter(self.options)
 
 
 def register_wirelog(spark) -> None:
@@ -480,3 +484,100 @@ class WirelogArrowWriter(DataSourceArrowWriter):
                 os.remove(tmp)
         if os.path.isdir(self._path):
             self._sweep_staged()
+
+
+class WirelogStreamWriter(DataSourceStreamWriter):
+    """STREAMING sink half of the wirelog connector (``df.writeStream
+    .format("wirelog")``) — the continuous twin of
+    :class:`WirelogArrowWriter`, with EPOCH-IDEMPOTENT commits:
+
+    * ``write`` (executor, once per task per micro-batch) streams frames
+      row-by-row into a staged ``.part-<job>-<uuid>.wirelog.tmp`` (lazy
+      open + task-local cleanup, the batch writer's discipline);
+    * ``commit(messages, batchId)`` (driver, after the epoch's tasks all
+      succeed) first deletes any visible ``part-b<batchId>-*.wirelog``
+      left by a CRASHED previous attempt of the SAME epoch, then renames
+      the staged winners to deterministic epoch-keyed names
+      ``part-b<batchId>-<seq>.wirelog`` — so a replayed micro-batch
+      REPLACES rather than duplicates its own output (exactly-once at
+      the file level, the foreachBatch-upsert guarantee without user
+      code);
+    * ``abort(messages, batchId)`` removes the epoch's staging.
+
+    At 100 TB this is the standard epoch-commit streaming-file-sink
+    protocol (Spark's own FileStreamSink keeps the same idempotence via
+    a batchId-keyed manifest; deterministic names stand in for the
+    manifest here, matching the connector's directory-is-the-log model).
+    """
+
+    def __init__(self, options: dict):
+        import uuid
+
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("wirelog stream writer requires a 'path' option")
+        self._job = uuid.uuid4().hex
+
+    def write(self, iterator) -> WirelogCommit:
+        import uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        tmp_name = f".part-{self._job}-{uuid.uuid4().hex}.wirelog.tmp"
+        tmp_path = os.path.join(self._path, tmp_name)
+        n = 0
+        fh = None
+        try:
+            for row in iterator:
+                if fh is None:
+                    fh = open(tmp_path, "wb")
+                _write_frame(
+                    fh,
+                    bytes(row.key or b""),
+                    bytes(row.value or b""),
+                    [(h.key, bytes(h.value)) for h in (row.headers or [])],
+                )
+                n += 1
+        except BaseException:
+            if fh is not None:
+                fh.close()
+                if os.path.exists(tmp_path):
+                    os.remove(tmp_path)
+            raise
+        if fh is not None:
+            fh.close()
+        if not n and os.path.exists(tmp_path):
+            os.remove(tmp_path)
+        return WirelogCommit(tmp_name, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        # Epoch idempotence: clear THIS epoch's previously-visible files
+        # (a crashed attempt), then publish the new attempt under
+        # deterministic epoch-keyed names.
+        prefix = f"part-b{batchId:010d}-"
+        for f in os.listdir(self._path):
+            if f.startswith(prefix) and f.endswith(".wirelog"):
+                os.remove(os.path.join(self._path, f))
+        seq = 0
+        for m in messages:
+            if m is None or m.n == 0:
+                continue
+            os.rename(
+                os.path.join(self._path, m.tmp_name),
+                os.path.join(self._path, f"{prefix}{seq:05d}.wirelog"),
+            )
+            seq += 1
+        for f in os.listdir(self._path):
+            if f.startswith(f".part-{self._job}-") and f.endswith(".wirelog.tmp"):
+                os.remove(os.path.join(self._path, f))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            tmp = os.path.join(self._path, m.tmp_name)
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        if os.path.isdir(self._path):
+            for f in os.listdir(self._path):
+                if f.startswith(f".part-{self._job}-") and f.endswith(".wirelog.tmp"):
+                    os.remove(os.path.join(self._path, f))

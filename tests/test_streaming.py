@@ -1444,3 +1444,86 @@ def test_wirelog_datasource_writer_abort_leaves_no_visible_files(spark, tmp_path
     after = sorted(f for f in os.listdir(d) if f.endswith(".wirelog"))
     assert after == before, "aborted write leaked visible files"
     assert not [f for f in os.listdir(d) if f.endswith(".tmp")], "staging not cleaned"
+
+
+def test_wirelog_stream_writer_end_to_end(spark, tmp_path):
+    """writeStream.format('wirelog'): two micro-batches land as
+    epoch-keyed visible files, the batch reader round-trips every frame
+    byte-exactly, and no staging tmp survives."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logflow.sources.wirelog import register_wirelog
+
+    register_wirelog(spark)
+    src = tmp_path / "wsw_src"
+    src.mkdir()
+    rows_a = [{"key": f"k{i}".encode(), "value": bytes([i])} for i in range(5)]
+    rows_b = [{"key": f"k{i}".encode(), "value": bytes([i])} for i in range(5, 9)]
+    for name, rows in (("a.parquet", rows_a), ("b.parquet", rows_b)):
+        pq.write_table(
+            pa.table(
+                {
+                    "key": pa.array([r["key"] for r in rows], pa.binary()),
+                    "value": pa.array([r["value"] for r in rows], pa.binary()),
+                }
+            ),
+            str(src / name),
+        )
+    out = str(tmp_path / "wsw_out")
+    stream = (
+        spark.readStream.schema("key binary, value binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .selectExpr(
+            "key",
+            "value",
+            "CAST(array() AS array<struct<key:string,value:binary>>) AS headers",
+        )
+    )
+    q = (
+        stream.writeStream.format("wirelog")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wsw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    files = sorted(os.listdir(out))
+    assert all(f.startswith("part-b") and f.endswith(".wirelog") for f in files), files
+    assert len({f.split("-")[1] for f in files}) == 2  # two epochs
+    assert not [f for f in files if f.endswith(".tmp")]
+    got = {
+        (bytes(r.key), bytes(r.value))
+        for r in spark.read.format("wirelog").option("path", out).load().collect()
+    }
+    want = {(r["key"], r["value"]) for r in rows_a + rows_b}
+    assert got == want
+
+
+def test_wirelog_stream_writer_epoch_replay_is_idempotent(tmp_path):
+    """A replayed micro-batch (same batchId, e.g. after a driver crash
+    between sink commit and checkpoint write) must REPLACE its previous
+    attempt's files, never duplicate frames."""
+    import os
+
+    from pyspark.sql import Row
+
+    from logflow.sources.wirelog import WirelogStreamWriter, _read_frames
+
+    out = str(tmp_path / "replay_out")
+    rows = [
+        Row(key=b"a", value=b"1", headers=[]),
+        Row(key=b"b", value=b"2", headers=[]),
+    ]
+    for attempt in range(2):  # same epoch committed twice
+        w = WirelogStreamWriter({"path": out})
+        msg = w.write(iter(rows))
+        w.commit([msg], batchId=7)
+    files = [f for f in os.listdir(out) if f.endswith(".wirelog")]
+    assert len(files) == 1 and files[0].startswith("part-b0000000007-")
+    frames = list(_read_frames(os.path.join(out, files[0])))
+    assert len(frames) == 2
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
