@@ -174,6 +174,9 @@ PRIORITY: list[str] = [
     "search_rrf_fusion",
     "sqlparam_identifier_query",
     "ab_sprt_monitor",
+    "dq_functional_dependency",
+    "division_covering_buyers",
+    "text_zipf_fit",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",

@@ -1888,3 +1888,99 @@ def diag_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dq_functional_dependency",
+    """
+WITH fd1 AS (
+  SELECT 'customer: custkey -> nationkey' AS fd,
+         CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+  FROM (SELECT c_custkey, COUNT(DISTINCT c_nationkey) AS nd
+        FROM customer GROUP BY c_custkey)),
+fd2 AS (
+  SELECT 'customer: nationkey -> mktsegment',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS nd
+        FROM customer GROUP BY c_nationkey)),
+fd3 AS (
+  SELECT 'orders: custkey -> orderpriority',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+        FROM orders GROUP BY o_custkey)),
+fd4 AS (
+  SELECT 'lineitem: partkey -> suppkey',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS nd
+        FROM lineitem GROUP BY l_partkey)),
+fd5 AS (
+  SELECT 'nation: regionkey -> name',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT n_regionkey, COUNT(DISTINCT n_name) AS nd
+        FROM nation GROUP BY n_regionkey)),
+fds AS (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL
+        SELECT * FROM fd3 UNION ALL SELECT * FROM fd4 UNION ALL
+        SELECT * FROM fd5)
+SELECT fd, n_lhs, n_violating,
+       CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS fd_holds,
+       ROUND(CAST(n_violating AS DOUBLE) / n_lhs, 4) AS violation_ratio
+FROM fds
+ORDER BY fd
+""",
+    doc="Functional-dependency discovery/audit (the profiling step behind "
+    "schema normalization and dedup-key design): for each candidate "
+    "X -> Y, count the X-groups whose Y is not unique. Five candidates "
+    "span the spectrum — the PK-backed FD that must hold "
+    "(custkey -> nationkey) through denormalization casualties "
+    "(partkey -> suppkey: each part ships from multiple suppliers). "
+    "Each FD is one partial-agg'd groupBy + a 1-row conditional "
+    "rollup; the five 1-row results union into ONE returned plan "
+    "(the dq_referential_audit zero-driver-actions shape). All counts "
+    "exact BIGINTs. At 100 TB each audit is a single shuffle on its "
+    "LHS — and an FD that holds is a free generalized bucketing/"
+    "pruning key downstream.",
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+
+    def audit(df: DataFrame, lhs: str, rhs: str, label: str) -> DataFrame:
+        return (
+            df.groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+            .agg(
+                F.lit(label).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+            )
+        )
+
+    fds = (
+        audit(cust, "c_custkey", "c_nationkey", "customer: custkey -> nationkey")
+        .unionByName(
+            audit(cust, "c_nationkey", "c_mktsegment", "customer: nationkey -> mktsegment")
+        )
+        .unionByName(
+            audit(orders, "o_custkey", "o_orderpriority", "orders: custkey -> orderpriority")
+        )
+        .unionByName(audit(li, "l_partkey", "l_suppkey", "lineitem: partkey -> suppkey"))
+        .unionByName(audit(nat, "n_regionkey", "n_name", "nation: regionkey -> name"))
+    )
+    return fds.select(
+        "fd",
+        "n_lhs",
+        "n_violating",
+        F.when(F.col("n_violating") == 0, 1).otherwise(0).cast("long").alias("fd_holds"),
+        F.round(F.col("n_violating").cast("double") / F.col("n_lhs"), 4).alias(
+            "violation_ratio"
+        ),
+    ).orderBy("fd")

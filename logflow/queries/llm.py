@@ -2993,3 +2993,85 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reduction_ratio"
         ),
     ).orderBy("scheme")
+
+
+@register(
+    "text_zipf_fit",
+    r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY term),
+ranked AS (
+  SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term) AS BIGINT) AS r
+  FROM freq),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+  FROM ranked WHERE r <= 1000),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy
+  FROM pts)
+SELECT n AS n_terms,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 4)
+         AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
+                / CAST(n*sxx - sx*sx AS DOUBLE) * sx)
+             / CAST(n AS DOUBLE) / 1000000.0, 4) AS log_intercept
+FROM m
+""",
+    doc="Zipf's-law fit of the token frequency distribution: OLS slope of "
+    "log(freq) on log(rank) over the top-1000 terms — the corpus-"
+    "health fingerprint (natural language sits near slope -1; "
+    "synthetic, templated or scraped-boilerplate corpora deviate "
+    "sharply, which makes this a cheap generation-quality gate next "
+    "to corpus_diversity). Cross-engine: each ln is taken on an exact "
+    "integer-valued double and immediately rounded into fixed-point "
+    "micros (the 1-ulp libm-vs-JVM risk is absorbed unless a value "
+    "sits within 1e-15 of a rounding boundary — the PMI ln recipe), "
+    "then all OLS moments are exact BIGINT sums and the slope is one "
+    "identical IEEE expression. One corpus tokenize pass + a "
+    "vocabulary-scale rank window; the fit itself is 1-row.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode_outer(tokenize("text")).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    wr = Window.orderBy(F.desc("f"), "term")
+    pts = (
+        freq.withColumn("r", F.row_number().over(wr).cast("long"))
+        .filter(F.col("r") <= 1000)
+        .select(
+            F.round(F.log(F.col("r").cast("double")) * 1000000, 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("f").cast("double")) * 1000000, 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n").cast("double")
+            / F.lit(1000000.0),
+            4,
+        ).alias("log_intercept"),
+    )

@@ -4838,3 +4838,73 @@ def shard_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moved_ratio"
         ),
     ).orderBy("scheme")
+
+
+@register(
+    "division_covering_buyers",
+    """
+WITH refc AS (SELECT CAST(MIN(o_custkey) AS BIGINT) AS refk FROM orders),
+divisor AS (
+  SELECT DISTINCT l.l_partkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  CROSS JOIN refc WHERE o.o_custkey = refc.refk),
+dn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_req FROM divisor),
+cp AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN divisor d ON d.l_partkey = l.l_partkey),
+winners AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_matched
+  FROM cp GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_name, w.n_matched, dn.n_req
+FROM winners w CROSS JOIN dn
+JOIN customer c ON c.c_custkey = w.o_custkey
+WHERE w.n_matched = dn.n_req
+ORDER BY c.c_custkey
+""",
+    doc="RELATIONAL DIVISION (the classic 'suppliers who supply ALL "
+    "parts' shape, Codd's ÷ operator — the one textbook relational "
+    "plan shape not yet in the suite): customers whose purchased part "
+    "set COVERS every part the reference customer (lowest custkey "
+    "with orders, data-derived so the divisor is never hardcoded) "
+    "ever bought. Implemented as the standard count-matching "
+    "reduction: restrict the fact to divisor parts, dedup "
+    "(customer, part), and keep customers whose distinct-match count "
+    "equals the divisor size — set containment without any "
+    "double-negated NOT EXISTS (which Catalyst would plan as two "
+    "correlated anti joins; the count form is one shuffle + one "
+    "broadcast). Divisor and its count are broadcast 1-side tables; "
+    "the fact is touched once. All counts exact BIGINTs.",
+)
+def division_covering_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    refc = orders.agg(F.min("o_custkey").cast("long").alias("refk"))
+    ol = li.select("l_orderkey", "l_partkey").join(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    divisor = (
+        ol.crossJoin(F.broadcast(refc))
+        .filter(F.col("o_custkey") == F.col("refk"))
+        .select("l_partkey")
+        .distinct()
+    )
+    dn = divisor.agg(F.count(F.lit(1)).cast("long").alias("n_req"))
+    cp = (
+        ol.join(F.broadcast(divisor), "l_partkey")
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    winners = cp.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    return (
+        winners.crossJoin(F.broadcast(dn))
+        .filter(F.col("n_matched") == F.col("n_req"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "n_matched", "n_req")
+        .orderBy("c_custkey")
+    )

@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "diag_theil_sen_slope",
     "diag_gini_concentration",
     "diag_mann_whitney_value",
+    "dq_functional_dependency",
 ]
 
 
@@ -454,3 +455,17 @@ def test_mann_whitney_laws(spark, sf_dir):
     assert sum_r_x2 == n * (n + 1)
     for _, r in pdf.iterrows():
         assert 0 <= r.u1_x2 <= 2 * r.n1 * r.n2
+
+
+def test_functional_dependency_pk_holds(spark, sf_dir):
+    """The PK-backed FD must hold; ratios recompute; every audited FD
+    appears exactly once."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["dq_functional_dependency"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 5 and pdf.fd.nunique() == 5
+    pk = pdf[pdf.fd == "customer: custkey -> nationkey"].iloc[0]
+    assert pk.fd_holds == 1 and pk.n_violating == 0
+    for _, r in pdf.iterrows():
+        assert r.violation_ratio == round(r.n_violating / r.n_lhs, 4)
+        assert (r.fd_holds == 1) == (r.n_violating == 0)

@@ -744,3 +744,20 @@ def test_er_blocking_quality_laws(spark, sf_dir):
         if r.n_truth:
             assert r.pair_completeness == round(r.n_hits / r.n_truth, 4)
         assert 0.0 <= r.reduction_ratio <= 1.0
+
+
+def test_zipf_fit_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "text_zipf_fit", sf_dir)
+
+
+def test_zipf_fit_shape(spark, sf_dir):
+    """Slope is negative (frequency decreases with rank by construction),
+    intercept positive, and at most 1000 points enter the fit."""
+    from logflow.queries import load_all
+
+    r = load_all()["text_zipf_fit"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert 0 < r.n_terms <= 1000
+    assert r.zipf_slope < 0
+    assert r.log_intercept > 0

@@ -829,3 +829,24 @@ def test_rendezvous_rebalance_laws(spark, sf_dir):
     assert 0 <= hrw.n_moved <= hrw.n_keys and 0 <= mod.n_moved <= mod.n_keys
     # structural, seed-robust: HRW's minimal-movement property dominates
     assert hrw.moved_ratio < mod.moved_ratio / 2
+
+
+def test_division_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "division_covering_buyers", sf_dir)
+
+
+def test_division_contains_reference_customer(spark, sf_dir):
+    """The divisor's own customer trivially covers the divisor, so the
+    result is never empty and n_matched == n_req on every row."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["division_covering_buyers"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) >= 1
+    assert (pdf.n_matched == pdf.n_req).all()
+    refk = load_table(spark, "orders", sf_dir).agg(F.min("o_custkey")).collect()[0][0]
+    assert refk in set(pdf.c_custkey)
