@@ -177,6 +177,7 @@ PRIORITY: list[str] = [
     "dq_functional_dependency",
     "division_covering_buyers",
     "text_zipf_fit",
+    "attribution_markov_removal",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",

@@ -713,3 +713,239 @@ def ab_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution: the multi-touch attribution model.
+# --------------------------------------------------------------------------
+
+_MK_CHANNELS = ["click", "view", "signup", "error"]  # transient touch states
+_MK_STEPS = 12  # fixed K-step unrolling of the absorbing chain
+
+
+def _mk_prob_cols() -> str:
+    """tm CTE columns: p_<src>_<dst> = c(src,dst)/c(src,*), 0.0 if absent."""
+    cols = []
+    for s in ["start"] + _MK_CHANNELS:
+        for t in _MK_CHANNELS + ["conv"]:
+            cols.append(
+                f"COALESCE(CAST(SUM(CASE WHEN src = '{s}' AND dst = '{t}' THEN cnt"
+                f" ELSE 0 END) AS DOUBLE)"
+                f" / NULLIF(SUM(CASE WHEN src = '{s}' THEN cnt ELSE 0 END), 0),"
+                f" 0.0) AS p_{s}_{t}"
+            )
+    return ",\n         ".join(cols)
+
+
+def _mk_step_expr(s: str, removed: str | None, prev: str) -> str:
+    """p_{k+1}(s) = p(s,conv) + sum over kept channels of p(s,t)*p_k(t) —
+    a FIXED left-associated term order, identical text in both engines."""
+    terms = [f"p_{s}_conv"]
+    for t in _MK_CHANNELS:
+        if t != removed:
+            terms.append(f"p_{s}_{t} * {prev}_{t}")
+    return " + ".join(terms)
+
+
+def _mk_chain_ctes(tag: str, removed: str | None) -> str:
+    """Unrolled K-step conversion-probability chain for one scenario."""
+    states = ["start"] + [c for c in _MK_CHANNELS if c != removed]
+    parts = []
+    prev_cte, prev_col = "tm", None
+    for k in range(1, _MK_STEPS + 1):
+        col = f"x{tag}{k}"
+        exprs = []
+        for s in states:
+            if k == 1:
+                exprs.append(f"p_{s}_conv AS {col}_{s}")
+            else:
+                exprs.append(f"{_mk_step_expr(s, removed, f'x{tag}{k - 1}')} AS {col}_{s}")
+        parts.append(f"c{tag}{k} AS (SELECT *, {', '.join(exprs)} FROM {prev_cte})")
+        prev_cte = f"c{tag}{k}"
+    return ",\n".join(parts), prev_cte
+
+
+def _mk_sql() -> str:
+    full_ctes, full_last = _mk_chain_ctes("f", None)
+    # every chain extends tm with new columns; chain them sequentially so
+    # the final CTE carries all scenarios' step-K columns
+    chained = [full_ctes]
+    prev = full_last
+    for ch in _MK_CHANNELS:
+        ctes, last = _mk_chain_ctes(ch[0], ch)
+        ctes = ctes.replace("FROM tm)", f"FROM {prev})", 1)
+        chained.append(ctes)
+        prev = last
+    effects = " + ".join(
+        f"GREATEST(1.0 - x{ch[0]}{_MK_STEPS}_start / NULLIF(xf{_MK_STEPS}_start, 0.0), 0.0)"
+        for ch in _MK_CHANNELS
+    )
+    rows: list[str] = []
+    for ch in _MK_CHANNELS:
+        eff = (
+            f"GREATEST(1.0 - x{ch[0]}{_MK_STEPS}_start"
+            f" / NULLIF(xf{_MK_STEPS}_start, 0.0), 0.0)"
+        )
+        rows.append(
+            f"SELECT '{ch}' AS channel,"
+            f" ROUND(xf{_MK_STEPS}_start, 6) AS p_conv_full,"
+            f" ROUND(x{ch[0]}{_MK_STEPS}_start, 6) AS p_conv_removed,"
+            f" ROUND({eff}, 6) AS removal_effect,"
+            f" ROUND({eff} / NULLIF({effects}, 0.0), 4) AS attribution_share"
+            f" FROM {prev}"
+        )
+    return f"""
+WITH fp AS (
+  SELECT user_id, ts AS fpts, event_id AS fpeid FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+journey AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         CASE WHEN e.event_type = 'purchase' THEN 'conv' ELSE e.event_type END
+           AS cur
+  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+  WHERE fp.user_id IS NULL OR e.ts < fp.fpts
+     OR (e.ts = fp.fpts AND e.event_id <= fp.fpeid)),
+seq AS (
+  SELECT user_id, cur,
+         LAG(cur, 1, 'start') OVER w AS prev,
+         LEAD(cur) OVER w AS nxt
+  FROM journey
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+trans AS (
+  SELECT prev AS src, cur AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM seq GROUP BY prev, cur
+  UNION ALL
+  SELECT cur, 'null', CAST(COUNT(*) AS BIGINT)
+  FROM seq WHERE nxt IS NULL AND cur <> 'conv' GROUP BY cur),
+tm AS (
+  SELECT {_mk_prob_cols()}
+  FROM trans),
+{",{chr10}".format(chr10=chr(10)).join(chained)}
+SELECT channel, p_conv_full, p_conv_removed, removal_effect, attribution_share
+FROM ({" UNION ALL ".join(rows)})
+ORDER BY channel
+"""
+
+
+@register(
+    "attribution_markov_removal",
+    _mk_sql(),
+    doc=f"Markov-chain multi-touch attribution by REMOVAL EFFECT "
+    "(Anderl et al. 2014) — the model-based alternative to the "
+    "heuristic last-touch / time-decay attributions already in the "
+    "suite: user journeys (events up to the first purchase) become an "
+    "absorbing Markov chain over touch states; a channel's credit is "
+    "how much the start->conversion probability DROPS when the "
+    "channel is removed. Deterministic throughout: transition "
+    "probabilities are exact-integer-count ratios pivoted into FIXED "
+    f"columns, the chain is unrolled {_MK_STEPS} fixed steps with an "
+    "explicit left-associated term order per state (never a SUM over "
+    "grouped rows, whose float accumulation order is engine-chosen), "
+    "and all five scenarios (full + 4 removals) extend one 1-row "
+    "frame. At 100 TB: the journeys pass is one user-partitioned "
+    "window, transitions a tiny groupBy; the chain math is "
+    "CONSTANT-size (state-count columns on one row) regardless of "
+    "data volume.",
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wfp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("fpts"), F.col("event_id").alias("fpeid"))
+    )
+    journey = (
+        ev.join(F.broadcast(fp), "user_id", "left")
+        .filter(
+            F.col("fpts").isNull()
+            | (F.col("ts") < F.col("fpts"))
+            | ((F.col("ts") == F.col("fpts")) & (F.col("event_id") <= F.col("fpeid")))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.lit("conv"))
+            .otherwise(F.col("event_type"))
+            .alias("cur"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = journey.select(
+        "cur",
+        F.lag("cur", 1, "start").over(w).alias("prev"),
+        F.lead("cur").over(w).alias("nxt"),
+    )
+    trans = (
+        seq.groupBy(F.col("prev").alias("src"), F.col("cur").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .unionByName(
+            seq.filter(F.col("nxt").isNull() & (F.col("cur") != "conv"))
+            .groupBy(F.col("cur").alias("src"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .select("src", F.lit("null").alias("dst"), "cnt")
+        )
+    )
+    # pivot to fixed probability columns (1 row)
+    aggs = []
+    for s in ["start"] + _MK_CHANNELS:
+        tot = F.sum(F.when(F.col("src") == s, F.col("cnt")).otherwise(0))
+        for t in _MK_CHANNELS + ["conv"]:
+            num = F.sum(
+                F.when((F.col("src") == s) & (F.col("dst") == t), F.col("cnt")).otherwise(0)
+            )
+            aggs.append(
+                F.coalesce(
+                    num.cast("double") / F.nullif(tot, F.lit(0)), F.lit(0.0)
+                ).alias(f"p_{s}_{t}")
+            )
+    tm = trans.agg(*aggs)
+
+    def run_chain(df: DataFrame, tag: str, removed: str | None) -> DataFrame:
+        states = ["start"] + [c for c in _MK_CHANNELS if c != removed]
+        for k in range(1, _MK_STEPS + 1):
+            exprs = [F.col("*")]
+            for s in states:
+                if k == 1:
+                    e = F.col(f"p_{s}_conv")
+                else:
+                    e = F.col(f"p_{s}_conv")
+                    for t in _MK_CHANNELS:
+                        if t != removed:
+                            e = e + F.col(f"p_{s}_{t}") * F.col(f"x{tag}{k - 1}_{t}")
+                exprs.append(e.alias(f"x{tag}{k}_{s}"))
+            df = df.select(*exprs)
+        return df
+
+    df = run_chain(tm, "f", None)
+    for ch in _MK_CHANNELS:
+        df = run_chain(df, ch[0], ch)
+    K = _MK_STEPS
+    full = F.col(f"xf{K}_start")
+
+    def eff(ch: str):
+        return F.greatest(
+            F.lit(1.0) - F.col(f"x{ch[0]}{K}_start") / F.nullif(full, F.lit(0.0)),
+            F.lit(0.0),
+        )
+
+    total_eff = eff(_MK_CHANNELS[0])
+    for ch in _MK_CHANNELS[1:]:
+        total_eff = total_eff + eff(ch)
+    rows = None
+    for ch in _MK_CHANNELS:
+        r = df.select(
+            F.lit(ch).alias("channel"),
+            F.round(full, 6).alias("p_conv_full"),
+            F.round(F.col(f"x{ch[0]}{K}_start"), 6).alias("p_conv_removed"),
+            F.round(eff(ch), 6).alias("removal_effect"),
+            F.round(eff(ch) / F.nullif(total_eff, F.lit(0.0)), 4).alias(
+                "attribution_share"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("channel")

@@ -255,3 +255,27 @@ def test_sprt_laws(spark, sf_dir):
             assert r.llr <= round(_SPRT_B, 6)
         else:
             assert _SPRT_B < r.llr < _SPRT_A
+
+
+def test_markov_attribution_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "attribution_markov_removal", sf_dir)
+
+
+def test_markov_attribution_laws(spark, sf_dir):
+    """Removing a channel can only remove conversion paths, so
+    p_conv_removed <= p_conv_full; effects lie in [0,1]; shares are
+    non-negative and sum to ~1 (4dp rounding slack)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["attribution_markov_removal"].fn(spark, sf_dir).toPandas()
+    assert sorted(pdf.channel) == ["click", "error", "signup", "view"]
+    assert pdf.p_conv_full.nunique() == 1
+    full = pdf.p_conv_full.iloc[0]
+    assert 0 < full <= 1
+    for _, r in pdf.iterrows():
+        assert r.p_conv_removed <= r.p_conv_full + 1e-6
+        assert 0.0 <= r.removal_effect <= 1.0
+        assert r.attribution_share >= 0.0
+    assert abs(pdf.attribution_share.sum() - 1.0) < 5e-4
