@@ -178,6 +178,8 @@ PRIORITY: list[str] = [
     "division_covering_buyers",
     "text_zipf_fit",
     "attribution_markov_removal",
+    "dq_table_fingerprint",
+    "scan_delta_varint_estimate",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",

@@ -1984,3 +1984,91 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_ratio"
         ),
     ).orderBy("fd")
+
+
+@register(
+    "dq_table_fingerprint",
+    """
+WITH f AS (
+  SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(concat('0x', substr(md5(concat(
+               CAST(o_orderkey AS VARCHAR), '|', CAST(o_custkey AS VARCHAR), '|',
+               o_orderstatus, '|', CAST(ROUND(o_totalprice, 2) AS VARCHAR))), 1, 8))
+             AS BIGINT)) AS BIGINT) AS fingerprint
+  FROM orders
+  UNION ALL
+  SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(concat('0x', substr(md5(concat(
+               CAST(c_custkey AS VARCHAR), '|', CAST(c_nationkey AS VARCHAR), '|',
+               c_mktsegment)), 1, 8)) AS BIGINT)) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(concat('0x', substr(md5(concat(
+               CAST(n_nationkey AS VARCHAR), '|', n_name, '|',
+               CAST(n_regionkey AS VARCHAR))), 1, 8)) AS BIGINT)) AS BIGINT)
+  FROM nation)
+SELECT tbl, n_rows, fingerprint FROM f ORDER BY tbl
+""",
+    doc="Order-independent TABLE FINGERPRINT for cross-replica / "
+    "cross-engine reconciliation: each row canonicalizes to a "
+    "delimited string, hashes to md5, and the first 8 hex digits "
+    "(32 bits — the exact int64 sum holds through ~2e9 rows; widen the "
+    "accumulator to DECIMAL(38,0) past that) SUM exactly — "
+    "an order- and partitioning-independent integer signature, so two "
+    "replicas (or an engine pair, as the oracle demonstrates "
+    "literally) compare one row per table instead of shipping data. "
+    "Numeric columns round-canonicalize before casting to string "
+    "(ROUND(x,2) renders identically in both engines). Pure map-side "
+    "+ 1-row agg per table, unioned into one plan: the cheapest "
+    "possible full-table audit at 100 TB — one scan, no shuffle.",
+)
+def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fp(df: DataFrame, tbl: str, parts: list) -> DataFrame:
+        h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8), 16, 10).cast(
+            "long"
+        )
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(h).cast("long").alias("fingerprint"),
+        )
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    return (
+        fp(
+            orders,
+            "orders",
+            [
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.round("o_totalprice", 2).cast("string"),
+            ],
+        )
+        .unionByName(
+            fp(
+                cust,
+                "customer",
+                [
+                    F.col("c_custkey").cast("string"),
+                    F.col("c_nationkey").cast("string"),
+                    F.col("c_mktsegment"),
+                ],
+            )
+        )
+        .unionByName(
+            fp(
+                nat,
+                "nation",
+                [
+                    F.col("n_nationkey").cast("string"),
+                    F.col("n_name"),
+                    F.col("n_regionkey").cast("string"),
+                ],
+            )
+        )
+        .orderBy("tbl")
+    )

@@ -4908,3 +4908,80 @@ def division_covering_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "n_matched", "n_req")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "scan_delta_varint_estimate",
+    """
+WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+sorted_d AS (
+  SELECT id - LAG(id, 1, 0) OVER (ORDER BY id) AS delta FROM ids),
+hashed_d AS (
+  SELECT abs(id - LAG(id, 1, 0) OVER (ORDER BY md5(CAST(id AS VARCHAR)), id))
+    AS delta FROM ids),
+vb AS (
+  SELECT 'sorted' AS layout, delta,
+         CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
+              WHEN delta < 2097152 THEN 3 WHEN delta < 268435456 THEN 4
+              ELSE 5 END AS nbytes
+  FROM sorted_d
+  UNION ALL
+  SELECT 'hash-ordered', delta,
+         CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
+              WHEN delta < 2097152 THEN 3 WHEN delta < 268435456 THEN 4
+              ELSE 5 END
+  FROM hashed_d)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(COUNT(*) * 8 AS BIGINT) AS bytes_raw,
+       CAST(SUM(nbytes) AS BIGINT) AS bytes_delta_varint,
+       ROUND(CAST(COUNT(*) * 8 AS DOUBLE) / SUM(nbytes), 4) AS compression_x
+FROM vb
+GROUP BY layout
+ORDER BY layout
+""",
+    doc="Delta+varint ENCODING-SIZE estimate for the order-key column "
+    "under two physical layouts — the storage-layout audit behind "
+    "'sort before you encode' (Parquet DELTA_BINARY_PACKED, Lucene "
+    "postings): consecutive sorted keys have tiny deltas (1-2 varint "
+    "bytes) while hash-ordered keys have key-space-sized deltas "
+    "(4-5 bytes), and the measured ratio is the number that justifies "
+    "a sort/Z-order pass before writing (scan_zorder_layout / "
+    "scan_zonemap_audit's sibling for SIZE rather than pruning). All "
+    "arithmetic is exact integers (LAG over a total order; LEB128 "
+    "byte-count ladder as a CASE); the hash order is md5-deterministic. "
+    "The ordering windows are value-scale by the DISTINCT; at 100 TB "
+    "the estimate runs per partition/row-group (deltas within, not "
+    "across, groups) exactly like the real encoder.",
+)
+def scan_delta_varint_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    ids = orders.select(F.col("o_orderkey").alias("id")).distinct()
+    ws = Window.orderBy("id")
+    wh = Window.orderBy(F.md5(F.col("id").cast("string")), "id")
+    sorted_d = ids.select((F.col("id") - F.lag("id", 1, 0).over(ws)).alias("delta"))
+    hashed_d = ids.select(
+        F.abs(F.col("id") - F.lag("id", 1, 0).over(wh)).alias("delta")
+    )
+    nbytes = (
+        F.when(F.col("delta") < 128, 1)
+        .when(F.col("delta") < 16384, 2)
+        .when(F.col("delta") < 2097152, 3)
+        .when(F.col("delta") < 268435456, 4)
+        .otherwise(5)
+    )
+    vb = sorted_d.select(F.lit("sorted").alias("layout"), nbytes.alias("nbytes")).unionByName(
+        hashed_d.select(F.lit("hash-ordered").alias("layout"), nbytes.alias("nbytes"))
+    )
+    return (
+        vb.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            (F.count(F.lit(1)) * 8).cast("long").alias("bytes_raw"),
+            F.sum("nbytes").cast("long").alias("bytes_delta_varint"),
+            F.round(
+                (F.count(F.lit(1)) * 8).cast("double") / F.sum("nbytes"), 4
+            ).alias("compression_x"),
+        )
+        .orderBy("layout")
+    )

@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "diag_gini_concentration",
     "diag_mann_whitney_value",
     "dq_functional_dependency",
+    "dq_table_fingerprint",
 ]
 
 
@@ -469,3 +470,36 @@ def test_functional_dependency_pk_holds(spark, sf_dir):
     for _, r in pdf.iterrows():
         assert r.violation_ratio == round(r.n_violating / r.n_lhs, 4)
         assert (r.fd_holds == 1) == (r.n_violating == 0)
+
+
+def test_table_fingerprint_detects_any_change(spark, sf_dir):
+    """The fingerprint is order-independent (recomputing over a shuffled
+    frame matches) and sensitive (dropping one row changes it)."""
+    import pyspark.sql.functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["dq_table_fingerprint"].fn(spark, sf_dir).toPandas()
+    nat_fp = int(pdf[pdf.tbl == "nation"].fingerprint.iloc[0])
+    nat = load_table(spark, "nation", sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("n_nationkey").cast("string"),
+                    F.col("n_name"),
+                    F.col("n_regionkey").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    shuffled = nat.orderBy(F.md5(F.col("n_name"))).agg(F.sum(h)).collect()[0][0]
+    assert int(shuffled) == nat_fp
+    dropped = nat.filter(F.col("n_nationkey") != 0).agg(F.sum(h)).collect()[0][0]
+    assert int(dropped) != nat_fp

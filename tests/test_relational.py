@@ -78,6 +78,7 @@ RELATIONAL_QUERIES = [
     "funnel_within_window",
     "funnel_conversion_rates",
     "scan_zonemap_audit",
+    "scan_delta_varint_estimate",
     "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",
@@ -850,3 +851,20 @@ def test_division_contains_reference_customer(spark, sf_dir):
     assert (pdf.n_matched == pdf.n_req).all()
     refk = load_table(spark, "orders", sf_dir).agg(F.min("o_custkey")).collect()[0][0]
     assert refk in set(pdf.c_custkey)
+
+
+def test_delta_varint_sorted_dominates(spark, sf_dir):
+    """Sorted layout never encodes larger than hash-ordered; both count
+    the same values; ratios recompute; compression is real (> 1x) on the
+    dense sorted key space."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["scan_delta_varint_estimate"].fn(spark, sf_dir).toPandas()
+    s = pdf[pdf.layout == "sorted"].iloc[0]
+    h = pdf[pdf.layout == "hash-ordered"].iloc[0]
+    assert s.n_values == h.n_values
+    assert s.bytes_delta_varint <= h.bytes_delta_varint
+    assert s.compression_x > 1.0
+    for _, r in pdf.iterrows():
+        assert r.bytes_raw == r.n_values * 8
+        assert r.compression_x == round(r.bytes_raw / r.bytes_delta_varint, 4)
