@@ -259,3 +259,77 @@ def streaming_funnel_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters: the streaming twin of
+# operators/heavyhitters.py (batch candidates + exact verify).
+# --------------------------------------------------------------------------
+
+MG_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("item", LongType()),
+        StructField("est_count", LongType()),
+    ]
+)
+
+_MG_STATE = "items ARRAY<LONG>, counts ARRAY<LONG>"
+_MG_CAPACITY = 20
+
+
+def _update_mg(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        items, counts = state.get
+        summary = dict(zip(items, counts))
+    else:
+        summary = {}
+    for pdf in batches:
+        # merge the micro-batch's EXACT per-item counts, then apply the
+        # batched Misra-Gries truncation: while over capacity, subtract
+        # the minimum count from every entry and drop zeros — each round
+        # removes >= 1 entry, and the classic guarantee survives batching
+        # (any item's true count is underestimated by at most
+        # total_decremented <= stream_total / capacity).
+        for item, c in pdf.groupby("item").size().items():
+            summary[item] = summary.get(item, 0) + int(c)
+        while len(summary) > _MG_CAPACITY:
+            m = min(summary.values())
+            summary = {i: c - m for i, c in summary.items() if c > m}
+    state.update((list(summary.keys()), list(summary.values())))
+    items = sorted(summary)
+    yield pd.DataFrame(
+        {
+            "bucket": [key[0]] * len(items),
+            "item": items,
+            "est_count": [summary[i] for i in items],
+        }
+    )
+
+
+def streaming_heavy_hitters(records: DataFrame, item_col: str, n_buckets: int = 8) -> DataFrame:
+    """Streaming heavy-hitter CANDIDATES via per-bucket Misra-Gries state.
+
+    Items hash into ``n_buckets`` groups; each group keeps a bounded
+    ``_MG_CAPACITY``-entry summary regardless of stream length — the
+    bounded-state property that makes frequent-item tracking feasible on
+    an unbounded stream (the batch twin, heavy_hitters_tokens, scans and
+    verifies exactly; here the guarantee is RECALL: any item with true
+    count >= bucket_total/capacity survives in its bucket's summary, so a
+    downstream exact verify over the candidate set stays corpus-bounded).
+    """
+    from pyspark.sql import functions as F
+
+    keyed = records.select(
+        (F.col(item_col) % n_buckets).cast("long").alias("bucket"),
+        F.col(item_col).cast("long").alias("item"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _update_mg,
+        outputStructType=MG_SCHEMA,
+        stateStructType=_MG_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1527,3 +1527,59 @@ def test_wirelog_stream_writer_epoch_replay_is_idempotent(tmp_path):
     frames = list(_read_frames(os.path.join(out, files[0])))
     assert len(frames) == 2
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_streaming_heavy_hitters_recall_guarantee(spark, tmp_path):
+    """Misra-Gries recall law across micro-batches: every item whose TRUE
+    count >= its bucket's total/capacity must appear in the final summary,
+    with est_count <= true count (MG only undercounts); state stays
+    bounded at the capacity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logflow.sources.tables import load_table
+    from logflow.streaming.stateful import _MG_CAPACITY, streaming_heavy_hitters
+
+    ev = (
+        load_table(spark, "events", "/root/testdata/sf0.001", parallelize=False)
+        .select("user_id", "event_id")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    path = tmp_path / "mg_src"
+    path.mkdir()
+    half = len(ev) // 2
+    pq.write_table(pa.Table.from_pandas(ev.iloc[:half]), str(path / "a.parquet"))
+    pq.write_table(pa.Table.from_pandas(ev.iloc[half:]), str(path / "b.parquet"))
+    stream = (
+        spark.readStream.schema("user_id long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(path))
+    )
+    q = (
+        streaming_heavy_hitters(stream, "user_id")
+        .writeStream.format("memory")
+        .queryName("mg_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from mg_stream").collect()
+    # keep only each bucket's LAST emission (update mode appends per batch):
+    # later rows for a bucket supersede earlier ones — reconstruct by order
+    final: dict[int, dict[int, int]] = {}
+    for r in rows:
+        final.setdefault(r.bucket, {})
+        final[r.bucket][r.item] = r.est_count
+    true = ev.groupby("user_id").size()
+    bucket_tot = true.groupby(true.index % 8).sum()
+    for uid, cnt in true.items():
+        b = uid % 8
+        if cnt >= bucket_tot[b] / _MG_CAPACITY:
+            assert uid in final[b], (uid, b, cnt)
+    for b, summ in final.items():
+        assert len(summ) <= _MG_CAPACITY * 2  # across-batch emissions union
+        for item, est in summ.items():
+            assert est <= true.get(item, 0)
