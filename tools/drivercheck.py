@@ -39,34 +39,48 @@ spark.stop()
 """
 
 
+def _check_one(name: str, sf_dir: str) -> tuple[str, bool, str]:
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir)],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+    except subprocess.TimeoutExpired:
+        # A hung query must not abort the sweep — record and move on.
+        return name, False, "timed out after 600s"
+    rows = [
+        line for line in proc.stdout.splitlines() if line.startswith("DRIVERCHECK_ROWS")
+    ]
+    if proc.returncode == 0 and rows:
+        return name, True, rows[0].split()[1]
+    tail = (proc.stderr or proc.stdout).strip().splitlines()[-8:]
+    return name, False, "\n  ".join(tail)
+
+
 def main() -> int:
+    from concurrent.futures import ThreadPoolExecutor
+
     from logflow.queries import load_all
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(load_all())
+    argv = sys.argv[1:]
+    jobs = 1
+    if argv and argv[0].startswith("--jobs="):
+        # each subprocess runs local[8]; --jobs=4 saturates 32 cores and
+        # cuts the full-registry sweep from ~3 h to ~40 min
+        jobs = int(argv[0].split("=", 1)[1])
+        argv = argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or list(load_all())
     failures = []
-    for name in names:
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir)],
-                capture_output=True,
-                text=True,
-                timeout=600,
-            )
-        except subprocess.TimeoutExpired:
-            # A hung query must not abort the sweep — record and move on.
-            failures.append(name)
-            print(f"FAIL {name}\n  timed out after 600s")
-            continue
-        rows = [
-            line for line in proc.stdout.splitlines() if line.startswith("DRIVERCHECK_ROWS")
-        ]
-        if proc.returncode == 0 and rows:
-            print(f"OK   {name}: {rows[0].split()[1]} rows")
-        else:
-            failures.append(name)
-            tail = (proc.stderr or proc.stdout).strip().splitlines()[-8:]
-            print(f"FAIL {name}\n  " + "\n  ".join(tail))
+    with ThreadPoolExecutor(max_workers=jobs) as pool:
+        for name, ok, info in pool.map(lambda n: _check_one(n, sf_dir), names):
+            if ok:
+                print(f"OK   {name}: {info} rows", flush=True)
+            else:
+                failures.append(name)
+                print(f"FAIL {name}\n  {info}", flush=True)
     print(f"\n{len(names) - len(failures)} ok / {len(failures)} failed")
     return 1 if failures else 0
 
