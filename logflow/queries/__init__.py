@@ -59,18 +59,77 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: DuckDB parity at sf0.01 AND sf0.1 in tools/parity_all.py (artifacts:
 #: PARITY_FULL.json / PARITY_FULL_sf0.1.json).
 #:
-#: ROTATION (round 6, pass 1 of 2 over the attestation debt): cumulative
-#: driver-green after r5 is 165/251; 82 oracle-backed queries have never
-#: received a driver-issued row. ALL 50 window slots go to the FIRST 50 of
-#: those (the round-5 post-window crop: mining, ML-training, diagnostics,
-#: sequence/pattern, SQL-feature, graph and ANN families). The remaining 32
-#: sit at positions 51-82 — they are the round-7 window, followed by the
-#: new round-6 operators (parity-attested both SFs this round). Every
-#: query rotated OUT is driver-green in CORRECTNESS_r01..r05 and stays
-#: parity-checked at both SFs every round. tests/test_registry.py pins the
-#: rotated-in set.
+#: ROTATION (round 7, pass 2 of 2 over the attestation debt): cumulative
+#: driver-green after r6 is 215/274. ALL 50 window slots go to never-
+#: driver-checked oracle-backed queries: the 32 candidates queued at
+#: positions 51-82 last round + the first 18 of the round-6 crop. The 5
+#: remaining round-6-crop entries sit at positions 51-55 (round-8 window
+#: candidates). Every query rotated OUT is driver-green in
+#: CORRECTNESS_r01..r06 and stays parity-checked at both SFs every round.
+#: tests/test_registry.py pins the rotated-in set.
 PRIORITY: list[str] = [
-    # ------- driver window: 50 never-driver-checked, all oracle-backed ----
+    # ------- driver window (round 7, rotation pass 2 of 2): 50 never-
+    # driver-checked oracle-backed queries — the 32 queued candidates
+    # from round 6 plus the first 18 of the round-6 crop -------
+    "ml_decision_stump",
+    "ml_feature_hashing",
+    "ml_target_encoding_kfold",
+    "ivm_join_delta",
+    "graph_label_prop_communities",
+    "scan_hilbert_layout",
+    "ts_kaplan_meier",
+    "source_xml_events",
+    "sessionize_session_window_batch",
+    "dq_referential_audit",
+    "nested_order_items_hof",
+    "agg_salted_distinct",
+    "graph_bfs_levels",
+    "ts_ltob_downsample",
+    "bitmap_user_retention",
+    "scan_dpp_date_join",
+    "diag_observe_metrics",
+    "alloc_largest_remainder",
+    "sqlscript_doubling_threshold",
+    "diag_huber_location",
+    "knn_matryoshka_recall",
+    "sessionize_incremental_merge",
+    "text_readability_flesch",
+    "embedding_norm_profile_arrow",
+    "ts_rate_limit_audit",
+    "scalar_timezone_dst",
+    "dq_replay_detection",
+    "diag_group_median_arrow",
+    "text_kwic_concordance",
+    "maintenance_retention_prune",
+    "multimodal_features",
+    "knn_cosine_numpy",
+    # (round-6 crop, first 18) -------
+    "graph_sssp_weighted",
+    "knn_ivfpq_adc",
+    "funnel_conversion_rates",
+    "sample_stratified_topk_es",
+    "diag_theil_sen_slope",
+    "ts_cross_correlation",
+    "ts_mann_kendall",
+    "diag_gini_concentration",
+    "diag_mann_whitney_value",
+    "scan_zonemap_audit",
+    "shard_rendezvous_rebalance",
+    "ts_interval_coverage",
+    "ts_segmented_trend_split",
+    "er_blocking_quality",
+    "search_rrf_fusion",
+    "sqlparam_identifier_query",
+    "ab_sprt_monitor",
+    "dq_functional_dependency",
+    # ------- position 51+: remaining never-attested round-6 crop (5,
+    # round-8 window candidates) -------
+    "division_covering_buyers",
+    "text_zipf_fit",
+    "attribution_markov_removal",
+    "dq_table_fingerprint",
+    "scan_delta_varint_estimate",
+    # ------- driver-green in CORRECTNESS_r06 (the round-6 window) -------
     "assoc_rules_copurchase",
     "streak_longest_daily",
     "skyline_pareto_parts",
@@ -121,65 +180,6 @@ PRIORITY: list[str] = [
     "knn_pq_adc",
     "graph_cc_two_phase",
     "multimodal_audio_frame_energy",
-    # ------- position 51+: the round-7 rotation candidates (never
-    # driver-checked, oracle-backed) -------
-    "ml_decision_stump",
-    "ml_feature_hashing",
-    "ml_target_encoding_kfold",
-    "ivm_join_delta",
-    "graph_label_prop_communities",
-    "scan_hilbert_layout",
-    "ts_kaplan_meier",
-    "source_xml_events",
-    "sessionize_session_window_batch",
-    "dq_referential_audit",
-    "nested_order_items_hof",
-    "agg_salted_distinct",
-    "graph_bfs_levels",
-    "ts_ltob_downsample",
-    "bitmap_user_retention",
-    "scan_dpp_date_join",
-    "diag_observe_metrics",
-    "alloc_largest_remainder",
-    "sqlscript_doubling_threshold",
-    "diag_huber_location",
-    "knn_matryoshka_recall",
-    "sessionize_incremental_merge",
-    "text_readability_flesch",
-    "embedding_norm_profile_arrow",
-    "ts_rate_limit_audit",
-    "scalar_timezone_dst",
-    "dq_replay_detection",
-    "diag_group_median_arrow",
-    "text_kwic_concordance",
-    "maintenance_retention_prune",
-    "multimodal_features",
-    "knn_cosine_numpy",
-    # ------- NEW round 6 (parity-attested both SFs; round-7 window
-    # candidates after the 32 above) -------
-    "graph_sssp_weighted",
-    "knn_ivfpq_adc",
-    "funnel_conversion_rates",
-    "sample_stratified_topk_es",
-    "diag_theil_sen_slope",
-    "ts_cross_correlation",
-    "ts_mann_kendall",
-    "diag_gini_concentration",
-    "diag_mann_whitney_value",
-    "scan_zonemap_audit",
-    "shard_rendezvous_rebalance",
-    "ts_interval_coverage",
-    "ts_segmented_trend_split",
-    "er_blocking_quality",
-    "search_rrf_fusion",
-    "sqlparam_identifier_query",
-    "ab_sprt_monitor",
-    "dq_functional_dependency",
-    "division_covering_buyers",
-    "text_zipf_fit",
-    "attribution_markov_removal",
-    "dq_table_fingerprint",
-    "scan_delta_varint_estimate",
     # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
     # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",
@@ -352,8 +352,6 @@ PRIORITY: list[str] = [
     "agg_approx_distinct",
     "sample_stratified",
 ]
-
-
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return
     the registry in deliberate PRIORITY order (dicts preserve insertion

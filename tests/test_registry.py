@@ -9,7 +9,7 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-#: Round-6 window: every slot is oracle-backed (no rows-only entries this
+#: Round-7 window: every slot is oracle-backed (no rows-only entries this
 #: round — the remaining no-oracle queries are rows-only BY DESIGN and sit
 #: in the tail; spending a window slot on a weak rows-only row while 82
 #: oracle-backed queries lack any driver attestation would waste it).
@@ -35,73 +35,74 @@ def test_driver_window_is_oracle_checked_except_documented():
     assert not missing, f"no-oracle queries waste driver window slots: {missing}"
 
 
-#: Round-6 rotation (pass 1 of 2 over the attestation debt): all 50 slots
-#: are first-time attestation — the first 50 of the 82 oracle-backed
-#: queries with no driver-issued green row in CORRECTNESS_r01..r05.
-ROTATED_IN_R6_FIRST_TIME = [
-    "assoc_rules_copurchase",
-    "streak_longest_daily",
-    "skyline_pareto_parts",
-    "auc_label_separability",
-    "pmi_collocations",
-    "ts_ewma_daily",
-    "lateral_topk_per_brand",
-    "sql_udf_net_margin",
-    "ml_nb_lang_confusion",
-    "source_binary_blobs",
-    "seq_regex_funnel",
-    "diag_benford_first_digit",
-    "ts_rolling_median7",
-    "ts_autocorrelation",
-    "diag_entropy_profile",
-    "diag_chi2_independence",
-    "diag_iqr_outliers",
-    "graph_link_prediction",
-    "agg_filter_clause",
-    "ml_logreg_gd",
-    "golden_record_customers",
-    "ts_seasonal_decompose",
-    "segment_overlap_jaccard",
-    "attribution_time_decay",
-    "diag_woe_binning",
-    "ml_calibration_bins",
-    "tfidf_cosine_pairs",
-    "ts_holt_linear",
-    "diag_equidepth_histogram",
-    "agg_share_of_parent",
-    "join_shuffle_hash_hint",
-    "agg_group_by_all",
-    "join_null_safe",
-    "dim_date_build",
-    "agg_mode_daily",
-    "ts_seasonal_anomaly",
-    "seq_run_length_encode",
-    "funnel_within_window",
-    "sample_weighted_es",
-    "ts_purchase_latency",
-    "ts_gap_fill_linear",
-    "multimodal_color_to_gray",
-    "ml_pca_power_iteration",
-    "quantile_exact_twopass",
-    "sqlvar_dynamic_threshold",
-    "transpose_band_metrics",
-    "lm_kneser_ney_bigram",
-    "knn_pq_adc",
-    "graph_cc_two_phase",
-    "multimodal_audio_frame_energy",
+#: Round-7 rotation (pass 2 of 2 over the attestation debt): all 50 slots
+#: are first-time attestation — the 32 candidates queued at positions
+#: 51-82 last round plus the first 18 of the round-6 crop; none has a
+#: driver-issued green row in CORRECTNESS_r01..r06.
+ROTATED_IN_R7_FIRST_TIME = [
+    "ml_decision_stump",
+    "ml_feature_hashing",
+    "ml_target_encoding_kfold",
+    "ivm_join_delta",
+    "graph_label_prop_communities",
+    "scan_hilbert_layout",
+    "ts_kaplan_meier",
+    "source_xml_events",
+    "sessionize_session_window_batch",
+    "dq_referential_audit",
+    "nested_order_items_hof",
+    "agg_salted_distinct",
+    "graph_bfs_levels",
+    "ts_ltob_downsample",
+    "bitmap_user_retention",
+    "scan_dpp_date_join",
+    "diag_observe_metrics",
+    "alloc_largest_remainder",
+    "sqlscript_doubling_threshold",
+    "diag_huber_location",
+    "knn_matryoshka_recall",
+    "sessionize_incremental_merge",
+    "text_readability_flesch",
+    "embedding_norm_profile_arrow",
+    "ts_rate_limit_audit",
+    "scalar_timezone_dst",
+    "dq_replay_detection",
+    "diag_group_median_arrow",
+    "text_kwic_concordance",
+    "maintenance_retention_prune",
+    "multimodal_features",
+    "knn_cosine_numpy",
+    "graph_sssp_weighted",
+    "knn_ivfpq_adc",
+    "funnel_conversion_rates",
+    "sample_stratified_topk_es",
+    "diag_theil_sen_slope",
+    "ts_cross_correlation",
+    "ts_mann_kendall",
+    "diag_gini_concentration",
+    "diag_mann_whitney_value",
+    "scan_zonemap_audit",
+    "shard_rendezvous_rebalance",
+    "ts_interval_coverage",
+    "ts_segmented_trend_split",
+    "er_blocking_quality",
+    "search_rrf_fusion",
+    "sqlparam_identifier_query",
+    "ab_sprt_monitor",
+    "dq_functional_dependency",
 ]
 
 
-def test_round6_rotation_sits_in_driver_window():
+def test_round7_rotation_sits_in_driver_window():
     from logflow.queries import load_all
 
     window = list(load_all())[:DRIVER_WINDOW]
-    assert len(ROTATED_IN_R6_FIRST_TIME) == DRIVER_WINDOW
-    missing = [n for n in ROTATED_IN_R6_FIRST_TIME if n not in window]
+    assert len(ROTATED_IN_R7_FIRST_TIME) == DRIVER_WINDOW
+    missing = [n for n in ROTATED_IN_R7_FIRST_TIME if n not in window]
     assert not missing, f"rotated-in queries fell out of the window: {missing}"
 
 
-def test_round6_rotation_is_first_time_attestation():
+def test_round7_rotation_is_first_time_attestation():
     """Every window slot must be spent on a query with no prior
     driver-issued green row (the rotation's whole point)."""
     import json
@@ -109,13 +110,13 @@ def test_round6_rotation_is_first_time_attestation():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("rows_match") and row.get("err") is None:
                     green.add(name)
-    already = [n for n in ROTATED_IN_R6_FIRST_TIME if n in green]
+    already = [n for n in ROTATED_IN_R7_FIRST_TIME if n in green]
     assert not already, f"window slots wasted on already-attested queries: {already}"
 
 
