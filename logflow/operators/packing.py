@@ -8,54 +8,157 @@ whole table into ONE task, which is exactly what dies at 100 TB.
 
 Scalable form (two-phase, the textbook distributed prefix-sum):
 
-1. range-repartition by the order key (Spark's sort machinery — samples
-   key quantiles, so partitions are balanced and key-ordered ACROSS
-   partitions);
-2. local running sum per partition (window partitioned by
-   `spark_partition_id()` — parallel, no cross-partition traffic);
-3. per-partition totals (tiny frame: one row per partition) get their own
+1. split the key domain into range buckets whose edges are DETERMINISTIC
+   constants (driver-collected approxQuantile of the leading key, inlined
+   into the plan as literals — balanced-ish buckets, and crucially the
+   SAME bucket id for a row on every traversal of the plan);
+2. local running sum per bucket (window partitioned by the bucket id —
+   parallel, no cross-bucket traffic);
+3. per-bucket totals (tiny frame: one row per bucket) get their own
    running sum on the driver-scale side, then broadcast-join back as
    offsets.
 
-Total shuffled data beyond the sort itself: one row per partition.
+The bucket id is a pure function of the row's key against literal edges.
+An earlier form used ``repartitionByRange`` + ``spark_partition_id()``;
+that partition id is NOT stable across the two traversals of the subtree
+(offsets branch vs. main branch): AQE may coalesce the identical shuffle
+differently per traversal, mis-keying the offset join and silently
+dropping/duplicating rows (observed at sf0.1: the natural-order zonemap
+branch lost ~half its rows, varying run to run).  Literal quantile edges
+make the bucket assignment plan-independent.
+
+Total extra work beyond the sort itself: one approxQuantile pass over the
+leading key + one row per bucket shuffled.  Bucket count defaults to
+``spark.sql.shuffle.partitions`` so per-bucket task size tracks cluster
+sizing at 100 TB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _leading_numeric(df: DataFrame, key: str) -> Column:
+    """A numeric expression order-consistent with ``key`` (timestamps →
+    epoch micros; numerics pass through)."""
+    dt = df.schema[key].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        # unix_micros rejects NTZ; timestampdiff from the NTZ epoch is the
+        # exact monotone micros mapping with no timezone involved.
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {key})"
+        )
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(key))
+    if isinstance(dt, T.DateType):
+        return F.unix_date(F.col(key))
+    return F.col(key)
+
+
+def range_bucket_ids(
+    df: DataFrame, keys: list[str], out_col: str = "__pid", n_buckets: int | None = None
+) -> DataFrame:
+    """Attach a deterministic range-bucket id: ``out_col`` is monotone
+    nondecreasing in the lexicographic ``keys`` order, with edges taken
+    from a driver-side approxQuantile of the leading key (inlined literal
+    constants — identical on every traversal of the resulting plan).
+
+    Rows sharing the leading-key value always share a bucket, so a
+    per-bucket ``ORDER BY keys`` window concatenated in bucket order is a
+    true global sort.
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    lead = _leading_numeric(df, keys[0])
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    edges = df.select(lead.alias("__lead")).stat.approxQuantile("__lead", probes, 0.001)
+    uniq: list[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
+    pid = F.lit(0)
+    for e in uniq:
+        pid = pid + F.when(lead > F.lit(e), 1).otherwise(0)
+    return df.withColumn(out_col, pid.cast("int"))
+
+
+def _offset_join(bucketed: DataFrame, value_col: Column) -> DataFrame:
+    """Broadcast per-bucket prefix totals back onto the bucketed frame.
+
+    ``bucketed`` must carry ``__pid``; ``value_col`` is the quantity whose
+    per-bucket totals are prefix-summed.  Adds ``__offset`` (sum of prior
+    buckets' totals) and ``__grand`` (the global total) to every row.
+    """
+    totals_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    all_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # One row per bucket; the single-task windows here are bounded by the
+    # bucket count, not the data.
+    offsets = (
+        bucketed.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__ptotal"))
+        .select(
+            "__pid",
+            (F.sum("__ptotal").over(totals_w) - F.col("__ptotal")).alias("__offset"),
+            F.sum("__ptotal").over(all_w).cast("long").alias("__grand"),
+        )
+    )
+    return bucketed.join(F.broadcast(offsets), "__pid")
 
 
 def global_running_sum(
     df: DataFrame, order_col: str, value_col: str, out_col: str = "running"
 ) -> DataFrame:
     """Cumulative sum of ``value_col`` in ``order_col`` order, inclusive of
-    the current row — distributed via range partitioning + offset join."""
-    parted = df.repartitionByRange(F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    the current row — distributed via deterministic range buckets + offset
+    join."""
+    bucketed = range_bucket_ids(df, [order_col])
     local_w = (
         Window.partitionBy("__pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = parted.withColumn("__local", F.sum(value_col).over(local_w))
-    totals_w = (
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # One row per partition: the single-task window here is over ~hundreds
-    # of rows regardless of table size.
-    offsets = (
-        local.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__ptotal"))
-        .withColumn("__offset", F.sum("__ptotal").over(totals_w) - F.col("__ptotal"))
-        .select("__pid", "__offset")
-    )
+    local = bucketed.withColumn("__local", F.sum(value_col).over(local_w))
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        _offset_join(local, F.col(value_col))
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
-        .drop("__pid", "__local")
+        .drop("__pid", "__local", "__offset", "__grand")
     )
+
+
+def global_row_number(
+    df: DataFrame, keys: list[str], out_col: str = "rn", total_col: str | None = None
+) -> DataFrame:
+    """Global 1-indexed ``row_number()`` under ``ORDER BY keys`` without a
+    single-partition sort — deterministic range buckets on the leading
+    key, per-bucket ``row_number``, broadcast prefix-count offsets.
+
+    ``keys`` must be a unique composite (ties would make the total order,
+    and hence the positions, ill-defined).  When ``total_col`` is given the
+    output also carries the table's total row count on every row (derived
+    from the same per-bucket totals frame — no extra pass or 1-row
+    crossJoin needed by callers that, e.g., turn positions into ntile
+    buckets).
+    """
+    bucketed = range_bucket_ids(df, keys)
+    local_w = Window.partitionBy("__pid").orderBy(*keys)
+    local = bucketed.withColumn("__local", F.row_number().over(local_w))
+    out = (
+        _offset_join(local, F.lit(1))
+        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
+    if total_col is not None:
+        out = out.withColumnRenamed("__grand", total_col)
+    else:
+        out = out.drop("__grand")
+    return out
 
 
 def token_shards(

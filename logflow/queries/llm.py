@@ -2904,7 +2904,7 @@ def sample_stratified_topk_es(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "er_blocking_quality",
     """
-WITH s AS (SELECT DISTINCT p_name FROM part),
+WITH s AS (SELECT DISTINCT p_name FROM part ORDER BY p_name LIMIT 256),
 pairs AS (
   SELECT a.p_name AS na, b.p_name AS nb,
          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS d,
@@ -2943,14 +2943,17 @@ ORDER BY scheme
     "equality (fuzzy_match's key) and 3-char-prefix equality. The "
     "part-name domain is VOCABULARY-bounded (64 distinct names at "
     "every SF — all-pairs is ~2k rows however big the fact table "
-    "gets); a domain that grew with data would get the mod-sampled "
-    "subset contract (dedup_ngram_jaccard's). All counts exact "
+    "gets) AND capped by explicit contract at the 256 "
+    "lexicographically-first names (ORDER BY p_name LIMIT 256 both "
+    "engines — the dedup_ngram_jaccard bounded-verification pattern), "
+    "so the all-pairs side can never exceed ~32k rows even if a "
+    "future generator widened the vocabulary. All counts exact "
     "BIGINTs; Levenshtein is the identical classic DP in both "
     "engines; ratios are identical quotients, NULLIF-guarded.",
 )
 def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
-    s = part.select("p_name").distinct()
+    s = part.select("p_name").distinct().orderBy("p_name").limit(256)
     a, b = s.alias("a"), s.alias("b")
     toks_last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
     pairs = a.join(b, F.col("a.p_name") < F.col("b.p_name")).select(

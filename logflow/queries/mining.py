@@ -842,12 +842,14 @@ ORDER BY channel
     "probabilities are exact-integer-count ratios pivoted into FIXED "
     f"columns, the chain is unrolled {_MK_STEPS} fixed steps with an "
     "explicit left-associated term order per state (never a SUM over "
-    "grouped rows, whose float accumulation order is engine-chosen), "
-    "and all five scenarios (full + 4 removals) extend one 1-row "
-    "frame. At 100 TB: the journeys pass is one user-partitioned "
-    "window, transitions a tiny groupBy; the chain math is "
-    "CONSTANT-size (state-count columns on one row) regardless of "
-    "data volume.",
+    "grouped rows, whose float accumulation order is engine-chosen; "
+    "+/* are exactly-rounded IEEE ops so the same tree is "
+    "bit-identical in Python, Spark, and DuckDB), and rounding stays "
+    "engine-side. At 100 TB: the journeys pass is one user-"
+    "partitioned window, transitions a tiny groupBy; the collected "
+    "transition matrix is CONSTANT-size (state-count^2 doubles on one "
+    "row) regardless of data volume, so the chain math is bounded "
+    "driver work like the collected PQ codebooks.",
 )
 def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -880,72 +882,88 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("cur", 1, "start").over(w).alias("prev"),
         F.lead("cur").over(w).alias("nxt"),
     )
-    trans = (
-        seq.groupBy(F.col("prev").alias("src"), F.col("cur").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .unionByName(
-            seq.filter(F.col("nxt").isNull() & (F.col("cur") != "conv"))
-            .groupBy(F.col("cur").alias("src"))
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-            .select("src", F.lit("null").alias("dst"), "cnt")
-        )
-    )
-    # pivot to fixed probability columns (1 row)
+    # Pivot to fixed probability columns in ONE conditional aggregation
+    # straight off the window output (a single pass; the previous
+    # groupBy-UNION-groupBy form consumed `seq` twice, recomputing the
+    # user window per branch). The terminal "null" pseudo-transition only
+    # ever affects the DENOMINATOR (it is never a p_{s,t} numerator), so
+    # tot(s) = #(prev = s) + #(terminal rows with cur = s). All counts are
+    # exact integer sums — order-independent, identical in both engines.
     aggs = []
+    terminal = F.col("nxt").isNull() & (F.col("cur") != "conv")
     for s in ["start"] + _MK_CHANNELS:
-        tot = F.sum(F.when(F.col("src") == s, F.col("cnt")).otherwise(0))
+        tot = (
+            F.sum(F.when(F.col("prev") == s, 1).otherwise(0))
+            + F.sum(F.when(terminal & (F.col("cur") == s), 1).otherwise(0))
+        ).cast("long")
         for t in _MK_CHANNELS + ["conv"]:
             num = F.sum(
-                F.when((F.col("src") == s) & (F.col("dst") == t), F.col("cnt")).otherwise(0)
-            )
+                F.when((F.col("prev") == s) & (F.col("cur") == t), 1).otherwise(0)
+            ).cast("long")
             aggs.append(
                 F.coalesce(
                     num.cast("double") / F.nullif(tot, F.lit(0)), F.lit(0.0)
                 ).alias(f"p_{s}_{t}")
             )
-    tm = trans.agg(*aggs)
+    # The transition matrix is CONSTANT-size regardless of data volume:
+    # (1+channels) x (channels+1) doubles on ONE row. Collect it (bounded,
+    # like the 16-row PQ codebooks in llm.py) and run the K-step chain in
+    # Python. The previous form unrolled the 5 scenarios x 12 steps as 60
+    # chained Spark selects over a growing ~280-column projection; Catalyst
+    # re-analysis of that plan cost ~13 s DRIVER-side at any SF (20.9 s
+    # total at sf0.1). The chain arithmetic below keeps the oracle's exact
+    # left-associated term order — +/* are exactly-rounded IEEE ops, so
+    # Python, Spark, and DuckDB produce bit-identical doubles for the same
+    # expression tree. Rounding stays ENGINE-side (Spark F.round is
+    # half-away-from-zero like DuckDB ROUND; Python round() is half-to-even
+    # and must not be used — CLAUDE.md determinism rules).
+    p = seq.agg(*aggs).first().asDict()
 
-    def run_chain(df: DataFrame, tag: str, removed: str | None) -> DataFrame:
+    def run_chain(removed: str | None) -> float:
         states = ["start"] + [c for c in _MK_CHANNELS if c != removed]
+        x_prev: dict[str, float] = {}
         for k in range(1, _MK_STEPS + 1):
-            exprs = [F.col("*")]
+            x_cur: dict[str, float] = {}
             for s in states:
-                if k == 1:
-                    e = F.col(f"p_{s}_conv")
-                else:
-                    e = F.col(f"p_{s}_conv")
+                e = p[f"p_{s}_conv"]
+                if k > 1:
                     for t in _MK_CHANNELS:
                         if t != removed:
-                            e = e + F.col(f"p_{s}_{t}") * F.col(f"x{tag}{k - 1}_{t}")
-                exprs.append(e.alias(f"x{tag}{k}_{s}"))
-            df = df.select(*exprs)
-        return df
+                            e = e + p[f"p_{s}_{t}"] * x_prev[t]
+                x_cur[s] = e
+            x_prev = x_cur
+        return x_prev["start"]
 
-    df = run_chain(tm, "f", None)
-    for ch in _MK_CHANNELS:
-        df = run_chain(df, ch[0], ch)
-    K = _MK_STEPS
-    full = F.col(f"xf{K}_start")
+    full = run_chain(None)
+    removed = {ch: run_chain(ch) for ch in _MK_CHANNELS}
 
-    def eff(ch: str):
-        return F.greatest(
-            F.lit(1.0) - F.col(f"x{ch[0]}{K}_start") / F.nullif(full, F.lit(0.0)),
-            F.lit(0.0),
-        )
+    def eff(ch: str) -> float:
+        # GREATEST(1.0 - removed/NULLIF(full, 0.0), 0.0): both engines'
+        # GREATEST skips NULL, so full == 0 degenerates to 0.0.
+        if full == 0.0:
+            return 0.0
+        return max(1.0 - removed[ch] / full, 0.0)
 
     total_eff = eff(_MK_CHANNELS[0])
     for ch in _MK_CHANNELS[1:]:
         total_eff = total_eff + eff(ch)
-    rows = None
-    for ch in _MK_CHANNELS:
-        r = df.select(
-            F.lit(ch).alias("channel"),
-            F.round(full, 6).alias("p_conv_full"),
-            F.round(F.col(f"x{ch[0]}{K}_start"), 6).alias("p_conv_removed"),
-            F.round(eff(ch), 6).alias("removal_effect"),
-            F.round(eff(ch) / F.nullif(total_eff, F.lit(0.0)), 4).alias(
-                "attribution_share"
-            ),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows.orderBy("channel")
+    out = spark.createDataFrame(
+        [
+            (
+                ch,
+                full,
+                removed[ch],
+                eff(ch),
+                (eff(ch) / total_eff) if total_eff != 0.0 else None,
+            )
+            for ch in _MK_CHANNELS
+        ],
+        "channel string, full double, rm double, eff double, sh double",
+    )
+    return out.select(
+        "channel",
+        F.round("full", 6).alias("p_conv_full"),
+        F.round("rm", 6).alias("p_conv_removed"),
+        F.round("eff", 6).alias("removal_effect"),
+        F.round("sh", 4).alias("attribution_share"),
+    ).orderBy("channel")

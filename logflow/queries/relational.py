@@ -4692,23 +4692,42 @@ ORDER BY layout
     "everything, the natural one nearly nothing — the number that "
     "justifies paying scan_zorder_layout's sort. All counts exact "
     "BIGINTs; timestamps compare exactly; ntile over unique-key "
-    "total orders is positional and engine-identical. The clustering "
-    "sort is row-scale by design (it IS the operation under audit); "
-    "the audit itself is bucket-scale.",
+    "total orders is positional and engine-identical. Spark side: "
+    "ntile is NOT computed with a partitionless window (a "
+    "single-task sort of the whole fact at scale) — each layout's "
+    "bucket id is derived from the exact global 0-indexed position "
+    "via operators/packing.global_row_number (deterministic "
+    "quantile-edge range buckets + per-bucket row_number + broadcast "
+    "prefix-count offsets, the textbook two-phase form with "
+    "plan-stable bucket ids) and the closed-form ntile bucket "
+    "formula (first n%N buckets get one extra row); identical "
+    "output, parallel sort.",
 )
 def scan_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
-    w_nat = Window.orderBy("l_orderkey", "l_linenumber")
-    w_date = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    b = li.select(
-        "l_shipdate",
-        F.ntile(_ZM_BUCKETS).over(w_nat).alias("bk_nat"),
-        F.ntile(_ZM_BUCKETS).over(w_date).alias("bk_date"),
-    )
+    from logflow.operators.packing import global_row_number
 
-    def zones(col: str, layout: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def zones(keys: list[str], layout: str) -> DataFrame:
+        g = global_row_number(
+            li.select("l_shipdate", "l_orderkey", "l_linenumber"),
+            keys,
+            out_col="__rn",
+            total_col="__n",
+        )
+        # closed-form ntile(N) from the exact global position: with
+        # q = n DIV N, r = n % N, the first r buckets hold q+1 rows.
+        # p DIV (q+1) / DIV q is exact integer arithmetic (no doubles);
+        # CASE branches evaluate lazily, so the q=0 division is never
+        # reached (p < r implies the first branch when q == 0).
+        bucket = F.expr(
+            f"CASE WHEN (__rn - 1) < (__n % {_ZM_BUCKETS}) * (__n DIV {_ZM_BUCKETS} + 1) "
+            f"THEN (__rn - 1) DIV (__n DIV {_ZM_BUCKETS} + 1) "
+            f"ELSE (__n % {_ZM_BUCKETS}) + ((__rn - 1) - (__n % {_ZM_BUCKETS}) * (__n DIV {_ZM_BUCKETS} + 1)) DIV (__n DIV {_ZM_BUCKETS}) "
+            f"END + 1"
+        )
         return (
-            b.groupBy(F.col(col).alias("bk"))
+            g.groupBy(bucket.cast("int").alias("bk"))
             .agg(
                 F.min("l_shipdate").alias("mn"),
                 F.max("l_shipdate").alias("mx"),
@@ -4721,7 +4740,9 @@ def scan_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("MIN(l_shipdate) + INTERVAL 30 DAY").alias("plo"),
         F.expr("MIN(l_shipdate) + INTERVAL 60 DAY").alias("phi"),
     )
-    both = zones("bk_nat", "natural").unionByName(zones("bk_date", "date-clustered"))
+    both = zones(["l_orderkey", "l_linenumber"], "natural").unionByName(
+        zones(["l_shipdate", "l_orderkey", "l_linenumber"], "date-clustered")
+    )
     pruned = F.when((F.col("mx") < F.col("plo")) | (F.col("mn") > F.col("phi")), 1).otherwise(0)
     scanned = F.when((F.col("mx") < F.col("plo")) | (F.col("mn") > F.col("phi")), 0).otherwise(
         F.col("c")

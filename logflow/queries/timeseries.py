@@ -1809,9 +1809,9 @@ pre AS (
   FROM idx
   WINDOW w AS (PARTITION BY event_type ORDER BY i)),
 tot AS (
-  SELECT event_type, MAX(n) AS n, MAX(sx) AS tx, MAX(sy) AS ty,
-         MAX(sxx) AS txx, MAX(sxy) AS txy, MAX(syy) AS tyy
-  FROM pre GROUP BY event_type),
+  SELECT event_type, n, sx AS tx, sy AS ty,
+         sxx AS txx, sxy AS txy, syy AS tyy
+  FROM pre WHERE i = n),
 parts AS (
   SELECT p.event_type, p.day, p.i AS k, t.n,
          CAST(p.syy AS DOUBLE) - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE) / CAST(p.i AS DOUBLE) AS a_l,
@@ -1890,13 +1890,19 @@ def ts_segmented_trend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("i") * F.col("y")).over(wc).cast("long").alias("sxy"),
         F.sum(F.col("y") * F.col("y")).over(wc).cast("long").alias("syy"),
     )
-    tot = pre.groupBy("event_type").agg(
-        F.max("n").alias("tn"),
-        F.max("sx").alias("tx"),
-        F.max("sy").alias("ty"),
-        F.max("sxx").alias("txx"),
-        F.max("sxy").alias("txy"),
-        F.max("syy").alias("tyy"),
+    # Totals come from the LAST prefix row (i = n), never MAX over the
+    # cumulative sums: MAX(sy)/MAX(sxy) equal the true totals only while
+    # daily y is nonnegative (cumulative sums monotone) — a regenerated
+    # distribution with negative daily sums would silently corrupt both
+    # SSEs and the chosen split.
+    tot = pre.filter(F.col("i") == F.col("n")).select(
+        "event_type",
+        F.col("n").alias("tn"),
+        F.col("sx").alias("tx"),
+        F.col("sy").alias("ty"),
+        F.col("sxx").alias("txx"),
+        F.col("sxy").alias("txy"),
+        F.col("syy").alias("tyy"),
     )
 
     def cmoms(s2, s, w_, n_):

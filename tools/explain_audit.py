@@ -151,6 +151,33 @@ WHITELIST: dict[str, dict[str, str]] = {
     "diag_psi_value_drift": {
         "bnlj": "crossJoin of the 10-row literal bin grid (spark.range(10))"
     },
+    "knn_ivfpq_adc": {
+        "bnlj": "broadcast sides are the trained coarse-centroid set "
+        "(8 rows) and the 16-row PQ codebook — the IVF route + ADC "
+        "scoring pattern shared with knn_ivf_kmeans / knn_pq_adc"
+    },
+    "scan_zonemap_audit": {
+        "bnlj": "crossJoin of the 1-row global min/max bounds aggregate "
+        "(the zone-map probe predicate broadcast)"
+    },
+    "er_blocking_quality": {
+        "bnlj": "ground-truth all-pairs join over DISTINCT p_name, capped "
+        "by explicit ORDER BY/LIMIT 256 contract (~32k pairs max; 64 "
+        "names in this generator) — the bounded-verification pattern of "
+        "dedup_ngram_jaccard"
+    },
+    "search_rrf_fusion": {
+        "bnlj": "crossJoin of the 1-row corpus-stats (N, avgdl) aggregate "
+        "feeding both the BM25 and query-likelihood rankers"
+    },
+    "ts_cross_correlation": {
+        "bnlj": "crossJoin of the constant 4-row lag table (lags 0-3 "
+        "fan-out by design, the ts_autocorrelation pattern)"
+    },
+    "diag_mann_whitney_value": {
+        "bnlj": "crossJoin of the 1-row global rank-stats aggregate "
+        "(one-vs-rest U normalizer)"
+    },
     "trace_tree_edges": {
         "hof-in-filter": "inferred isnotnull join constraints re-inline the "
         "b3 header parse (a few string ops per row); constraint inference "
