@@ -551,6 +551,61 @@ def ppm_to_gray_pgm(media: DataFrame) -> DataFrame:
     return media.mapInPandas(conv, "media_id long, payload binary")
 
 
+def ppm_color_gray_stats(media: DataFrame) -> DataFrame:
+    """Fused color pipeline: P6 parse → per-channel means → integer ITU-R
+    601 luma → re-encode as a REAL P5 payload → P5 parse → gray mean, all
+    in ONE Arrow pass.  Identical codec steps to decode_ppm_channels +
+    ppm_to_gray_pgm + decode_pgm composed, without synthesizing the corpus
+    twice or joining the two decode branches on media_id (the join was the
+    only shuffle in the query — fused, the whole pipeline is map-side)."""
+    import pandas as pd
+
+    def stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                k: []
+                for k in (
+                    "media_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "mean_gray",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, maxval, img = _parse_ppm(bytes(payload))
+                n = w * h
+                px = img.astype("int64")
+                luma = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                # Round-trip through the genuine P5 container so the gray
+                # mean is measured from decoded bytes, not the luma array.
+                gray_payload = (
+                    f"P5\n{w} {h}\n{maxval}\n".encode() + luma.astype("uint8").tobytes()
+                )
+                gw, gh, _gm, gpix = _parse_pgm(gray_payload)
+                if (gw, gh) != (w, h):
+                    raise ValueError("gray round-trip dimension mismatch")
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                for ci, col in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[col].append(int(img[:, :, ci].sum(dtype="int64")) / n)
+                out["mean_gray"].append(int(gpix.sum(dtype="int64")) / n)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, width long, height long, mean_r double, "
+        "mean_g double, mean_b double, mean_gray double",
+    )
+
+
 def wav_frame_features(media: DataFrame, frame_len: int = 128) -> DataFrame:
     """Frame-level audio features from REAL WAV payloads: per full frame
     of ``frame_len`` PCM samples, the exact integer energy

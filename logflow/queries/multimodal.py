@@ -314,36 +314,26 @@ FROM px
     "(channel c of pixel i is byte 3i+c) and the luma mean with the "
     "same integer division, so a hash match proves header parsing, "
     "channel de-interleaving, and the colorspace conversion byte-exact "
-    "through two real formats. At 100 TB: three Arrow-batched map-side "
-    "passes, zero shuffle.",
+    "through two real formats. At 100 TB: synthesize + one fused "
+    "Arrow decode pass (operators/multimodal.py:ppm_color_gray_stats) "
+    "— zero shuffle; the earlier form synthesized the corpus twice "
+    "and joined the color/gray decode branches on media_id.",
 )
 def multimodal_color_to_gray(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logflow.operators.multimodal import (
-        decode_pgm,
-        decode_ppm_channels,
-        ppm_to_gray_pgm,
-        synthesize_ppm,
-    )
+    from logflow.operators.multimodal import ppm_color_gray_stats, synthesize_ppm
 
     docs = load_table(spark, "documents", sf_dir).select(
         F.col("doc_id").alias("media_id")
     )
-    color = synthesize_ppm(docs)
-    ch = decode_ppm_channels(color)
-    gray = decode_pgm(ppm_to_gray_pgm(synthesize_ppm(docs))).select(
-        "media_id", F.col("mean_pixel").alias("mean_gray")
-    )
-    return (
-        ch.join(gray, "media_id")
-        .select(
-            "media_id",
-            "width",
-            "height",
-            F.round("mean_r", 4).alias("mean_r"),
-            F.round("mean_g", 4).alias("mean_g"),
-            F.round("mean_b", 4).alias("mean_b"),
-            F.round("mean_gray", 4).alias("mean_gray"),
-        )
+    stats = ppm_color_gray_stats(synthesize_ppm(docs))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("mean_gray", 4).alias("mean_gray"),
     )
 
 
