@@ -161,6 +161,28 @@ def global_row_number(
     return out
 
 
+def global_ntile(
+    df: DataFrame, keys: list[str], n_tiles: int, out_col: str = "tile"
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY keys)`` without a
+    single-partition sort: global positions from :func:`global_row_number`
+    plus the closed-form ntile bucket formula (with q = n DIV t and
+    r = n % t, the first r buckets hold q+1 rows — SQL-standard, matching
+    Spark and DuckDB ntile exactly).  ``keys`` must be a unique composite.
+    """
+    n = int(n_tiles)
+    g = global_row_number(df, keys, out_col="__rn", total_col="__n")
+    # CASE branches evaluate lazily, so the q=0 division is never reached
+    # (p < r implies the first branch when q == 0).
+    bucket = F.expr(
+        f"CASE WHEN (__rn - 1) < (__n % {n}) * (__n DIV {n} + 1) "
+        f"THEN (__rn - 1) DIV (__n DIV {n} + 1) "
+        f"ELSE (__n % {n}) + ((__rn - 1) - (__n % {n}) * (__n DIV {n} + 1)) DIV (__n DIV {n}) "
+        f"END + 1"
+    )
+    return g.withColumn(out_col, bucket.cast("int")).drop("__rn", "__n")
+
+
 def token_shards(
     df: DataFrame, id_col: str, token_count_col: str, budget: int
 ) -> DataFrame:

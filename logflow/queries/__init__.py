@@ -351,6 +351,10 @@ PRIORITY: list[str] = [
     "agg_cube_orders",
     "agg_approx_distinct",
     "sample_stratified",
+    # ------- round-7 frontier (tail; round-8+ window candidates) -------
+    "assoc_rules_triples",
+    "rfm_quintile_segments",
+    "temporal_reachability_hops",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

@@ -846,3 +846,112 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_fp", "node")
         .limit(_SSSP_TOPK)
     )
+
+
+@register(
+    "temporal_reachability_hops",
+    """
+WITH e AS (
+  SELECT user_id AS u, ts, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events),
+contacts AS (
+  SELECT a.u AS su, a.ts AS st, b.u AS du, b.ts AS dt
+  FROM e a JOIN e b
+    ON a.k = b.k AND b.ts > a.ts
+   AND b.ts <= a.ts + INTERVAL 1 HOUR AND a.u <> b.u),
+s0 AS (SELECT u, MIN(ts) AS arr FROM e WHERE event_type = 'error' GROUP BY u),
+h1 AS (SELECT du AS u, MIN(dt) AS arr FROM s0
+       JOIN contacts ON contacts.su = s0.u AND contacts.st >= s0.arr
+       GROUP BY du),
+s1 AS (SELECT u, MIN(arr) AS arr
+       FROM (SELECT * FROM s0 UNION ALL SELECT * FROM h1) GROUP BY u),
+h2 AS (SELECT du AS u, MIN(dt) AS arr FROM s1
+       JOIN contacts ON contacts.su = s1.u AND contacts.st >= s1.arr
+       GROUP BY du),
+s2 AS (SELECT u, MIN(arr) AS arr
+       FROM (SELECT * FROM s1 UNION ALL SELECT * FROM h2) GROUP BY u),
+h3 AS (SELECT du AS u, MIN(dt) AS arr FROM s2
+       JOIN contacts ON contacts.su = s2.u AND contacts.st >= s2.arr
+       GROUP BY du),
+s3 AS (SELECT u, MIN(arr) AS arr
+       FROM (SELECT * FROM s2 UNION ALL SELECT * FROM h3) GROUP BY u)
+SELECT hop, n_users FROM (
+  SELECT CAST(0 AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+  UNION ALL
+  SELECT 1, CAST(COUNT(*) AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3)
+ORDER BY hop
+""",
+    doc="TIME-RESPECTING reachability over a temporal contact graph — the "
+    "temporal twin of graph_walks_recursive_cte: how far does an "
+    "incident propagate when every hop must happen AFTER the previous "
+    "one arrived? Contacts: u→v if u touched page k (events.props) and "
+    "v touched the SAME page within the following hour. Seeds: each "
+    "user's first 'error' event. Three unrolled earliest-arrival "
+    "Bellman-Ford rounds (state = min arrival per user; the earliest "
+    "arrival dominates — any hop feasible from a later arrival is "
+    "feasible from an earlier one), reporting cumulative users reached "
+    "per hop. All joins are equi (page key / user key) with a 1-hour "
+    "band predicate; arrival timestamps are exact data values and MIN "
+    "is order-independent, so the oracle unrolls the same rounds as "
+    "plain CTEs. At 100 TB: the contact join is the bounded-window "
+    "interval join (the streaming twin holds watermarked state), built "
+    "ONCE and persisted across rounds; frontier state is one row per "
+    "reached user; each round is one user-keyed shuffle — the Pregel "
+    "layout of graph_pagerank_parts with time as the frontier filter.",
+)
+def temporal_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        F.col("user_id").alias("u"),
+        "ts",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    a = e.select(F.col("u").alias("su"), F.col("ts").alias("st"), "k")
+    b = e.select(
+        F.col("u").alias("du"), F.col("ts").alias("dt"), F.col("k").alias("k2")
+    )
+    contacts = (
+        a.join(b, (F.col("k") == F.col("k2")))
+        .filter(
+            (F.col("dt") > F.col("st"))
+            & (F.col("dt") <= F.col("st") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("su") != F.col("du"))
+        )
+        .select("su", "st", "du", "dt")
+    )
+    # iteration-invariant edge table feeding 3 frontier joins
+    contacts = track(contacts.persist())
+    contacts.count()
+    s = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("u")
+        .agg(F.min("ts").alias("arr"))
+    )
+    # each round's state is user-scale (tiny) but feeds the next round's
+    # join, the min-merge union, AND its count branch — persist per the
+    # multi-consumer lineage rule
+    s = track(s.persist())
+    states = [s]
+    for _ in range(3):
+        h = (
+            s.join(contacts, (s["u"] == contacts["su"]) & (contacts["st"] >= s["arr"]))
+            .groupBy("du")
+            .agg(F.min("dt").alias("arr"))
+            .select(F.col("du").alias("u"), "arr")
+        )
+        s = s.unionByName(h).groupBy("u").agg(F.min("arr").alias("arr"))
+        s = track(s.persist())
+        states.append(s)
+    counts = None
+    for hop, st in enumerate(states):
+        c = st.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(hop).cast("long").alias("hop"), "n_users"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts.orderBy("hop")

@@ -967,3 +967,241 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("eff", 6).alias("removal_effect"),
         F.round("sh", 4).alias("attribution_share"),
     ).orderBy("channel")
+
+
+@register(
+    "assoc_rules_triples",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c_i FROM li GROUP BY l_partkey),
+freq AS (SELECT l_orderkey, li.l_partkey, c_i
+         FROM li JOIN item ON li.l_partkey = item.l_partkey WHERE c_i >= 2),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+p2 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM freq a JOIN freq b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2),
+items2 AS (SELECT DISTINCT pa AS pk FROM p2 UNION SELECT DISTINCT pb FROM p2),
+b2 AS (SELECT l_orderkey, l_partkey FROM freq
+       WHERE l_partkey IN (SELECT pk FROM items2)),
+t AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+         CAST(COUNT(*) AS BIGINT) AS c_abc
+  FROM b2 a
+  JOIN b2 b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN b2 c ON b.l_orderkey = c.l_orderkey AND a.l_orderkey = c.l_orderkey
+           AND b.l_partkey < c.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey, c.l_partkey
+  HAVING COUNT(*) >= 2)
+SELECT t.pa, t.pb, t.pc, t.c_abc, p2.c_ab, item.c_i AS c_c,
+       ROUND(CAST(t.c_abc AS DOUBLE) / CAST(n.n_baskets AS DOUBLE), 6) AS support,
+       ROUND(CAST(t.c_abc AS DOUBLE) / CAST(p2.c_ab AS DOUBLE), 6) AS conf_ab_c,
+       ROUND((CAST(t.c_abc AS DOUBLE) * CAST(n.n_baskets AS DOUBLE))
+             / (CAST(p2.c_ab AS DOUBLE) * CAST(item.c_i AS DOUBLE)), 6) AS lift_ab_c
+FROM t
+JOIN p2 ON t.pa = p2.pa AND t.pb = p2.pb
+JOIN item ON t.pc = item.l_partkey
+CROSS JOIN n
+ORDER BY t.c_abc DESC, t.pa, t.pb, t.pc
+LIMIT 100
+""",
+    doc="Frequent 3-itemsets with {a,b}→c rules — the Apriori LEVEL-2 "
+    "extension of assoc_rules_copurchase. Monotonicity is applied twice "
+    "before the cubic join ever runs: items below the support floor are "
+    "pruned first (as in the pair query), then the 3-way self-join runs "
+    "ONLY over items that appear in some frequent PAIR (a triple's every "
+    "sub-pair must be frequent — classic Apriori candidate restriction), "
+    "so the basket table feeding the triple join is the doubly-reduced "
+    "one. Rule metrics: support c_abc/n, confidence of {a,b}→c "
+    "(c_abc/c_ab via a join back to the level-2 counts), and lift vs the "
+    "consequent's base rate. At 100 TB: all three self-join sides "
+    "co-partition on the basket key (one shuffle, reused), level counts "
+    "are vocabulary-scale, the basket total is a 1-row broadcast, and "
+    "triple blow-up is bounded by basket width (TPC-H ≤ 7 lines/order) "
+    "cubed over the post-pruning baskets only. All counts exact BIGINTs; "
+    "metrics are single IEEE divisions identically parenthesized; "
+    "deterministic LIMIT via the unique (pa,pb,pc) tiebreak.",
+)
+def assoc_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    # consumers: item counts, freq (→ p2 twice + b2), basket total
+    li = track(li.persist())
+    li.count()
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c_i"))
+    freq = li.join(item, "l_partkey").filter(F.col("c_i") >= 2)
+    n = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
+    a = freq.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = freq.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    p2 = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    # consumers: items2 (both columns), c_ab lookup join
+    p2 = track(p2.persist())
+    p2.count()
+    items2 = (
+        p2.select(F.col("pa").alias("pk"))
+        .unionByName(p2.select(F.col("pb").alias("pk")))
+        .distinct()
+    )
+    b2 = freq.join(items2, freq.l_partkey == items2.pk, "leftsemi").select(
+        F.col("l_orderkey").alias("k"), "l_partkey"
+    )
+    # consumers: three self-join sides of the triple generation
+    b2 = track(b2.persist())
+    b2.count()
+    ta = b2.select("k", F.col("l_partkey").alias("pa"))
+    tb = b2.select("k", F.col("l_partkey").alias("pb"))
+    tc = b2.select("k", F.col("l_partkey").alias("pc"))
+    t = (
+        ta.join(tb, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(tc, "k")
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_abc"))
+        .filter(F.col("c_abc") >= 2)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        t.join(p2, ["pa", "pb"])
+        .join(
+            item.select(F.col("l_partkey").alias("pc"), F.col("c_i").alias("c_c")),
+            "pc",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "pc",
+            "c_abc",
+            "c_ab",
+            "c_c",
+            F.round(d("c_abc") / d("n_baskets"), 6).alias("support"),
+            F.round(d("c_abc") / d("c_ab"), 6).alias("conf_ab_c"),
+            F.round(
+                (d("c_abc") * d("n_baskets")) / (d("c_ab") * d("c_c")), 6
+            ).alias("lift_ab_c"),
+        )
+        .orderBy(F.desc("c_abc"), "pa", "pb", "pc")
+        .limit(100)
+    )
+
+
+@register(
+    "rfm_quintile_segments",
+    """
+WITH mx AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS monetary,
+         MAX(o_orderdate) AS last_order
+  FROM orders GROUP BY o_custkey),
+base AS (
+  SELECT o_custkey, frequency, monetary,
+         CAST(monetary * 100 AS BIGINT) AS m_cents,
+         date_diff('microsecond', last_order, dmax) // 86400000000 AS recency_days
+  FROM cust CROSS JOIN mx),
+q AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+         ntile(5) OVER (ORDER BY -frequency, o_custkey) AS f_q,
+         ntile(5) OVER (ORDER BY -m_cents, o_custkey) AS m_q
+  FROM base)
+SELECT r_q, f_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN m_q <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
+       ROUND(CAST(SUM(monetary) AS DOUBLE), 2) AS monetary_total,
+       ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 2) AS monetary_avg,
+       CAST(MIN(recency_days) AS BIGINT) AS recency_min,
+       CAST(MAX(recency_days) AS BIGINT) AS recency_max
+FROM q
+GROUP BY r_q, f_q
+ORDER BY r_q, f_q
+""",
+    doc="RFM (recency / frequency / monetary) quintile segmentation — the "
+    "classic CRM report: every customer scored 1-5 on each axis "
+    "(1 = most recent / most frequent / highest spend), reported as the "
+    "R×F grid with high-value (top-40% monetary) membership. The "
+    "quintiles are exact ntile(5) over UNIQUE composites (metric + "
+    "custkey tiebreak) — Spark computes them with "
+    "operators/packing.global_ntile (quantile-edge range buckets + "
+    "per-bucket row_number + broadcast offsets), so there is NO "
+    "single-partition customer sort at any scale; DESC axes order by "
+    "the negated exact value. Monetary is decimal-before-sum (exact "
+    "cents); recency is a micros diff DIV'd to days (engine-identical "
+    "for the post-epoch data); averages are one IEEE division of exact "
+    "operands. At 100 TB: the per-customer rollup is one fact shuffle; "
+    "everything after is customer-scale with broadcast offsets.",
+)
+def rfm_quintile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+    from logflow.operators.packing import global_ntile
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("monetary"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("dmax"))
+    base = cust.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        (F.col("monetary") * 100).cast("long").alias("m_cents"),
+        F.expr(
+            "timestampdiff(MICROSECOND, last_order, dmax) DIV 86400000000"
+        ).alias("recency_days"),
+        (-F.col("frequency")).alias("neg_f"),
+    )
+    base = base.withColumn("neg_m", -F.col("m_cents"))
+    # consumers: three global_ntile passes + the final metric join
+    base = track(base.persist())
+    base.count()
+    rq = global_ntile(
+        base.select("o_custkey", "recency_days"),
+        ["recency_days", "o_custkey"],
+        5,
+        out_col="r_q",
+    ).select("o_custkey", "r_q")
+    fq = global_ntile(
+        base.select("o_custkey", "neg_f"), ["neg_f", "o_custkey"], 5, out_col="f_q"
+    ).select("o_custkey", "f_q")
+    mq = global_ntile(
+        base.select("o_custkey", "neg_m"), ["neg_m", "o_custkey"], 5, out_col="m_q"
+    ).select("o_custkey", "m_q")
+    joined = (
+        base.select("o_custkey", "recency_days", "frequency", "monetary")
+        .join(rq, "o_custkey")
+        .join(fq, "o_custkey")
+        .join(mq, "o_custkey")
+    )
+    return (
+        joined.groupBy("r_q", "f_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("m_q") <= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_value"),
+            F.round(F.sum("monetary").cast("double"), 2).alias("monetary_total"),
+            F.round(
+                F.sum("monetary").cast("double") / F.count(F.lit(1)), 2
+            ).alias("monetary_avg"),
+            F.min("recency_days").cast("long").alias("recency_min"),
+            F.max("recency_days").cast("long").alias("recency_max"),
+        )
+        .orderBy("r_q", "f_q")
+    )

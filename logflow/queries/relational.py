@@ -4704,30 +4704,19 @@ ORDER BY layout
     "output, parallel sort.",
 )
 def scan_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logflow.operators.packing import global_row_number
+    from logflow.operators.packing import global_ntile
 
     li = load_table(spark, "lineitem", sf_dir)
 
     def zones(keys: list[str], layout: str) -> DataFrame:
-        g = global_row_number(
+        g = global_ntile(
             li.select("l_shipdate", "l_orderkey", "l_linenumber"),
             keys,
-            out_col="__rn",
-            total_col="__n",
-        )
-        # closed-form ntile(N) from the exact global position: with
-        # q = n DIV N, r = n % N, the first r buckets hold q+1 rows.
-        # p DIV (q+1) / DIV q is exact integer arithmetic (no doubles);
-        # CASE branches evaluate lazily, so the q=0 division is never
-        # reached (p < r implies the first branch when q == 0).
-        bucket = F.expr(
-            f"CASE WHEN (__rn - 1) < (__n % {_ZM_BUCKETS}) * (__n DIV {_ZM_BUCKETS} + 1) "
-            f"THEN (__rn - 1) DIV (__n DIV {_ZM_BUCKETS} + 1) "
-            f"ELSE (__n % {_ZM_BUCKETS}) + ((__rn - 1) - (__n % {_ZM_BUCKETS}) * (__n DIV {_ZM_BUCKETS} + 1)) DIV (__n DIV {_ZM_BUCKETS}) "
-            f"END + 1"
+            _ZM_BUCKETS,
+            out_col="bk",
         )
         return (
-            g.groupBy(bucket.cast("int").alias("bk"))
+            g.groupBy("bk")
             .agg(
                 F.min("l_shipdate").alias("mn"),
                 F.max("l_shipdate").alias("mx"),

@@ -302,3 +302,33 @@ def test_sssp_weighted_invariants(spark, sf_dir):
     for v, c in direct.items():
         if v in by_node:
             assert by_node[v] <= c, (v, by_node[v], c)
+
+
+def test_temporal_reachability_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "temporal_reachability_hops", sf_dir)
+
+
+def test_temporal_reachability_monotone(spark, sf_dir):
+    """Cumulative reached-user counts never decrease with hops, and hop 0
+    equals the seed-set size (users with at least one error event)."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = (
+        load_all()["temporal_reachability_hops"].fn(spark, sf_dir).toPandas()
+    )
+    assert list(pdf["hop"]) == [0, 1, 2, 3]
+    counts = list(pdf["n_users"])
+    assert all(a <= b for a, b in zip(counts, counts[1:]))
+    seeds = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert counts[0] == seeds

@@ -14,6 +14,8 @@ MINING_QUERIES = [
     "seq_regex_funnel",
     "segment_overlap_jaccard",
     "seq_run_length_encode",
+    "assoc_rules_triples",
+    "rfm_quintile_segments",
 ]
 
 
@@ -279,3 +281,40 @@ def test_markov_attribution_laws(spark, sf_dir):
         assert 0.0 <= r.removal_effect <= 1.0
         assert r.attribution_share >= 0.0
     assert abs(pdf.attribution_share.sum() - 1.0) < 5e-4
+
+
+def test_assoc_triples_apriori_monotonicity(spark, sf_dir):
+    """Every emitted triple respects Apriori monotonicity (the triple
+    count can never exceed its {a,b} pair count or c's item count),
+    ordering is canonical, and the rule metrics stay in bounds."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["assoc_rules_triples"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        pytest.skip("no triple reached the support floor at this SF/seed")
+    assert (pdf["c_abc"] <= pdf["c_ab"]).all()
+    assert (pdf["c_abc"] <= pdf["c_c"]).all()
+    assert ((pdf["conf_ab_c"] > 0) & (pdf["conf_ab_c"] <= 1)).all()
+    assert (pdf["support"] > 0).all()
+    assert (pdf["lift_ab_c"] > 0).all()
+    assert ((pdf["pa"] < pdf["pb"]) & (pdf["pb"] < pdf["pc"])).all()
+
+
+def test_rfm_grid_partitions_customers(spark, sf_dir):
+    """The R×F grid partitions the customer base exactly (cell counts sum
+    to the distinct buyer count), every axis's marginal is a valid
+    quintile split (sizes differ by at most 1), and high-value membership
+    is bounded by the cell size."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["rfm_quintile_segments"].fn(spark, sf_dir).toPandas()
+    n_buyers = (
+        load_table(spark, "orders", sf_dir).select("o_custkey").distinct().count()
+    )
+    assert pdf["n_customers"].sum() == n_buyers
+    assert (pdf["n_high_value"] <= pdf["n_customers"]).all()
+    assert set(pdf["r_q"]).issubset(set(range(1, 6)))
+    assert set(pdf["f_q"]).issubset(set(range(1, 6)))
+    r_marginal = pdf.groupby("r_q")["n_customers"].sum()
+    assert r_marginal.max() - r_marginal.min() <= 1

@@ -93,6 +93,14 @@ WHITELIST: dict[str, dict[str, str]] = {
     "assoc_rules_copurchase": {
         "bnlj": "the 1-row basket-count aggregate is the broadcast side"
     },
+    "assoc_rules_triples": {
+        "bnlj": "the 1-row basket-count aggregate is the broadcast side "
+        "(shared with assoc_rules_copurchase)"
+    },
+    "rfm_quintile_segments": {
+        "bnlj": "crossJoin of the 1-row global max-order-date aggregate "
+        "(the recency anchor broadcast)"
+    },
     "pmi_collocations": {
         "bnlj": "the two 1-row corpus totals (n_tokens, n_bigrams) are "
         "the broadcast sides"
