@@ -355,6 +355,8 @@ PRIORITY: list[str] = [
     "assoc_rules_triples",
     "rfm_quintile_segments",
     "temporal_reachability_hops",
+    "diag_bootstrap_ci",
+    "diag_wilson_ci",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

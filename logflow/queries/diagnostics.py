@@ -2072,3 +2072,218 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1/k! for k = 0..6),
+# precomputed in Python and inlined as the SAME repr literals into both
+# engines (the ab_sprt_monitor constant recipe). Weights cap at 7
+# (P[W > 7] ~ 1e-5 — the cap is part of the operator's definition and is
+# applied identically in both engines).
+_POIS1_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+]
+_BOOT_B = 32
+
+
+def _pois_case_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {whens} ELSE 7 END"
+
+
+@register(
+    "diag_bootstrap_ci",
+    f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS x_cents
+  FROM events),
+u AS (
+  SELECT event_type, x_cents, r.b,
+         CAST(concat('0x', substr(md5(concat('boot:', CAST(event_id AS VARCHAR),
+              ':', CAST(r.b AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM base CROSS JOIN range(0, {_BOOT_B}) AS r(b)),
+reps AS (
+  SELECT event_type, b,
+         CAST(SUM({_pois_case_sql('u')}) AS BIGINT) AS sw,
+         CAST(SUM(({_pois_case_sql('u')}) * x_cents) AS BIGINT) AS swx
+  FROM u GROUP BY event_type, b),
+means AS (
+  SELECT event_type, b,
+         CAST(swx AS DOUBLE) / NULLIF(CAST(sw AS DOUBLE), 0.0) AS m,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY CAST(swx AS DOUBLE) / NULLIF(CAST(sw AS DOUBLE), 0.0), b) AS rn
+  FROM reps),
+pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(x_cents) AS BIGINT) AS sx
+  FROM base GROUP BY event_type)
+SELECT p.event_type, p.n_rows,
+       ROUND(CAST(p.sx AS DOUBLE) / CAST(p.n_rows AS DOUBLE) / 100.0, 4) AS mean_value,
+       ROUND(MAX(CASE WHEN rn = 2 THEN m END) / 100.0, 4) AS boot_lo,
+       ROUND(MAX(CASE WHEN rn = {_BOOT_B - 1} THEN m END) / 100.0, 4) AS boot_hi
+FROM pt p JOIN means USING (event_type)
+GROUP BY p.event_type, p.n_rows, p.sx
+ORDER BY p.event_type
+""",
+    doc=f"Poisson-bootstrap confidence interval for the per-type mean "
+    "event value — THE scale-correct resampling: instead of drawing "
+    f"n-row resamples (impossible at 100 TB), each row gets {_BOOT_B} "
+    "independent Poisson(1) weights (the n→∞ limit of multinomial "
+    "resampling; Chamandy et al. 2012 'Estimating uncertainty for "
+    "massive data streams'), so every replicate is a weighted SUM in "
+    "the SAME single pass — map-side, no data movement, replicate "
+    "count × group rows of extra shuffle only. Weights are DETERMINISTIC "
+    "(md5-keyed uniforms through the inlined Poisson inverse-CDF "
+    "thresholds — identical repr literals both engines), sums are exact "
+    "BIGINT cents, replicate means are one IEEE division each (bit-"
+    "identical operands → bit-identical doubles → identical rank "
+    "order), and the interval takes the 2nd / 31st order statistics "
+    "(~93.75% coverage with B=32) by unique-key ROW_NUMBER. The "
+    "per-type windows order 32 rows each — bounded, never row-scale.",
+)
+def diag_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("x_cents"),
+    )
+    u = base.select(
+        "event_type",
+        "x_cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "x_cents",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot:"),
+                            F.col("event_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    w = F.expr(_pois_case_sql("u"))
+    reps = u.groupBy("event_type", "b").agg(
+        F.sum(w).cast("long").alias("sw"),
+        F.sum(w * F.col("x_cents")).cast("long").alias("swx"),
+    )
+    m = F.col("swx").cast("double") / F.nullif(F.col("sw").cast("double"), F.lit(0.0))
+    wn = Window.partitionBy("event_type").orderBy(m, "b")
+    means = reps.select(
+        "event_type", "b", m.alias("m"), F.row_number().over(wn).alias("rn")
+    )
+    pt = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("x_cents").cast("long").alias("sx"),
+    )
+    return (
+        pt.join(means, "event_type")
+        .groupBy("event_type", "n_rows", "sx")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("lo"),
+            F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("m"))).alias("hi"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            F.round(
+                F.col("sx").cast("double") / F.col("n_rows").cast("double") / 100.0, 4
+            ).alias("mean_value"),
+            F.round(F.col("lo") / 100.0, 4).alias("boot_lo"),
+            F.round(F.col("hi") / 100.0, 4).alias("boot_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: z for a 95% two-sided Wilson interval — Python repr, inlined into both
+#: engines verbatim.
+_WILSON_Z = "1.959963984540054"
+
+
+@register(
+    "diag_wilson_ci",
+    f"""
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM customer GROUP BY c_mktsegment)
+SELECT c_mktsegment, n, s,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+       ROUND(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               + ({_WILSON_Z} * {_WILSON_Z}) / (2.0 * CAST(n AS DOUBLE))
+               - {_WILSON_Z} * sqrt(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)
+                   + ({_WILSON_Z} * {_WILSON_Z})
+                     / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+       ROUND(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               + ({_WILSON_Z} * {_WILSON_Z}) / (2.0 * CAST(n AS DOUBLE))
+               + {_WILSON_Z} * sqrt(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)
+                   + ({_WILSON_Z} * {_WILSON_Z})
+                     / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / CAST(n AS DOUBLE)), 6) AS wilson_hi
+FROM seg
+ORDER BY c_mktsegment
+""",
+    doc="Wilson score interval per market segment for the share of "
+    "high-balance customers — the CI that stays valid near p=0/1 and "
+    "small n where the naive Wald interval collapses (Wilson 1927; the "
+    "standard ratio-metric error bar in experimentation platforms). "
+    "Counts are exact BIGINTs; p-hat and both bounds are FIXED IEEE "
+    "expression trees over (s, n, z) with the z literal inlined "
+    "identically in both engines (sqrt is correctly rounded per "
+    "IEEE-754, so the whole tree is bit-identical cross-engine — same "
+    "recipe as ab_sprt_monitor's constants). One groupBy; segment-scale "
+    "everything after.",
+)
+def diag_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("c_acctbal") > 5000.0, 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    z = float(_WILSON_Z)
+    nn = F.col("n").cast("double")
+    p = F.col("s").cast("double") / nn
+    half = F.lit(z) * F.sqrt(
+        (p * (F.lit(1.0) - p)) / nn + F.lit(z) * F.lit(z) / (F.lit(4.0) * nn * nn)
+    )
+    denom = F.lit(1.0) + F.lit(z) * F.lit(z) / nn
+    center = p + F.lit(z) * F.lit(z) / (F.lit(2.0) * nn)
+    return seg.select(
+        "c_mktsegment",
+        "n",
+        "s",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("c_mktsegment")

