@@ -18,7 +18,10 @@ D_NUM, D_DEN = 85, 100  # damping 0.85 as a ratio
 
 
 def pagerank_fixed_point(
-    edges: DataFrame, iters: int = 3, assume_distinct: bool = False
+    edges: DataFrame,
+    iters: int = 3,
+    assume_distinct: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list ``(u, v)``, entirely in
     scaled-BIGINT arithmetic.
@@ -27,6 +30,13 @@ def pagerank_fixed_point(
     (``r / SCALE`` ≈ the probability mass). Only nodes with at least one
     OUT-edge are ranked (matching the oracle's node set); dangling-node
     redistribution is out of scope for this operator.
+
+    ``seeds`` switches the teleport to PERSONALIZED PageRank: the (1-d)
+    restart mass is split over the seed node set (one ``u`` column;
+    must be a subset of the ranked nodes) instead of all nodes, and the
+    initial mass starts on the seeds. Same fixed-point arithmetic —
+    base mass for a seed is ``(1-d)·SCALE DIV (D_DEN·|S|)``, zero
+    elsewhere.
 
     The model (and the pure-Python reference) is defined over DISTINCT
     edges — duplicate (u, v) rows would silently inflate outdeg and
@@ -42,11 +52,21 @@ def pagerank_fixed_point(
     if not assume_distinct:
         edges = edges.select("u", "v").distinct()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
-    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    r = deg.crossJoin(F.broadcast(nn)).select(
-        "u", "outdeg", F.expr(f"CAST({SCALE} DIV n AS BIGINT)").alias("r")
-    )
     base = SCALE * D_DEN - SCALE * D_NUM  # (1-d) mass numerator, pre-scaled
+    if seeds is None:
+        nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        degm = deg.crossJoin(F.broadcast(nn))
+        init = f"CAST({SCALE} DIV n AS BIGINT)"
+        tele = f"{base} DIV ({D_DEN} * n)"
+    else:
+        sd = seeds.select("u").distinct()
+        ns = sd.agg(F.count(F.lit(1)).cast("long").alias("ns"))
+        degm = deg.join(
+            F.broadcast(sd.withColumn("is_seed", F.lit(1))), "u", "left_outer"
+        ).crossJoin(F.broadcast(ns))
+        init = f"CAST(CASE WHEN is_seed IS NOT NULL THEN {SCALE} DIV ns ELSE 0 END AS BIGINT)"
+        tele = f"CASE WHEN is_seed IS NOT NULL THEN {base} DIV ({D_DEN} * ns) ELSE 0 END"
+    r = degm.select("u", "outdeg", F.expr(init).alias("r"))
     for _ in range(iters):
         contrib = (
             edges.join(F.broadcast(r.withColumnRenamed("u", "src")), edges.u == F.col("src"))
@@ -54,13 +74,12 @@ def pagerank_fixed_point(
             .agg(F.sum(F.expr("r DIV outdeg")).alias("s"))
         )
         r = (
-            deg.crossJoin(F.broadcast(nn))
-            .join(contrib, deg.u == contrib.v, "left_outer")
+            degm.join(contrib, degm.u == contrib.v, "left_outer")
             .select(
-                "u",
+                degm.u.alias("u"),
                 "outdeg",
                 F.expr(
-                    f"CAST({base} DIV ({D_DEN} * n) + "
+                    f"CAST({tele} + "
                     f"({D_NUM} * COALESCE(s, 0)) DIV {D_DEN} AS BIGINT)"
                 ).alias("r"),
             )

