@@ -359,6 +359,8 @@ PRIORITY: list[str] = [
     "diag_wilson_ci",
     "graph_ppr_seed",
     "ml_ndcg_link_prediction",
+    "ts_slo_burn_rate",
+    "mine_hard_negatives",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

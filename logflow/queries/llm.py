@@ -3078,3 +3078,105 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("log_intercept"),
     )
+
+
+_HN_TOPK = 50
+_HN_MIN_STRIDE = 4
+
+
+@register(
+    "mine_hard_negatives",
+    f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+p AS (SELECT GREATEST({_HN_MIN_STRIDE},
+        CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS stride FROM e),
+c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM e, p WHERE vec_id % p.stride = 0),
+assign AS (SELECT vec_id, centroid_id FROM (
+             SELECT e.vec_id, c.centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {_dd_sim('e.embedding', 'c.cvec')} DESC,
+                                                c.centroid_id) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(ea.label AS BIGINT) AS label_a, CAST(eb.label AS BIGINT) AS label_b,
+         {_dd_sim('ea.embedding', 'eb.embedding')} AS cosine
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE ea.label <> eb.label)
+SELECT id_a, id_b, label_a, label_b, cosine
+FROM pairs
+ORDER BY cosine DESC, id_a, id_b
+LIMIT {_HN_TOPK}
+""",
+    doc="Hard-negative mining for contrastive embedding training: the "
+    "most-similar DIFFERENTLY-labeled pairs — exactly the examples a "
+    "metric-learning objective needs (easy negatives teach nothing; "
+    "Xuan et al. 2020). Candidate generation is the SemDeDup layout "
+    "(corpus.py:semdedup_prune): ~sqrt(n) broadcast stride centroids, "
+    "map-side nearest-centroid assignment, pairs only WITHIN clusters "
+    "(O(n^1.5), never corpus²) — cross-label filtered before scoring. "
+    f"Top-{_HN_TOPK} by 6dp-rounded cosine with the unique (id_a,id_b) "
+    "tiebreak; fold-order-identical dot/norm expressions both engines. "
+    "At 100 TB the same hierarchy note as SemDeDup applies (coarse-"
+    "quantize the centroids; per-cell pair caps for hub cells).",
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from logflow.operators.similarity import _dot, _norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select("vec_id", "embedding", "label")
+    stride = max(_HN_MIN_STRIDE, math.isqrt(e.count()))
+    cents = e.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("cvec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id")
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "label", "centroid_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            _norm(F.col("embedding")).alias("nrm"),
+            "centroid_id",
+        )
+    )
+    ea = assign.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("label").cast("long").alias("label_a"),
+    )
+    eb = assign.select(
+        F.col("centroid_id").alias("centroid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("label").cast("long").alias("label_b"),
+    )
+    pair_sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        ea.join(
+            eb,
+            (F.col("centroid_id") == F.col("centroid_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select("id_a", "id_b", "label_a", "label_b", pair_sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(_HN_TOPK)
+    )

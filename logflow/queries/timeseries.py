@@ -1953,3 +1953,95 @@ def ts_segmented_trend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_slo_burn_rate",
+    """
+WITH hr AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+  FROM events GROUP BY date_trunc('hour', ts)),
+idx AS (
+  SELECT hour, total, errs,
+         date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', hour)
+           // 3600000000 AS h
+  FROM hr),
+win AS (
+  SELECT hour, total AS t1, errs AS e1,
+         SUM(total) OVER w6 AS t6,
+         SUM(errs) OVER w6 AS e6
+  FROM idx
+  WINDOW w6 AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)),
+rates AS (
+  SELECT hour, t1, e1, t6, e6,
+         (CAST(e1 AS DOUBLE) / CAST(t1 AS DOUBLE)) / 0.05 AS b1,
+         (CAST(e6 AS DOUBLE) / CAST(t6 AS DOUBLE)) / 0.05 AS b6
+  FROM win)
+SELECT hour, t1, e1, CAST(t6 AS BIGINT) AS t6, CAST(e6 AS BIGINT) AS e6,
+       ROUND(b1, 4) AS burn_1h,
+       ROUND(b6, 4) AS burn_6h,
+       CASE WHEN b1 >= 14.4 AND b6 >= 6.0 THEN 'page'
+            WHEN b6 >= 6.0 THEN 'ticket' ELSE 'ok' END AS severity
+FROM rates
+ORDER BY b6 DESC, hour
+LIMIT 20
+""",
+    doc="Multi-window SLO error-budget burn rate (Google SRE workbook "
+    "alerting shape, adapted): hourly error fraction against a 95% "
+    "success SLO expressed as budget-burn multiples over the trailing "
+    "1h and 6h windows; 'page' needs BOTH windows hot (fast burn "
+    "confirmed by the longer window — kills flapping), 'ticket' the "
+    "slow window alone. The 6h window is an integer RANGE frame over "
+    "the hour index (gap-proof where a ROWS frame would silently span "
+    "missing hours). Counts are exact BIGINTs; burn rates are identical "
+    "IEEE divisions against literal thresholds; worst-20 hours by "
+    "unrounded burn with the unique hour tiebreak. At 100 TB: the "
+    "hourly rollup is the only event-scale pass (map-side combine); "
+    "everything after is HOUR-domain scale (~9k rows/year — the "
+    "bounded-domain window contract of diag_mann_whitney_value).",
+)
+def ts_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hr = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    idx = hr.withColumn(
+        "h",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', hour)"
+            " DIV 3600000000"
+        ),
+    )
+    w6 = Window.orderBy("h").rangeBetween(-5, 0)
+    win = idx.select(
+        "hour",
+        F.col("total").alias("t1"),
+        F.col("errs").alias("e1"),
+        F.sum("total").over(w6).cast("long").alias("t6"),
+        F.sum("errs").over(w6).cast("long").alias("e6"),
+    )
+    b1 = (F.col("e1").cast("double") / F.col("t1").cast("double")) / F.lit(0.05)
+    b6 = (F.col("e6").cast("double") / F.col("t6").cast("double")) / F.lit(0.05)
+    rates = win.select("hour", "t1", "e1", "t6", "e6", b1.alias("b1"), b6.alias("b6"))
+    return (
+        rates.orderBy(F.desc("b6"), "hour")
+        .limit(20)
+        .select(
+            "hour",
+            "t1",
+            "e1",
+            "t6",
+            "e6",
+            F.round("b1", 4).alias("burn_1h"),
+            F.round("b6", 4).alias("burn_6h"),
+            F.when((F.col("b1") >= 14.4) & (F.col("b6") >= 6.0), "page")
+            .when(F.col("b6") >= 6.0, "ticket")
+            .otherwise("ok")
+            .alias("severity"),
+        )
+    )

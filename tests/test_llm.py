@@ -12,6 +12,7 @@ LLM_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "mine_hard_negatives",
     "dedup_embedding_cosine",
     "knn_cosine_brute",
     "knn_cosine_ivf",
@@ -761,3 +762,16 @@ def test_zipf_fit_shape(spark, sf_dir):
     assert 0 < r.n_terms <= 1000
     assert r.zipf_slope < 0
     assert r.log_intercept > 0
+
+
+def test_hard_negatives_are_cross_label_and_sorted(spark, sf_dir):
+    """Every mined pair crosses labels, ids are canonical, and the list is
+    the genuine top by rounded cosine (non-increasing)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["mine_hard_negatives"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["label_a"] != pdf["label_b"]).all()
+    assert (pdf["id_a"] < pdf["id_b"]).all()
+    assert (pdf["cosine"].diff().dropna() <= 1e-12).all()
+    assert ((pdf["cosine"] >= -1.000001) & (pdf["cosine"] <= 1.000001)).all()

@@ -542,3 +542,26 @@ def test_segmented_split_never_worse_than_single(spark, sf_dir):
     assert len(pdf) > 0
     assert (pdf.sse_split <= pdf.sse_single + 0.01).all()
     assert (pdf.gain >= -1e-4).all()
+
+
+def test_slo_burn_rate_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_slo_burn_rate", sf_dir)
+
+
+def test_slo_burn_rate_identities(spark, sf_dir):
+    """Window sums dominate the hour's own counts, burn rates recompute
+    from the emitted counts, and severity follows the thresholds."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_slo_burn_rate"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["t6"] >= pdf["t1"]).all() and (pdf["e6"] >= pdf["e1"]).all()
+    b1 = (pdf["e1"] / pdf["t1"]) / 0.05
+    b6 = (pdf["e6"] / pdf["t6"]) / 0.05
+    assert ((pdf["burn_1h"] - b1.round(4)).abs() < 1e-9).all()
+    assert ((pdf["burn_6h"] - b6.round(4)).abs() < 1e-9).all()
+    for r, bb1, bb6 in zip(pdf["severity"], b1, b6):
+        want = "page" if (bb1 >= 14.4 and bb6 >= 6.0) else ("ticket" if bb6 >= 6.0 else "ok")
+        assert r == want

@@ -135,6 +135,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "semdedup_prune": {
         "bnlj": "centroid set is the broadcast side (~sqrt(n) rows, corpus-derived)"
     },
+    "mine_hard_negatives": {
+        "bnlj": "centroid set is the broadcast side (~sqrt(n) rows — the "
+        "semdedup_prune assignment layout)"
+    },
     "graph_pagerank_parts": {
         "bnlj": "crossJoin of the single-row node-count aggregate (per iteration)"
     },
