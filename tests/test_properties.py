@@ -371,3 +371,84 @@ def test_triangle_degree_ordered_matches_id_ordered_and_brute(spark, edges):
                 brute[x] = brute.get(x, 0) + 1
     assert got_id == brute
     assert got_deg == brute
+
+
+# ---- deterministic range-bucket prefix machinery (operators/packing.py) ----
+#
+# These helpers replaced a spark_partition_id()-keyed form that silently
+# dropped rows when AQE coalesced the two traversals of the same shuffle
+# differently (round 7). The properties below pin the contract that bug
+# violated: positions are a PERMUTATION, every row survives, and ntile
+# matches the closed-form definition — across duplicate-heavy leading
+# keys, tiny/large frames, and timestamp keys.
+
+rownum_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(**SETTINGS)
+@given(rows=rownum_rows)
+def test_global_row_number_is_the_sort_permutation(spark, rows):
+    from logflow.operators.packing import global_row_number
+
+    df = spark.createDataFrame(rows, "lead long, uid long")
+    got = (
+        global_row_number(df, ["lead", "uid"], out_col="rn", total_col="n")
+        .toPandas()
+        .sort_values("rn")
+    )
+    assert list(got["rn"]) == list(range(1, len(rows) + 1))
+    assert (got["n"] == len(rows)).all()
+    expect = sorted(rows)
+    assert [tuple(x) for x in got[["lead", "uid"]].to_records(index=False)] == expect
+
+
+@settings(**SETTINGS)
+@given(rows=rownum_rows, n_tiles=st.integers(1, 7))
+def test_global_ntile_matches_closed_form(spark, rows, n_tiles):
+    from logflow.operators.packing import global_ntile
+
+    df = spark.createDataFrame(rows, "lead long, uid long")
+    got = (
+        global_ntile(df, ["lead", "uid"], n_tiles, out_col="t")
+        .toPandas()
+        .sort_values(["lead", "uid"])
+    )
+    n = len(rows)
+    q, r = divmod(n, n_tiles)
+    want = []
+    for p in range(n):
+        if p < r * (q + 1):
+            want.append(p // (q + 1) + 1)
+        else:
+            want.append(r + (p - r * (q + 1)) // q + 1)
+    assert list(got["t"]) == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_global_running_sum_matches_prefix(spark, rows):
+    from logflow.operators.packing import global_running_sum
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = (
+        global_running_sum(df, "k", "v", out_col="run")
+        .toPandas()
+        .sort_values("k")
+    )
+    acc, want = 0, []
+    for _, v in sorted(rows):
+        acc += v
+        want.append(acc)
+    assert list(got["run"]) == want
