@@ -361,6 +361,8 @@ PRIORITY: list[str] = [
     "ml_ndcg_link_prediction",
     "ts_slo_burn_rate",
     "mine_hard_negatives",
+    "diag_cramers_v",
+    "embedding_srp_buckets",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

@@ -2287,3 +2287,91 @@ def diag_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "diag_cramers_v",
+    """
+WITH j AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+o AS (SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS obs FROM j GROUP BY seg, pri),
+rt AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY seg),
+ct AS (SELECT pri, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY pri),
+g AS (SELECT CAST(SUM(obs) AS BIGINT) AS grand FROM o),
+terms AS (
+  SELECT CAST(ROUND(
+           (CAST(obs AS DOUBLE)
+              - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+           * (CAST(obs AS DOUBLE)
+              - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+           / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE)),
+           6) AS DECIMAL(18,6)) AS term
+  FROM o JOIN rt ON o.seg = rt.seg JOIN ct ON o.pri = ct.pri CROSS JOIN g),
+dims AS (SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
+                CAST(COUNT(DISTINCT pri) AS BIGINT) AS c FROM o),
+stat AS (SELECT CAST(SUM(term) AS DOUBLE) AS chi2 FROM terms)
+SELECT g.grand AS n_rows, dims.r AS n_segments, dims.c AS n_priorities,
+       ROUND(stat.chi2, 4) AS chi2,
+       ROUND(sqrt(stat.chi2 / (CAST(g.grand AS DOUBLE)
+             * CAST(LEAST(dims.r, dims.c) - 1 AS DOUBLE))), 6) AS cramers_v
+FROM stat CROSS JOIN dims CROSS JOIN g
+""",
+    doc="Cramér's V — the EFFECT SIZE the chi-square test lacks: how "
+    "strongly is customer market segment associated with order "
+    "priority, on a 0..1 scale comparable across tables of any size "
+    "(chi2 alone grows with n; V = sqrt(chi2 / (n·(min(r,c)-1))) does "
+    "not). Same determinism recipe as diag_chi2_independence: expected "
+    "counts from exact BIGINT marginals in one identical IEEE "
+    "expression, per-cell terms rounded once at 6dp and DECIMAL-summed "
+    "(order-independent), dimensions as exact distinct counts, the "
+    "final sqrt a correctly-rounded IEEE op over identical operands. "
+    "At 100 TB: one fact join + count shuffle into r×c cells; "
+    "everything after is cell-scale.",
+)
+def diag_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+    o = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    rt = o.groupBy("seg").agg(F.sum("obs").cast("long").alias("row_tot"))
+    ct = o.groupBy("pri").agg(F.sum("obs").cast("long").alias("col_tot"))
+    g = o.agg(F.sum("obs").cast("long").alias("grand"))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    diff = F.col("obs").cast("double") - e
+    terms = (
+        o.join(rt, "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(g))
+        .select(F.round(diff * diff / e, 6).cast("decimal(18,6)").alias("term"))
+    )
+    dims = o.agg(
+        F.countDistinct("seg").cast("long").alias("r"),
+        F.countDistinct("pri").cast("long").alias("c"),
+    )
+    stat = terms.agg(F.sum("term").cast("double").alias("chi2"))
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("grand").cast("double")
+            * (F.least(F.col("r"), F.col("c")) - 1).cast("double")
+        )
+    )
+    return (
+        stat.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("grand").alias("n_rows"),
+            F.col("r").alias("n_segments"),
+            F.col("c").alias("n_priorities"),
+            F.round(F.col("chi2"), 4).alias("chi2"),
+            F.round(v, 6).alias("cramers_v"),
+        )
+    )

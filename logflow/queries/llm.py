@@ -3180,3 +3180,101 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "id_a", "id_b")
         .limit(_HN_TOPK)
     )
+
+
+def _srp_planes(n_planes: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplanes from md5 — computed once
+    in Python and inlined as identical literal arrays into both engines
+    (Charikar 2002 SimHash-for-cosine; ±1 entries make the projection an
+    exact INTEGER dot over fixed-point components, so the sign bits are
+    order-independent and bit-identical cross-engine — a Gaussian
+    projection would need engine ln/cos)."""
+    import hashlib
+
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[:2], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+_SRP_PLANES = _srp_planes()
+_SRP_TOPK = 20
+
+
+def _srp_sig_sql(vec: str) -> str:
+    bits = []
+    for j, row in enumerate(_SRP_PLANES):
+        arr = "[" + ", ".join(str(s) for s in row) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({vec}, {arr}), "
+            f"x -> CAST(ROUND(CAST(x[1] AS DOUBLE) * 1000000, 0) AS BIGINT) "
+            f"* CAST(x[2] AS BIGINT)))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _srp_sig_spark(vec: str):
+    bits = []
+    for j, row in enumerate(_SRP_PLANES):
+        arr = "array(" + ", ".join(str(s) for s in row) + ")"
+        dot = (
+            f"aggregate(zip_with({vec}, {arr}, "
+            f"(x, s) -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) "
+            f"* CAST(s AS BIGINT)), 0L, (a, t) -> a + t)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr(" + ".join(bits))
+
+
+@register(
+    "embedding_srp_buckets",
+    f"""
+WITH sig AS (
+  SELECT vec_id, CAST({_srp_sig_sql('embedding')} AS BIGINT) AS signature
+  FROM embeddings),
+h AS (SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM sig GROUP BY signature)
+SELECT signature, n_vectors,
+       CAST(n_vectors * (n_vectors - 1) // 2 AS BIGINT) AS n_candidate_pairs
+FROM h
+ORDER BY n_vectors DESC, signature
+LIMIT {_SRP_TOPK}
+""",
+    doc="Signed-random-projection (SRP) LSH bucketing over the embedding "
+    "corpus — Charikar's SimHash for COSINE space, the vector twin of "
+    "the token MinHash-LSH: 16 deterministic ±1 hyperplanes (inlined "
+    "literal arrays, identical both engines) give each vector a 16-bit "
+    "signature whose per-bit collision probability is 1 - angle/π; "
+    "same-signature vectors are the ANN candidate set. Projections are "
+    "exact INTEGER dots over 1e-6 fixed-point components (± 1 entries "
+    "— no float accumulation, no engine trig), so signatures are "
+    f"bit-identical cross-engine. Top-{_SRP_TOPK} buckets by size with "
+    "the within-bucket candidate-pair count (the cost the bucketing "
+    "buys vs corpus²/2 brute force). At 100 TB: signatures are "
+    "map-side (the plane matrix is a compile-time constant), the "
+    "histogram one 16-bit-key shuffle; the candidate join this feeds "
+    "is signature-equi — the dedup_minhash_lsh band-bucket layout in "
+    "cosine space.",
+)
+def embedding_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    sig = emb.select(
+        "vec_id", _srp_sig_spark("embedding").cast("long").alias("signature")
+    )
+    h = sig.groupBy("signature").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        h.select(
+            "signature",
+            "n_vectors",
+            F.expr("CAST(n_vectors * (n_vectors - 1) DIV 2 AS BIGINT)").alias(
+                "n_candidate_pairs"
+            ),
+        )
+        .orderBy(F.desc("n_vectors"), "signature")
+        .limit(_SRP_TOPK)
+    )

@@ -26,6 +26,7 @@ NEW_QUERIES = [
     "dq_table_fingerprint",
     "diag_bootstrap_ci",
     "diag_wilson_ci",
+    "diag_cramers_v",
 ]
 
 
@@ -534,3 +535,14 @@ def test_wilson_ci_tighter_than_trivial_and_ordered(spark, sf_dir):
     assert ((pdf["wilson_lo"] >= 0) & (pdf["wilson_hi"] <= 1)).all()
     assert (pdf["wilson_lo"] <= pdf["p_hat"]).all()
     assert (pdf["p_hat"] <= pdf["wilson_hi"]).all()
+
+
+def test_cramers_v_in_unit_range(spark, sf_dir):
+    """V lies in [0,1], chi2 is nonnegative, and the dimensions match the
+    data's actual category counts."""
+    from logflow.queries import load_all
+
+    row = load_all()["diag_cramers_v"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert row["chi2"] >= 0
+    assert 0.0 <= row["cramers_v"] <= 1.0
+    assert row["n_segments"] >= 1 and row["n_priorities"] >= 1

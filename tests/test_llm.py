@@ -13,6 +13,7 @@ LLM_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "mine_hard_negatives",
+    "embedding_srp_buckets",
     "dedup_embedding_cosine",
     "knn_cosine_brute",
     "knn_cosine_ivf",
@@ -775,3 +776,19 @@ def test_hard_negatives_are_cross_label_and_sorted(spark, sf_dir):
     assert (pdf["id_a"] < pdf["id_b"]).all()
     assert (pdf["cosine"].diff().dropna() <= 1e-12).all()
     assert ((pdf["cosine"] >= -1.000001) & (pdf["cosine"] <= 1.000001)).all()
+
+
+def test_srp_buckets_partition_the_corpus(spark, sf_dir):
+    """Signatures are 16-bit, pair counts recompute from sizes, and the
+    bucket histogram's total never exceeds the corpus size."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["embedding_srp_buckets"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf["signature"] >= 0) & (pdf["signature"] < 2 ** 16)).all()
+    assert (
+        pdf["n_candidate_pairs"] == pdf["n_vectors"] * (pdf["n_vectors"] - 1) // 2
+    ).all()
+    n = load_table(spark, "embeddings", sf_dir).count()
+    assert pdf["n_vectors"].sum() <= n

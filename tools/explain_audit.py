@@ -80,6 +80,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "diag_chi2_independence": {
         "bnlj": "crossJoin of the single-row grand-total aggregate"
     },
+    "diag_cramers_v": {
+        "bnlj": "crossJoins of the single-row grand-total / dimension / "
+        "chi2 aggregates (the diag_chi2_independence pattern)"
+    },
     "dedup_ngram_jaccard": {
         "cartesian": "bounded all-pairs verification (doc_id < 60 by contract)",
         "bnlj": "bounded all-pairs verification (doc_id < 60 by contract)",
