@@ -363,6 +363,9 @@ PRIORITY: list[str] = [
     "mine_hard_negatives",
     "diag_cramers_v",
     "embedding_srp_buckets",
+    "agg_weighted_median",
+    "setops_multiset_bag",
+    "diag_winsorized_mean",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

@@ -2375,3 +2375,94 @@ def diag_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(v, 6).alias("cramers_v"),
         )
     )
+
+
+@register(
+    "diag_winsorized_mean",
+    """
+WITH v AS (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+d AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY event_type, cents),
+t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM d GROUP BY event_type),
+r AS (SELECT event_type, cents, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum
+      FROM d),
+b AS (SELECT r.event_type, t.n,
+             CAST(MIN(CASE WHEN cum >= (10 * t.n + 99) // 100 THEN cents END)
+                  AS BIGINT) AS lo,
+             CAST(MIN(CASE WHEN cum >= (90 * t.n + 99) // 100 THEN cents END)
+                  AS BIGINT) AS hi
+      FROM r JOIN t ON r.event_type = t.event_type
+      GROUP BY r.event_type, t.n),
+w AS (SELECT d.event_type, b.n, b.lo, b.hi,
+             CAST(SUM(CASE WHEN cents < lo THEN c * lo
+                           WHEN cents > hi THEN c * hi
+                           ELSE c * cents END) AS BIGINT) AS s_w,
+             CAST(SUM(c * cents) AS BIGINT) AS s_raw
+      FROM d JOIN b ON d.event_type = b.event_type
+      GROUP BY d.event_type, b.n, b.lo, b.hi)
+SELECT event_type, n AS n_rows,
+       ROUND(CAST(lo AS DOUBLE) / 100.0, 2) AS p10_value,
+       ROUND(CAST(hi AS DOUBLE) / 100.0, 2) AS p90_value,
+       ROUND(CAST(s_raw AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) AS raw_mean,
+       ROUND(CAST(s_w AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) AS winsorized_mean
+FROM w
+ORDER BY event_type
+""",
+    doc="10/90 winsorized mean per event type next to the raw mean — the "
+    "robust-location estimator between the median (throws away "
+    "magnitude) and the raw mean (one whale moves it): values beyond "
+    "the exact p10/p90 order statistics are CLAMPED to them, not "
+    "dropped (vs a trimmed mean), so n stays constant. Everything is "
+    "VALUE-DOMAIN scale: distinct-cents counts, one running-count "
+    "window per type, bounds by exact integer rank selection "
+    "(k = ceil(p·n/100), percentile_disc semantics — never engine "
+    "quantile interpolation), and the winsorized sum is an exact "
+    "BIGINT of clamped cents; the one IEEE division comes last. At "
+    "100 TB: one event pass map-side-combines into the (type, cents) "
+    "table; windows run on the bounded value domain.",
+)
+def diag_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    d = v.groupBy("event_type", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t = d.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("cents")
+    r = d.select(
+        "event_type", "cents", "c", F.sum("c").over(wc).cast("long").alias("cum")
+    )
+    k10 = F.expr("(10 * n + 99) DIV 100")
+    k90 = F.expr("(90 * n + 99) DIV 100")
+    b = (
+        r.join(t, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.min(F.when(F.col("cum") >= k10, F.col("cents"))).cast("long").alias("lo"),
+            F.min(F.when(F.col("cum") >= k90, F.col("cents"))).cast("long").alias("hi"),
+        )
+    )
+    clamped = (
+        F.when(F.col("cents") < F.col("lo"), F.col("c") * F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("c") * F.col("hi"))
+        .otherwise(F.col("c") * F.col("cents"))
+    )
+    w = (
+        d.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum(clamped).cast("long").alias("s_w"),
+            F.sum(F.col("c") * F.col("cents")).cast("long").alias("s_raw"),
+        )
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return w.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.round(dd("lo") / 100.0, 2).alias("p10_value"),
+        F.round(dd("hi") / 100.0, 2).alias("p90_value"),
+        F.round(dd("s_raw") / dd("n") / 100.0, 4).alias("raw_mean"),
+        F.round(dd("s_w") / dd("n") / 100.0, 4).alias("winsorized_mean"),
+    ).orderBy("event_type")

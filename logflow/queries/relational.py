@@ -4995,3 +4995,116 @@ def scan_delta_varint_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "agg_weighted_median",
+    """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS w
+  FROM lineitem),
+d AS (SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w FROM v GROUP BY flag, cents),
+t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS tot FROM d GROUP BY flag),
+r AS (SELECT flag, cents, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cum
+      FROM d)
+SELECT r.flag AS l_returnflag, t.tot AS total_weight,
+       CAST(MIN(CASE WHEN 2 * r.cum >= t.tot THEN r.cents END) AS BIGINT)
+         AS median_cents,
+       ROUND(CAST(MIN(CASE WHEN 2 * r.cum >= t.tot THEN r.cents END) AS DOUBLE)
+             / 100.0, 2) AS weighted_median_price
+FROM r JOIN t ON r.flag = t.flag
+GROUP BY r.flag, t.tot
+ORDER BY r.flag
+""",
+    doc="Exact QUANTITY-WEIGHTED median price per return flag — the "
+    "'median unit actually sold' (an unweighted median over line items "
+    "overweights small orders). Lower weighted median: the smallest "
+    "value whose cumulative weight reaches half the total — computed "
+    "at VALUE-DOMAIN scale (group to distinct cents first, one "
+    "running-sum window over ~domain rows per flag), never a row-scale "
+    "sort; weights and cents are exact BIGINTs so the pick is "
+    "deterministic. The same shape generalizes to any exact weighted "
+    "quantile. At 100 TB: one fact pass map-side-combines into the "
+    "(flag, cents) table; the window runs on the bounded value domain "
+    "(the diag_mann_whitney_value contract).",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.round("l_quantity", 0).cast("long").alias("w"),
+    )
+    d = v.groupBy("flag", "cents").agg(F.sum("w").cast("long").alias("w"))
+    t = d.groupBy("flag").agg(F.sum("w").cast("long").alias("tot"))
+    wc = Window.partitionBy("flag").orderBy("cents")
+    r = d.select("flag", "cents", "w", F.sum("w").over(wc).cast("long").alias("cum"))
+    med = F.min(
+        F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))
+    ).cast("long")
+    return (
+        r.join(t, "flag")
+        .groupBy("flag", "tot")
+        .agg(med.alias("median_cents"))
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("tot").alias("total_weight"),
+            "median_cents",
+            F.round(F.col("median_cents").cast("double") / 100.0, 2).alias(
+                "weighted_median_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "setops_multiset_bag",
+    """
+WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id FROM events WHERE event_type = 'view')
+SELECT op, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'intersect_all' AS op, COUNT(*) AS n
+  FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM v)
+  UNION ALL
+  SELECT 'except_all', COUNT(*)
+  FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM v)
+  UNION ALL
+  SELECT 'intersect_distinct', COUNT(*)
+  FROM (SELECT * FROM c INTERSECT SELECT * FROM v)
+  UNION ALL
+  SELECT 'except_distinct', COUNT(*)
+  FROM (SELECT * FROM c EXCEPT SELECT * FROM v))
+ORDER BY op
+""",
+    doc="MULTISET set operations — INTERSECT ALL / EXCEPT ALL next to "
+    "their DISTINCT forms over per-user click/view event bags: bag "
+    "semantics preserve multiplicity (a user with 3 clicks and 1 view "
+    "contributes 1 to intersect_all and 2 to except_all), which is what "
+    "per-event accounting needs and what the DISTINCT forms silently "
+    "collapse. SQL-standard surface on both engines "
+    "(df.intersectAll/exceptAll Spark-side); exact counts satisfy the "
+    "bag identity |A ∩all B| + |A \\all B| = |A|. At 100 TB: each op is "
+    "one hash shuffle on the compared columns with map-side partial "
+    "counting — same cost class as a groupBy.",
+)
+def setops_multiset_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select("user_id")
+    v = ev.filter(F.col("event_type") == "view").select("user_id")
+    parts = [
+        ("intersect_all", c.intersectAll(v)),
+        ("except_all", c.exceptAll(v)),
+        ("intersect_distinct", c.intersect(v)),
+        ("except_distinct", c.subtract(v)),
+    ]
+    out = None
+    for op, df in parts:
+        row = df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("op")

@@ -27,6 +27,7 @@ NEW_QUERIES = [
     "diag_bootstrap_ci",
     "diag_wilson_ci",
     "diag_cramers_v",
+    "diag_winsorized_mean",
 ]
 
 
@@ -546,3 +547,15 @@ def test_cramers_v_in_unit_range(spark, sf_dir):
     assert row["chi2"] >= 0
     assert 0.0 <= row["cramers_v"] <= 1.0
     assert row["n_segments"] >= 1 and row["n_priorities"] >= 1
+
+
+def test_winsorized_mean_between_bounds(spark, sf_dir):
+    """Winsorized mean lies within [p10, p90], bounds are ordered, and
+    clamping never moves the mean past the raw extremes."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_winsorized_mean"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["p10_value"] <= pdf["p90_value"]).all()
+    assert (pdf["winsorized_mean"] >= pdf["p10_value"] - 1e-9).all()
+    assert (pdf["winsorized_mean"] <= pdf["p90_value"] + 1e-9).all()

@@ -72,6 +72,8 @@ RELATIONAL_QUERIES = [
     "agg_share_of_parent",
     "join_shuffle_hash_hint",
     "agg_group_by_all",
+    "agg_weighted_median",
+    "setops_multiset_bag",
     "join_null_safe",
     "dim_date_build",
     "agg_mode_daily",
@@ -868,3 +870,51 @@ def test_delta_varint_sorted_dominates(spark, sf_dir):
     for _, r in pdf.iterrows():
         assert r.bytes_raw == r.n_values * 8
         assert r.compression_x == round(r.bytes_raw / r.bytes_delta_varint, 4)
+
+
+def test_weighted_median_dominates_half_the_weight(spark, sf_dir):
+    """The reported value is a genuine lower weighted median: weight at or
+    below it covers >= half the total, weight strictly below it does not."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["agg_weighted_median"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+            F.round("l_quantity", 0).cast("long").alias("w"),
+        )
+        .toPandas()
+    )
+    for r in pdf.itertuples():
+        g = li[li.flag == r.l_returnflag]
+        tot = g.w.sum()
+        assert tot == r.total_weight
+        assert 2 * g[g.cents <= r.median_cents].w.sum() >= tot
+        assert 2 * g[g.cents < r.median_cents].w.sum() < tot
+
+
+def test_multiset_bag_identity(spark, sf_dir):
+    """|A INTERSECT ALL B| + |A EXCEPT ALL B| == |A|, and the distinct
+    forms never exceed their multiset counterparts."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = (
+        load_all()["setops_multiset_bag"].fn(spark, sf_dir).toPandas().set_index("op")
+    )
+    n_clicks = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert pdf.loc["intersect_all", "n"] + pdf.loc["except_all", "n"] == n_clicks
+    assert pdf.loc["intersect_distinct", "n"] <= pdf.loc["intersect_all", "n"]
+    assert pdf.loc["except_distinct", "n"] <= pdf.loc["except_all", "n"]
