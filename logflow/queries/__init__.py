@@ -63,10 +63,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: driver-green after r6 is 215/274. ALL 50 window slots go to never-
 #: driver-checked oracle-backed queries: the 32 candidates queued at
 #: positions 51-82 last round + the first 18 of the round-6 crop. The 5
-#: remaining round-6-crop entries sit at positions 51-55 (round-8 window
-#: candidates). Every query rotated OUT is driver-green in
-#: CORRECTNESS_r01..r06 and stays parity-checked at both SFs every round.
-#: tests/test_registry.py pins the rotated-in set.
+#: remaining round-6-crop entries sit at positions 51-55 which, together
+#: with the 14 round-7 additions in the tail, form the round-8 window
+#: candidate pool (5 + 14 = 19 never-driver-checked oracle-backed
+#: entries after this round's window lands). Every query rotated OUT is
+#: driver-green in CORRECTNESS_r01..r06 and stays parity-checked at both
+#: SFs every round. tests/test_registry.py pins the rotated-in set.
 PRIORITY: list[str] = [
     # ------- driver window (round 7, rotation pass 2 of 2): 50 never-
     # driver-checked oracle-backed queries — the 32 queued candidates
