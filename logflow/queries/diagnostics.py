@@ -2121,7 +2121,7 @@ means AS (
          CAST(swx AS DOUBLE) / NULLIF(CAST(sw AS DOUBLE), 0.0) AS m,
          ROW_NUMBER() OVER (PARTITION BY event_type
            ORDER BY CAST(swx AS DOUBLE) / NULLIF(CAST(sw AS DOUBLE), 0.0), b) AS rn
-  FROM reps),
+  FROM reps WHERE sw > 0),
 pt AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
          CAST(SUM(x_cents) AS BIGINT) AS sx
@@ -2193,7 +2193,10 @@ def diag_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.col("swx").cast("double") / F.nullif(F.col("sw").cast("double"), F.lit(0.0))
     wn = Window.partitionBy("event_type").orderBy(m, "b")
-    means = reps.select(
+    # sw = 0 replicates (probability e^-n per group) would give a NULL mean
+    # whose sort position differs cross-engine (Spark NULLS FIRST, DuckDB
+    # NULLS LAST) — exclude them before ranking, identically in the oracle.
+    means = reps.filter(F.col("sw") > 0).select(
         "event_type", "b", m.alias("m"), F.row_number().over(wn).alias("rn")
     )
     pt = base.groupBy("event_type").agg(
@@ -2313,8 +2316,8 @@ dims AS (SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
 stat AS (SELECT CAST(SUM(term) AS DOUBLE) AS chi2 FROM terms)
 SELECT g.grand AS n_rows, dims.r AS n_segments, dims.c AS n_priorities,
        ROUND(stat.chi2, 4) AS chi2,
-       ROUND(sqrt(stat.chi2 / (CAST(g.grand AS DOUBLE)
-             * CAST(LEAST(dims.r, dims.c) - 1 AS DOUBLE))), 6) AS cramers_v
+       ROUND(sqrt(stat.chi2 / NULLIF(CAST(g.grand AS DOUBLE)
+             * CAST(LEAST(dims.r, dims.c) - 1 AS DOUBLE), 0.0)), 6) AS cramers_v
 FROM stat CROSS JOIN dims CROSS JOIN g
 """,
     doc="Cramér's V — the EFFECT SIZE the chi-square test lacks: how "
@@ -2357,11 +2360,15 @@ def diag_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pri").cast("long").alias("c"),
     )
     stat = terms.agg(F.sum("term").cast("double").alias("chi2"))
+    # NULLIF the data-dependent denominator (repo invariant): a degenerate
+    # 1-category dimension would make Spark ANSI throw DIVIDE_BY_ZERO while
+    # DuckDB returns NULL.
     v = F.sqrt(
         F.col("chi2")
-        / (
+        / F.nullif(
             F.col("grand").cast("double")
-            * (F.least(F.col("r"), F.col("c")) - 1).cast("double")
+            * (F.least(F.col("r"), F.col("c")) - 1).cast("double"),
+            F.lit(0.0),
         )
     )
     return (
@@ -2381,7 +2388,7 @@ def diag_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     "diag_winsorized_mean",
     """
 WITH v AS (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-           FROM events),
+           FROM events WHERE value IS NOT NULL),
 d AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
       FROM v GROUP BY event_type, cents),
 t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM d GROUP BY event_type),
@@ -2425,7 +2432,10 @@ ORDER BY event_type
 )
 def diag_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    v = ev.select(
+    # NULL values would shift the cumulative-rank window cross-engine (Spark
+    # NULLS FIRST vs DuckDB NULLS LAST) and inflate n while being excluded
+    # from the clamped sum — keep the window domain NULL-free by construction.
+    v = ev.filter(F.col("value").isNotNull()).select(
         "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
     )
     d = v.groupBy("event_type", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logflow.functions.text import LANG_MARKERS, STOPWORDS, char_ngrams, tokenize
+from logflow.operators.cache import track
 from logflow.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -3141,7 +3142,11 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id")
-    assign = (
+    # The assignment subtree (broadcast crossJoin + per-vector top-1 window)
+    # feeds BOTH sides of the self-join below — persist + materialize so the
+    # most expensive stage runs once, not once per side (multi-consumer
+    # lineage rule; ~2x off the candidate stage at scale).
+    assign = track(
         e.crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "label", "centroid_id", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
@@ -3153,7 +3158,9 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm(F.col("embedding")).alias("nrm"),
             "centroid_id",
         )
+        .persist()
     )
+    assign.count()
     ea = assign.select(
         "centroid_id",
         F.col("vec_id").alias("id_a"),

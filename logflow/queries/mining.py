@@ -1144,7 +1144,12 @@ ORDER BY r_q, f_q
     "cents); recency is a micros diff DIV'd to days (engine-identical "
     "for the post-epoch data); averages are one IEEE division of exact "
     "operands. At 100 TB: the per-customer rollup is one fact shuffle; "
-    "everything after is customer-scale with broadcast offsets.",
+    "everything after is customer-scale with broadcast offsets. The THREE "
+    "global_ntile passes are deliberate: each axis orders by a different "
+    "key, so each genuinely needs its own quantile edges + bucket "
+    "row_number — all three run over the SAME persisted customer-scale "
+    "aggregate (never the fact table), so the cost is 3× a bounded pass, "
+    "not 3× the fact scan.",
 )
 def rfm_quintile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logflow.operators.cache import track
