@@ -368,6 +368,11 @@ PRIORITY: list[str] = [
     "agg_weighted_median",
     "setops_multiset_bag",
     "diag_winsorized_mean",
+    # ------- round-8 frontier (tail during development; rotated into the
+    # driver window at round close) -------
+    "graph_scc_forward_backward",
+    "ml_isotonic_calibration",
+    "ml_roc_curve_points",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

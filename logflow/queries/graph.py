@@ -1047,3 +1047,181 @@ def graph_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r").cast("double") / _SCALE, 9).alias("ppr"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Directed strongly-connected component (forward-backward / FW-BW) — the
+# classic distributed SCC primitive (Fleischer-Hendrickson-Pinar 2000):
+# the SCC containing a pivot is exactly FW(pivot) ∩ BW(pivot). The digraph
+# is the TEMPORAL co-purchase graph: u → v if, in >= 2 distinct orders,
+# part u's (earliest) line shipped strictly before part v's.
+# --------------------------------------------------------------------------
+
+_SCC_HOPS = 8
+
+
+def _scc_edges_sql() -> str:
+    return """
+op2 AS (SELECT l_orderkey AS o, l_partkey AS p, MIN(l_shipdate) AS d
+        FROM lineitem GROUP BY l_orderkey, l_partkey),
+de AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+       FROM op2 a JOIN op2 b ON a.o = b.o AND a.d < b.d AND a.p <> b.p
+       GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+piv AS (SELECT MIN(u) AS pu FROM de)
+"""
+
+
+def _scc_reach_ctes(pfx: str, fwd: bool) -> str:
+    """Unrolled cumulative reachable-set CTEs pfx0..pfx{_SCC_HOPS}."""
+    src, dst = ("u", "v") if fwd else ("v", "u")
+    parts = [f"{pfx}0 AS (SELECT pu AS u FROM piv WHERE pu IS NOT NULL)"]
+    for h in range(1, _SCC_HOPS + 1):
+        # MATERIALIZED is load-bearing: each hop references the previous
+        # CTE twice, so an inlining engine would otherwise expand the
+        # chain 2^hops times (measured: 8 unrolled hops never finished
+        # inlined, sub-second materialized).
+        parts.append(
+            f"{pfx}{h} AS MATERIALIZED (SELECT u FROM {pfx}{h - 1} "
+            f"UNION "
+            f"SELECT e.{dst} AS u FROM de e JOIN {pfx}{h - 1} r ON e.{src} = r.u)"
+        )
+    return ",\n".join(parts)
+
+
+_SCC_SQL = (
+    "WITH "
+    + _scc_edges_sql().strip()
+    + ",\n"
+    + _scc_reach_ctes("f", fwd=True)
+    + ",\n"
+    + _scc_reach_ctes("b", fwd=False)
+    + f""",
+scc AS (SELECT u FROM f{_SCC_HOPS} INTERSECT SELECT u FROM b{_SCC_HOPS}),
+conv AS (SELECT CASE WHEN (SELECT COUNT(*) FROM f{_SCC_HOPS})
+                        = (SELECT COUNT(*) FROM f{_SCC_HOPS - 1})
+                      AND (SELECT COUNT(*) FROM b{_SCC_HOPS})
+                        = (SELECT COUNT(*) FROM b{_SCC_HOPS - 1})
+                     THEN 1 ELSE 0 END AS c)
+SELECT metric, n_nodes, checksum, converged FROM (
+  SELECT 'forward' AS metric, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(u) AS BIGINT) AS checksum,
+         (SELECT CAST(c AS BIGINT) FROM conv) AS converged
+  FROM f{_SCC_HOPS}
+  UNION ALL
+  SELECT 'backward', CAST(COUNT(*) AS BIGINT), CAST(SUM(u) AS BIGINT),
+         (SELECT CAST(c AS BIGINT) FROM conv)
+  FROM b{_SCC_HOPS}
+  UNION ALL
+  SELECT 'scc', CAST(COUNT(*) AS BIGINT), CAST(SUM(u) AS BIGINT),
+         (SELECT CAST(c AS BIGINT) FROM conv)
+  FROM scc
+) ORDER BY metric
+"""
+)
+
+
+def _temporal_copurchase_digraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge list (u, v): u's earliest line in an order shipped
+    strictly before v's, in >= 2 distinct orders. Built like
+    _copurchase_edges (ONE lineitem shuffle + map-side pair explosion,
+    never a self-join shipping the fact twice); pair fan-out bounded by
+    parts-per-order. Persisted: it feeds both BFS directions."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.groupBy("l_orderkey", "l_partkey").agg(F.min("l_shipdate").alias("d"))
+    ppo = op.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_partkey", "d")).alias("ps")
+    )
+    e = (
+        ppo.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(
+            (F.col("a.d") < F.col("b.d"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey"))
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    e = track(e.coalesce(4).persist())
+    e.count()
+    return e
+
+
+@register(
+    "graph_scc_forward_backward",
+    _SCC_SQL,
+    doc="Directed STRONGLY-connected component by forward-backward "
+    "reachability (Fleischer-Hendrickson-Pinar 2000) — the classic "
+    "distributed SCC primitive the undirected CC/LPA family cannot "
+    "express: SCC(pivot) = FW(pivot) ∩ BW(pivot). The digraph is the "
+    "temporal co-purchase graph (u→v iff u's earliest line shipped "
+    "strictly before v's in >= 2 distinct orders); the pivot is the "
+    f"smallest source node. {_SCC_HOPS} unrolled cumulative-frontier "
+    "hops per direction (the graph_bfs_levels superstep), a `converged` "
+    "flag reporting whether BOTH reachable sets closed before the hop "
+    "cap (the operator's contract is hop-capped reachability, exact "
+    "when converged=1 — asserted by the pytest invariant at test SFs). "
+    "Counts and BIGINT id-checksums are order-independent integer sums. "
+    "At 100 TB: the iteration-invariant edge list is built once with "
+    "ONE fact shuffle + map-side pair explosion and persisted (bucketed "
+    "by source node in a production run so every superstep joins "
+    "co-located); each hop is one edges⋈frontier equi-join + distinct; "
+    "full SCC decomposition iterates this exact kernel (peel the found "
+    "SCC, re-pivot), so one kernel invocation is the honest unit.",
+)
+def graph_scc_forward_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _temporal_copurchase_digraph(spark, sf_dir)
+    piv = de.agg(F.min("u").alias("u")).filter(F.col("u").isNotNull())
+    piv = track(piv.coalesce(1).persist())
+
+    def reach(fwd: bool) -> tuple[DataFrame, bool]:
+        src, dst = ("u", "v") if fwd else ("v", "u")
+        r = piv
+        n_prev = r.count()
+        converged = False
+        for _ in range(_SCC_HOPS):
+            step = (
+                de.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+                .join(r, F.col("s") == F.col("u"))
+                .select(F.col("t").alias("u"))
+            )
+            r = (
+                r.union(step)
+                .distinct()
+                .coalesce(_size_parts(n_prev * 8))
+                .localCheckpoint(eager=True)
+            )
+            n = r.count()
+            converged = n == n_prev
+            n_prev = n
+            if converged:
+                # fixpoint: the remaining unrolled hops are no-ops (the
+                # oracle's extra CTEs are idempotent on a converged set)
+                break
+        return r, converged
+
+    fw, cf = reach(True)
+    bw, cb = reach(False)
+    scc = fw.intersect(bw)
+    conv = F.lit(1 if (cf and cb) else 0).cast("long")
+    rows = [
+        ("forward", fw),
+        ("backward", bw),
+        ("scc", scc),
+    ]
+    out = None
+    for metric, frame in rows:
+        s = frame.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("u").cast("long").alias("checksum"),
+        ).select(
+            F.lit(metric).alias("metric"),
+            "n_nodes",
+            "checksum",
+            conv.alias("converged"),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("metric")

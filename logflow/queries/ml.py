@@ -972,3 +972,233 @@ def ml_ndcg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_zero"),
     )
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators) over the GD classifier's
+# reliability bins — the monotone regression that turns a miscalibrated
+# score into a calibrated probability (Zadrozny-Elkan 2002).
+# --------------------------------------------------------------------------
+
+_ISO_SCALE = 10**12
+
+
+def _iso_tail_sql() -> str:
+    return f"""
+bins AS (SELECT LEAST(9, p6 // 100000) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(y) AS BIGINT) AS pos
+         FROM final_scored GROUP BY LEAST(9, p6 // 100000)),
+pre AS (SELECT bin, n, pos,
+               CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS ord,
+               CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM bins),
+pre0 AS (SELECT ord, cn, cp FROM pre
+         UNION ALL
+         SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+rngs AS (SELECT j.ord AS jm, k.ord AS ko,
+                ((k.cp - j.cp) * {_ISO_SCALE}) // (k.cn - j.cn) AS r_fp
+         FROM pre0 j JOIN pre0 k ON k.ord > j.ord),
+mins AS (SELECT i.ord AS io, r.jm, MIN(r.r_fp) AS mn
+         FROM rngs r JOIN pre i ON r.jm < i.ord AND r.ko >= i.ord
+         GROUP BY i.ord, r.jm),
+iso AS (SELECT io, CAST(MAX(mn) AS BIGINT) AS iso_fp FROM mins GROUP BY io)
+SELECT p.bin, p.n, p.pos,
+       ROUND(CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS raw_rate,
+       ROUND(CAST(iso_fp AS DOUBLE) / {_ISO_SCALE}.0, 6) AS iso_rate
+FROM pre p JOIN iso ON iso.io = p.ord
+ORDER BY p.bin
+"""
+
+
+_ISO_SQL = (
+    "WITH "
+    + _lr_feat_sql()
+    + ",\nw0_t AS (SELECT "
+    + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(5))
+    + "),"
+    + ",".join(_lr_iter_sql(f"w{i}_t", f"w{i + 1}_t") for i in range(_LR_ITERS))
+    + f""",
+final_scored AS (
+  SELECT f.y, {_P6.format(zsum=" + ".join(f"w.w{j} * f.x{j}" for j in range(5)))} AS p6
+  FROM feat f CROSS JOIN w{_LR_ITERS}_t w),"""
+    + _iso_tail_sql()
+)
+
+
+@register(
+    "ml_isotonic_calibration",
+    _ISO_SQL,
+    doc="Isotonic (monotone non-decreasing) calibration of the GD "
+    "classifier's decile bins via the MINIMAX identity for pool-"
+    "adjacent-violators (Robertson-Wright-Dykstra 1988: iso(i) = "
+    "max_{j<=i} min_{k>=i} mean(j..k)) — PAV without iteration, exactly "
+    "right for the bounded bin domain. Every range mean is an exact "
+    "integer prefix-sum fraction FLOOR-SCALED to 1e12 fixed point "
+    "((S·1e12) // C, truncating division both engines), so the minimax "
+    "runs on exact integers and the reported iso_rate is a pure integer "
+    "function of the data — no float comparison anywhere (two fractions "
+    "within 1e-12 tie deterministically). Completes the "
+    "ml_calibration_bins story: raw reliability next to the calibrated "
+    "monotone fit. At 100 TB: the bin rollup is the only fact-scale "
+    "aggregate (map-side combined); the O(B^3) minimax runs on B=10 "
+    "bins — constant work, in-plan (never collected).",
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    feat, w, p6_col = _lr_fit(spark, sf_dir)
+    scored = feat.crossJoin(F.broadcast(w)).withColumn("p6", p6_col())
+    bins = scored.groupBy(
+        F.least(F.lit(9), F.expr("p6 DIV 100000")).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    # <=10-row frame from here on: the global window and the range self-
+    # join are constant-bounded (B=10 bins), never fact-scale
+    wo = Window.orderBy("bin")
+    pre = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.row_number().over(wo).cast("long").alias("ord"),
+        F.sum("n").over(wo).cast("long").alias("cn"),
+        F.sum("pos").over(wo).cast("long").alias("cp"),
+    )
+    pre = track(pre.coalesce(1).persist())
+    pre.count()
+    zero = pre.sparkSession.range(1).select(
+        F.lit(0).cast("long").alias("ord"),
+        F.lit(0).cast("long").alias("cn"),
+        F.lit(0).cast("long").alias("cp"),
+    )
+    pre0 = pre.select("ord", "cn", "cp").unionByName(zero)
+    j = pre0.select(
+        F.col("ord").alias("jm"), F.col("cn").alias("jcn"), F.col("cp").alias("jcp")
+    )
+    k = pre0.select(
+        F.col("ord").alias("ko"), F.col("cn").alias("kcn"), F.col("cp").alias("kcp")
+    )
+    rngs = j.join(k, F.col("ko") > F.col("jm")).select(
+        "jm",
+        "ko",
+        F.expr(f"((kcp - jcp) * {_ISO_SCALE}) DIV (kcn - jcn)").alias("r_fp"),
+    )
+    idx = pre.select(F.col("ord").alias("io"))
+    mins = (
+        rngs.join(idx, (F.col("jm") < F.col("io")) & (F.col("ko") >= F.col("io")))
+        .groupBy("io", "jm")
+        .agg(F.min("r_fp").alias("mn"))
+    )
+    iso = mins.groupBy("io").agg(F.max("mn").cast("long").alias("iso_fp"))
+    return (
+        pre.join(iso, pre["ord"] == iso["io"])
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round(F.col("iso_fp").cast("double") / float(_ISO_SCALE), 6).alias(
+                "iso_rate"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROC curve points for the GD classifier — the threshold sweep behind the
+# single-number AUC (auc_label_separability) that shows WHERE the score
+# separates.
+# --------------------------------------------------------------------------
+
+_ROC_STEP = 100_000  # threshold grid step in p6 fixed point (deciles)
+
+
+_ROC_SQL = (
+    "WITH "
+    + _lr_feat_sql()
+    + ",\nw0_t AS (SELECT "
+    + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(5))
+    + "),"
+    + ",".join(_lr_iter_sql(f"w{i}_t", f"w{i + 1}_t") for i in range(_LR_ITERS))
+    + f""",
+final_scored AS (
+  SELECT f.y, {_P6.format(zsum=" + ".join(f"w.w{j} * f.x{j}" for j in range(5)))} AS p6
+  FROM feat f CROSS JOIN w{_LR_ITERS}_t w),
+tot AS (SELECT CAST(SUM(y) AS BIGINT) AS p,
+               CAST(SUM(1 - y) AS BIGINT) AS neg FROM final_scored),
+thr AS (SELECT CAST(unnest(range(0, 11)) * {_ROC_STEP} AS BIGINT) AS t),
+cm AS (SELECT t,
+              CAST(SUM(CASE WHEN p6 >= t THEN y ELSE 0 END) AS BIGINT) AS tp,
+              CAST(SUM(CASE WHEN p6 >= t THEN 1 - y ELSE 0 END) AS BIGINT) AS fp
+       FROM final_scored CROSS JOIN thr GROUP BY t)
+SELECT cm.t AS threshold_fp, tp, fp,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(CAST(p AS DOUBLE), 0.0), 6) AS tpr,
+       ROUND(CAST(fp AS DOUBLE) / NULLIF(CAST(neg AS DOUBLE), 0.0), 6) AS fpr,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0.0), 6)
+         AS precision_at_t
+FROM cm CROSS JOIN tot
+ORDER BY threshold_fp
+"""
+)
+
+
+@register(
+    "ml_roc_curve_points",
+    _ROC_SQL,
+    doc="ROC curve points (TPR/FPR/precision at 11 fixed-point score "
+    "thresholds 0, 1e5, ..., 1e6) for the hard-sigmoid GD classifier — "
+    "the threshold sweep that locates the operating point a single AUC "
+    "number hides. Shares the exact integer fit with ml_logreg_gd "
+    "(identical unrolled steps → identical weights → identical p6 "
+    "scores), counts are exact conditional BIGINT sums over the 11-row "
+    "broadcast threshold grid, and every reported ratio is one NULLIF-"
+    "guarded IEEE division of exact operands. At 100 TB: scoring is "
+    "map-side (broadcast weights); the 11-way threshold fan-out is a "
+    "broadcast crossJoin folded into the same single pass, partial-"
+    "aggregated before the 11-group shuffle.",
+)
+def ml_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat, w, p6_col = _lr_fit(spark, sf_dir)
+    scored = feat.crossJoin(F.broadcast(w)).withColumn("p6", p6_col())
+    tot = scored.agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+    )
+    thr = scored.sparkSession.range(0, 11).select(
+        (F.col("id") * _ROC_STEP).cast("long").alias("t")
+    )
+    cm = (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("p6") >= F.col("t"), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(F.col("p6") >= F.col("t"), F.lit(1) - F.col("y")).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        cm.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("threshold_fp"),
+            "tp",
+            "fp",
+            F.round(dd("tp") / F.nullif(dd("p"), F.lit(0.0)), 6).alias("tpr"),
+            F.round(dd("fp") / F.nullif(dd("neg"), F.lit(0.0)), 6).alias("fpr"),
+            F.round(
+                dd("tp") / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("precision_at_t"),
+        )
+        .orderBy("threshold_fp")
+    )

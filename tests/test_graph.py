@@ -351,3 +351,34 @@ def test_ppr_mass_concentrates_near_seed(spark, sf_dir):
     assert list(pdf["pos"]) == list(range(1, len(pdf) + 1))
     assert (pdf["rank_fp"] >= 0).all()
     assert (pdf["ppr"] >= 0).all()
+
+
+def test_scc_forward_backward_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_scc_forward_backward", sf_dir)
+
+
+def test_scc_is_intersection_and_converged(spark, sf_dir):
+    """SCC size is bounded by both reachable sets, the pivot belongs to
+    every set when edges exist, and at test SFs the hop cap suffices
+    (converged=1 — the operator's exactness contract)."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["graph_scc_forward_backward"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("metric")
+    )
+    assert set(pdf.index) == {"forward", "backward", "scc"}
+    fw, bw, scc = (
+        int(pdf.loc["forward", "n_nodes"]),
+        int(pdf.loc["backward", "n_nodes"]),
+        int(pdf.loc["scc", "n_nodes"]),
+    )
+    assert scc <= min(fw, bw)
+    if fw > 0:
+        # pivot is in FW ∩ BW by construction => SCC is non-empty
+        assert scc >= 1
+    assert (pdf["converged"] == 1).all()

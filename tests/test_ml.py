@@ -241,3 +241,50 @@ def test_ndcg_bounds_and_counts(spark, sf_dir):
         pytest.skip("no query part has a held-out positive at this SF/seed")
     assert 0.0 <= row["mean_ndcg10"] <= 1.0
     assert row["n_perfect"] + row["n_zero"] <= row["n_queries"]
+
+
+def test_isotonic_calibration_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_isotonic_calibration", sf_dir)
+
+
+def test_isotonic_calibration_monotone_and_mean_preserving(spark, sf_dir):
+    """The isotonic fit is non-decreasing in bin order and pool means
+    preserve the weighted positive rate to the 1e-12 fixed-point floor."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ml_isotonic_calibration"].fn(spark, sf_dir).toPandas()
+        .sort_values("bin")
+    )
+    iso = list(pdf["iso_rate"])
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))
+    # each iso_rate lies in [0, 1] and the weighted iso sum matches the
+    # total positives within the floor-scaling slack (1e-6 per row)
+    assert ((pdf["iso_rate"] >= 0) & (pdf["iso_rate"] <= 1)).all()
+    tot_iso = float((pdf["iso_rate"] * pdf["n"]).sum())
+    tot_pos = float(pdf["pos"].sum())
+    assert abs(tot_iso - tot_pos) <= max(1e-4 * tot_pos, 1.0)
+
+
+def test_roc_curve_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_roc_curve_points", sf_dir)
+
+
+def test_roc_curve_monotone(spark, sf_dir):
+    """TPR and FPR are non-increasing as the threshold rises; the t=0
+    point classifies everything positive (tpr = fpr = 1)."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ml_roc_curve_points"].fn(spark, sf_dir).toPandas()
+        .sort_values("threshold_fp")
+    )
+    assert len(pdf) == 11
+    for col in ("tpr", "fpr"):
+        vals = list(pdf[col])
+        assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
+    assert pdf.iloc[0]["tpr"] == 1.0 and pdf.iloc[0]["fpr"] == 1.0
