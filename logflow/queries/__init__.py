@@ -373,6 +373,10 @@ PRIORITY: list[str] = [
     "graph_scc_forward_backward",
     "ml_isotonic_calibration",
     "ml_roc_curve_points",
+    "ts_ar1_forecast",
+    "privacy_k_anonymity",
+    "ab_cuped_adjustment",
+    "ab_delta_method_ratio",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

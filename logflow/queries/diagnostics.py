@@ -2476,3 +2476,362 @@ def diag_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dd("s_raw") / dd("n") / 100.0, 4).alias("raw_mean"),
         F.round(dd("s_w") / dd("n") / 100.0, 4).alias("winsorized_mean"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Privacy / experimentation analytics (round 8): k-anonymity audit, CUPED
+# variance reduction, delta-method ratio-metric CI.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "privacy_k_anonymity",
+    """
+WITH qi AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+  FROM customer),
+g AS (SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(k) AS BIGINT) AS n_rows FROM g),
+thr AS (SELECT CAST(unnest([2, 5, 10, 20]) AS BIGINT) AS kt)
+SELECT kt AS k_threshold, tot.n_groups, tot.n_rows,
+       CAST(COALESCE(SUM(CASE WHEN k < kt THEN 1 END), 0) AS BIGINT)
+         AS n_groups_below,
+       CAST(COALESCE(SUM(CASE WHEN k < kt THEN k END), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN k < kt THEN k END), 0) AS DOUBLE)
+             / NULLIF(CAST(tot.n_rows AS DOUBLE), 0.0), 6) AS pct_rows_at_risk
+FROM g CROSS JOIN thr CROSS JOIN tot
+GROUP BY kt, tot.n_groups, tot.n_rows
+ORDER BY k_threshold
+""",
+    doc="k-anonymity audit (Sweeney 2002) over the quasi-identifier tuple "
+    "(nation, market segment, $1000 balance band) — the re-identification "
+    "screen a training-data release pipeline runs before publishing "
+    "user-derived rows: a record is k-anonymous when at least k-1 others "
+    "share its QI tuple. Reports, for each k in {2,5,10,20}, how many QI "
+    "equivalence classes fall below k and how many rows they expose. "
+    "Counts are exact BIGINTs; the one ratio is a NULLIF-guarded IEEE "
+    "division. At 100 TB: one map-side-combined groupBy to QI-class "
+    "scale, then a 4-row broadcast threshold fan-out over the class "
+    "table — generalization search (coarser bands until min-k holds) "
+    "re-runs the same aggregate per candidate lattice level.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    g = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )
+    thr = spark.createDataFrame([(2,), (5,), (10,), (20,)], "kt long")
+    below = F.when(F.col("k") < F.col("kt"), F.col("k"))
+    return (
+        g.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("kt", "n_groups", "n_rows")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("k") < F.col("kt"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_groups_below"),
+            F.coalesce(F.sum(below), F.lit(0)).cast("long").alias("n_rows_at_risk"),
+        )
+        .select(
+            F.col("kt").alias("k_threshold"),
+            "n_groups",
+            "n_rows",
+            "n_groups_below",
+            "n_rows_at_risk",
+            F.round(
+                F.col("n_rows_at_risk").cast("double")
+                / F.nullif(F.col("n_rows").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("pct_rows_at_risk"),
+        )
+        .orderBy("k_threshold")
+    )
+
+
+#: common oracle prelude for the A/B experiment queries: per-user pre/post
+#: exact cents + a deterministic md5 arm assignment, split at the exact
+#: micros midpoint of the event stream.
+_AB_USER_SQL = """
+e AS (SELECT user_id, value,
+             date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS tsm
+      FROM events),
+mid AS (SELECT (MIN(tsm) + MAX(tsm)) // 2 AS m FROM e),
+u AS (
+  SELECT user_id,
+         CAST(concat('0x', substr(md5(concat('arm:', CAST(user_id AS VARCHAR))),
+              1, 8)) AS BIGINT) % 2 AS arm,
+         CAST(COALESCE(SUM(CASE WHEN tsm < m THEN
+              CAST(ROUND(value, 4) AS DECIMAL(14,4)) END), 0) * 100 AS BIGINT)
+           AS pre,
+         CAST(COALESCE(SUM(CASE WHEN tsm >= m THEN
+              CAST(ROUND(value, 4) AS DECIMAL(14,4)) END), 0) * 100 AS BIGINT)
+           AS post,
+         CAST(SUM(CASE WHEN tsm >= m THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+  FROM e CROSS JOIN mid GROUP BY user_id)
+"""
+
+
+@register(
+    "ab_cuped_adjustment",
+    f"""
+WITH {_AB_USER_SQL.strip()},
+gm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pre) AS BIGINT) AS sx, CAST(SUM(post) AS BIGINT) AS sy,
+         CAST(SUM(pre*pre) AS BIGINT) AS sxx, CAST(SUM(pre*post) AS BIGINT) AS sxy
+  FROM u),
+am AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(SUM(pre) AS BIGINT) AS sx, CAST(SUM(post) AS BIGINT) AS sy,
+         CAST(SUM(pre*pre) AS BIGINT) AS sxx,
+         CAST(SUM(post*post) AS BIGINT) AS syy,
+         CAST(SUM(pre*post) AS BIGINT) AS sxy
+  FROM u GROUP BY arm)
+SELECT arm, n_a AS n_users,
+       ROUND(CAST(am.sy AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 4) AS mean_post,
+       ROUND((CAST(am.sy AS DOUBLE)
+              - (CAST(gm.n*gm.sxy - gm.sx*gm.sy AS DOUBLE)
+                 / NULLIF(CAST(gm.n*gm.sxx - gm.sx*gm.sx AS DOUBLE), 0.0))
+                * (CAST(am.sx AS DOUBLE)
+                   - CAST(n_a AS DOUBLE) * (CAST(gm.sx AS DOUBLE) / CAST(gm.n AS DOUBLE))))
+             / CAST(n_a AS DOUBLE) / 100.0, 4) AS mean_adjusted,
+       ROUND((CAST(am.n_a*am.syy - am.sy*am.sy AS DOUBLE)
+              / NULLIF(CAST(am.n_a AS DOUBLE) * CAST(am.n_a - 1 AS DOUBLE), 0.0))
+             / 10000.0, 4) AS var_post,
+       ROUND(((CAST(am.n_a*am.syy - am.sy*am.sy AS DOUBLE)
+               - 2.0 * (CAST(gm.n*gm.sxy - gm.sx*gm.sy AS DOUBLE)
+                        / NULLIF(CAST(gm.n*gm.sxx - gm.sx*gm.sx AS DOUBLE), 0.0))
+                     * CAST(am.n_a*am.sxy - am.sx*am.sy AS DOUBLE)
+               + (CAST(gm.n*gm.sxy - gm.sx*gm.sy AS DOUBLE)
+                  / NULLIF(CAST(gm.n*gm.sxx - gm.sx*gm.sx AS DOUBLE), 0.0))
+                 * (CAST(gm.n*gm.sxy - gm.sx*gm.sy AS DOUBLE)
+                    / NULLIF(CAST(gm.n*gm.sxx - gm.sx*gm.sx AS DOUBLE), 0.0))
+                 * CAST(am.n_a*am.sxx - am.sx*am.sx AS DOUBLE))
+              / NULLIF(CAST(am.n_a AS DOUBLE) * CAST(am.n_a - 1 AS DOUBLE), 0.0))
+             / 10000.0, 4) AS var_adjusted
+FROM am CROSS JOIN gm
+ORDER BY arm
+""",
+    doc="CUPED variance reduction (Deng et al. 2013) for an A/B readout: "
+    "each user's post-period value is adjusted by theta*(pre - mean_pre) "
+    "with theta = cov(pre,post)/var(pre) fit on ALL users (the standard "
+    "pre-experiment-covariate control that cuts metric variance without "
+    "bias). Users are split by a deterministic md5 arm hash; pre/post "
+    "are exact DECIMAL-summed cents split at the exact micros midpoint "
+    "of the stream. Every moment (global and per-arm) is an exact "
+    "BIGINT sum; theta, the adjusted means, and both variances are ONE "
+    "identical NULLIF-guarded IEEE expression tree over those exact "
+    "operands — the adjusted variance uses var(y) - 2*theta*cov + "
+    "theta^2*var(x), so no per-user adjusted column is ever "
+    "materialized. At 100 TB: one user-keyed shuffle to per-user scale, "
+    "then two map-side-combined moment aggregates (1 row global, 2 rows "
+    "by arm).",
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _ab_user_frame(spark, sf_dir)
+    gm = u.agg(
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum("pre").cast("long").alias("gsx"),
+        F.sum("post").cast("long").alias("gsy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("gsxx"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("gsxy"),
+    )
+    am = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum("pre").cast("long").alias("sx"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).cast("long").alias("syy"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("sxy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = (F.col("gn") * F.col("gsxy") - F.col("gsx") * F.col("gsy")).cast(
+        "double"
+    ) / F.nullif(
+        (F.col("gn") * F.col("gsxx") - F.col("gsx") * F.col("gsx")).cast("double"),
+        F.lit(0.0),
+    )
+    mean_pre = dd("gsx") / dd("gn")
+    nn1 = F.nullif(dd("n_a") * (F.col("n_a") - 1).cast("double"), F.lit(0.0))
+    var_post = (F.col("n_a") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    ) / nn1
+    cov_a = (F.col("n_a") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_a = (F.col("n_a") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_adj = (
+        (F.col("n_a") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        - F.lit(2.0) * theta * cov_a
+        + theta * theta * varx_a
+    ) / nn1
+    return (
+        am.crossJoin(F.broadcast(gm))
+        .select(
+            "arm",
+            F.col("n_a").alias("n_users"),
+            F.round(dd("sy") / dd("n_a") / 100.0, 4).alias("mean_post"),
+            F.round(
+                (dd("sy") - theta * (dd("sx") - dd("n_a") * mean_pre))
+                / dd("n_a")
+                / 100.0,
+                4,
+            ).alias("mean_adjusted"),
+            F.round(var_post / 10000.0, 4).alias("var_post"),
+            F.round(var_adj / 10000.0, 4).alias("var_adjusted"),
+        )
+        .orderBy("arm")
+    )
+
+
+def _ab_user_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _AB_USER_SQL: per-user (arm, pre, post, n_post)."""
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        "value",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("tsm"),
+    )
+    mid = e.agg(F.expr("(MIN(tsm) + MAX(tsm)) DIV 2").alias("m"))
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    dec = F.round(F.col("value"), 4).cast("decimal(14,4)")
+    return (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("tsm") < F.col("m"), dec)), F.lit(0)
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("pre"),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("tsm") >= F.col("m"), dec)), F.lit(0)
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("post"),
+            F.sum(F.when(F.col("tsm") >= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_post"),
+        )
+        .select(
+            "user_id",
+            arm.alias("arm"),
+            "pre",
+            "post",
+            "n_post",
+        )
+    )
+
+
+#: z for the 95% two-sided delta-method interval — Python repr inlined
+#: into both engines verbatim (the _WILSON_Z recipe).
+_DELTA_Z = "1.959963984540054"
+
+
+@register(
+    "ab_delta_method_ratio",
+    f"""
+WITH {_AB_USER_SQL.strip()},
+am AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(post) AS BIGINT) AS sx, CAST(SUM(n_post) AS BIGINT) AS sn,
+         CAST(SUM(post*post) AS BIGINT) AS sxx,
+         CAST(SUM(n_post*n_post) AS BIGINT) AS snn,
+         CAST(SUM(post*n_post) AS BIGINT) AS sxn
+  FROM u GROUP BY arm),
+r AS (
+  SELECT arm, n, sx, sn,
+         CAST(sx AS DOUBLE) / NULLIF(CAST(sn AS DOUBLE), 0.0) AS ratio,
+         (CAST(n*sxx - sx*sx AS DOUBLE)
+          - 2.0 * (CAST(sx AS DOUBLE) / NULLIF(CAST(sn AS DOUBLE), 0.0))
+                * CAST(n*sxn - sx*sn AS DOUBLE)
+          + (CAST(sx AS DOUBLE) / NULLIF(CAST(sn AS DOUBLE), 0.0))
+            * (CAST(sx AS DOUBLE) / NULLIF(CAST(sn AS DOUBLE), 0.0))
+            * CAST(n*snn - sn*sn AS DOUBLE))
+         / NULLIF(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE), 0.0) AS s2
+  FROM am)
+SELECT arm, n AS n_users,
+       ROUND(ratio / 100.0, 4) AS revenue_per_event,
+       ROUND(sqrt(s2 / CAST(n AS DOUBLE))
+             / NULLIF(CAST(sn AS DOUBLE) / CAST(n AS DOUBLE), 0.0) / 100.0, 4)
+         AS se,
+       ROUND((ratio - {_DELTA_Z} * sqrt(s2 / CAST(n AS DOUBLE))
+              / NULLIF(CAST(sn AS DOUBLE) / CAST(n AS DOUBLE), 0.0)) / 100.0, 4)
+         AS ci_lo,
+       ROUND((ratio + {_DELTA_Z} * sqrt(s2 / CAST(n AS DOUBLE))
+              / NULLIF(CAST(sn AS DOUBLE) / CAST(n AS DOUBLE), 0.0)) / 100.0, 4)
+         AS ci_hi
+FROM r
+ORDER BY arm
+""",
+    doc="Delta-method confidence interval for a RATIO metric (post-period "
+    "revenue per event) per experiment arm — the standard error the "
+    "naive per-event t-test gets wrong because events cluster within "
+    "users (the randomization unit): Var(X̄/N̄) is first-order-expanded "
+    "to (s_X² - 2R·s_XN + R²·s_N²)/(n·N̄²) from USER-level moments "
+    "(Deng, Knoblich & Lu 2018). Same deterministic md5 arms and exact "
+    "cents as ab_cuped_adjustment; every moment is an exact BIGINT sum, "
+    "ratio/SE/bounds are one identical NULLIF-guarded IEEE tree with "
+    "the z literal inlined verbatim in both engines. At 100 TB: one "
+    "user-keyed shuffle, then a 2-row moment aggregate — the interval "
+    "is map-side-combinable end to end.",
+)
+def ab_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _ab_user_frame(spark, sf_dir)
+    am = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("post").cast("long").alias("sx"),
+        F.sum("n_post").cast("long").alias("sn"),
+        F.sum(F.col("post") * F.col("post")).cast("long").alias("sxx"),
+        F.sum(F.col("n_post") * F.col("n_post")).cast("long").alias("snn"),
+        F.sum(F.col("post") * F.col("n_post")).cast("long").alias("sxn"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    ratio = dd("sx") / F.nullif(dd("sn"), F.lit(0.0))
+    s2 = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        - F.lit(2.0) * ratio * (F.col("n") * F.col("sxn") - F.col("sx") * F.col("sn")).cast("double")
+        + ratio * ratio * (F.col("n") * F.col("snn") - F.col("sn") * F.col("sn")).cast("double")
+    ) / F.nullif(dd("n") * (F.col("n") - 1).cast("double"), F.lit(0.0))
+    z = float(_DELTA_Z)
+    se = F.sqrt(s2 / dd("n")) / F.nullif(dd("sn") / dd("n"), F.lit(0.0))
+    return am.select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.round(ratio / 100.0, 4).alias("revenue_per_event"),
+        F.round(se / 100.0, 4).alias("se"),
+        F.round((ratio - F.lit(z) * se) / 100.0, 4).alias("ci_lo"),
+        F.round((ratio + F.lit(z) * se) / 100.0, 4).alias("ci_hi"),
+    ).orderBy("arm")

@@ -2045,3 +2045,110 @@ def ts_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("severity"),
         )
     )
+
+
+@register(
+    "ts_ar1_forecast",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2)
+                         AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+pairs AS (
+  SELECT a.event_type, b.cents AS x, a.cents AS y
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day = a.day - 1),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY event_type),
+lastv AS (
+  SELECT d.event_type, d.cents AS last_cents
+  FROM daily d JOIN (SELECT event_type AS et, MAX(day) AS md
+                     FROM daily GROUP BY event_type) mm
+    ON d.event_type = mm.et AND d.day = mm.md)
+SELECT m.event_type, m.n AS n_pairs,
+       ROUND(CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE)
+             / NULLIF(CAST(m.n*m.sxx - m.sx*m.sx AS DOUBLE), 0.0), 6) AS phi,
+       ROUND(CAST(l.last_cents AS DOUBLE) / 100.0, 2) AS last_value,
+       ROUND(((CAST(m.sy AS DOUBLE)
+               - (CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE)
+                  / NULLIF(CAST(m.n*m.sxx - m.sx*m.sx AS DOUBLE), 0.0))
+                 * CAST(m.sx AS DOUBLE)) / CAST(m.n AS DOUBLE)
+              + (CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE)
+                 / NULLIF(CAST(m.n*m.sxx - m.sx*m.sx AS DOUBLE), 0.0))
+                * CAST(l.last_cents AS DOUBLE)) / 100.0, 4) AS forecast_next
+FROM m JOIN lastv l ON m.event_type = l.event_type
+ORDER BY m.event_type
+""",
+    doc="AR(1) one-step forecast per event type by conditional least "
+    "squares on the daily value series: x_t = a + phi*x_{t-1} fit over "
+    "consecutive-day lag pairs (the Yule-Walker/OLS estimate on the "
+    "lag-1 design — the companion to ts_autocorrelation's diagnosis and "
+    "the simplest member of the Holt/EWMA forecasting family the repo "
+    "carries). All moments are exact BIGINT cents sums "
+    "(order-independent); phi, the intercept, and the forecast are ONE "
+    "identical IEEE expression tree over those exact operands with a "
+    "NULLIF zero-variance guard — the ts_autocorrelation determinism "
+    "recipe. At 100 TB: the daily roll-up is map-side combined; the "
+    "lag-pair join runs on (event_type, day) keys; the moment aggregate "
+    "is one row per type.",
+)
+def ts_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2)
+            .cast("double")
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("cents").alias("x"),
+    )
+    pairs = daily.join(
+        b,
+        (F.col("et2") == F.col("event_type"))
+        & (F.col("day2") == F.date_sub(F.col("day"), 1)),
+    ).select("event_type", "x", F.col("cents").alias("y"))
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    mm = daily.groupBy(F.col("event_type").alias("et")).agg(F.max("day").alias("md"))
+    lastv = daily.join(
+        F.broadcast(mm),
+        (F.col("event_type") == F.col("et")) & (F.col("day") == F.col("md")),
+    ).select("event_type", F.col("cents").alias("last_cents"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    phi = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    a_cents = (dd("sy") - phi * dd("sx")) / dd("n")
+    return (
+        m.join(lastv, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            F.round(phi, 6).alias("phi"),
+            F.round(dd("last_cents") / 100.0, 2).alias("last_value"),
+            F.round((a_cents + phi * dd("last_cents")) / 100.0, 4).alias(
+                "forecast_next"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -559,3 +559,59 @@ def test_winsorized_mean_between_bounds(spark, sf_dir):
     assert (pdf["p10_value"] <= pdf["p90_value"]).all()
     assert (pdf["winsorized_mean"] >= pdf["p10_value"] - 1e-9).all()
     assert (pdf["winsorized_mean"] <= pdf["p90_value"] + 1e-9).all()
+
+
+def test_privacy_k_anonymity_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "privacy_k_anonymity", sf_dir)
+
+
+def test_privacy_k_anonymity_monotone_in_k(spark, sf_dir):
+    """Groups/rows below threshold are non-decreasing in k, and rows at
+    risk never exceed the table size."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["privacy_k_anonymity"].fn(spark, sf_dir).toPandas()
+        .sort_values("k_threshold")
+    )
+    assert list(pdf["k_threshold"]) == [2, 5, 10, 20]
+    for col in ("n_groups_below", "n_rows_at_risk"):
+        v = list(pdf[col])
+        assert all(a <= b for a, b in zip(v, v[1:]))
+    assert (pdf["n_rows_at_risk"] <= pdf["n_rows"]).all()
+
+
+def test_ab_cuped_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ab_cuped_adjustment", sf_dir)
+
+
+def test_ab_cuped_reduces_variance(spark, sf_dir):
+    """CUPED never increases variance when theta is the OLS coefficient
+    fit on the pooled population (up to per-arm sampling noise: allow a
+    small relative slack), and both arms are populated."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ab_cuped_adjustment"].fn(spark, sf_dir).toPandas()
+    assert set(pdf["arm"]) == {0, 1}
+    assert (pdf["n_users"] > 0).all()
+    assert (pdf["var_adjusted"] <= pdf["var_post"] * 1.05 + 1e-9).all()
+
+
+def test_ab_delta_method_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ab_delta_method_ratio", sf_dir)
+
+
+def test_ab_delta_method_interval_brackets_ratio(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["ab_delta_method_ratio"].fn(spark, sf_dir).toPandas()
+    assert set(pdf["arm"]) == {0, 1}
+    assert (pdf["ci_lo"] <= pdf["revenue_per_event"]).all()
+    assert (pdf["revenue_per_event"] <= pdf["ci_hi"]).all()
+    assert (pdf["se"] >= 0).all()

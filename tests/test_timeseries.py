@@ -565,3 +565,21 @@ def test_slo_burn_rate_identities(spark, sf_dir):
     for r, bb1, bb6 in zip(pdf["severity"], b1, b6):
         want = "page" if (bb1 >= 14.4 and bb6 >= 6.0) else ("ticket" if bb6 >= 6.0 else "ok")
         assert r == want
+
+
+def test_ar1_forecast_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_ar1_forecast", sf_dir)
+
+
+def test_ar1_phi_bounded_and_forecast_finite(spark, sf_dir):
+    """|phi| stays in a sane band for a stationary daily series and the
+    one-step forecast is finite wherever phi is defined."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_ar1_forecast"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    defined = pdf[pdf["phi"].notna()]
+    assert (defined["phi"].abs() <= 1.5).all()
+    assert defined["forecast_next"].notna().all()
