@@ -377,6 +377,10 @@ PRIORITY: list[str] = [
     "privacy_k_anonymity",
     "ab_cuped_adjustment",
     "ab_delta_method_ratio",
+    "diag_spearman_rank_corr",
+    "diag_kruskal_wallis",
+    "graph_degree_assortativity",
+    "fifo_inventory_matching",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

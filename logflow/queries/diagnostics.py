@@ -2835,3 +2835,212 @@ def ab_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ratio - F.lit(z) * se) / 100.0, 4).alias("ci_lo"),
         F.round((ratio + F.lit(z) * se) / 100.0, 4).alias("ci_hi"),
     ).orderBy("arm")
+
+
+@register(
+    "diag_spearman_rank_corr",
+    """
+WITH j AS (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS pv,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bv
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+d1 AS (SELECT seg, pv, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY seg, pv),
+r1 AS (SELECT seg, pv,
+              2 * CAST(SUM(c) OVER (PARTITION BY seg ORDER BY pv) AS BIGINT)
+                - c + 1 AS ra
+       FROM d1),
+d2 AS (SELECT seg, bv, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY seg, bv),
+r2 AS (SELECT seg, bv,
+              2 * CAST(SUM(c) OVER (PARTITION BY seg ORDER BY bv) AS BIGINT)
+                - c + 1 AS rb
+       FROM d2),
+rr AS (SELECT j.seg, r1.ra, r2.rb
+       FROM j JOIN r1 ON j.seg = r1.seg AND j.pv = r1.pv
+              JOIN r2 ON j.seg = r2.seg AND j.bv = r2.bv),
+m AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ra) AS BIGINT) AS sa, CAST(SUM(rb) AS BIGINT) AS sb,
+             CAST(SUM(ra*ra) AS BIGINT) AS saa, CAST(SUM(rb*rb) AS BIGINT) AS sbb,
+             CAST(SUM(ra*rb) AS BIGINT) AS sab
+      FROM rr GROUP BY seg)
+SELECT seg AS c_mktsegment, n,
+       ROUND(CAST(n*sab - sa*sb AS DOUBLE)
+             / NULLIF(sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+                      * sqrt(CAST(n*sbb - sb*sb AS DOUBLE)), 0.0), 6)
+         AS spearman_rho
+FROM m
+ORDER BY c_mktsegment
+""",
+    doc="Spearman rank correlation between order value and the ordering "
+    "customer's account balance, per market segment — the MONOTONE "
+    "association screen that survives outliers and nonlinearity where "
+    "Pearson (diag_correlation_matrix) does not. Tie-averaged ranks are "
+    "computed on the VALUE DOMAIN (distinct cents + a cumulative-count "
+    "window — the diag_mann_whitney_value restructuring, never a "
+    "row-scale sort) and DOUBLED to stay integer (avg rank = 2*cum - c "
+    "+ 1 in half-units); rank moments are exact BIGINT sums and the "
+    "final rho is one NULLIF-guarded IEEE expression. At 100 TB: one "
+    "fact join, two domain-scale rank tables joined back by value, one "
+    "segment-keyed moment aggregate. Rank products bound int64 to ~2e9 "
+    "rows/segment; past that the moment accumulators widen to "
+    "DECIMAL(38,0) unchanged.",
+)
+def diag_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment", "c_acctbal")),
+        orders.o_custkey == cust.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("pv"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bv"),
+    )
+
+    def rank_table(col: str, out: str) -> DataFrame:
+        d = j.groupBy("seg", col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.partitionBy("seg").orderBy(col)
+        return d.select(
+            F.col("seg").alias(f"seg_{out}"),
+            F.col(col).alias(f"{col}_k"),
+            (2 * F.sum("c").over(w).cast("long") - F.col("c") + 1).alias(out),
+        )
+
+    r1 = rank_table("pv", "ra")
+    r2 = rank_table("bv", "rb")
+    rr = (
+        j.join(
+            r1, (F.col("seg") == F.col("seg_ra")) & (F.col("pv") == F.col("pv_k"))
+        )
+        .join(r2, (F.col("seg") == F.col("seg_rb")) & (F.col("bv") == F.col("bv_k")))
+        .select("seg", "ra", "rb")
+    )
+    m = rr.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra").cast("long").alias("sa"),
+        F.sum("rb").cast("long").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).cast("long").alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sab"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double"))
+    return m.select(
+        F.col("seg").alias("c_mktsegment"),
+        "n",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "diag_kruskal_wallis",
+    """
+WITH v AS (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+d AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY event_type, cents),
+dv AS (SELECT cents, CAST(SUM(c) AS BIGINT) AS ct FROM d GROUP BY cents),
+cumv AS (SELECT cents, ct,
+                CAST(SUM(ct) OVER (ORDER BY cents) AS BIGINT) AS cum
+         FROM dv),
+grp AS (
+  SELECT d.event_type,
+         CAST(SUM(d.c) AS BIGINT) AS n_j,
+         CAST(SUM(d.c * (2 * cumv.cum - cumv.ct + 1)) AS BIGINT) AS r2_j
+  FROM d JOIN cumv ON d.cents = cumv.cents
+  GROUP BY d.event_type),
+nn AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+              CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+terms AS (
+  SELECT CAST(ROUND((CAST(r2_j AS DOUBLE) / 2.0) * (CAST(r2_j AS DOUBLE) / 2.0)
+                    / CAST(n_j AS DOUBLE), 6) AS DECIMAL(38,6)) AS t
+  FROM grp),
+ties AS (SELECT CAST(SUM(ct*ct*ct - ct) AS BIGINT) AS st FROM dv),
+h AS (
+  SELECT nn.n, nn.k,
+         12.0 / (CAST(nn.n AS DOUBLE) * CAST(nn.n + 1 AS DOUBLE))
+           * CAST((SELECT SUM(t) FROM terms) AS DOUBLE)
+           - 3.0 * CAST(nn.n + 1 AS DOUBLE) AS h_raw,
+         1.0 - CAST(ties.st AS DOUBLE)
+             / NULLIF(CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                      * CAST(nn.n AS DOUBLE) - CAST(nn.n AS DOUBLE), 0.0) AS cc
+  FROM nn CROSS JOIN ties)
+SELECT n AS n_rows, k AS n_groups, CAST(k - 1 AS BIGINT) AS df,
+       ROUND(h_raw, 4) AS h_statistic,
+       ROUND(h_raw / NULLIF(cc, 0.0), 4) AS h_tie_corrected
+FROM h
+""",
+    doc="Kruskal-Wallis one-way rank test: does the event-value "
+    "distribution differ across event types? The k-group generalization "
+    "of diag_mann_whitney_value, with the same VALUE-DOMAIN layout: "
+    "tie-averaged ranks come from distinct-cents counts + one global "
+    "cumulative window (doubled to stay integer), per-group rank sums "
+    "are exact BIGINTs, the per-group H terms are rounded once at 6dp "
+    "and DECIMAL-summed (order-independent — a float sum across groups "
+    "is engine-order-dependent), and the tie correction "
+    "1 - Σ(t³-t)/(N³-N) uses exact integer tie counts. At 100 TB: one "
+    "map-side-combined rollup to the value domain, windows on the "
+    "bounded domain, a k-row group aggregate. The t³ sums bound int64 "
+    "to ~2e6 distinct-value multiplicities; past that the accumulator "
+    "widens to DECIMAL(38,0).",
+)
+def diag_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    d = v.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dv = d.groupBy("cents").agg(F.sum("c").cast("long").alias("ct"))
+    wc = Window.orderBy("cents")
+    cumv = dv.select(
+        "cents", "ct", F.sum("ct").over(wc).cast("long").alias("cum")
+    )
+    grp = (
+        d.join(cumv, "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_j"),
+            F.sum(F.col("c") * (2 * F.col("cum") - F.col("ct") + 1))
+            .cast("long")
+            .alias("r2_j"),
+        )
+    )
+    nn = grp.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    term = F.round(
+        (F.col("r2_j").cast("double") / 2.0)
+        * (F.col("r2_j").cast("double") / 2.0)
+        / F.col("n_j").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    terms = grp.select(term.alias("t")).agg(F.sum("t").cast("double").alias("ts"))
+    ties = dv.agg(
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("st")
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    h_raw = (
+        F.lit(12.0) / (dd("n") * (F.col("n") + 1).cast("double")) * F.col("ts")
+        - F.lit(3.0) * (F.col("n") + 1).cast("double")
+    )
+    cc = F.lit(1.0) - dd("st") / F.nullif(
+        dd("n") * dd("n") * dd("n") - dd("n"), F.lit(0.0)
+    )
+    return (
+        nn.crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("k").alias("n_groups"),
+            (F.col("k") - 1).cast("long").alias("df"),
+            F.round(h_raw, 4).alias("h_statistic"),
+            F.round(h_raw / F.nullif(cc, F.lit(0.0)), 4).alias("h_tie_corrected"),
+        )
+    )

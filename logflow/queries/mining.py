@@ -1210,3 +1210,109 @@ def rfm_quintile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q")
     )
+
+
+@register(
+    "fifo_inventory_matching",
+    """
+WITH b AS (
+  SELECT l_partkey AS pk,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS uc,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) OVER (
+              PARTITION BY l_partkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS cum
+  FROM lineitem WHERE l_returnflag <> 'R'),
+s AS (
+  SELECT l_partkey AS pk,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS uc,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) OVER (
+              PARTITION BY l_partkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS cum
+  FROM lineitem WHERE l_returnflag = 'R'),
+m AS (
+  SELECT b.pk,
+         LEAST(b.cum, s.cum) - GREATEST(b.cum - b.q, s.cum - s.q) AS mq,
+         s.uc - b.uc AS margin_c
+  FROM b JOIN s ON b.pk = s.pk
+    AND b.cum > s.cum - s.q AND s.cum > b.cum - b.q)
+SELECT p_brand,
+       CAST(SUM(mq) AS BIGINT) AS matched_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       ROUND(CAST(SUM(mq * margin_c) AS DOUBLE) / 100.0, 2) AS realized_margin
+FROM m JOIN part ON pk = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    doc="FIFO inventory lot matching — the cost-allocation primitive "
+    "behind realized-P&L and inventory-aging reports: per part, buy "
+    "lots (non-returned lines) and sell lots (returned lines) are laid "
+    "on the SAME cumulative-quantity axis in ship order, and lot i "
+    "matches lot j exactly on the overlap of their [cum-q, cum) unit "
+    "intervals — the classic running-sum interval-intersection "
+    "formulation that turns sequential FIFO state into one declarative "
+    "self-join. Quantities are exact BIGINTs, unit prices exact cents "
+    "(one identical IEEE division rounded once), matched quantity and "
+    "margin are exact integer arithmetic. At 100 TB: both running-sum "
+    "windows partition by part (bounded per-part fan-in, no global "
+    "sort); the overlap join is an equi-join on part + interval "
+    "predicates with per-part bounded multiplicity (each buy matches "
+    "O(1) amortized sells — total matches <= buys + sells); the "
+    "streaming twin holds per-part watermarked state.",
+)
+def fifo_inventory_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+
+    def lots(pred) -> DataFrame:
+        w = Window.partitionBy("l_partkey").orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber"
+        )
+        q = F.round("l_quantity", 0).cast("long")
+        return li.filter(pred).select(
+            F.col("l_partkey").alias("pk"),
+            q.alias("q"),
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100, 0)
+            .cast("long")
+            .alias("uc"),
+            F.sum(q).over(w).cast("long").alias("cum"),
+        )
+
+    b = lots(F.col("l_returnflag") != "R").select(
+        F.col("pk"),
+        F.col("q").alias("bq"),
+        F.col("uc").alias("buc"),
+        F.col("cum").alias("bcum"),
+    )
+    s = lots(F.col("l_returnflag") == "R").select(
+        F.col("pk").alias("spk"),
+        F.col("q").alias("sq"),
+        F.col("uc").alias("suc"),
+        F.col("cum").alias("scum"),
+    )
+    m = b.join(
+        s,
+        (F.col("pk") == F.col("spk"))
+        & (F.col("bcum") > F.col("scum") - F.col("sq"))
+        & (F.col("scum") > F.col("bcum") - F.col("bq")),
+    ).select(
+        "pk",
+        (
+            F.least(F.col("bcum"), F.col("scum"))
+            - F.greatest(F.col("bcum") - F.col("bq"), F.col("scum") - F.col("sq"))
+        ).alias("mq"),
+        (F.col("suc") - F.col("buc")).alias("margin_c"),
+    )
+    return (
+        m.join(F.broadcast(part.select("p_partkey", "p_brand")), m.pk == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("mq").cast("long").alias("matched_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.round(
+                F.sum(F.col("mq") * F.col("margin_c")).cast("double") / 100.0, 2
+            ).alias("realized_margin"),
+        )
+        .orderBy("p_brand")
+    )

@@ -615,3 +615,36 @@ def test_ab_delta_method_interval_brackets_ratio(spark, sf_dir):
     assert (pdf["ci_lo"] <= pdf["revenue_per_event"]).all()
     assert (pdf["revenue_per_event"] <= pdf["ci_hi"]).all()
     assert (pdf["se"] >= 0).all()
+
+
+def test_spearman_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_spearman_rank_corr", sf_dir)
+
+
+def test_spearman_bounded(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_spearman_rank_corr"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    defined = pdf[pdf["spearman_rho"].notna()]
+    assert (defined["spearman_rho"].abs() <= 1.0 + 1e-9).all()
+
+
+def test_kruskal_wallis_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_kruskal_wallis", sf_dir)
+
+
+def test_kruskal_wallis_nonnegative(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_kruskal_wallis"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 1
+    row = pdf.iloc[0]
+    assert row["h_statistic"] >= -1e-6
+    # tie correction only inflates H (cc <= 1)
+    assert row["h_tie_corrected"] >= row["h_statistic"] - 1e-6
+    assert row["df"] == row["n_groups"] - 1

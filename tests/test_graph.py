@@ -382,3 +382,19 @@ def test_scc_is_intersection_and_converged(spark, sf_dir):
         # pivot is in FW ∩ BW by construction => SCC is non-empty
         assert scc >= 1
     assert (pdf["converged"] == 1).all()
+
+
+def test_assortativity_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_degree_assortativity", sf_dir)
+
+
+def test_assortativity_bounded(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["graph_degree_assortativity"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]["assortativity"]
+    if r == r:  # not NaN (degenerate regular graph)
+        assert -1.0 - 1e-9 <= r <= 1.0 + 1e-9

@@ -318,3 +318,34 @@ def test_rfm_grid_partitions_customers(spark, sf_dir):
     assert set(pdf["f_q"]).issubset(set(range(1, 6)))
     r_marginal = pdf.groupby("r_q")["n_customers"].sum()
     assert r_marginal.max() - r_marginal.min() <= 1
+
+
+def test_fifo_matching_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "fifo_inventory_matching", sf_dir)
+
+
+def test_fifo_matched_qty_is_min_side(spark, sf_dir):
+    """Total matched units equal the min(total buys, total sells) summed
+    per part — the FIFO conservation law."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["fifo_inventory_matching"].fn(spark, sf_dir).toPandas()
+    got = int(pdf["matched_qty"].sum())
+    li = load_table(spark, "lineitem", sf_dir)
+    q = F.round("l_quantity", 0).cast("long")
+    per = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") != "R", q).otherwise(0)).alias("b"),
+            F.sum(F.when(F.col("l_returnflag") == "R", q).otherwise(0)).alias("s"),
+        )
+        .select(F.least("b", "s").alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    assert got == int(per or 0)
