@@ -381,6 +381,10 @@ PRIORITY: list[str] = [
     "diag_kruskal_wallis",
     "graph_degree_assortativity",
     "fifo_inventory_matching",
+    "subquery_not_in_null_trap",
+    "diag_levene_brown_forsythe",
+    "ml_ridge_closed_form",
+    "ts_sax_symbolic",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

@@ -3044,3 +3044,121 @@ def diag_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(h_raw / F.nullif(cc, F.lit(0.0)), 4).alias("h_tie_corrected"),
         )
     )
+
+
+@register(
+    "diag_levene_brown_forsythe",
+    """
+WITH v AS (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+d AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY event_type, cents),
+t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM d GROUP BY event_type),
+r AS (SELECT event_type, cents, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT)
+               AS cum
+      FROM d),
+med AS (SELECT r.event_type,
+               CAST(MIN(CASE WHEN cum >= (t.n + 1) // 2 THEN cents END)
+                    AS BIGINT) AS m
+        FROM r JOIN t ON r.event_type = t.event_type
+        GROUP BY r.event_type),
+z AS (SELECT d.event_type, ABS(d.cents - med.m) AS z, d.c
+      FROM d JOIN med ON d.event_type = med.event_type),
+gm AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_j,
+              CAST(SUM(c * z) AS BIGINT) AS s_j,
+              CAST(SUM(c * z * z) AS BIGINT) AS q_j
+       FROM z GROUP BY event_type),
+gt AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n, CAST(SUM(s_j) AS BIGINT) AS s,
+              CAST(COUNT(*) AS BIGINT) AS k,
+              CAST(SUM(q_j) AS BIGINT) AS q
+       FROM gm),
+parts AS (SELECT CAST(ROUND(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)
+                            / CAST(n_j AS DOUBLE), 6) AS DECIMAL(38,6)) AS sq
+          FROM gm),
+comp AS (SELECT gt.n, gt.k,
+                CAST((SELECT SUM(sq) FROM parts) AS DOUBLE) AS ssq,
+                CAST(gt.s AS DOUBLE) * CAST(gt.s AS DOUBLE)
+                  / CAST(gt.n AS DOUBLE) AS grand_sq,
+                CAST(gt.q AS DOUBLE) AS q
+         FROM gt)
+SELECT n AS n_rows, k AS n_groups,
+       CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+       ROUND((CAST(n - k AS DOUBLE) * (ssq - grand_sq))
+             / NULLIF(CAST(k - 1 AS DOUBLE) * (q - ssq), 0.0), 4)
+         AS f_statistic
+FROM comp
+""",
+    doc="Brown-Forsythe (median-centered Levene) test for equal variances "
+    "across event types — the robust heteroscedasticity screen run "
+    "before trusting a pooled-variance comparison (the median centering "
+    "keeps the test honest under the skewed value distributions real "
+    "event streams have). Group medians are EXACT lower medians from "
+    "the value-domain cumulative window (percentile_disc semantics, "
+    "never engine interpolation); absolute deviations and all ANOVA "
+    "moments are exact BIGINTs on the (type, cents) domain; per-group "
+    "S²/n terms are rounded once at 6dp and DECIMAL-summed (the "
+    "diag_kruskal_wallis recipe — a float sum across groups is engine-"
+    "order-dependent); the F ratio is one NULLIF-guarded IEEE "
+    "expression. At 100 TB: one map-side-combined rollup to the value "
+    "domain, per-type windows on the bounded domain, then k-row "
+    "arithmetic.",
+)
+def diag_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    d = v.groupBy("event_type", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t = d.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("cents")
+    r = d.select(
+        "event_type", "cents", "c", F.sum("c").over(wc).cast("long").alias("cum")
+    )
+    med = (
+        r.join(t, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("cents"))
+            )
+            .cast("long")
+            .alias("m")
+        )
+    )
+    z = d.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("m")).alias("z"), "c"
+    )
+    gm = z.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_j"),
+        F.sum(F.col("c") * F.col("z")).cast("long").alias("s_j"),
+        F.sum(F.col("c") * F.col("z") * F.col("z")).cast("long").alias("q_j"),
+    )
+    gt = gm.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.sum("s_j").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("q_j").cast("long").alias("q"),
+    )
+    sq = F.round(
+        F.col("s_j").cast("double")
+        * F.col("s_j").cast("double")
+        / F.col("n_j").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    parts = gm.select(sq.alias("sq")).agg(F.sum("sq").cast("double").alias("ssq"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    grand_sq = dd("s") * dd("s") / dd("n")
+    f_stat = ((F.col("n") - F.col("k")).cast("double") * (F.col("ssq") - grand_sq)) / F.nullif(
+        (F.col("k") - 1).cast("double") * (dd("q") - F.col("ssq")), F.lit(0.0)
+    )
+    return (
+        gt.crossJoin(F.broadcast(parts))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("k").alias("n_groups"),
+            (F.col("k") - 1).cast("long").alias("df1"),
+            (F.col("n") - F.col("k")).cast("long").alias("df2"),
+            F.round(f_stat, 4).alias("f_statistic"),
+        )
+    )

@@ -1202,3 +1202,122 @@ def ml_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_fp")
     )
+
+
+# --------------------------------------------------------------------------
+# Ridge regression in closed form (normal equations + Cramer's rule) —
+# supervised fitting with ZERO iterations: the 3x3 solve is a fixed
+# arithmetic expression over nine exact BIGINT moments.
+# --------------------------------------------------------------------------
+
+_RIDGE_L = 10_000  # ridge lambda on the (quantity, discount-cents) diagonal
+
+
+def _ridge_exprs() -> dict[str, str]:
+    """The shared Cramer's-rule expression strings — built ONCE and used
+    verbatim in BOTH engines so every float op has identical operands and
+    fold order (the repo's inlined-literal recipe applied to algebra)."""
+    a11, a12, a13 = "CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)"
+    a22 = f"CAST(s11 + {_RIDGE_L} AS DOUBLE)"
+    a23 = "CAST(s12 AS DOUBLE)"
+    a33 = f"CAST(s22 + {_RIDGE_L} AS DOUBLE)"
+    by, b1, b2 = "CAST(sy AS DOUBLE)", "CAST(s1y AS DOUBLE)", "CAST(s2y AS DOUBLE)"
+    det = (
+        f"{a11}*({a22}*{a33} - {a23}*{a23})"
+        f" - {a12}*({a12}*{a33} - {a23}*{a13})"
+        f" + {a13}*({a12}*{a23} - {a22}*{a13})"
+    )
+    d0 = (
+        f"{by}*({a22}*{a33} - {a23}*{a23})"
+        f" - {a12}*({b1}*{a33} - {a23}*{b2})"
+        f" + {a13}*({b1}*{a23} - {a22}*{b2})"
+    )
+    d1 = (
+        f"{a11}*({b1}*{a33} - {a23}*{b2})"
+        f" - {by}*({a12}*{a33} - {a23}*{a13})"
+        f" + {a13}*({a12}*{b2} - {b1}*{a13})"
+    )
+    d2 = (
+        f"{a11}*({a22}*{b2} - {b1}*{a23})"
+        f" - {a12}*({a12}*{b2} - {b1}*{a13})"
+        f" + {by}*({a12}*{a23} - {a22}*{a13})"
+    )
+    return {"det": det, "d0": d0, "d1": d1, "d2": d2}
+
+
+_RIDGE_E = _ridge_exprs()
+
+_RIDGE_SQL = f"""
+WITH rows_r AS (
+  SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x1*x2) AS BIGINT) AS s12,
+         CAST(SUM(x2*x2) AS BIGINT) AS s22,
+         CAST(SUM(x1*y) AS BIGINT) AS s1y, CAST(SUM(x2*y) AS BIGINT) AS s2y
+  FROM rows_r)
+SELECT n AS n_rows,
+       ROUND(({_RIDGE_E["d0"]}) / NULLIF(({_RIDGE_E["det"]}), 0.0) / 100.0, 4)
+         AS beta_intercept,
+       ROUND(({_RIDGE_E["d1"]}) / NULLIF(({_RIDGE_E["det"]}), 0.0) / 100.0, 6)
+         AS beta_quantity,
+       ROUND(({_RIDGE_E["d2"]}) / NULLIF(({_RIDGE_E["det"]}), 0.0) / 100.0, 6)
+         AS beta_discount
+FROM m
+"""
+
+
+@register(
+    "ml_ridge_closed_form",
+    _RIDGE_SQL,
+    doc=f"Ridge regression (lambda={_RIDGE_L} on the feature diagonal, "
+    "intercept unpenalized) of line price on quantity and discount, fit "
+    "in CLOSED FORM: the normal equations (X'X + lambda*I) beta = X'y "
+    "are solved by Cramer's rule as a fixed arithmetic expression over "
+    "nine exact BIGINT moments — supervised training as ONE map-side-"
+    "combined aggregate, zero iterations, zero driver math (the "
+    "complement to ml_logreg_gd's iterative fit). Cross-engine "
+    "determinism: the 3x3 determinants are generated ONCE as expression "
+    "strings and inlined VERBATIM into both engines, so every float "
+    "product has identical operands and fold order; moments are exact "
+    "integer sums (quantity*price products bound int64 to ~3e9 rows; "
+    "DECIMAL(38,0) accumulators past that); the three divisions are "
+    "NULLIF-guarded. At 100 TB: one scan, one 1-row aggregate — the "
+    "cheapest possible model fit.",
+)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    r = li.select(
+        F.round("l_quantity", 0).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    det = F.expr(_RIDGE_E["det"])
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round(
+            F.expr(_RIDGE_E["d0"]) / F.nullif(det, F.lit(0.0)) / 100.0, 4
+        ).alias("beta_intercept"),
+        F.round(
+            F.expr(_RIDGE_E["d1"]) / F.nullif(det, F.lit(0.0)) / 100.0, 6
+        ).alias("beta_quantity"),
+        F.round(
+            F.expr(_RIDGE_E["d2"]) / F.nullif(det, F.lit(0.0)) / 100.0, 6
+        ).alias("beta_discount"),
+    )

@@ -5108,3 +5108,46 @@ def setops_multiset_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("op")
+
+
+_NOT_IN_SQL_BODY = """
+WITH sub AS (
+  SELECT NULLIF(o_custkey, (SELECT MIN(o_custkey) FROM {o})) AS k FROM {o})
+SELECT method, n FROM (
+  SELECT 'not_in' AS method,
+         CAST((SELECT COUNT(*) FROM {c}
+               WHERE c_custkey NOT IN (SELECT k FROM sub)) AS BIGINT) AS n
+  UNION ALL
+  SELECT 'not_exists' AS method,
+         CAST((SELECT COUNT(*) FROM {c} cc WHERE NOT EXISTS
+               (SELECT 1 FROM sub WHERE sub.k = cc.c_custkey)) AS BIGINT) AS n
+  UNION ALL
+  SELECT 'not_in_null_filtered' AS method,
+         CAST((SELECT COUNT(*) FROM {c}
+               WHERE c_custkey NOT IN
+                     (SELECT k FROM sub WHERE k IS NOT NULL)) AS BIGINT) AS n
+) t ORDER BY method
+"""
+
+
+@register(
+    "subquery_not_in_null_trap",
+    _NOT_IN_SQL_BODY.format(o="orders", c="customer"),
+    doc="The NOT IN three-valued-logic trap, demonstrated and resolved in "
+    "one query: against a subquery whose list contains a NULL (the "
+    "smallest custkey NULLIF'd out), standard SQL makes `NOT IN` return "
+    "ZERO rows (x <> NULL is UNKNOWN, so no row ever passes), while "
+    "NOT EXISTS and the IS-NOT-NULL-filtered NOT IN return the real "
+    "dormant-customer count — the single most common silent-wrong-"
+    "answer bug in migrated ETL, and the reason anti-joins must be "
+    "spelled NOT EXISTS. Both engines implement the standard semantics "
+    "(Spark plans the NOT IN as a null-aware anti join); counts are "
+    "exact BIGINTs. At 100 TB: each branch is one aggregate over an "
+    "anti-join — the null-aware variant degrades to a broadcast "
+    "nested-loop ONLY if the subquery is not provably null-free, which "
+    "is exactly the planning hazard this query documents.",
+)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("lf_nin_orders")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("lf_nin_customer")
+    return spark.sql(_NOT_IN_SQL_BODY.format(o="lf_nin_orders", c="lf_nin_customer"))

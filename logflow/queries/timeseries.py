@@ -2152,3 +2152,119 @@ def ts_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: SAX breakpoints for a 4-symbol alphabet (standard Gaussian quartiles),
+#: Python repr literals inlined verbatim into both engines.
+_SAX_BP = ("-0.6744897501960817", "0.6744897501960817")
+
+
+@register(
+    "ts_sax_symbolic",
+    f"""
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         date_part('hour', ts) // 6 AS bucket,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type, day, bucket,
+         (CAST(SUM(cents) AS BIGINT) * 100) // CAST(COUNT(*) AS BIGINT) AS avg_fp
+  FROM e GROUP BY event_type, day, bucket),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(avg_fp) AS BIGINT) AS s,
+         CAST(SUM(avg_fp * avg_fp) AS BIGINT) AS q
+  FROM b GROUP BY event_type),
+zs AS (
+  SELECT b.event_type, b.day, b.bucket,
+         CASE WHEN sqrt(CAST(m.n AS DOUBLE) * CAST(m.q AS DOUBLE)
+                        - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                   / CAST(m.n AS DOUBLE) = 0.0 THEN 'x'
+              WHEN (CAST(b.avg_fp AS DOUBLE)
+                    - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   / (sqrt(CAST(m.n AS DOUBLE) * CAST(m.q AS DOUBLE)
+                           - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                      / CAST(m.n AS DOUBLE)) < {_SAX_BP[0]} THEN 'a'
+              WHEN (CAST(b.avg_fp AS DOUBLE)
+                    - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   / (sqrt(CAST(m.n AS DOUBLE) * CAST(m.q AS DOUBLE)
+                           - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                      / CAST(m.n AS DOUBLE)) < 0.0 THEN 'b'
+              WHEN (CAST(b.avg_fp AS DOUBLE)
+                    - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   / (sqrt(CAST(m.n AS DOUBLE) * CAST(m.q AS DOUBLE)
+                           - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                      / CAST(m.n AS DOUBLE)) < {_SAX_BP[1]} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM b JOIN m ON b.event_type = m.event_type),
+w AS (
+  SELECT event_type, day,
+         concat(COALESCE(MAX(CASE WHEN bucket = 0 THEN sym END), '_'),
+                COALESCE(MAX(CASE WHEN bucket = 1 THEN sym END), '_'),
+                COALESCE(MAX(CASE WHEN bucket = 2 THEN sym END), '_'),
+                COALESCE(MAX(CASE WHEN bucket = 3 THEN sym END), '_')) AS word
+  FROM zs GROUP BY event_type, day)
+SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS n_days
+FROM w GROUP BY event_type, word
+ORDER BY n_days DESC, event_type, word
+LIMIT 20
+""",
+    doc="SAX (Symbolic Aggregate approXimation, Lin et al. 2003) of the "
+    "per-type daily value profile: each day is PAA-reduced to four "
+    "6-hour segment means, z-normalized against the type's segment "
+    "distribution, and mapped to a 4-letter word over the alphabet "
+    "a..d via standard-Gaussian quartile breakpoints — the "
+    "dimensionality reduction behind motif discovery and whole-series "
+    "indexing. Determinism: segment means are FIXED-POINT integers "
+    "((sum*100) // count, truncating both engines); mu/sigma come from "
+    "exact BIGINT moments; every z is one identical IEEE tree compared "
+    "to inlined repr breakpoint literals, so symbol assignment is "
+    "bit-stable (degenerate zero-variance types get the sentinel 'x', "
+    "missing segments '_'). Top-20 motif words with full tiebreak. At "
+    "100 TB: one map-side-combined rollup to (type, day, segment) "
+    "scale; the moment table is type-scale; word assembly is a "
+    "4-way conditional aggregate — no windows, no sorts beyond top-k.",
+)
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.expr("hour(ts) DIV 6").alias("bucket"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    b = e.groupBy("event_type", "day", "bucket").agg(
+        F.expr("(CAST(SUM(cents) AS BIGINT) * 100) DIV CAST(COUNT(*) AS BIGINT)")
+        .alias("avg_fp")
+    )
+    m = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("avg_fp").cast("long").alias("s"),
+        F.sum(F.col("avg_fp") * F.col("avg_fp")).cast("long").alias("q"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    sig = F.sqrt(dd("n") * dd("q") - dd("s") * dd("s")) / dd("n")
+    z = (dd("avg_fp") - dd("s") / dd("n")) / sig
+    sym = (
+        F.when(sig == 0.0, F.lit("x"))
+        .when(z < float(_SAX_BP[0]), F.lit("a"))
+        .when(z < 0.0, F.lit("b"))
+        .when(z < float(_SAX_BP[1]), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    zs = b.join(F.broadcast(m), "event_type").select(
+        "event_type", "day", "bucket", sym.alias("sym")
+    )
+    seg = lambda i: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("bucket") == i, F.col("sym"))), F.lit("_")
+    )
+    w = zs.groupBy("event_type", "day").agg(
+        F.concat(seg(0), seg(1), seg(2), seg(3)).alias("word")
+    )
+    return (
+        w.groupBy("event_type", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+        .orderBy(F.desc("n_days"), "event_type", "word")
+        .limit(20)
+    )

@@ -648,3 +648,20 @@ def test_kruskal_wallis_nonnegative(spark, sf_dir):
     # tie correction only inflates H (cc <= 1)
     assert row["h_tie_corrected"] >= row["h_statistic"] - 1e-6
     assert row["df"] == row["n_groups"] - 1
+
+
+def test_levene_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_levene_brown_forsythe", sf_dir)
+
+
+def test_levene_nonnegative(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_levene_brown_forsythe"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 1
+    row = pdf.iloc[0]
+    assert row["f_statistic"] >= -1e-9
+    assert row["df1"] == row["n_groups"] - 1
+    assert row["df2"] == row["n_rows"] - row["n_groups"]

@@ -288,3 +288,48 @@ def test_roc_curve_monotone(spark, sf_dir):
         vals = list(pdf[col])
         assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
     assert pdf.iloc[0]["tpr"] == 1.0 and pdf.iloc[0]["fpr"] == 1.0
+
+
+def test_ridge_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_ridge_closed_form", sf_dir)
+
+
+def test_ridge_matches_numpy_normal_equations(spark, sf_dir):
+    """The in-engine Cramer solve equals numpy's solve of the same ridge
+    normal equations built from the same exact integer moments."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.queries.ml import _RIDGE_L
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ml_ridge_closed_form"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 1
+    row = pdf.iloc[0]
+
+    li = load_table(spark, "lineitem", sf_dir).toPandas()
+    x1 = np.round(li["l_quantity"]).astype(np.int64)
+    x2 = np.round(li["l_discount"] * 100).astype(np.int64)
+    y = np.round(li["l_extendedprice"] * 100).astype(np.int64)
+    n = len(li)
+    A = np.array(
+        [
+            [n, x1.sum(), x2.sum()],
+            [x1.sum(), (x1 * x1).sum() + _RIDGE_L, (x1 * x2).sum()],
+            [x2.sum(), (x1 * x2).sum(), (x2 * x2).sum() + _RIDGE_L],
+        ],
+        dtype=np.float64,
+    )
+    b = np.array([y.sum(), (x1 * y).sum(), (x2 * y).sum()], dtype=np.float64)
+    beta = np.linalg.solve(A, b)
+    assert abs(row["beta_intercept"] - beta[0] / 100.0) <= max(
+        1e-3, abs(beta[0]) * 1e-6
+    )
+    assert abs(row["beta_quantity"] - beta[1] / 100.0) <= max(
+        1e-4, abs(beta[1]) * 1e-6
+    )
+    assert abs(row["beta_discount"] - beta[2] / 100.0) <= max(
+        1e-4, abs(beta[2]) * 1e-6
+    )

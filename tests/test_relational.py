@@ -918,3 +918,24 @@ def test_multiset_bag_identity(spark, sf_dir):
     assert pdf.loc["intersect_all", "n"] + pdf.loc["except_all", "n"] == n_clicks
     assert pdf.loc["intersect_distinct", "n"] <= pdf.loc["intersect_all", "n"]
     assert pdf.loc["except_distinct", "n"] <= pdf.loc["except_all", "n"]
+
+
+def test_not_in_null_trap_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "subquery_not_in_null_trap", sf_dir)
+
+
+def test_not_in_null_trap_semantics(spark, sf_dir):
+    """NOT IN against a NULL-containing list returns zero; NOT EXISTS and
+    the null-filtered NOT IN agree with each other."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["subquery_not_in_null_trap"].fn(spark, sf_dir).toPandas()
+        .set_index("method")
+    )
+    assert int(pdf.loc["not_in", "n"]) == 0
+    assert int(pdf.loc["not_exists", "n"]) == int(
+        pdf.loc["not_in_null_filtered", "n"]
+    )

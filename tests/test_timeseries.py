@@ -583,3 +583,22 @@ def test_ar1_phi_bounded_and_forecast_finite(spark, sf_dir):
     defined = pdf[pdf["phi"].notna()]
     assert (defined["phi"].abs() <= 1.5).all()
     assert defined["forecast_next"].notna().all()
+
+
+def test_sax_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_sax_symbolic", sf_dir)
+
+
+def test_sax_words_shape(spark, sf_dir):
+    """Every SAX word is 4 chars over the alphabet a-d plus sentinels,
+    and counts are positive."""
+    import re
+
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_sax_symbolic"].fn(spark, sf_dir).toPandas()
+    assert 0 < len(pdf) <= 20
+    assert pdf["word"].str.match(r"^[abcdx_]{4}$").all()
+    assert (pdf["n_days"] > 0).all()
