@@ -385,6 +385,10 @@ PRIORITY: list[str] = [
     "diag_levene_brown_forsythe",
     "ml_ridge_closed_form",
     "ts_sax_symbolic",
+    "attribution_position_based",
+    "ts_nelson_aalen",
+    "graph_hits_hubs_authorities",
+    "ml_knn_classifier",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

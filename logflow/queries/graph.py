@@ -1295,3 +1295,126 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_nodes"),
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) on the temporal co-purchase
+# digraph — the dual-score centrality PageRank's single score cannot
+# express: hubs POINT AT good authorities, authorities ARE POINTED AT by
+# good hubs.
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+_HITS_WS = 1_000_000  # fixed-point score scale
+_HITS_TOPK = 10
+
+
+def _hits_iter_sql(prev_h: str, idx: int) -> str:
+    """One HITS round: authority pull, max-normalize, hub push,
+    max-normalize — all exact BIGINT sums + truncating integer division
+    (power iteration converges under any positive rescaling; integer
+    max-normalization keeps it bit-stable, the ml_pca recipe)."""
+    a, h = f"a{idx}", f"h{idx}"
+    return f"""
+{a}_raw AS MATERIALIZED (
+  SELECT e.v AS u, CAST(SUM(p.s) AS BIGINT) AS raw
+  FROM de e JOIN {prev_h} p ON e.u = p.u GROUP BY e.v),
+{a} AS MATERIALIZED (
+  SELECT u, (raw * {_HITS_WS}) // (SELECT MAX(raw) FROM {a}_raw) AS s
+  FROM {a}_raw),
+{h}_raw AS MATERIALIZED (
+  SELECT e.u, CAST(SUM(p.s) AS BIGINT) AS raw
+  FROM de e JOIN {a} p ON e.v = p.u GROUP BY e.u),
+{h} AS MATERIALIZED (
+  SELECT u, (raw * {_HITS_WS}) // (SELECT MAX(raw) FROM {h}_raw) AS s
+  FROM {h}_raw)"""
+
+
+_HITS_SQL = (
+    "WITH "
+    + _scc_edges_sql().strip().rstrip(",")
+    + f""",
+nodes AS MATERIALIZED (SELECT u FROM de UNION SELECT v FROM de),
+h0 AS (SELECT u, CAST({_HITS_WS} AS BIGINT) AS s FROM nodes),"""
+    + ",".join(_hits_iter_sql(f"h{i}", i + 1) for i in range(_HITS_ITERS))
+    + f"""
+SELECT kind, p_partkey, score_fp, pos FROM (
+  SELECT 'authority' AS kind, u AS p_partkey, s AS score_fp,
+         CAST(row_number() OVER (ORDER BY s DESC, u) AS BIGINT) AS pos
+  FROM a{_HITS_ITERS}
+  UNION ALL
+  SELECT 'hub', u, s,
+         CAST(row_number() OVER (ORDER BY s DESC, u) AS BIGINT)
+  FROM h{_HITS_ITERS}
+) WHERE pos <= {_HITS_TOPK}
+ORDER BY kind, pos
+"""
+)
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    _HITS_SQL,
+    doc=f"HITS (Kleinberg 1999), {_HITS_ITERS} unrolled rounds on the "
+    "temporal co-purchase digraph (u→v iff u ships strictly before v in "
+    ">= 2 orders, shared with graph_scc_forward_backward): authority "
+    "scores pull from in-edges, hub scores push to out-edges, each "
+    "round max-normalized in TRUNCATING integer division at 1e6 fixed "
+    "point — power iteration converges under any positive rescaling, "
+    "and integer normalization makes the iteration bit-identical "
+    "cross-engine (the ml_pca_power_iteration recipe; a float L2 "
+    "normalization would drift from summation order alone). Top-10 "
+    "hubs and authorities with exact-integer ordering and unique "
+    "tiebreaks. At 100 TB: each half-round is one edges⋈scores shuffle "
+    "join + a partial-agg'd sum — the Pregel layout, edge list built "
+    "once and persisted (bucket by the join side's key in production); "
+    "the max-normalizer is a 1-row broadcast.",
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _temporal_copurchase_digraph(spark, sf_dir)
+    nodes = de.select("u").union(de.select("v")).distinct()
+    h = track(
+        nodes.select("u", F.lit(_HITS_WS).cast("long").alias("s")).coalesce(1).persist()
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            de.join(h.select(F.col("u").alias("src"), "s"), de.u == F.col("src"))
+            .groupBy(de.v.alias("u"))
+            .agg(F.sum("s").cast("long").alias("raw"))
+        )
+        mx = a_raw.agg(F.max("raw").alias("m"))
+        a = track(
+            a_raw.crossJoin(F.broadcast(mx))
+            .select("u", F.expr(f"(raw * {_HITS_WS}) DIV m").alias("s"))
+            .coalesce(1)
+            .persist()
+        )
+        a.count()
+        h_raw = (
+            de.join(a.select(F.col("u").alias("dst"), "s"), de.v == F.col("dst"))
+            .groupBy(de.u.alias("u"))
+            .agg(F.sum("s").cast("long").alias("raw"))
+        )
+        mx2 = h_raw.agg(F.max("raw").alias("m"))
+        h = track(
+            h_raw.crossJoin(F.broadcast(mx2))
+            .select("u", F.expr(f"(raw * {_HITS_WS}) DIV m").alias("s"))
+            .coalesce(1)
+            .persist()
+        )
+        h.count()
+    wk = Window.orderBy(F.desc("s"), "u")
+    auth = a.select(
+        F.lit("authority").alias("kind"),
+        F.col("u").alias("p_partkey"),
+        F.col("s").alias("score_fp"),
+        F.row_number().over(wk).cast("long").alias("pos"),
+    ).filter(F.col("pos") <= _HITS_TOPK)
+    hub = h.select(
+        F.lit("hub").alias("kind"),
+        F.col("u").alias("p_partkey"),
+        F.col("s").alias("score_fp"),
+        F.row_number().over(wk).cast("long").alias("pos"),
+    ).filter(F.col("pos") <= _HITS_TOPK)
+    return auth.unionByName(hub).orderBy("kind", "pos")

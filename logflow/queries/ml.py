@@ -1321,3 +1321,119 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_RIDGE_E["d2"]) / F.nullif(det, F.lit(0.0)) / 100.0, 6
         ).alias("beta_discount"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-NN majority-vote classification over the embedding corpus — the
+# lazy-learning baseline every embedding-quality audit starts from.
+# --------------------------------------------------------------------------
+
+_KNNC_Q = 50  # held-out query set size (bounded, broadcastable)
+_KNNC_K = 5
+
+
+_KNNC_SQL: str
+
+
+def _knnc_sql() -> str:
+    from logflow.queries.llm import _dd_sim
+
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qv, label AS yt
+  FROM embeddings ORDER BY vec_id LIMIT {_KNNC_Q}),
+c AS (SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id NOT IN (SELECT qid FROM q)),
+sims AS (
+  SELECT qid, yt, yc, rn FROM (
+    SELECT q.qid, q.yt, c.label AS yc,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_dd_sim("c.embedding", "q.qv")} DESC,
+                                       c.vec_id) AS rn
+    FROM q CROSS JOIN c)
+  WHERE rn <= {_KNNC_K}),
+votes AS (SELECT qid, yt, yc, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM sims GROUP BY qid, yt, yc),
+pred AS (
+  SELECT qid, yt, yc AS yp FROM (
+    SELECT qid, yt, yc,
+           row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, yc) AS vr
+    FROM votes)
+  WHERE vr = 1)
+SELECT CAST(yt AS BIGINT) AS label_true, CAST(yp AS BIGINT) AS label_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_queries
+FROM pred GROUP BY yt, yp
+ORDER BY label_true, label_pred
+"""
+
+
+@register(
+    "ml_knn_classifier",
+    _knnc_sql(),
+    doc=f"k-NN classification (k={_KNNC_K}) of {_KNNC_Q} held-out "
+    "embedding vectors against the rest of the corpus, majority vote "
+    "with deterministic ties (vote count DESC, then smallest label), "
+    "reported as a confusion matrix — the lazy-learning baseline an "
+    "embedding-quality audit runs before trusting vectors in any "
+    "downstream model (the supervised twin of knn_recall_eval). "
+    "Neighbor ranking uses the repo's fold-order-identical rounded "
+    "cosine with the unique vec_id tiebreak; votes are exact counts. "
+    "At 100 TB: the query set is a BOUNDED broadcast (the "
+    "knn_cosine_brute contract) so the scan is one map-side pass over "
+    "the corpus — never corpus×corpus; per-query state is k rows. "
+    "Scaling the query side swaps in the IVF route (knn_ivf_kmeans) "
+    "with identical vote semantics.",
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+    from logflow.operators.similarity import _dot, _norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = track(
+        emb.orderBy("vec_id")
+        .limit(_KNNC_Q)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("yt"),
+        )
+        .coalesce(1)
+        .persist()
+    )
+    q.count()
+    c = emb.join(q.select(F.col("qid").alias("vec_id")), "vec_id", "left_anti")
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("qv"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "yt",
+            F.col("label").alias("yc"),
+            "vec_id",
+            sim.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNNC_K)
+    )
+    votes = sims.groupBy("qid", "yt", "yc").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), "yc")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", "yt", F.col("yc").alias("yp"))
+    )
+    return (
+        pred.groupBy(
+            F.col("yt").cast("long").alias("label_true"),
+            F.col("yp").cast("long").alias("label_pred"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+        .orderBy("label_true", "label_pred")
+    )

@@ -5151,3 +5151,95 @@ def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("lf_nin_orders")
     load_table(spark, "customer", sf_dir).createOrReplaceTempView("lf_nin_customer")
     return spark.sql(_NOT_IN_SQL_BODY.format(o="lf_nin_orders", c="lf_nin_customer"))
+
+
+@register(
+    "attribution_position_based",
+    """
+WITH touches AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'signup', 'view')),
+purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT p.p_id, t.channel,
+         row_number() OVER (PARTITION BY p.p_id ORDER BY t.t_ts, t.t_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS n
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+   AND t.t_id <> p.p_id),
+shares AS (
+  SELECT p_id, channel,
+         CAST(CASE WHEN n = 1 THEN 1.0
+                   WHEN n = 2 THEN 0.5
+                   WHEN rn = 1 OR rn = n THEN 0.4
+                   ELSE ROUND(0.2 / (CAST(n AS DOUBLE) - 2.0), 6)
+              END AS DECIMAL(18,6)) AS share
+  FROM pairs)
+SELECT channel,
+       CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+       CAST(ROUND(SUM(share), 4) AS DOUBLE) AS credit
+FROM shares
+GROUP BY channel
+ORDER BY channel
+""",
+    doc="Position-based (U-shaped 40/20/40) multi-touch attribution: the "
+    "first and last touch in the 7-day lookback each take 40% of a "
+    "purchase's credit, interior touches split the remaining 20% evenly "
+    "(1 touch → 100%, 2 touches → 50/50) — the third member of the "
+    "attribution family next to last-touch and time-decay, preferring "
+    "discovery and closing over mid-journey noise. Touch positions are "
+    "ROW_NUMBER with the unique (t_ts, t_id) tiebreak; the 0.4/0.5/1.0 "
+    "shares are exact decimals, the interior share is one identical "
+    "IEEE division rounded once, and channel credits are exact DECIMAL "
+    "sums. Same bounded per-user interval join as "
+    "attribution_time_decay; the windows partition by purchase "
+    "(touches-per-week fan-in). At 100 TB: one user shuffle, "
+    "purchase-keyed windows, channel-sized output.",
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    touches = ev.filter(F.col("event_type").isin("click", "signup", "view")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    pairs = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("t_ts") <= F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("t_id") != F.col("p_id"))
+        )
+        .select("p_id", "channel", "t_ts", "t_id")
+    )
+    wo = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wc = Window.partitionBy("p_id")
+    ranked = pairs.select(
+        "p_id",
+        "channel",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    share = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.round(F.lit(0.2) / (F.col("n").cast("double") - 2.0), 6))
+        .cast("decimal(18,6)")
+    )
+    return (
+        ranked.select("p_id", "channel", share.alias("share"))
+        .groupBy("channel")
+        .agg(
+            F.countDistinct("p_id").cast("long").alias("n_purchases_touched"),
+            F.round(F.sum("share"), 4).cast("double").alias("credit"),
+        )
+        .orderBy("channel")
+    )

@@ -2268,3 +2268,90 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_days"), "event_type", "word")
         .limit(20)
     )
+
+
+@register(
+    "ts_nelson_aalen",
+    """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS fs, MAX(ts) AS ls FROM events GROUP BY user_id),
+g AS (SELECT MAX(ls) AS study_end FROM u),
+s AS (
+  SELECT user_id, date_diff('day', fs, ls) AS t,
+         CASE WHEN ls > study_end - INTERVAL 7 DAY THEN 0 ELSE 1 END AS observed
+  FROM u CROSS JOIN g),
+by_t AS (
+  SELECT t, CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(COUNT(*) - SUM(observed) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM s GROUP BY t),
+risk AS (
+  SELECT t, d, c,
+         CAST(SUM(n_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+  FROM by_t),
+na AS (
+  SELECT t, d, c, n_at_risk,
+         SUM(CASE WHEN d > 0 THEN
+               CAST(ROUND(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6)
+                    AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hsum
+  FROM risk)
+SELECT CAST(t AS BIGINT) AS duration_days, n_at_risk,
+       d AS n_events, c AS n_censored,
+       ROUND(CAST(hsum AS DOUBLE), 6) AS cum_hazard,
+       ROUND(exp(-CAST(hsum AS DOUBLE)), 6) AS breslow_survival
+FROM na
+ORDER BY duration_days
+""",
+    doc="Nelson-Aalen cumulative-hazard estimator over the same censored "
+    "user-lifetime setup as ts_kaplan_meier (first-to-last activity, "
+    "7-day right-censoring): H(t) = Σ_{t_i≤t} d_i/n_i, the hazard-side "
+    "dual of KM's survival product, plus the Breslow survival "
+    "exp(-H(t)) — preferred for small risk sets and the standard input "
+    "to hazard-ratio eyeballing. Each increment is one IEEE division "
+    "of exact BIGINTs rounded once to DECIMAL(18,6); the cumulative "
+    "sum is an exact decimal window (order-independent), and the one "
+    "exp comes last — the KM ln-sum recipe with the logarithm removed. "
+    "Same scale shape: one groupBy(user) pass, then duration-domain "
+    "window work.",
+)
+def ts_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("fs"), F.max("ts").alias("ls"))
+    g = u.agg(F.max("ls").alias("study_end"))
+    s = u.crossJoin(F.broadcast(g)).select(
+        F.expr("datediff(ls, fs)").cast("long").alias("t"),
+        F.expr(
+            "CASE WHEN ls > study_end - INTERVAL 7 DAY THEN 0 ELSE 1 END"
+        ).alias("observed"),
+    )
+    by_t = s.groupBy("t").agg(
+        F.sum("observed").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("observed")).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+    )
+    w_rev = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = by_t.select(
+        "t", "d", "c", F.sum("n_t").over(w_rev).cast("long").alias("n_at_risk")
+    )
+    inc = F.when(
+        F.col("d") > 0,
+        F.round(
+            F.col("d").cast("double") / F.col("n_at_risk").cast("double"), 6
+        ).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    na = risk.select(
+        "t", "d", "c", "n_at_risk", F.sum(inc).over(w_fwd).alias("hsum")
+    )
+    return na.select(
+        F.col("t").alias("duration_days"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round(F.col("hsum").cast("double"), 6).alias("cum_hazard"),
+        F.round(F.exp(-F.col("hsum").cast("double")), 6).alias("breslow_survival"),
+    ).orderBy("duration_days")

@@ -398,3 +398,23 @@ def test_assortativity_bounded(spark, sf_dir):
     r = pdf.iloc[0]["assortativity"]
     if r == r:  # not NaN (degenerate regular graph)
         assert -1.0 - 1e-9 <= r <= 1.0 + 1e-9
+
+
+def test_hits_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_hits_hubs_authorities", sf_dir)
+
+
+def test_hits_shape(spark, sf_dir):
+    """Both kinds present, positions contiguous from 1, scores positive
+    and <= the fixed-point scale with the max exactly at the scale."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["graph_hits_hubs_authorities"].fn(spark, sf_dir).toPandas()
+    for kind in ("authority", "hub"):
+        sub = pdf[pdf["kind"] == kind].sort_values("pos")
+        assert len(sub) > 0
+        assert list(sub["pos"]) == list(range(1, len(sub) + 1))
+        assert int(sub.iloc[0]["score_fp"]) == 1_000_000
+        assert (sub["score_fp"] > 0).all()

@@ -333,3 +333,20 @@ def test_ridge_matches_numpy_normal_equations(spark, sf_dir):
     assert abs(row["beta_discount"] - beta[2] / 100.0) <= max(
         1e-4, abs(beta[2]) * 1e-6
     )
+
+
+def test_knn_classifier_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_knn_classifier", sf_dir)
+
+
+def test_knn_classifier_covers_queries(spark, sf_dir):
+    """Every held-out query gets exactly one prediction (confusion matrix
+    counts sum to the query-set size)."""
+    from logflow.queries import load_all
+    from logflow.queries.ml import _KNNC_Q
+
+    pdf = load_all()["ml_knn_classifier"].fn(spark, sf_dir).toPandas()
+    assert int(pdf["n_queries"].sum()) == _KNNC_Q
+    assert (pdf["n_queries"] > 0).all()

@@ -939,3 +939,41 @@ def test_not_in_null_trap_semantics(spark, sf_dir):
     assert int(pdf.loc["not_exists", "n"]) == int(
         pdf.loc["not_in_null_filtered", "n"]
     )
+
+
+def test_attribution_position_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "attribution_position_based", sf_dir)
+
+
+def test_attribution_position_credit_conserved(spark, sf_dir):
+    """Total position-based credit equals the number of attributed
+    purchases (each purchase hands out exactly 1.0, up to the 6dp share
+    rounding across its touches)."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["attribution_position_based"].fn(spark, sf_dir).toPandas()
+    total_credit = float(pdf["credit"].sum())
+    ev = load_table(spark, "events", sf_dir)
+    touches = ev.filter(F.col("event_type").isin("click", "signup", "view")).select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_id").alias("t_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    attributed = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("t_ts") <= F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("t_id") != F.col("p_id"))
+        )
+        .select("p_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total_credit - attributed) <= max(1e-3 * attributed, 0.01)

@@ -602,3 +602,31 @@ def test_sax_words_shape(spark, sf_dir):
     assert 0 < len(pdf) <= 20
     assert pdf["word"].str.match(r"^[abcdx_]{4}$").all()
     assert (pdf["n_days"] > 0).all()
+
+
+def test_nelson_aalen_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_nelson_aalen", sf_dir)
+
+
+def test_nelson_aalen_vs_kaplan_meier(spark, sf_dir):
+    """Cumulative hazard is non-decreasing, Breslow survival is
+    non-increasing and bounds Kaplan-Meier from ABOVE at every duration
+    (exp(-d/n) >= 1 - d/n factor-wise)."""
+    from logflow.queries import load_all
+
+    na = (
+        load_all()["ts_nelson_aalen"].fn(spark, sf_dir).toPandas()
+        .sort_values("duration_days")
+    )
+    h = list(na["cum_hazard"])
+    assert all(a <= b + 1e-9 for a, b in zip(h, h[1:]))
+    s = list(na["breslow_survival"])
+    assert all(a >= b - 1e-9 for a, b in zip(s, s[1:]))
+    km = (
+        load_all()["ts_kaplan_meier"].fn(spark, sf_dir).toPandas()
+        .sort_values("duration_days")
+    )
+    j = na.merge(km, on="duration_days", suffixes=("_na", "_km"))
+    assert (j["breslow_survival"] >= j["survival"] - 1e-6).all()
