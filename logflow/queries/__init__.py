@@ -389,6 +389,10 @@ PRIORITY: list[str] = [
     "ts_nelson_aalen",
     "graph_hits_hubs_authorities",
     "ml_knn_classifier",
+    "graph_modularity_lpa",
+    "ts_peak_detection",
+    "privacy_l_diversity",
+    "ab_two_proportion_ztest",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

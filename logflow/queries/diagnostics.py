@@ -3162,3 +3162,139 @@ def diag_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(f_stat, 4).alias("f_statistic"),
         )
     )
+
+
+@register(
+    "privacy_l_diversity",
+    """
+WITH qi AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+  FROM customer),
+sens AS (
+  SELECT qi.c_nationkey, qi.c_mktsegment, qi.bal_band, o.o_orderpriority
+  FROM qi JOIN orders o ON o.o_custkey = qi.c_custkey),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM sens GROUP BY c_nationkey, c_mktsegment, bal_band)
+SELECT l_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows
+FROM cls
+GROUP BY l_distinct
+ORDER BY l_distinct
+""",
+    doc="l-diversity audit (Machanavajjhala et al. 2007) — the attack "
+    "k-anonymity misses: a QI equivalence class whose SENSITIVE "
+    "attribute (order priority of the customers' orders) takes only one "
+    "value leaks it to anyone who can place a target in the class, no "
+    "matter how large k is. Reports the histogram of QI classes (same "
+    "nation × segment × $1000-band tuple as privacy_k_anonymity) by "
+    "their count of distinct sensitive values; classes at l_distinct=1 "
+    "are the disclosure set. Exact BIGINT counts throughout. At "
+    "100 TB: one fact join, one map-side-combined distinct-count "
+    "rollup to QI-class scale, one l-sized histogram.",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    qi = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    sens = orders.join(
+        F.broadcast(qi), orders.o_custkey == qi.c_custkey
+    ).select("c_nationkey", "c_mktsegment", "bal_band", "o_orderpriority")
+    cls = sens.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("l_distinct"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return (
+        cls.groupBy("l_distinct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy("l_distinct")
+    )
+
+
+@register(
+    "ab_two_proportion_ztest",
+    f"""
+WITH {_AB_USER_SQL.strip()},
+am AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN post > 0 THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM u GROUP BY arm),
+w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 1 THEN s END) AS s1
+  FROM am)
+SELECT n0, s0, n1, s1,
+       ROUND(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+       ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / NULLIF(sqrt((CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))),
+                0.0), 4) AS z_statistic,
+       CAST(CASE WHEN ABS((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                  / NULLIF(sqrt((CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))),
+                    0.0)) > {_DELTA_Z} THEN 1 ELSE 0 END AS BIGINT)
+         AS significant_95
+FROM w
+""",
+    doc="Pooled two-proportion z-test on post-period conversion (any "
+    "post-midpoint activity) between the deterministic md5 experiment "
+    "arms — the binary-outcome member of the A/B family next to "
+    "ab_cuped_adjustment (continuous), ab_delta_method_ratio (ratio) "
+    "and ab_sprt_monitor (sequential). Counts are exact BIGINTs; p0, "
+    "p1, the pooled SE and z are one identical NULLIF-guarded IEEE "
+    "tree with the 1.96 critical value inlined as the shared repr "
+    "literal. At 100 TB: one user-keyed shuffle, a 2-row conditional "
+    "aggregate, then constant arithmetic — fully map-side-combinable.",
+)
+def ab_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _ab_user_frame(spark, sf_dir)
+    am = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("post") > 0, 1).otherwise(0)).cast("long").alias("s"),
+    )
+    w = am.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    p0 = dd("s0") / dd("n0")
+    p1 = dd("s1") / dd("n1")
+    pp = (F.col("s0") + F.col("s1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / dd("n0") + F.lit(1.0) / dd("n1")))
+    z = (p1 - p0) / F.nullif(se, F.lit(0.0))
+    return w.select(
+        "n0",
+        "s0",
+        "n1",
+        "s1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(z, 4).alias("z_statistic"),
+        F.when(F.abs(z) > float(_DELTA_Z), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("significant_95"),
+    )

@@ -1418,3 +1418,129 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wk).cast("long").alias("pos"),
     ).filter(F.col("pos") <= _HITS_TOPK)
     return auth.unionByName(hub).orderBy("kind", "pos")
+
+
+# --------------------------------------------------------------------------
+# Modularity of the LPA communities — the quality score that says whether
+# a community assignment is better than chance.
+# --------------------------------------------------------------------------
+
+_LPA_CTES = (
+    """op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p),
+s AS MATERIALIZED (SELECT u, v FROM e WHERE w >= 2),
+bid AS MATERIALIZED (SELECT u, v FROM s UNION ALL SELECT v, u FROM s),
+nodes AS (SELECT DISTINCT u AS id FROM bid),
+l0 AS (SELECT id, id AS lab FROM nodes),"""
+    + ",".join(_lpa_iter_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ITERS))
+)
+
+
+_MODULARITY_SQL = (
+    "WITH "
+    + _LPA_CTES
+    + f""",
+labs AS MATERIALIZED (SELECT id, lab FROM l{_LPA_ITERS}),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s),
+deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d FROM bid GROUP BY u),
+ec AS (SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS e_c
+       FROM s JOIN labs la ON s.u = la.id JOIN labs lb ON s.v = lb.id
+       WHERE la.lab = lb.lab GROUP BY la.lab),
+dc AS (SELECT labs.lab, CAST(SUM(deg.d) AS BIGINT) AS d_c
+       FROM deg JOIN labs ON deg.id = labs.id GROUP BY labs.lab),
+terms AS (
+  SELECT CAST(ROUND(CAST(COALESCE(ec.e_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+              - (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                * (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 9)
+         AS DECIMAL(18,9)) AS t
+  FROM dc LEFT JOIN ec ON dc.lab = ec.lab CROSS JOIN m)
+SELECT (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM labs) AS n_communities,
+       m.m AS m_edges,
+       ROUND(CAST((SELECT SUM(t) FROM terms) AS DOUBLE), 6) AS modularity
+FROM m
+""",
+)[0]
+
+
+@register(
+    "graph_modularity_lpa",
+    _MODULARITY_SQL,
+    doc="Newman modularity Q = Σ_c [e_c/m − (d_c/2m)²] of the deterministic "
+    "LPA community assignment (graph_label_prop_communities' exact "
+    "3-round labels, re-derived in-plan) over the weight>=2 co-purchase "
+    "graph — the standard score for whether detected communities beat "
+    "a random graph with the same degree sequence (Q>0.3 ≈ real "
+    "structure). Intra-community edge counts and degree sums are exact "
+    "BIGINTs; each community's term is ONE identical IEEE expression "
+    "rounded once at 9dp and DECIMAL-summed (order-independent across "
+    "communities — the diag_kruskal_wallis recipe). At 100 TB: the LPA "
+    "rounds are the usual Pregel joins; the modularity itself is two "
+    "broadcast label joins + community-scale arithmetic. Composes with "
+    "any labeling — swap in CC or Louvain levels unchanged.",
+)
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir, ordered=True, w_min=2)
+    bid = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    base = track(bid.select(F.col("u").alias("id")).distinct().persist())
+    nodes = base.coalesce(_size_parts(base.count()))
+    labels = nodes.select("id", F.col("id").alias("lab"))
+    for _ in range(_LPA_ITERS):
+        cand = (
+            bid.join(labels.select(F.col("id").alias("v"), "lab"), "v")
+            .groupBy(F.col("u").alias("id"), "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        pick = cand.groupBy("id").agg(
+            F.expr("max_by(lab, struct(c, -lab))").alias("new_lab")
+        )
+        labels = nodes.join(pick, "id", "left").select(
+            "id", F.coalesce("new_lab", F.col("id")).alias("lab")
+        )
+    # labels feed THREE consumers (e_c join twice via aliases, d_c join,
+    # distinct-count) — persist per the multi-consumer rule
+    labels = track(labels.coalesce(_size_parts(base.count())).persist())
+    labels.count()
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = bid.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    la = labels.select(F.col("id").alias("u"), F.col("lab").alias("lab_u"))
+    lb = labels.select(F.col("id").alias("v"), F.col("lab").alias("lab_v"))
+    ec = (
+        edges.join(F.broadcast(la), "u")
+        .join(F.broadcast(lb), "v")
+        .filter(F.col("lab_u") == F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    dc = (
+        deg.join(F.broadcast(labels), "id")
+        .groupBy("lab")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    half = dd("d_c") / (F.lit(2.0) * dd("m"))
+    term = F.round(
+        F.coalesce(F.col("e_c"), F.lit(0)).cast("double") / dd("m") - half * half, 9
+    ).cast("decimal(18,9)")
+    terms = (
+        dc.join(ec, "lab", "left")
+        .crossJoin(F.broadcast(m))
+        .select(term.alias("t"))
+        .agg(F.sum("t").cast("double").alias("q"))
+    )
+    ncomm = labels.agg(F.countDistinct("lab").cast("long").alias("n_communities"))
+    return (
+        m.crossJoin(F.broadcast(ncomm))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            "n_communities",
+            F.col("m").alias("m_edges"),
+            F.round(F.col("q"), 6).alias("modularity"),
+        )
+    )

@@ -2355,3 +2355,69 @@ def ts_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hsum").cast("double"), 6).alias("cum_hazard"),
         F.round(F.exp(-F.col("hsum").cast("double")), 6).alias("breslow_survival"),
     ).orderBy("duration_days")
+
+
+@register(
+    "ts_peak_detection",
+    """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+ctx AS (
+  SELECT event_type, day, cnt,
+         LAG(cnt) OVER w AS prev_cnt,
+         LEAD(cnt) OVER w AS next_cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+SELECT event_type, day, cnt, sum7, n7
+FROM ctx
+WHERE prev_cnt IS NOT NULL AND next_cnt IS NOT NULL
+  AND cnt > prev_cnt AND cnt > next_cnt
+  AND 10 * cnt * n7 >= 12 * sum7
+ORDER BY event_type, day
+""",
+    doc="Local-peak detection over the per-type daily event-count series: "
+    "a day is a peak when it strictly exceeds both row-neighbors AND "
+    "clears its centered 7-observation window mean by >= 20% — the "
+    "prominence guard that kills the noise-peak false positives a bare "
+    "local-max rule produces. The prominence test is PURE INTEGER "
+    "arithmetic (10*cnt*n7 >= 12*sum7 — no division, no floats "
+    "anywhere), neighbors come from lag/lead with the (type, day) "
+    "unique ordering, and the window is over OBSERVED days (rows "
+    "frame; the gap-fill operators exist for calendar-dense variants). "
+    "Day keys are date_trunc timestamps (the cross-engine date-dtype "
+    "contract). At 100 TB: one map-side-combined daily rollup, then "
+    "day-domain windows per type — the bounded-domain window contract.",
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-3, 3)
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev_cnt"),
+        F.lead("cnt").over(w).alias("next_cnt"),
+        F.sum("cnt").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n7"),
+    )
+    return (
+        ctx.filter(
+            F.col("prev_cnt").isNotNull()
+            & F.col("next_cnt").isNotNull()
+            & (F.col("cnt") > F.col("prev_cnt"))
+            & (F.col("cnt") > F.col("next_cnt"))
+            & (10 * F.col("cnt") * F.col("n7") >= 12 * F.col("sum7"))
+        )
+        .select("event_type", "day", "cnt", "sum7", "n7")
+        .orderBy("event_type", "day")
+    )

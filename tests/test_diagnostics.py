@@ -665,3 +665,40 @@ def test_levene_nonnegative(spark, sf_dir):
     assert row["f_statistic"] >= -1e-9
     assert row["df1"] == row["n_groups"] - 1
     assert row["df2"] == row["n_rows"] - row["n_groups"]
+
+
+def test_l_diversity_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "privacy_l_diversity", sf_dir)
+
+
+def test_l_diversity_partition(spark, sf_dir):
+    """The histogram partitions the ordered-customer QI classes and l is
+    bounded by the 5 distinct priorities."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["privacy_l_diversity"].fn(spark, sf_dir).toPandas()
+    assert (pdf["l_distinct"].between(1, 5)).all()
+    assert (pdf["n_classes"] > 0).all()
+    assert (pdf["n_rows"] >= pdf["n_classes"]).all()
+
+
+def test_two_proportion_ztest_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ab_two_proportion_ztest", sf_dir)
+
+
+def test_two_proportion_ztest_consistency(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["ab_two_proportion_ztest"].fn(spark, sf_dir).toPandas()
+    row = pdf.iloc[0]
+    assert 0 <= row["p0"] <= 1 and 0 <= row["p1"] <= 1
+    assert row["significant_95"] in (0, 1)
+    # z sign matches the direction of the difference
+    if row["p1"] > row["p0"]:
+        assert row["z_statistic"] >= 0
+    elif row["p1"] < row["p0"]:
+        assert row["z_statistic"] <= 0

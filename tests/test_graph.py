@@ -418,3 +418,21 @@ def test_hits_shape(spark, sf_dir):
         assert list(sub["pos"]) == list(range(1, len(sub) + 1))
         assert int(sub.iloc[0]["score_fp"]) == 1_000_000
         assert (sub["score_fp"] > 0).all()
+
+
+def test_modularity_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_modularity_lpa", sf_dir)
+
+
+def test_modularity_bounded(spark, sf_dir):
+    """Q is bounded in [-0.5, 1] and the LPA assignment of a graph with
+    real communities should be non-negative."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["graph_modularity_lpa"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 1
+    q = pdf.iloc[0]["modularity"]
+    assert -0.5 - 1e-9 <= q <= 1.0 + 1e-9
+    assert pdf.iloc[0]["n_communities"] >= 1

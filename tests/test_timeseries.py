@@ -630,3 +630,36 @@ def test_nelson_aalen_vs_kaplan_meier(spark, sf_dir):
     )
     j = na.merge(km, on="duration_days", suffixes=("_na", "_km"))
     assert (j["breslow_survival"] >= j["survival"] - 1e-6).all()
+
+
+def test_peak_detection_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_peak_detection", sf_dir)
+
+
+def test_peaks_are_local_maxima(spark, sf_dir):
+    """Every reported peak strictly exceeds both observed neighbors in
+    the full daily series, independently recomputed in pandas."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ts_peak_detection"].fn(spark, sf_dir).toPandas()
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .toPandas()
+    )
+    for _, row in pdf.iterrows():
+        series = (
+            daily[daily["event_type"] == row["event_type"]]
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        i = series.index[series["day"] == row["day"]][0]
+        assert 0 < i < len(series) - 1
+        assert series.loc[i, "count"] > series.loc[i - 1, "count"]
+        assert series.loc[i, "count"] > series.loc[i + 1, "count"]
