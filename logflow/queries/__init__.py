@@ -393,6 +393,7 @@ PRIORITY: list[str] = [
     "ts_peak_detection",
     "privacy_l_diversity",
     "ab_two_proportion_ztest",
+    "ab_power_analysis",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

@@ -3298,3 +3298,77 @@ def ab_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("significant_95"),
     )
+
+
+#: z for 80% power (one-sided 0.84162...) — Python repr inlined verbatim.
+_POWER_ZB = "0.8416212335729143"
+
+
+@register(
+    "ab_power_analysis",
+    f"""
+WITH {_AB_USER_SQL.strip()},
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(post) AS BIGINT) AS sy,
+         CAST(SUM(post*post) AS BIGINT) AS syy
+  FROM u),
+mde AS (SELECT CAST(unnest([1, 2, 5, 10]) AS BIGINT) AS mde_pct)
+SELECT mde_pct, m.n AS n_users_observed,
+       ROUND(CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE) / 100.0, 4) AS mean_post,
+       ROUND(sqrt(CAST(m.n*m.syy - m.sy*m.sy AS DOUBLE)
+                  / NULLIF(CAST(m.n AS DOUBLE) * CAST(m.n - 1 AS DOUBLE), 0.0))
+             / 100.0, 4) AS sd_post,
+       CAST(CEIL(2.0 * ({_DELTA_Z} + {_POWER_ZB}) * ({_DELTA_Z} + {_POWER_ZB})
+                 * (CAST(m.n*m.syy - m.sy*m.sy AS DOUBLE)
+                    / NULLIF(CAST(m.n AS DOUBLE) * CAST(m.n - 1 AS DOUBLE), 0.0))
+                 / NULLIF((CAST(mde_pct AS DOUBLE) / 100.0
+                           * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+                          * (CAST(mde_pct AS DOUBLE) / 100.0
+                             * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)), 0.0))
+            AS BIGINT) AS n_per_arm_required
+FROM m CROSS JOIN mde
+ORDER BY mde_pct
+""",
+    doc="A/B sample-size (power) analysis from the observed metric "
+    "distribution: for each minimum-detectable-effect (1/2/5/10% of the "
+    "current post-period mean), the required users per arm at "
+    "alpha=0.05 two-sided / 80% power via the standard normal "
+    "approximation n = 2(z_a+z_b)^2 sigma^2 / delta^2 — the pre-launch "
+    "planning twin of ab_two_proportion_ztest's post-hoc verdict. "
+    "Variance comes from exact BIGINT cents moments; both z constants "
+    "are inlined repr literals; each row is one identical NULLIF-"
+    "guarded IEEE tree ending in a single CEIL. At 100 TB: one user-"
+    "keyed shuffle, a 1-row moment aggregate, a 4-row broadcast MDE "
+    "grid.",
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _ab_user_frame(spark, sf_dir)
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(F.col("post") * F.col("post")).cast("long").alias("syy"),
+    )
+    mde = spark.createDataFrame([(1,), (2,), (5,), (10,)], "mde_pct long")
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    ) / F.nullif(dd("n") * (F.col("n") - 1).cast("double"), F.lit(0.0))
+    mean = dd("sy") / dd("n")
+    delta = dd("mde_pct") / 100.0 * mean
+    zsum = float(_DELTA_Z) + float(_POWER_ZB)
+    n_req = F.ceil(
+        F.lit(2.0) * F.lit(zsum) * F.lit(zsum) * var
+        / F.nullif(delta * delta, F.lit(0.0))
+    ).cast("long")
+    return (
+        m.crossJoin(F.broadcast(mde))
+        .select(
+            "mde_pct",
+            F.col("n").alias("n_users_observed"),
+            F.round(mean / 100.0, 4).alias("mean_post"),
+            F.round(F.sqrt(var) / 100.0, 4).alias("sd_post"),
+            n_req.alias("n_per_arm_required"),
+        )
+        .orderBy("mde_pct")
+    )

@@ -702,3 +702,23 @@ def test_two_proportion_ztest_consistency(spark, sf_dir):
         assert row["z_statistic"] >= 0
     elif row["p1"] < row["p0"]:
         assert row["z_statistic"] <= 0
+
+
+def test_power_analysis_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ab_power_analysis", sf_dir)
+
+
+def test_power_analysis_monotone_in_mde(spark, sf_dir):
+    """Required sample size shrinks as the detectable effect grows —
+    quadratically (4x MDE ≈ 1/16 n, up to ceiling)."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ab_power_analysis"].fn(spark, sf_dir).toPandas()
+        .sort_values("mde_pct")
+    )
+    n = list(pdf["n_per_arm_required"])
+    assert all(a >= b for a, b in zip(n, n[1:]))
+    assert (pdf["n_per_arm_required"] > 0).all()
