@@ -59,20 +59,78 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: DuckDB parity at sf0.01 AND sf0.1 in tools/parity_all.py (artifacts:
 #: PARITY_FULL.json / PARITY_FULL_sf0.1.json).
 #:
-#: ROTATION (round 7, pass 2 of 2 over the attestation debt): cumulative
-#: driver-green after r6 is 215/274. ALL 50 window slots go to never-
-#: driver-checked oracle-backed queries: the 32 candidates queued at
-#: positions 51-82 last round + the first 18 of the round-6 crop. The 5
-#: remaining round-6-crop entries sit at positions 51-55 which, together
-#: with the 14 round-7 additions in the tail, form the round-8 window
-#: candidate pool (5 + 14 = 19 never-driver-checked oracle-backed
-#: entries after this round's window lands). Every query rotated OUT is
-#: driver-green in CORRECTNESS_r01..r06 and stays parity-checked at both
+#: ROTATION (round 8, pass 3 of 3 — the debt-clearing pass): cumulative
+#: driver-green after r7 is 265/288. The window takes ALL 19 remaining
+#: never-driver-checked oracle-backed queries (14 round-7 frontier ops +
+#: 5 round-6 leftovers), the full 24-query round-8 crop, the 4 rows-only-
+#: by-design entries (their weaker rows-only driver record is the best
+#: evidence available for them), and 3 re-attestations of the round-7
+#: plan rewrites. After this round every oracle-backed query in the repo
+#: has a driver-issued CORRECTNESS row. Every query rotated OUT is
+#: driver-green in CORRECTNESS_r01..r07 and stays parity-checked at both
 #: SFs every round. tests/test_registry.py pins the rotated-in set.
 PRIORITY: list[str] = [
-    # ------- driver window (round 7, rotation pass 2 of 2): 50 never-
-    # driver-checked oracle-backed queries — the 32 queued candidates
-    # from round 6 plus the first 18 of the round-6 crop -------
+    # ------- driver window (round 8, rotation pass 3 of 3): 19 never-
+    # driver-checked oracle-backed queries (the 14 round-7 frontier ops
+    # + 5 round-6 leftovers — clears the attestation debt entirely) -------
+    "attribution_markov_removal",
+    "division_covering_buyers",
+    "text_zipf_fit",
+    "dq_table_fingerprint",
+    "scan_delta_varint_estimate",
+    "assoc_rules_triples",
+    "rfm_quintile_segments",
+    "temporal_reachability_hops",
+    "diag_bootstrap_ci",
+    "diag_wilson_ci",
+    "graph_ppr_seed",
+    "ml_ndcg_link_prediction",
+    "ts_slo_burn_rate",
+    "mine_hard_negatives",
+    "diag_cramers_v",
+    "embedding_srp_buckets",
+    "agg_weighted_median",
+    "setops_multiset_bag",
+    "diag_winsorized_mean",
+    # ------- round-8 crop (24, all oracle-backed, first attestation) -------
+    "graph_scc_forward_backward",
+    "ml_isotonic_calibration",
+    "ml_roc_curve_points",
+    "ts_ar1_forecast",
+    "privacy_k_anonymity",
+    "ab_cuped_adjustment",
+    "ab_delta_method_ratio",
+    "diag_spearman_rank_corr",
+    "diag_kruskal_wallis",
+    "graph_degree_assortativity",
+    "fifo_inventory_matching",
+    "subquery_not_in_null_trap",
+    "diag_levene_brown_forsythe",
+    "ml_ridge_closed_form",
+    "ts_sax_symbolic",
+    "attribution_position_based",
+    "ts_nelson_aalen",
+    "graph_hits_hubs_authorities",
+    "ml_knn_classifier",
+    "graph_modularity_lpa",
+    "ts_peak_detection",
+    "privacy_l_diversity",
+    "ab_two_proportion_ztest",
+    "ab_power_analysis",
+    # ------- rows-only-by-design entries, never driver-checked: a window
+    # slot buys their (weaker) rows-only driver record now that zero
+    # oracle-backed queries remain unattested -------
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "diag_hll_sketch_union",
+    "sample_stratified",
+    # ------- re-attestation of the three round-7 plan rewrites (already
+    # green in CORRECTNESS_r07; confirms the new plans are stable) -------
+    "scan_zonemap_audit",
+    "knn_ivfpq_adc",
+    "multimodal_color_to_gray",
+    # ------- tail: driver-green in CORRECTNESS_r01..r07 or rows-only;
+    # parity-checked at BOTH SFs every round (PARITY_FULL artifacts) -------
     "ml_decision_stump",
     "ml_feature_hashing",
     "ml_target_encoding_kfold",
@@ -105,9 +163,7 @@ PRIORITY: list[str] = [
     "maintenance_retention_prune",
     "multimodal_features",
     "knn_cosine_numpy",
-    # (round-6 crop, first 18) -------
     "graph_sssp_weighted",
-    "knn_ivfpq_adc",
     "funnel_conversion_rates",
     "sample_stratified_topk_es",
     "diag_theil_sen_slope",
@@ -115,7 +171,6 @@ PRIORITY: list[str] = [
     "ts_mann_kendall",
     "diag_gini_concentration",
     "diag_mann_whitney_value",
-    "scan_zonemap_audit",
     "shard_rendezvous_rebalance",
     "ts_interval_coverage",
     "ts_segmented_trend_split",
@@ -124,14 +179,6 @@ PRIORITY: list[str] = [
     "sqlparam_identifier_query",
     "ab_sprt_monitor",
     "dq_functional_dependency",
-    # ------- position 51+: remaining never-attested round-6 crop (5,
-    # round-8 window candidates) -------
-    "division_covering_buyers",
-    "text_zipf_fit",
-    "attribution_markov_removal",
-    "dq_table_fingerprint",
-    "scan_delta_varint_estimate",
-    # ------- driver-green in CORRECTNESS_r06 (the round-6 window) -------
     "assoc_rules_copurchase",
     "streak_longest_daily",
     "skyline_pareto_parts",
@@ -173,7 +220,6 @@ PRIORITY: list[str] = [
     "sample_weighted_es",
     "ts_purchase_latency",
     "ts_gap_fill_linear",
-    "multimodal_color_to_gray",
     "ml_pca_power_iteration",
     "quantile_exact_twopass",
     "sqlvar_dynamic_threshold",
@@ -182,8 +228,6 @@ PRIORITY: list[str] = [
     "knn_pq_adc",
     "graph_cc_two_phase",
     "multimodal_audio_frame_energy",
-    # ------- driver-green in CORRECTNESS_r01..r05, or no-oracle by
-    # design (rows-only) — parity-checked both SFs every round -------
     "window_range_7day_revenue",
     "agg_percentile_value",
     "subquery_scalar_small_orders",
@@ -233,7 +277,6 @@ PRIORITY: list[str] = [
     "text_tfidf_top_terms",
     "q5_local_revenue",
     "window_running_spend",
-    "agg_approx_percentile",
     "trace_route_even",
     "trace_route_odd",
     "trace_branch_law",
@@ -342,7 +385,6 @@ PRIORITY: list[str] = [
     "agg_pivot_event_types",
     "unpivot_returnflag_measures",
     "subquery_exists_late_orders",
-    "diag_hll_sketch_union",
     "agg_rollup_lineitem",
     "text_lang_id",
     "text_token_count",
@@ -351,49 +393,6 @@ PRIORITY: list[str] = [
     "text_vocab_topk",
     "join_anti_dormant",
     "agg_cube_orders",
-    "agg_approx_distinct",
-    "sample_stratified",
-    # ------- round-7 frontier (tail; round-8+ window candidates) -------
-    "assoc_rules_triples",
-    "rfm_quintile_segments",
-    "temporal_reachability_hops",
-    "diag_bootstrap_ci",
-    "diag_wilson_ci",
-    "graph_ppr_seed",
-    "ml_ndcg_link_prediction",
-    "ts_slo_burn_rate",
-    "mine_hard_negatives",
-    "diag_cramers_v",
-    "embedding_srp_buckets",
-    "agg_weighted_median",
-    "setops_multiset_bag",
-    "diag_winsorized_mean",
-    # ------- round-8 frontier (tail during development; rotated into the
-    # driver window at round close) -------
-    "graph_scc_forward_backward",
-    "ml_isotonic_calibration",
-    "ml_roc_curve_points",
-    "ts_ar1_forecast",
-    "privacy_k_anonymity",
-    "ab_cuped_adjustment",
-    "ab_delta_method_ratio",
-    "diag_spearman_rank_corr",
-    "diag_kruskal_wallis",
-    "graph_degree_assortativity",
-    "fifo_inventory_matching",
-    "subquery_not_in_null_trap",
-    "diag_levene_brown_forsythe",
-    "ml_ridge_closed_form",
-    "ts_sax_symbolic",
-    "attribution_position_based",
-    "ts_nelson_aalen",
-    "graph_hits_hubs_authorities",
-    "ml_knn_classifier",
-    "graph_modularity_lpa",
-    "ts_peak_detection",
-    "privacy_l_diversity",
-    "ab_two_proportion_ztest",
-    "ab_power_analysis",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return
