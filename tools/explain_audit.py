@@ -31,6 +31,65 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: queries allowed to contain the listed smell, with the reason.
 WHITELIST: dict[str, dict[str, str]] = {
+    # ------- round-8 crop: every BNLJ below is a crossJoin whose broadcast
+    # side is a CONSTANT-SIZE frame (1-row moment/total aggregates, <=11-row
+    # threshold grids, <=10-row bin tables) — the broadcast-the-model
+    # pattern, never a data-scale nested loop -------
+    "ml_isotonic_calibration": {
+        "bnlj": "the <=11-row prefix-sum self-join (ko > jm) and the 1-row "
+        "GD weight/gradient crossJoins — the whole PAV minimax runs on "
+        "B=10 bins by construction"
+    },
+    "ml_roc_curve_points": {
+        "bnlj": "crossJoins of the 11-row fixed threshold grid and the "
+        "1-row GD weight/positive-total aggregates"
+    },
+    "privacy_k_anonymity": {
+        "bnlj": "crossJoins of the 4-row k-threshold grid and the 1-row "
+        "groups/rows total aggregate"
+    },
+    "ab_cuped_adjustment": {
+        "bnlj": "crossJoins of the 1-row midpoint and 1-row global-moment "
+        "aggregates (theta broadcast)"
+    },
+    "ab_delta_method_ratio": {
+        "bnlj": "crossJoin of the 1-row midpoint aggregate (pre/post split "
+        "anchor)"
+    },
+    "ab_two_proportion_ztest": {
+        "bnlj": "crossJoin of the 1-row midpoint aggregate (shared "
+        "_ab_user_frame pattern)"
+    },
+    "ab_power_analysis": {
+        "bnlj": "crossJoins of the 1-row midpoint/moment aggregates and the "
+        "4-row MDE grid"
+    },
+    "diag_kruskal_wallis": {
+        "bnlj": "crossJoins of the 1-row N/k, tie-sum and term-sum "
+        "aggregates"
+    },
+    "diag_levene_brown_forsythe": {
+        "bnlj": "crossJoin of the 1-row ANOVA component aggregates"
+    },
+    "graph_degree_assortativity": {
+        "bnlj": "crossJoin of the 1-row node-count aggregate"
+    },
+    "ts_nelson_aalen": {
+        "bnlj": "crossJoin of the 1-row study-end (MAX ts) aggregate (the "
+        "ts_kaplan_meier censoring-cutoff broadcast)"
+    },
+    "graph_hits_hubs_authorities": {
+        "bnlj": "crossJoins of the 1-row max-score normalizer per HITS "
+        "half-round (the ml_pca_power_iteration pattern)"
+    },
+    "ml_knn_classifier": {
+        "bnlj": "query set is the broadcast side (50 rows by contract — "
+        "the knn_cosine_brute pattern)"
+    },
+    "graph_modularity_lpa": {
+        "bnlj": "crossJoins of the 1-row edge-count / community-count / "
+        "term-sum aggregates"
+    },
     "ml_nb_lang_confusion": {
         "bnlj": "crossJoins of the 1-row vocab-size/doc-total aggregates and "
         "the 5-row class table (model scoring fan-out)"
