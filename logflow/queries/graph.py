@@ -1377,33 +1377,28 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.select("u", F.lit(_HITS_WS).cast("long").alias("s")).coalesce(1).persist()
     )
     a = None
+
+    def half_round(scores: DataFrame, src: str, dst: str) -> DataFrame:
+        # persist the RAW pull/push aggregate, not the normalized
+        # projection: the raw frame feeds TWO consumers (the max-
+        # normalizer aggregate and the normalized scores), so persisting
+        # downstream of the fork would evaluate the join+agg twice
+        raw = track(
+            de.select(F.col(src).alias("j"), F.col(dst).alias("u"))
+            .join(scores.select(F.col("u").alias("j"), "s"), "j")
+            .groupBy("u")
+            .agg(F.sum("s").cast("long").alias("raw"))
+            .coalesce(1)
+            .persist()
+        )
+        mx = raw.agg(F.max("raw").alias("m"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "u", F.expr(f"(raw * {_HITS_WS}) DIV m").alias("s")
+        )
+
     for _ in range(_HITS_ITERS):
-        a_raw = (
-            de.join(h.select(F.col("u").alias("src"), "s"), de.u == F.col("src"))
-            .groupBy(de.v.alias("u"))
-            .agg(F.sum("s").cast("long").alias("raw"))
-        )
-        mx = a_raw.agg(F.max("raw").alias("m"))
-        a = track(
-            a_raw.crossJoin(F.broadcast(mx))
-            .select("u", F.expr(f"(raw * {_HITS_WS}) DIV m").alias("s"))
-            .coalesce(1)
-            .persist()
-        )
-        a.count()
-        h_raw = (
-            de.join(a.select(F.col("u").alias("dst"), "s"), de.v == F.col("dst"))
-            .groupBy(de.u.alias("u"))
-            .agg(F.sum("s").cast("long").alias("raw"))
-        )
-        mx2 = h_raw.agg(F.max("raw").alias("m"))
-        h = track(
-            h_raw.crossJoin(F.broadcast(mx2))
-            .select("u", F.expr(f"(raw * {_HITS_WS}) DIV m").alias("s"))
-            .coalesce(1)
-            .persist()
-        )
-        h.count()
+        a = half_round(h, "u", "v")
+        h = half_round(a, "v", "u")
     wk = Window.orderBy(F.desc("s"), "u")
     auth = a.select(
         F.lit("authority").alias("kind"),

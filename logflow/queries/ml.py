@@ -1165,30 +1165,34 @@ ORDER BY threshold_fp
 def ml_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat, w, p6_col = _lr_fit(spark, sf_dir)
     scored = feat.crossJoin(F.broadcast(w)).withColumn("p6", p6_col())
-    tot = scored.agg(
+    # ONE pass, 22 conditional sums + the two totals, then stack the 1-row
+    # result into 11 threshold rows — beats the 11x crossJoin fan-out the
+    # oracle spells (measured 4.36 s -> the _lr_fit floor; identical values)
+    grid = [i * _ROC_STEP for i in range(11)]
+    aggs = []
+    for i, t in enumerate(grid):
+        aggs.append(
+            F.sum(F.when(F.col("p6") >= t, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"tp_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("p6") >= t, F.lit(1) - F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"fp_{i}")
+        )
+    row = scored.agg(
+        *aggs,
         F.sum("y").cast("long").alias("p"),
         F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
     )
-    thr = scored.sparkSession.range(0, 11).select(
-        (F.col("id") * _ROC_STEP).cast("long").alias("t")
-    )
-    cm = (
-        scored.crossJoin(F.broadcast(thr))
-        .groupBy("t")
-        .agg(
-            F.sum(F.when(F.col("p6") >= F.col("t"), F.col("y")).otherwise(0))
-            .cast("long")
-            .alias("tp"),
-            F.sum(
-                F.when(F.col("p6") >= F.col("t"), F.lit(1) - F.col("y")).otherwise(0)
-            )
-            .cast("long")
-            .alias("fp"),
-        )
+    stack_args = ", ".join(f"{t}L, tp_{i}, fp_{i}" for i, t in enumerate(grid))
+    cm = row.select(
+        F.expr(f"stack(11, {stack_args}) AS (t, tp, fp)"), "p", "neg"
     )
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
     return (
-        cm.crossJoin(F.broadcast(tot))
+        cm
         .select(
             F.col("t").alias("threshold_fp"),
             "tp",
