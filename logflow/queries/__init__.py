@@ -129,6 +129,13 @@ PRIORITY: list[str] = [
     "scan_zonemap_audit",
     "knn_ivfpq_adc",
     "multimodal_color_to_gray",
+    # ------- round-8 late crop (tail this round — both-SF parity evidence;
+    # round-9 window candidates) -------
+    "graph_clustering_coefficient",
+    "finance_pvm_bridge",
+    "ts_cumulative_reach",
+    "diag_qq_normal_points",
+    "text_heaps_law",
     # ------- tail: driver-green in CORRECTNESS_r01..r07 or rows-only;
     # parity-checked at BOTH SFs every round (PARITY_FULL artifacts) -------
     "ml_decision_stump",

@@ -3372,3 +3372,96 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde_pct")
     )
+
+
+def _qq_z_literals() -> dict[int, str]:
+    """Standard-normal inverse-CDF values at p = 5..95 step 5, computed
+    once from the stdlib (exactly-once Python) and inlined as the SAME
+    repr literals into both engines (the _WILSON_Z recipe — engine
+    inverse-CDFs would be a cross-engine ulp risk)."""
+    from statistics import NormalDist
+
+    return {p: repr(NormalDist().inv_cdf(p / 100)) for p in range(5, 100, 5)}
+
+
+_QQ_Z = _qq_z_literals()
+
+
+def _qq_z_case(col: str) -> str:
+    whens = " ".join(f"WHEN {p} THEN {z}" for p, z in _QQ_Z.items())
+    return f"CASE {col} {whens} END"
+
+
+@register(
+    "diag_qq_normal_points",
+    f"""
+WITH v AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents*cents) AS BIGINT) AS q FROM v),
+d AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY cents),
+r AS (SELECT cents, CAST(SUM(c) OVER (ORDER BY cents) AS BIGINT) AS cum FROM d),
+ps AS (SELECT CAST(unnest(range(1, 20)) * 5 AS BIGINT) AS p),
+ks AS (SELECT p, (p * m.n + 99) // 100 AS k FROM ps CROSS JOIN m),
+sq AS (SELECT ks.p, CAST(MIN(CASE WHEN r.cum >= ks.k THEN r.cents END) AS BIGINT)
+              AS sample_cents
+       FROM r CROSS JOIN ks GROUP BY ks.p)
+SELECT sq.p AS pct,
+       ROUND(CAST(sq.sample_cents AS DOUBLE) / 100.0, 2) AS sample_q,
+       ROUND((CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)
+              + ({_qq_z_case("sq.p")})
+                * sqrt((CAST(m.n AS DOUBLE) * CAST(m.q AS DOUBLE)
+                        - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)))
+                / CAST(m.n AS DOUBLE)) / 100.0, 2) AS normal_q
+FROM sq CROSS JOIN m
+ORDER BY pct
+""",
+    doc="Normal Q-Q plot points (19 ventiles): exact sample quantiles of "
+    "the event-value distribution next to the fitted-normal quantiles "
+    "mu + z_p*sigma — the one-look normality diagnostic behind every "
+    "'can I use a z-test here' decision. Sample quantiles use the "
+    "value-domain rank-selection recipe (percentile_disc semantics, "
+    "k = ceil(p*n/100), never engine interpolation); z_p values are "
+    "stdlib inverse-CDF repr literals inlined identically in both "
+    "engines; mu/sigma come from exact BIGINT moments in one identical "
+    "IEEE tree. At 100 TB: one map-side moment pass + one value-domain "
+    "rollup; rank selection joins the 19-row broadcast target table.",
+)
+def diag_qq_normal_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.filter(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
+    )
+    d = v.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.orderBy("cents")
+    r = d.select("cents", F.sum("c").over(wc).cast("long").alias("cum"))
+    ps = spark.range(1, 20).select((F.col("id") * 5).cast("long").alias("p"))
+    ks = ps.crossJoin(F.broadcast(m)).select(
+        "p", F.expr("(p * n + 99) DIV 100").alias("k")
+    )
+    sq = (
+        r.crossJoin(F.broadcast(ks))
+        .groupBy("p")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("k"), F.col("cents")))
+            .cast("long")
+            .alias("sample_cents")
+        )
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    zc = F.expr(_qq_z_case("p"))
+    sigma = F.sqrt(dd("n") * dd("q") - dd("s") * dd("s")) / dd("n")
+    return (
+        sq.crossJoin(F.broadcast(m))
+        .select(
+            F.col("p").alias("pct"),
+            F.round(dd("sample_cents") / 100.0, 2).alias("sample_q"),
+            F.round((dd("s") / dd("n") + zc * sigma) / 100.0, 2).alias("normal_q"),
+        )
+        .orderBy("pct")
+    )

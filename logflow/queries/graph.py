@@ -1539,3 +1539,86 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("q"), 6).alias("modularity"),
         )
     )
+
+
+_CC_MIN_DEG = 3
+
+
+@register(
+    "graph_clustering_coefficient",
+    "WITH "
+    + _ORDERED_EDGE_CTES
+    + f""",
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM e ab
+  JOIN e bc ON ab.v = bc.u
+  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+tn AS (
+  SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS p_partkey FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY p_partkey),
+und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u AS p_partkey, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM und GROUP BY u)
+SELECT p_partkey, degree, n_triangles, clustering_coeff FROM (
+  SELECT d.p_partkey, d.degree,
+         CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+         ROUND(2.0 * CAST(COALESCE(tn.n_triangles, 0) AS DOUBLE)
+               / (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE)),
+               6) AS clustering_coeff,
+         row_number() OVER (
+           ORDER BY ROUND(2.0 * CAST(COALESCE(tn.n_triangles, 0) AS DOUBLE)
+                    / (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE)),
+                    6) DESC, d.p_partkey) AS pos
+  FROM deg d LEFT JOIN tn ON d.p_partkey = tn.p_partkey
+  WHERE d.degree >= {_CC_MIN_DEG})
+WHERE pos <= 20
+ORDER BY clustering_coeff DESC, p_partkey
+""",
+    doc="Local clustering coefficient (Watts-Strogatz 1998): per node, "
+    "2T/(d(d-1)) — the fraction of a node's neighbor pairs that are "
+    "themselves connected, THE egocentric density measure behind "
+    "small-world analysis and community seeding. Reuses the ordered-"
+    "wedge triangle machinery (graph_triangle_count's exact per-node "
+    f"counts) and the weight>={_W_MIN} co-purchase graph; nodes below "
+    f"degree {_CC_MIN_DEG} are excluded (their coefficient is "
+    "degenerate). The coefficient is ONE identical IEEE expression "
+    "over exact integers and the top-20 ordering ties break on the "
+    "unique part key (identical doubles cross-engine → identical "
+    "order). At 100 TB: the triangle join is the O(m^1.5) degree-"
+    "ordered form; degrees are one edge-list aggregate; everything "
+    "else is node-scale.",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.graph import triangle_counts_ordered
+
+    e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN)
+    tn = triangle_counts_ordered(e).select(
+        F.col("n").alias("p_partkey"), "n_triangles"
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("p_partkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    cc = (
+        F.lit(2.0)
+        * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+        / (F.col("degree").cast("double") * (F.col("degree") - 1).cast("double"))
+    )
+    w = Window.orderBy(F.desc("clustering_coeff"), "p_partkey")
+    return (
+        deg.join(tn, "p_partkey", "left")
+        .filter(F.col("degree") >= _CC_MIN_DEG)
+        .select(
+            "p_partkey",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(cc, 6).alias("clustering_coeff"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 20)
+        .drop("pos")
+        .orderBy(F.desc("clustering_coeff"), "p_partkey")
+    )

@@ -3285,3 +3285,116 @@ def embedding_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_vectors"), "signature")
         .limit(_SRP_TOPK)
     )
+
+
+_HEAPS_CPS = 12
+
+
+@register(
+    "text_heaps_law",
+    rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> t <> '')) AS term
+  FROM documents),
+tokd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id),
+fdc AS (SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term)
+        GROUP BY first_doc),
+md AS (SELECT MAX(doc_id) AS m FROM tokd),
+cps AS (SELECT (CAST(unnest(range(1, {_HEAPS_CPS + 1})) AS BIGINT) * md.m)
+               // {_HEAPS_CPS} AS cp FROM md),
+pts AS (
+  SELECT cp,
+         CAST(ROUND(ln(CAST((SELECT SUM(cnt) FROM tokd WHERE doc_id <= cps.cp)
+                            AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST((SELECT SUM(c) FROM fdc WHERE first_doc <= cps.cp)
+                            AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+  FROM cps),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy
+  FROM pts)
+SELECT n AS n_checkpoints,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+             / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0.0), 4) AS heaps_beta,
+       ROUND(exp((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
+                  / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0.0)
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0), 4)
+         AS heaps_k
+FROM m
+""",
+    doc="Heaps'-law fit V = K·N^beta of vocabulary growth against corpus "
+    "size — the companion corpus-health fingerprint to text_zipf_fit "
+    "(natural language sits near beta ≈ 0.5; templated or repetitive "
+    "corpora flatten sharply). The cumulative-distinct curve uses the "
+    "FIRST-OCCURRENCE restructuring (each term contributes one row at "
+    "its MIN(doc_id); vocabulary at a checkpoint is a bounded "
+    "conditional sum — never a quadratic cumulative COUNT(DISTINCT)), "
+    f"sampled at {_HEAPS_CPS} doc-id checkpoints; both axes follow the "
+    "zipf ln recipe (ln of exact-integer doubles rounded once into "
+    "fixed-point micros, exact BIGINT OLS moments, one identical IEEE "
+    "slope expression). At 100 TB: one tokenize pass, doc-scale and "
+    "vocab-scale rollups, a 12-row fit.",
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokenize("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tokd = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tokd = track(tokd.persist())
+    fdc = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    md = tokd.agg(F.max("doc_id").alias("m"))
+    cps = (
+        spark.range(1, _HEAPS_CPS + 1)
+        .crossJoin(F.broadcast(md))
+        .select(F.expr(f"(CAST(id AS BIGINT) * m) DIV {_HEAPS_CPS}").alias("cp"))
+    )
+    ncum = (
+        tokd.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.sum("cnt").cast("long").alias("ntok"))
+    )
+    vcum = (
+        fdc.crossJoin(F.broadcast(cps))
+        .filter(F.col("first_doc") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.sum("c").cast("long").alias("vocab"))
+    )
+    pts = ncum.join(vcum, "cp").select(
+        F.round(F.log(F.col("ntok").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("vocab").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double") / 1000000.0
+    return m.select(
+        F.col("n").alias("n_checkpoints"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(F.exp(intercept), 4).alias("heaps_k"),
+    )

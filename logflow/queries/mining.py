@@ -1316,3 +1316,96 @@ def fifo_inventory_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "finance_pvm_bridge",
+    """
+WITH yr AS (
+  SELECT CAST(MIN(date_part('year', l_shipdate)) AS BIGINT) AS y0,
+         CAST(MAX(date_part('year', l_shipdate)) AS BIGINT) AS y1
+  FROM lineitem),
+base AS (
+  SELECT p.p_brand, date_part('year', l.l_shipdate) AS y,
+         CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, date_part('year', l.l_shipdate)),
+w AS (
+  SELECT b0.p_brand,
+         b0.q AS q0, b0.rev_c AS rev0_c, b1.q AS q1, b1.rev_c AS rev1_c
+  FROM base b0 JOIN base b1 ON b0.p_brand = b1.p_brand
+  CROSS JOIN yr
+  WHERE b0.y = yr.y0 AND b1.y = yr.y1 AND b0.q > 0 AND b1.q > 0)
+SELECT p_brand,
+       ROUND(CAST(rev0_c AS DOUBLE) / 100.0, 2) AS revenue_p0,
+       ROUND(CAST(rev1_c AS DOUBLE) / 100.0, 2) AS revenue_p1,
+       ROUND((CAST(rev1_c AS DOUBLE) / CAST(q1 AS DOUBLE)
+              - CAST(rev0_c AS DOUBLE) / CAST(q0 AS DOUBLE))
+             * CAST(q1 AS DOUBLE) / 100.0, 2) AS price_effect,
+       ROUND(CAST(rev0_c AS DOUBLE) / CAST(q0 AS DOUBLE)
+             * CAST(q1 - q0 AS DOUBLE) / 100.0, 2) AS volume_effect
+FROM w
+ORDER BY p_brand
+""",
+    doc="Price-volume-mix bridge — the FP&A waterfall decomposing each "
+    "brand's revenue change between the first and last shipping year "
+    "into a PRICE effect ((p1-p0)*q1) and a VOLUME effect (p0*(q1-q0)), "
+    "which sum EXACTLY to the revenue delta by construction (the "
+    "two-factor Laspeyres/Paasche split). Quantities and revenue cents "
+    "are exact BIGINT sums; average prices and both effects are one "
+    "identical IEEE expression tree over those exact operands, rounded "
+    "once. Brands active in only one period are excluded (their bridge "
+    "is pure entry/exit, not price/volume). At 100 TB: one fact join + "
+    "brand×year rollup (map-side combined), then a brand-scale "
+    "self-join — the report is brand-sized.",
+)
+def finance_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    yr = li.agg(
+        F.min(F.year("l_shipdate")).cast("long").alias("y0"),
+        F.max(F.year("l_shipdate")).cast("long").alias("y1"),
+    )
+    base = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").alias("y"))
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("long")).cast("long").alias("q"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("rev_c"),
+        )
+    )
+    b0 = base.select(
+        "p_brand", F.col("y").alias("ya"),
+        F.col("q").alias("q0"), F.col("rev_c").alias("rev0_c"),
+    )
+    b1 = base.select(
+        F.col("p_brand").alias("brand_b"), F.col("y").alias("yb"),
+        F.col("q").alias("q1"), F.col("rev_c").alias("rev1_c"),
+    )
+    w = (
+        b0.join(b1, F.col("p_brand") == F.col("brand_b"))
+        .crossJoin(F.broadcast(yr))
+        .filter(
+            (F.col("ya") == F.col("y0"))
+            & (F.col("yb") == F.col("y1"))
+            & (F.col("q0") > 0)
+            & (F.col("q1") > 0)
+        )
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    p0 = dd("rev0_c") / dd("q0")
+    p1 = dd("rev1_c") / dd("q1")
+    return w.select(
+        "p_brand",
+        F.round(dd("rev0_c") / 100.0, 2).alias("revenue_p0"),
+        F.round(dd("rev1_c") / 100.0, 2).alias("revenue_p1"),
+        F.round((p1 - p0) * dd("q1") / 100.0, 2).alias("price_effect"),
+        F.round(p0 * (F.col("q1") - F.col("q0")).cast("double") / 100.0, 2).alias(
+            "volume_effect"
+        ),
+    ).orderBy("p_brand")

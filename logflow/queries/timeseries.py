@@ -2421,3 +2421,59 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "cnt", "sum7", "n7")
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "ts_cumulative_reach",
+    """
+WITH fu AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day FROM events
+  GROUP BY user_id),
+days AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY date_trunc('day', ts)),
+nu AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+       FROM fu GROUP BY first_day)
+SELECT d.day, d.dau,
+       CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT)
+         AS cumulative_reach
+FROM days d LEFT JOIN nu ON d.day = nu.day
+ORDER BY d.day
+""",
+    doc="DAU + cumulative reach via the FIRST-OCCURRENCE trick: the "
+    "running count of distinct users ever seen is NOT a cumulative "
+    "COUNT(DISTINCT) window (quadratic re-scan, unmergeable state) but "
+    "a per-user MIN(day) rollup — each user contributes one 'new' row "
+    "at their first day, and reach is a plain running SUM of new-user "
+    "counts. This restructuring is THE standard scale fix for "
+    "cumulative-distinct reporting. Exact integer counts; day keys are "
+    "date_trunc timestamps (the cross-engine date contract). At "
+    "100 TB: one user-keyed shuffle (min-day) + one day-keyed distinct "
+    "rollup; the window runs on the bounded day domain.",
+)
+def ts_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    fu = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    days = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    nu = fu.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day")
+    return (
+        days.join(nu, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce(F.col("new_users"), F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_reach", F.sum("new_users").over(w).cast("long")
+        )
+        .orderBy("day")
+    )

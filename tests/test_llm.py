@@ -792,3 +792,23 @@ def test_srp_buckets_partition_the_corpus(spark, sf_dir):
     ).all()
     n = load_table(spark, "embeddings", sf_dir).count()
     assert pdf["n_vectors"].sum() <= n
+
+
+def test_heaps_law_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "text_heaps_law", sf_dir)
+
+
+def test_heaps_beta_in_sublinear_band(spark, sf_dir):
+    """Vocabulary growth is sublinear: 0 <= beta < 1 for any corpus with
+    repeated tokens, and K is positive. (The synthetic corpus has a tiny
+    CLOSED vocabulary that saturates by the first checkpoint, so beta can
+    be exactly 0 — a distribution property, never assert beta > 0.)"""
+    from logflow.queries import load_all
+
+    pdf = load_all()["text_heaps_law"].fn(spark, sf_dir).toPandas()
+    row = pdf.iloc[0]
+    assert 0.0 <= row["heaps_beta"] < 1.0
+    assert row["heaps_k"] > 0
+    assert row["n_checkpoints"] == 12

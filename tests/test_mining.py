@@ -349,3 +349,21 @@ def test_fifo_matched_qty_is_min_side(spark, sf_dir):
         .collect()[0][0]
     )
     assert got == int(per or 0)
+
+
+def test_pvm_bridge_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "finance_pvm_bridge", sf_dir)
+
+
+def test_pvm_bridge_reconciles(spark, sf_dir):
+    """price + volume effects reconcile the revenue delta exactly (the
+    two-factor split is exact by construction, up to cent rounding)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["finance_pvm_bridge"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    delta = pdf["revenue_p1"] - pdf["revenue_p0"]
+    recon = pdf["price_effect"] + pdf["volume_effect"]
+    assert ((delta - recon).abs() <= 0.05).all()

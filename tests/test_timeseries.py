@@ -663,3 +663,26 @@ def test_peaks_are_local_maxima(spark, sf_dir):
         assert 0 < i < len(series) - 1
         assert series.loc[i, "count"] > series.loc[i - 1, "count"]
         assert series.loc[i, "count"] > series.loc[i + 1, "count"]
+
+
+def test_cumulative_reach_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_cumulative_reach", sf_dir)
+
+
+def test_cumulative_reach_invariants(spark, sf_dir):
+    """Reach is non-decreasing, ends at the distinct-user total, and DAU
+    never exceeds cumulative reach."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = (
+        load_all()["ts_cumulative_reach"].fn(spark, sf_dir).toPandas()
+        .sort_values("day")
+    )
+    reach = list(pdf["cumulative_reach"])
+    assert all(a <= b for a, b in zip(reach, reach[1:]))
+    total = load_table(spark, "events", sf_dir).select("user_id").distinct().count()
+    assert reach[-1] == total
+    assert (pdf["dau"] <= pdf["cumulative_reach"]).all()
