@@ -136,6 +136,8 @@ PRIORITY: list[str] = [
     "ts_cumulative_reach",
     "diag_qq_normal_points",
     "text_heaps_law",
+    "diag_cohens_kappa",
+    "ab_srm_check",
     # ------- tail: driver-green in CORRECTNESS_r01..r07 or rows-only;
     # parity-checked at BOTH SFs every round (PARITY_FULL artifacts) -------
     "ml_decision_stump",

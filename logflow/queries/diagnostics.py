@@ -3465,3 +3465,59 @@ def diag_qq_normal_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+#: chi-square 95% critical value at 1 df — repr literal, both engines.
+_SRM_CHI2_95 = "3.841458820694124"
+
+
+@register(
+    "ab_srm_check",
+    f"""
+WITH {_AB_USER_SQL.strip()},
+am AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY arm),
+w AS (SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1 FROM am)
+SELECT n0, n1,
+       ROUND(CAST(n0 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE), 6) AS share_arm0,
+       ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+             / NULLIF(CAST(n0 + n1 AS DOUBLE), 0.0), 4) AS chi2_statistic,
+       CAST(CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                      / NULLIF(CAST(n0 + n1 AS DOUBLE), 0.0) > {_SRM_CHI2_95}
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+FROM w
+""",
+    doc="Sample-ratio-mismatch check — the FIRST gate on any A/B readout: "
+    "a chi-square goodness-of-fit test of the observed arm sizes "
+    "against the designed 50/50 split (for equal expected counts the "
+    "statistic reduces EXACTLY to (n0-n1)²/(n0+n1) — pure integer "
+    "numerator, one NULLIF-guarded division). An SRM means the "
+    "assignment or logging pipeline is biased and every downstream "
+    "metric comparison is invalid (Fabijan et al. 2019). Uses the "
+    "shared deterministic md5 arms; the 3.84 critical value (chi², "
+    "1 df, 95%) is a repr literal inlined in both engines. At 100 TB: "
+    "one user-keyed shuffle, a 2-row count, constant arithmetic.",
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _ab_user_frame(spark, sf_dir)
+    am = u.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = am.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    chi2 = (
+        (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
+    ).cast("double") / F.nullif((F.col("n0") + F.col("n1")).cast("double"), F.lit(0.0))
+    return w.select(
+        "n0",
+        "n1",
+        F.round(dd("n0") / (F.col("n0") + F.col("n1")).cast("double"), 6).alias(
+            "share_arm0"
+        ),
+        F.round(chi2, 4).alias("chi2_statistic"),
+        F.when(chi2 > float(_SRM_CHI2_95), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("srm_detected"),
+    )

@@ -3398,3 +3398,114 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("heaps_beta"),
         F.round(F.exp(intercept), 4).alias("heaps_k"),
     )
+
+
+@register(
+    "diag_cohens_kappa",
+    f"""
+WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+hits AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks, x -> x IN ({_MARKER_SQL['en']}))) AS BIGINT) AS en_hits,
+         CAST(len(list_filter(toks, x -> x IN ({_MARKER_SQL['fr']}))) AS BIGINT) AS fr_hits,
+         CAST(len(list_filter(toks, x -> x IN ({_MARKER_SQL['es']}))) AS BIGINT) AS es_hits,
+         CAST(len(list_filter(toks, x -> x IN ({_MARKER_SQL['de']}))) AS BIGINT) AS de_hits
+  FROM t),
+pred AS (
+  SELECT lang AS gold,
+         CASE
+           WHEN greatest(en_hits, fr_hits, es_hits, de_hits) = 0 THEN 'und'
+           WHEN en_hits >= greatest(fr_hits, es_hits, de_hits) THEN 'en'
+           WHEN fr_hits >= greatest(es_hits, de_hits) THEN 'fr'
+           WHEN es_hits >= de_hits THEN 'es'
+           ELSE 'de'
+         END AS guess
+  FROM hits),
+cm AS (SELECT gold, guess, CAST(COUNT(*) AS BIGINT) AS c FROM pred
+       GROUP BY gold, guess),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN gold = guess THEN c ELSE 0 END) AS BIGINT)
+                 AS agree
+        FROM cm),
+marg AS (
+  SELECT CAST(SUM(g.r * p.col_tot) AS BIGINT) AS rc FROM
+    (SELECT gold AS k, CAST(SUM(c) AS BIGINT) AS r FROM cm GROUP BY gold) g
+    JOIN
+    (SELECT guess AS k, CAST(SUM(c) AS BIGINT) AS col_tot FROM cm GROUP BY guess) p
+    ON g.k = p.k)
+SELECT tot.n AS n_docs, tot.agree,
+       ROUND(CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS p_observed,
+       ROUND(CAST(marg.rc AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)), 6) AS p_expected,
+       ROUND(CAST(tot.n * tot.agree - marg.rc AS DOUBLE)
+             / NULLIF(CAST(tot.n * tot.n - marg.rc AS DOUBLE), 0.0), 6)
+         AS cohens_kappa
+FROM tot CROSS JOIN marg
+""",
+    doc="Cohen's kappa between the marker-token language-ID heuristic "
+    "(text_lang_id's exact rule) and the gold lang label — "
+    "chance-corrected agreement, THE metric for 'is my cheap heuristic "
+    "actually better than guessing the majority class', run before "
+    "substituting a heuristic for a model in a data pipeline. The "
+    "whole statistic is EXACT integer arithmetic until two final "
+    "divisions: kappa = (N·agree − Σr_i·c_i) / (N² − Σr_i·c_i) from "
+    "BIGINT confusion marginals (products bound int64 to ~3e9 docs). "
+    "At 100 TB: one tokenize pass to the confusion matrix (k² rows), "
+    "then constant arithmetic.",
+)
+def diag_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", "lang", tokenize(F.col("text")).alias("toks"))
+
+    def marker_hits(words):
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*words))).cast("long")
+
+    hits = t.select(
+        "lang",
+        *[marker_hits(w).alias(f"{lang}_hits") for lang, w in LANG_MARKERS.items()],
+    )
+    en, fr, es, de = (F.col(f"{l}_hits") for l in ("en", "fr", "es", "de"))
+    guess = (
+        F.when(F.greatest(en, fr, es, de) == 0, "und")
+        .when(en >= F.greatest(fr, es, de), "en")
+        .when(fr >= F.greatest(es, de), "fr")
+        .when(es >= de, "es")
+        .otherwise("de")
+    )
+    cm = (
+        hits.select(F.col("lang").alias("gold"), guess.alias("guess"))
+        .groupBy("gold", "guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cm = track(cm.persist())
+    tot = cm.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("gold") == F.col("guess"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    g = cm.groupBy(F.col("gold").alias("k")).agg(F.sum("c").cast("long").alias("r"))
+    p = cm.groupBy(F.col("guess").alias("k")).agg(
+        F.sum("c").cast("long").alias("col_tot")
+    )
+    marg = g.join(p, "k").agg(
+        F.sum(F.col("r") * F.col("col_tot")).cast("long").alias("rc")
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        tot.crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").alias("n_docs"),
+            "agree",
+            F.round(dd("agree") / dd("n"), 6).alias("p_observed"),
+            F.round(dd("rc") / (dd("n") * dd("n")), 6).alias("p_expected"),
+            F.round(
+                (F.col("n") * F.col("agree") - F.col("rc")).cast("double")
+                / F.nullif(
+                    (F.col("n") * F.col("n") - F.col("rc")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cohens_kappa"),
+        )
+    )

@@ -743,3 +743,21 @@ def test_qq_normal_monotone(spark, sf_dir):
     for col in ("sample_q", "normal_q"):
         v = list(pdf[col])
         assert all(a <= b + 1e-9 for a, b in zip(v, v[1:]))
+
+
+def test_srm_check_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ab_srm_check", sf_dir)
+
+
+def test_srm_check_consistency(spark, sf_dir):
+    """Counts positive, share near the designed half under a healthy md5
+    assignment, and the flag matches the statistic vs the critical
+    value."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ab_srm_check"].fn(spark, sf_dir).toPandas()
+    row = pdf.iloc[0]
+    assert row["n0"] > 0 and row["n1"] > 0
+    assert (row["chi2_statistic"] > 3.841458820694124) == bool(row["srm_detected"])

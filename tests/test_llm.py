@@ -812,3 +812,24 @@ def test_heaps_beta_in_sublinear_band(spark, sf_dir):
     assert 0.0 <= row["heaps_beta"] < 1.0
     assert row["heaps_k"] > 0
     assert row["n_checkpoints"] == 12
+
+
+def test_cohens_kappa_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_cohens_kappa", sf_dir)
+
+
+def test_cohens_kappa_bounds(spark, sf_dir):
+    """kappa <= p_observed <= 1, kappa in [-1, 1], and the exact-integer
+    identity kappa = (po - pe)/(1 - pe) holds on the reported rounds."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_cohens_kappa"].fn(spark, sf_dir).toPandas()
+    row = pdf.iloc[0]
+    assert 0 <= row["p_observed"] <= 1
+    assert 0 <= row["p_expected"] <= 1
+    assert -1 - 1e-9 <= row["cohens_kappa"] <= 1 + 1e-9
+    if row["p_expected"] < 1:
+        recon = (row["p_observed"] - row["p_expected"]) / (1 - row["p_expected"])
+        assert abs(row["cohens_kappa"] - recon) <= 1e-4
