@@ -653,3 +653,32 @@ def wav_frame_features(media: DataFrame, frame_len: int = 128) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         feats, "media_id long, frame_idx long, energy long, zero_crossings long"
     )
+
+
+def decode_pgm_histogram(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """REAL image decode → per-image luma histogram: parse the P5
+    container and bucket pixels into ``n_bins`` equal-width bins
+    (bin = pixel // (256 // n_bins)) — exact integer counts, the
+    Arrow-batched map-side shape of every decode-and-featurize stage."""
+    import pandas as pd
+
+    width = 256 // n_bins
+
+    def dec(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "bin": [], "n_pixels": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, _, img = _parse_pgm(bytes(payload))
+                counts = np.bincount(img.ravel() // width, minlength=n_bins)
+                for b in range(n_bins):
+                    if counts[b]:
+                        out["media_id"].append(int(mid))
+                        out["bin"].append(b)
+                        out["n_pixels"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(dec, "media_id long, bin long, n_pixels long")

@@ -138,6 +138,7 @@ PRIORITY: list[str] = [
     "text_heaps_law",
     "diag_cohens_kappa",
     "ab_srm_check",
+    "multimodal_image_histogram",
     # ------- tail: driver-green in CORRECTNESS_r01..r07 or rows-only;
     # parity-checked at BOTH SFs every round (PARITY_FULL artifacts) -------
     "ml_decision_stump",

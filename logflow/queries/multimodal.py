@@ -385,3 +385,55 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
         "zero_crossings",
         F.round(F.sqrt(F.col("energy").cast("double") / F.lit(128)), 4).alias("rms"),
     ).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "multimodal_image_histogram",
+    """
+WITH px AS (
+  SELECT unnest(list_transform(
+           range(0, (16 + (doc_id % 5) * 8) * (12 + (doc_id % 3) * 8)),
+           i -> (((doc_id * 7 + i) * 13) % 256) // 16)) AS bin
+  FROM documents),
+h AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_pixels
+      FROM px GROUP BY bin),
+t AS (SELECT CAST(SUM(n_pixels) AS BIGINT) AS total FROM h)
+SELECT bin, n_pixels,
+       ROUND(CAST(n_pixels AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+FROM h CROSS JOIN t
+ORDER BY bin
+""",
+    doc="Corpus-wide 16-bin luma histogram through the REAL image path: "
+    "genuine P5 containers are synthesized, then DECODED from raw bytes "
+    "and bucketed per image inside one Arrow-batched map pass "
+    "(operators/multimodal.py:decode_pgm_histogram — np.bincount on the "
+    "parsed pixel matrix), then the per-image counts partial-aggregate "
+    "into the corpus histogram. The histogram IS the standard first "
+    "screen on an image corpus (exposure/contrast skew, dead channels) "
+    "and the same decode→featurize→aggregate shape as any embedding "
+    "extraction. The oracle predicts every pixel arithmetically from "
+    "the synth formula, so a hash match proves the byte-level decode "
+    "and binning. Exact integer counts; one NULLIF-free share division "
+    "(total > 0 by construction). At 100 TB: payload bytes never leave "
+    "the executor — one map pass, one 16-row aggregate.",
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.multimodal import decode_pgm_histogram, synthesize_pgm
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("media_id")
+    )
+    per_img = decode_pgm_histogram(synthesize_pgm(docs))
+    h = per_img.groupBy("bin").agg(F.sum("n_pixels").cast("long").alias("n_pixels"))
+    t = h.agg(F.sum("n_pixels").cast("long").alias("total"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_pixels",
+            F.round(
+                F.col("n_pixels").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("bin")
+    )

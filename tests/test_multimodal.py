@@ -268,3 +268,25 @@ def test_audio_frame_energy_numpy_replay(spark, sf_dir):
     )
     assert rows == [tuple(map(int, g)) for g in got]
     assert (pdf["energy"] >= 0).all() and (pdf["zero_crossings"] <= 127).all()
+
+
+def test_image_histogram_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "multimodal_image_histogram", sf_dir)
+
+
+def test_image_histogram_partitions_all_pixels(spark, sf_dir):
+    """Histogram counts sum to the exact total pixel count of the
+    synthesized corpus (independently recomputed from the dims formula)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["multimodal_image_histogram"].fn(spark, sf_dir).toPandas()
+    docs = load_table(spark, "documents", sf_dir).select("doc_id").toPandas()
+    expect = int(
+        ((16 + (docs["doc_id"] % 5) * 8) * (12 + (docs["doc_id"] % 3) * 8)).sum()
+    )
+    assert int(pdf["n_pixels"].sum()) == expect
+    assert pdf["bin"].between(0, 15).all()
+    assert abs(pdf["share"].sum() - 1.0) <= 1e-4
