@@ -139,6 +139,7 @@ PRIORITY: list[str] = [
     "diag_cohens_kappa",
     "ab_srm_check",
     "multimodal_image_histogram",
+    "diag_ols_influence",
     # ------- tail: driver-green in CORRECTNESS_r01..r07 or rows-only;
     # parity-checked at BOTH SFs every round (PARITY_FULL artifacts) -------
     "ml_decision_stump",

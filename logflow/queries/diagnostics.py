@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from logflow.operators.cache import track
 from logflow.queries import register
 from logflow.sources.tables import load_table
 
@@ -3520,4 +3521,157 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
         .alias("srm_detected"),
+    )
+
+
+@register(
+    "diag_ols_influence",
+    """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('day', ts)) // 86400000000 AS x,
+         CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))) * 100 AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('day', ts)),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM daily GROUP BY event_type),
+sc AS (
+  SELECT event_type, n, sx, sy, sxx, sxy, syy,
+         CAST(n*sxy - sx*sy AS DOUBLE) / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) AS b,
+         (CAST(n*syy - sy*sy AS DOUBLE)
+          - (CAST(n*sxy - sx*sy AS DOUBLE)
+             / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0.0))
+            * (CAST(n*sxy - sx*sy AS DOUBLE)
+               / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0.0))
+            * CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n AS DOUBLE))
+         / CAST(n AS DOUBLE) / NULLIF(CAST(n - 2 AS DOUBLE), 0.0) AS s2
+  FROM m),
+pts AS (
+  SELECT d.event_type, d.x, d.y, sc.n,
+         1.0 / CAST(sc.n AS DOUBLE)
+           + CAST((sc.n * d.x - sc.sx) * (sc.n * d.x - sc.sx) AS DOUBLE)
+             / NULLIF(CAST(sc.n AS DOUBLE) * CAST(sc.n*sc.sxx - sc.sx*sc.sx AS DOUBLE),
+                      0.0) AS h,
+         CAST(d.y AS DOUBLE)
+           - (CAST(sc.sy AS DOUBLE) / CAST(sc.n AS DOUBLE)
+              - sc.b * CAST(sc.sx AS DOUBLE) / CAST(sc.n AS DOUBLE))
+           - sc.b * CAST(d.x AS DOUBLE) AS e,
+         sc.s2
+  FROM daily d JOIN sc ON d.event_type = sc.event_type),
+cooks AS (
+  SELECT event_type, x, y,
+         ROUND(h, 6) AS leverage,
+         ROUND(e * e * h
+               / NULLIF(2.0 * s2 * (1.0 - h) * (1.0 - h), 0.0), 6) AS cooks_d
+  FROM pts),
+ranked AS (
+  SELECT event_type, x, y, leverage, cooks_d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cooks_d DESC, x) AS pos
+  FROM cooks)
+SELECT event_type, CAST(x AS BIGINT) AS day_index,
+       ROUND(CAST(y AS DOUBLE) / 100.0, 2) AS daily_value,
+       leverage, cooks_d, CAST(pos AS BIGINT) AS pos
+FROM ranked WHERE pos <= 2
+ORDER BY event_type, pos
+""",
+    doc="OLS influence diagnostics (leverage + Cook's distance) on each "
+    "type's daily-value trend fit: the top-2 days whose removal would "
+    "most move the regression — the screen that separates 'trend is "
+    "real' from 'trend is two weird days' before anyone acts on "
+    "diag_groupwise_ols' slopes. Everything derives from ONE exact "
+    "BIGINT moment pass: leverage h = 1/n + (nx-Sx)²/(n·Sxx_c), "
+    "residuals from the closed-form fit, s² = (Syy_c - b²Sxx_c)/(n(n-2)) "
+    "— identical NULLIF-guarded IEEE trees both engines, Cook's D "
+    "rounded once before the (D desc, day) ranking so the pick is "
+    "deterministic. At 100 TB: one daily rollup, a type-scale moment "
+    "aggregate broadcast back, day-domain windows.",
+)
+def diag_ols_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("dday"))
+        .agg(
+            (F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")) * 100)
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00',"
+                " dday) DIV 86400000000"
+            ).alias("x"),
+            "y",
+        )
+    )
+    daily = track(daily.persist())
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    sxx_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / F.nullif(sxx_n, F.lit(0.0))
+    s2 = (
+        (
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            - b * b * sxx_n / dd("n")
+        )
+        / dd("n")
+        / F.nullif((F.col("n") - 2).cast("double"), F.lit(0.0))
+    )
+    sc = m.select("event_type", "n", "sx", "sy", "sxx", b.alias("b"), s2.alias("s2"))
+    pts = daily.join(F.broadcast(sc), "event_type")
+    h = F.lit(1.0) / dd("n") + (
+        (F.col("n") * F.col("x") - F.col("sx"))
+        * (F.col("n") * F.col("x") - F.col("sx"))
+    ).cast("double") / F.nullif(
+        dd("n") * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    e = (
+        dd("y")
+        - (dd("sy") / dd("n") - F.col("b") * dd("sx") / dd("n"))
+        - F.col("b") * dd("x")
+    )
+    cooks = pts.select(
+        "event_type",
+        "x",
+        "y",
+        F.round(h, 6).alias("leverage"),
+        F.round(
+            e * e * h
+            / F.nullif(
+                F.lit(2.0) * F.col("s2") * (F.lit(1.0) - h) * (F.lit(1.0) - h),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("cooks_d"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cooks_d"), "x")
+    return (
+        cooks.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 2)
+        .select(
+            "event_type",
+            F.col("x").cast("long").alias("day_index"),
+            F.round(dd("y") / 100.0, 2).alias("daily_value"),
+            "leverage",
+            "cooks_d",
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .orderBy("event_type", "pos")
     )

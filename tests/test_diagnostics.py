@@ -761,3 +761,24 @@ def test_srm_check_consistency(spark, sf_dir):
     row = pdf.iloc[0]
     assert row["n0"] > 0 and row["n1"] > 0
     assert (row["chi2_statistic"] > 3.841458820694124) == bool(row["srm_detected"])
+
+
+def test_ols_influence_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_ols_influence", sf_dir)
+
+
+def test_ols_influence_shape(spark, sf_dir):
+    """Top-2 per type, leverage in (0, 1], Cook's D non-negative, and the
+    rank-1 day dominates the rank-2 day."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_ols_influence"].fn(spark, sf_dir).toPandas()
+    assert (pdf["pos"].isin([1, 2])).all()
+    assert ((pdf["leverage"] > 0) & (pdf["leverage"] <= 1 + 1e-9)).all()
+    assert (pdf["cooks_d"] >= -1e-9).all()
+    for _, grp in pdf.groupby("event_type"):
+        g = grp.sort_values("pos")
+        if len(g) == 2:
+            assert g.iloc[0]["cooks_d"] >= g.iloc[1]["cooks_d"]
