@@ -90,6 +90,24 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "crossJoins of the 1-row edge-count / community-count / "
         "term-sum aggregates"
     },
+    "diag_qq_normal_points": {
+        "bnlj": "crossJoins of the 1-row moment aggregate and the 19-row "
+        "percentile target table (rank-selection broadcast)"
+    },
+    "text_heaps_law": {
+        "bnlj": "crossJoins of the 1-row max-doc aggregate and the 12-row "
+        "checkpoint grid"
+    },
+    "diag_cohens_kappa": {
+        "bnlj": "crossJoin of the 1-row marginal-product aggregate"
+    },
+    "ab_srm_check": {
+        "bnlj": "crossJoin of the 1-row midpoint aggregate (shared "
+        "_ab_user_frame pattern)"
+    },
+    "multimodal_image_histogram": {
+        "bnlj": "crossJoin of the 1-row total-pixel aggregate"
+    },
     "ml_nb_lang_confusion": {
         "bnlj": "crossJoins of the 1-row vocab-size/doc-total aggregates and "
         "the 5-row class table (model scoring fan-out)"
