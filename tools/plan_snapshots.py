@@ -78,6 +78,16 @@ HEADLINERS: dict[str, str] = {
     "bpe_merge_steps": "corpus-scale work is ONE explode+count; merges "
     "are vocab-scale bigram aggs + 1-row argmax broadcast + map-side "
     "replace",
+    "graph_scc_forward_backward": "FW-BW SCC kernel: ONE fact shuffle "
+    "builds the persisted digraph; every unrolled hop is an edges⋈frontier "
+    "equi-join + distinct with early exit at fixpoint",
+    "fifo_inventory_matching": "sequential FIFO state as a declarative "
+    "interval-intersection self-join on per-part cumulative quantities — "
+    "per-part windows, bounded match multiplicity",
+    "ml_roc_curve_points": "the whole threshold sweep is ONE pass of 22 "
+    "conditional sums + stack(11): no fan-out, a 1-row shuffle",
+    "ab_cuped_adjustment": "experiment readout as two moment aggregates "
+    "(1-row global theta, 2-row arms) over one user-keyed shuffle",
     "q2_min_cost_supplier": "correlated-MIN-as-window: part filter "
     "broadcast-prunes lineitem before the (partkey,suppkey) agg; "
     "supplier/nation/region broadcast; the min-equality filter rides the "
