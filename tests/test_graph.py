@@ -453,3 +453,110 @@ def test_clustering_coefficient_bounds(spark, sf_dir):
     assert (pdf["degree"] >= 3).all()
     # T <= C(d,2) always
     assert (pdf["n_triangles"] * 2 <= pdf["degree"] * (pdf["degree"] - 1)).all()
+
+
+def test_scc_matches_pure_python_reachability(spark, sf_dir):
+    """Independent replay: rebuild the temporal digraph in pandas with the
+    same rule (earliest line per (order, part); u->v iff u ships strictly
+    before v in >= 2 distinct orders), run plain BFS from the same pivot in
+    both directions, and compare set sizes and id-checksums to the query."""
+    from collections import defaultdict
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    got = (
+        load_all()["graph_scc_forward_backward"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("metric")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey", "l_shipdate")
+        .toPandas()
+    )
+    op = (
+        li.groupby(["l_orderkey", "l_partkey"])["l_shipdate"].min().reset_index()
+    )
+    pair_orders = defaultdict(set)
+    for o, grp in op.groupby("l_orderkey"):
+        rows = list(zip(grp["l_partkey"], grp["l_shipdate"]))
+        for pa, da in rows:
+            for pb, db in rows:
+                if pa != pb and da < db:
+                    pair_orders[(pa, pb)].add(o)
+    edges = {p for p, orders in pair_orders.items() if len(orders) >= 2}
+    fwd, bwd = defaultdict(set), defaultdict(set)
+    for u, v in edges:
+        fwd[u].add(v)
+        bwd[v].add(u)
+    if not edges:
+        assert int(got.loc["scc", "n_nodes"]) == 0
+        return
+    pivot = min(u for u, _ in edges)
+
+    def reach(adj):
+        seen, frontier = {pivot}, {pivot}
+        while frontier:
+            frontier = {w for n in frontier for w in adj[n]} - seen
+            seen |= frontier
+        return seen
+
+    fw, bw = reach(fwd), reach(bwd)
+    scc = fw & bw
+    assert int(got.loc["forward", "n_nodes"]) == len(fw)
+    assert int(got.loc["backward", "n_nodes"]) == len(bw)
+    assert int(got.loc["scc", "n_nodes"]) == len(scc)
+    assert int(got.loc["forward", "checksum"]) == sum(fw)
+    assert int(got.loc["backward", "checksum"]) == sum(bw)
+    assert int(got.loc["scc", "checksum"]) == sum(scc)
+
+
+def test_hits_matches_int64_replay(spark, sf_dir):
+    """Exact int64 replay of the 2 HITS rounds (integer pulls/pushes,
+    truncating max-normalization) must reproduce the query's top-k
+    fixed-point scores unit for unit."""
+    from collections import defaultdict
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    got = load_all()["graph_hits_hubs_authorities"].fn(spark, sf_dir).toPandas()
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey", "l_shipdate")
+        .toPandas()
+    )
+    op = li.groupby(["l_orderkey", "l_partkey"])["l_shipdate"].min().reset_index()
+    pair_orders = defaultdict(set)
+    for o, grp in op.groupby("l_orderkey"):
+        rows = list(zip(grp["l_partkey"], grp["l_shipdate"]))
+        for pa, da in rows:
+            for pb, db in rows:
+                if pa != pb and da < db:
+                    pair_orders[(pa, pb)].add(o)
+    edges = [p for p, orders in pair_orders.items() if len(orders) >= 2]
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    WS = 1_000_000
+    h = {n: WS for n in nodes}
+    a = {}
+    for _ in range(2):
+        raw = defaultdict(int)
+        for u, v in edges:
+            if u in h:
+                raw[v] += h[u]
+        mx = max(raw.values())
+        a = {n: (s * WS) // mx for n, s in raw.items()}
+        raw = defaultdict(int)
+        for u, v in edges:
+            if v in a:
+                raw[u] += a[v]
+        mx = max(raw.values())
+        h = {n: (s * WS) // mx for n, s in raw.items()}
+    for kind, scores in (("authority", a), ("hub", h)):
+        sub = got[got["kind"] == kind]
+        want = sorted(((-s, n) for n, s in scores.items()))[: len(sub)]
+        for (neg_s, n), (_, row) in zip(want, sub.sort_values("pos").iterrows()):
+            assert int(row["p_partkey"]) == n
+            assert int(row["score_fp"]) == -neg_s
