@@ -782,3 +782,105 @@ def test_ols_influence_shape(spark, sf_dir):
         g = grp.sort_values("pos")
         if len(g) == 2:
             assert g.iloc[0]["cooks_d"] >= g.iloc[1]["cooks_d"]
+
+
+def test_spearman_matches_pandas_replay(spark, sf_dir):
+    """Independent pandas replay: tie-averaged ranks + Pearson must match
+    the engine's Spearman per segment to the reported rounding."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    got = (
+        load_all()["diag_spearman_rank_corr"].fn(spark, sf_dir).toPandas()
+        .set_index("c_mktsegment")
+    )
+    orders = load_table(spark, "orders", sf_dir).toPandas()
+    cust = load_table(spark, "customer", sf_dir).toPandas()
+    j = orders.merge(
+        cust[["c_custkey", "c_mktsegment", "c_acctbal"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    j["pv"] = (j["o_totalprice"] * 100).round().astype("int64")
+    j["bv"] = (j["c_acctbal"] * 100).round().astype("int64")
+    for seg, grp in j.groupby("c_mktsegment"):
+        rho = grp["pv"].rank(method="average").corr(grp["bv"].rank(method="average"))
+        assert abs(got.loc[seg, "spearman_rho"] - rho) <= 2e-6, seg
+
+
+def test_cuped_theta_matches_pandas_replay(spark, sf_dir):
+    """The adjusted mean equals the direct per-user CUPED adjustment
+    recomputed in pandas with the same md5 arms and midpoint split."""
+    import hashlib
+
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    got = (
+        load_all()["ab_cuped_adjustment"].fn(spark, sf_dir).toPandas()
+        .set_index("arm")
+    )
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "value"
+    ).toPandas()
+    epoch = np.datetime64("1970-01-01T00:00:00")
+    tsm = (ev["ts"].values.astype("datetime64[us]") - epoch).astype("int64")
+    mid = (tsm.min() + tsm.max()) // 2
+    dec = (ev["value"].round(4) * 10000).round().astype("int64")  # 1e-4 units
+    df = ev.assign(tsm=tsm, u4=dec)
+    pre = df[df.tsm < mid].groupby("user_id")["u4"].sum()
+    post = df[df.tsm >= mid].groupby("user_id")["u4"].sum()
+    users = sorted(set(df["user_id"]))
+    # cents = 1e-4-units // 100 exactly (decimal *100 of a scale-4 sum)
+    x = np.array([pre.get(u, 0) for u in users], dtype="int64") // 100
+    y = np.array([post.get(u, 0) for u in users], dtype="int64") // 100
+    arm = np.array(
+        [
+            int(hashlib.md5(f"arm:{u}".encode()).hexdigest()[:8], 16) % 2
+            for u in users
+        ]
+    )
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    for a in (0, 1):
+        adj = y[arm == a] - theta * (x[arm == a] - x.mean())
+        assert abs(got.loc[a, "mean_adjusted"] - adj.mean() / 100.0) <= 5e-3
+        assert got.loc[a, "n_users"] == int((arm == a).sum())
+
+
+def test_isotonic_matches_sklearn_free_pav_replay(spark, sf_dir):
+    """Classic pool-adjacent-violators on the same bins reproduces the
+    minimax iso_rate to the 1e-12 floor-scaling slack."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ml_isotonic_calibration"].fn(spark, sf_dir).toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    pools = [
+        [float(r["pos"]), float(r["n"])] for _, r in pdf.iterrows()
+    ]  # (sum, weight)
+    merged: list[list[float]] = []
+    for s, w in pools:
+        merged.append([s, w])
+        while len(merged) > 1 and (
+            merged[-2][0] * merged[-1][1] >= merged[-1][0] * merged[-2][1]
+        ):
+            s2, w2 = merged.pop()
+            merged[-1][0] += s2
+            merged[-1][1] += w2
+    # expand pool means back to bins
+    vals = []
+    i = 0
+    for s, w in merged:
+        mean = s / w
+        total = 0.0
+        while total < w - 1e-9:
+            total += float(pdf.loc[i, "n"])
+            vals.append(mean)
+            i += 1
+    assert len(vals) == len(pdf)
+    for got_v, want_v in zip(pdf["iso_rate"], vals):
+        assert abs(got_v - want_v) <= 1e-5
