@@ -12,10 +12,10 @@ via ``synthesize_pgm`` / ``decode_pgm`` / ``resize_pgm_half`` (genuine
 netpbm P5 grayscale containers + a real strided 2× downsample), and VIDEO
 via ``synthesize_y4m`` / ``decode_y4m_sampled`` (genuine YUV4MPEG2
 streams + real every-k-th frame sampling), each oracle-checked end to
-end. Rich-format decode (JPEG/PNG/MP4) stays gated:
-PIL is not in this container, so ``decode_image`` raises
-NotImplementedError and ``fake_features`` provides a deterministic
-stand-in that exercises the full Spark plumbing.
+end. Rich-format decode (JPEG/PNG/MP4) is out of scope (PIL/ffmpeg absent
+here); ``fake_features`` provides a deterministic stand-in that exercises
+the full Spark plumbing, and the netpbm/WAV/Y4M paths above are the real
+decode surface.
 """
 
 from __future__ import annotations
@@ -26,13 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, mean_byte double, feature_dim long"
-
-try:  # real decoders, if ever present
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -51,15 +44,6 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.length("text").cast("long").alias("content_length"),
         ).alias("meta"),
     )
-
-
-def decode_image(media: DataFrame) -> DataFrame:
-    """Real image decode — requires PIL (not available in this container)."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL; use fake_features() for plumbing tests"
-        )
-    raise NotImplementedError("real decoder intentionally out of scope in this environment")
 
 
 def fake_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:

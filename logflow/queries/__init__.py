@@ -59,20 +59,28 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: DuckDB parity at sf0.01 AND sf0.1 in tools/parity_all.py (artifacts:
 #: PARITY_FULL.json / PARITY_FULL_sf0.1.json).
 #:
-#: ROTATION (round 8, pass 3 of 3 — the debt-clearing pass): cumulative
-#: driver-green after r7 is 265/288. The window takes ALL 19 remaining
-#: never-driver-checked oracle-backed queries (14 round-7 frontier ops +
-#: 5 round-6 leftovers), the full 24-query round-8 crop, the 4 rows-only-
-#: by-design entries (their weaker rows-only driver record is the best
-#: evidence available for them), and 3 re-attestations of the round-7
-#: plan rewrites. After this round every oracle-backed query in the repo
-#: has a driver-issued CORRECTNESS row. Every query rotated OUT is
-#: driver-green in CORRECTNESS_r01..r07 and stays parity-checked at both
-#: SFs every round. tests/test_registry.py pins the rotated-in set.
+#: ROTATION (round 9): cumulative driver-green after r8 is 308/321; the
+#: only oracle-backed queries never driver-attested are the 9 round-8
+#: late-crop operators, so they take the head of the window, followed by
+#: the round-9 crop (first-time attestations). Remaining window slots
+#: fall through to stable re-attestations (all driver-green r7/r8).
+#: Every query rotated OUT stays parity-checked at both SFs every round
+#: (PARITY_FULL artifacts). tests/test_registry.py pins the rotated-in
+#: set.
 PRIORITY: list[str] = [
-    # ------- driver window (round 8, rotation pass 3 of 3): 19 never-
-    # driver-checked oracle-backed queries (the 14 round-7 frontier ops
-    # + 5 round-6 leftovers — clears the attestation debt entirely) -------
+    # ------- round-8 late crop (9, oracle-backed, first attestation) -------
+    "graph_clustering_coefficient",
+    "finance_pvm_bridge",
+    "ts_cumulative_reach",
+    "diag_qq_normal_points",
+    "text_heaps_law",
+    "diag_cohens_kappa",
+    "ab_srm_check",
+    "multimodal_image_histogram",
+    "diag_ols_influence",
+    # ------- round-9 crop (all oracle-backed, first attestation) -------
+    # (inserted here as built this round)
+    # ------- re-attestation fill: driver-green r8, stable plans -------
     "attribution_markov_removal",
     "division_covering_buyers",
     "text_zipf_fit",
@@ -92,7 +100,6 @@ PRIORITY: list[str] = [
     "agg_weighted_median",
     "setops_multiset_bag",
     "diag_winsorized_mean",
-    # ------- round-8 crop (24, all oracle-backed, first attestation) -------
     "graph_scc_forward_backward",
     "ml_isotonic_calibration",
     "ml_roc_curve_points",
@@ -117,31 +124,15 @@ PRIORITY: list[str] = [
     "privacy_l_diversity",
     "ab_two_proportion_ztest",
     "ab_power_analysis",
-    # ------- rows-only-by-design entries, never driver-checked: a window
-    # slot buys their (weaker) rows-only driver record now that zero
-    # oracle-backed queries remain unattested -------
+    # ------- tail: driver-green in CORRECTNESS_r01..r08 or rows-only;
+    # parity-checked at BOTH SFs every round (PARITY_FULL artifacts) -------
     "agg_approx_distinct",
     "agg_approx_percentile",
     "diag_hll_sketch_union",
     "sample_stratified",
-    # ------- re-attestation of the three round-7 plan rewrites (already
-    # green in CORRECTNESS_r07; confirms the new plans are stable) -------
     "scan_zonemap_audit",
     "knn_ivfpq_adc",
     "multimodal_color_to_gray",
-    # ------- round-8 late crop (tail this round — both-SF parity evidence;
-    # round-9 window candidates) -------
-    "graph_clustering_coefficient",
-    "finance_pvm_bridge",
-    "ts_cumulative_reach",
-    "diag_qq_normal_points",
-    "text_heaps_law",
-    "diag_cohens_kappa",
-    "ab_srm_check",
-    "multimodal_image_histogram",
-    "diag_ols_influence",
-    # ------- tail: driver-green in CORRECTNESS_r01..r07 or rows-only;
-    # parity-checked at BOTH SFs every round (PARITY_FULL artifacts) -------
     "ml_decision_stump",
     "ml_feature_hashing",
     "ml_target_encoding_kfold",

@@ -6,7 +6,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from logflow.operators.multimodal import (
-    decode_image,
     fake_features,
     frame_sample,
     media_from_documents,
@@ -76,12 +75,6 @@ def test_fake_features_matches_expression_twin(spark, sf_dir):
     )
     assert (got["n_bytes"] == want["n_bytes"]).all()
     assert (got["mean_byte"] - want["mean_byte"]).abs().max() < 1e-9
-
-
-def test_decode_image_is_gated(spark, sf_dir):
-    media = media_from_documents(load_table(spark, "documents", sf_dir))
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
 
 
 def test_frame_sample_counts(spark):

@@ -9,17 +9,10 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-#: Round-8 window: after the 43 first-time oracle-backed slots (19 debt +
-#: 24 round-8 crop) there are ZERO oracle-backed queries left unattested,
-#: so 4 slots go to the rows-only-by-design entries — their weaker
-#: rows-only driver record is the best evidence obtainable for them, and
-#: it is better than a wasted re-attestation.
-WINDOW_ROWS_ONLY_OK: set[str] = {
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "diag_hll_sketch_union",
-    "sample_stratified",
-}
+#: No rows-only entries belong in the round-9 window: all four
+#: rows-only-by-design queries got their (weaker) rows-only driver record
+#: in CORRECTNESS_r08 — a window slot re-buys nothing for them.
+WINDOW_ROWS_ONLY_OK: set[str] = set()
 
 
 def test_priority_is_exactly_the_registry():
@@ -41,68 +34,33 @@ def test_driver_window_is_oracle_checked_except_documented():
     assert not missing, f"no-oracle queries waste driver window slots: {missing}"
 
 
-#: Round-8 rotation (pass 3 of 3): the 19 remaining never-driver-checked
-#: oracle-backed queries (14 round-7 frontier + 5 round-6 leftovers) plus
-#: the whole 24-query round-8 crop — first-time attestations all 43; the
-#: other 7 slots (4 rows-only-by-design + 3 round-7-rewrite re-attests)
-#: are asserted separately.
-ROTATED_IN_R8_FIRST_TIME = [
-    "attribution_markov_removal",
-    "division_covering_buyers",
-    "text_zipf_fit",
-    "dq_table_fingerprint",
-    "scan_delta_varint_estimate",
-    "assoc_rules_triples",
-    "rfm_quintile_segments",
-    "temporal_reachability_hops",
-    "diag_bootstrap_ci",
-    "diag_wilson_ci",
-    "graph_ppr_seed",
-    "ml_ndcg_link_prediction",
-    "ts_slo_burn_rate",
-    "mine_hard_negatives",
-    "diag_cramers_v",
-    "embedding_srp_buckets",
-    "agg_weighted_median",
-    "setops_multiset_bag",
-    "diag_winsorized_mean",
-    "graph_scc_forward_backward",
-    "ml_isotonic_calibration",
-    "ml_roc_curve_points",
-    "ts_ar1_forecast",
-    "privacy_k_anonymity",
-    "ab_cuped_adjustment",
-    "ab_delta_method_ratio",
-    "diag_spearman_rank_corr",
-    "diag_kruskal_wallis",
-    "graph_degree_assortativity",
-    "fifo_inventory_matching",
-    "subquery_not_in_null_trap",
-    "diag_levene_brown_forsythe",
-    "ml_ridge_closed_form",
-    "ts_sax_symbolic",
-    "attribution_position_based",
-    "ts_nelson_aalen",
-    "graph_hits_hubs_authorities",
-    "ml_knn_classifier",
-    "graph_modularity_lpa",
-    "ts_peak_detection",
-    "privacy_l_diversity",
-    "ab_two_proportion_ztest",
-    "ab_power_analysis",
+#: Round-9 rotation: the 9 round-8 late-crop operators (the only
+#: oracle-backed queries never driver-attested after r8) plus the whole
+#: round-9 crop — first-time attestations all. Grown in lockstep with the
+#: "round-9 crop" block in PRIORITY as operators land this round.
+ROTATED_IN_R9_FIRST_TIME = [
+    "graph_clustering_coefficient",
+    "finance_pvm_bridge",
+    "ts_cumulative_reach",
+    "diag_qq_normal_points",
+    "text_heaps_law",
+    "diag_cohens_kappa",
+    "ab_srm_check",
+    "multimodal_image_histogram",
+    "diag_ols_influence",
+    # ------- round-9 crop -------
 ]
 
 
-def test_round8_rotation_sits_in_driver_window():
+def test_round9_rotation_sits_in_driver_window():
     from logflow.queries import load_all
 
     window = list(load_all())[:DRIVER_WINDOW]
-    assert len(ROTATED_IN_R8_FIRST_TIME) == 43
-    missing = [n for n in ROTATED_IN_R8_FIRST_TIME if n not in window]
+    missing = [n for n in ROTATED_IN_R9_FIRST_TIME if n not in window]
     assert not missing, f"rotated-in queries fell out of the window: {missing}"
 
 
-def test_round8_rotation_is_first_time_attestation():
+def test_round9_rotation_is_first_time_attestation():
     """Every first-time slot must be spent on a query with no prior
     driver-issued green row (the rotation's whole point)."""
     import json
@@ -110,13 +68,13 @@ def test_round8_rotation_is_first_time_attestation():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("rows_match") and row.get("err") is None:
                     green.add(name)
-    already = [n for n in ROTATED_IN_R8_FIRST_TIME if n in green]
+    already = [n for n in ROTATED_IN_R9_FIRST_TIME if n in green]
     assert not already, f"window slots wasted on already-attested queries: {already}"
 
 
