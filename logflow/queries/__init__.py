@@ -79,7 +79,9 @@ PRIORITY: list[str] = [
     "multimodal_image_histogram",
     "diag_ols_influence",
     # ------- round-9 crop (all oracle-backed, first attestation) -------
-    # (inserted here as built this round)
+    "ts_croston_forecast",
+    "ts_forecast_accuracy",
+    "ml_class_prf1_report",
     # ------- re-attestation fill: driver-green r8, stable plans -------
     "attribution_markov_removal",
     "division_covering_buyers",

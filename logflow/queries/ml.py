@@ -1339,7 +1339,10 @@ _KNNC_K = 5
 _KNNC_SQL: str
 
 
-def _knnc_sql() -> str:
+def _knnc_pred_ctes() -> str:
+    """The shared k-NN prediction CTE chain (ends at ``pred``: one row per
+    held-out query with true label ``yt`` and majority-vote ``yp``) — the
+    confusion matrix and the per-class P/R/F1 report both build on it."""
     from logflow.queries.llm import _dd_sim
 
     return f"""
@@ -1363,7 +1366,11 @@ pred AS (
     SELECT qid, yt, yc,
            row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, yc) AS vr
     FROM votes)
-  WHERE vr = 1)
+  WHERE vr = 1)"""
+
+
+def _knnc_sql() -> str:
+    return f"""{_knnc_pred_ctes()}
 SELECT CAST(yt AS BIGINT) AS label_true, CAST(yp AS BIGINT) AS label_pred,
        CAST(COUNT(*) AS BIGINT) AS n_queries
 FROM pred GROUP BY yt, yp
@@ -1371,24 +1378,8 @@ ORDER BY label_true, label_pred
 """
 
 
-@register(
-    "ml_knn_classifier",
-    _knnc_sql(),
-    doc=f"k-NN classification (k={_KNNC_K}) of {_KNNC_Q} held-out "
-    "embedding vectors against the rest of the corpus, majority vote "
-    "with deterministic ties (vote count DESC, then smallest label), "
-    "reported as a confusion matrix — the lazy-learning baseline an "
-    "embedding-quality audit runs before trusting vectors in any "
-    "downstream model (the supervised twin of knn_recall_eval). "
-    "Neighbor ranking uses the repo's fold-order-identical rounded "
-    "cosine with the unique vec_id tiebreak; votes are exact counts. "
-    "At 100 TB: the query set is a BOUNDED broadcast (the "
-    "knn_cosine_brute contract) so the scan is one map-side pass over "
-    "the corpus — never corpus×corpus; per-query state is k rows. "
-    "Scaling the query side swaps in the IVF route (knn_ivf_kmeans) "
-    "with identical vote semantics.",
-)
-def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knnc_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_knnc_pred_ctes`: the (qid, yt, yp) frame."""
     from logflow.operators.cache import track
     from logflow.operators.similarity import _dot, _norm
 
@@ -1428,11 +1419,32 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), "yc")
-    pred = (
+    return (
         votes.withColumn("vr", F.row_number().over(wv))
         .filter(F.col("vr") == 1)
         .select("qid", "yt", F.col("yc").alias("yp"))
     )
+
+
+@register(
+    "ml_knn_classifier",
+    _knnc_sql(),
+    doc=f"k-NN classification (k={_KNNC_K}) of {_KNNC_Q} held-out "
+    "embedding vectors against the rest of the corpus, majority vote "
+    "with deterministic ties (vote count DESC, then smallest label), "
+    "reported as a confusion matrix — the lazy-learning baseline an "
+    "embedding-quality audit runs before trusting vectors in any "
+    "downstream model (the supervised twin of knn_recall_eval). "
+    "Neighbor ranking uses the repo's fold-order-identical rounded "
+    "cosine with the unique vec_id tiebreak; votes are exact counts. "
+    "At 100 TB: the query set is a BOUNDED broadcast (the "
+    "knn_cosine_brute contract) so the scan is one map-side pass over "
+    "the corpus — never corpus×corpus; per-query state is k rows. "
+    "Scaling the query side swaps in the IVF route (knn_ivf_kmeans) "
+    "with identical vote semantics.",
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _knnc_pred(spark, sf_dir)
     return (
         pred.groupBy(
             F.col("yt").cast("long").alias("label_true"),
@@ -1441,3 +1453,147 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
         .orderBy("label_true", "label_pred")
     )
+
+
+def _prf1_sql() -> str:
+    return f"""{_knnc_pred_ctes()},
+a AS (SELECT CAST(yt AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(SUM(CASE WHEN yt = yp THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM pred GROUP BY yt),
+b AS (SELECT CAST(yp AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
+      FROM pred GROUP BY yp),
+cm AS (
+  SELECT COALESCE(a.label, b.label) AS label,
+         COALESCE(a.n_true, 0) AS n_true,
+         COALESCE(b.n_pred, 0) AS n_pred,
+         COALESCE(a.tp, 0) AS tp
+  FROM a FULL OUTER JOIN b ON a.label = b.label),
+cls AS (
+  SELECT label, n_true, n_pred, tp,
+         CAST(tp AS DOUBLE) / CAST(NULLIF(n_pred, 0) AS DOUBLE) AS prec,
+         CAST(tp AS DOUBLE) / CAST(NULLIF(n_true, 0) AS DOUBLE) AS rec,
+         CAST(2 * tp AS DOUBLE) / CAST(NULLIF(n_true + n_pred, 0) AS DOUBLE) AS f1
+  FROM cm)
+SELECT 'class' AS scope, label, n_true, n_pred, tp, prec, rec, f1 FROM cls
+UNION ALL
+SELECT 'macro' AS scope, CAST(-1 AS BIGINT) AS label,
+       CAST(SUM(n_true) AS BIGINT) AS n_true,
+       CAST(SUM(n_pred) AS BIGINT) AS n_pred,
+       CAST(SUM(tp) AS BIGINT) AS tp,
+       CAST(SUM(CAST(ROUND(COALESCE(prec, 0) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS prec,
+       CAST(SUM(CAST(ROUND(COALESCE(rec, 0) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS rec,
+       CAST(SUM(CAST(ROUND(COALESCE(f1, 0) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS f1
+FROM cls
+UNION ALL
+SELECT 'micro' AS scope, CAST(-1 AS BIGINT) AS label,
+       CAST(SUM(n_true) AS BIGINT) AS n_true,
+       CAST(SUM(n_pred) AS BIGINT) AS n_pred,
+       CAST(SUM(tp) AS BIGINT) AS tp,
+       CAST(SUM(tp) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE) AS prec,
+       CAST(SUM(tp) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE) AS rec,
+       CAST(SUM(tp) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE) AS f1
+FROM cls
+ORDER BY scope, label
+"""
+
+
+@register(
+    "ml_class_prf1_report",
+    _prf1_sql(),
+    doc="Per-class precision / recall / F1 plus macro- and micro-averaged "
+    "rollups from the k-NN classifier's prediction frame (shared with "
+    "ml_knn_classifier via _knnc_pred — one classifier, two reports): "
+    "the standard classification scorecard. Per-class rows derive every "
+    "metric from exact integer counts in ONE division each (F1 as "
+    "2*tp/(n_true+n_pred), never 2PR/(P+R) float chains); undefined "
+    "ratios (class never predicted) are NULL via NULLIF, and macro "
+    "averaging follows sklearn's zero_division=0 by COALESCEing them to "
+    "0. Macro averages round each per-class metric to fixed-point "
+    "micros and integer-sum (float-sum order is engine-chosen); micro "
+    "P=R=F1=accuracy for single-label problems, one exact-count "
+    "division. At 100 TB: the corpus scan is the bounded-broadcast "
+    "k-NN pass (never corpus x corpus); everything after ``pred`` is "
+    "label-cardinality-scale (a handful of rows), so the report costs "
+    "the same one scan the confusion matrix already pays.",
+)
+def ml_class_prf1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    pred = track(_knnc_pred(spark, sf_dir).persist())
+    pred.count()
+    a = pred.groupBy(F.col("yt").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("yt") == F.col("yp"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    b = pred.groupBy(F.col("yp").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    cm = (
+        a.join(b, "label", "full_outer")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    cls = track(
+        cm.select(
+            "label",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.expr("cast(tp as double) / cast(nullif(n_pred, 0) as double)").alias(
+                "prec"
+            ),
+            F.expr("cast(tp as double) / cast(nullif(n_true, 0) as double)").alias(
+                "rec"
+            ),
+            F.expr(
+                "cast(2 * tp as double) / cast(nullif(n_true + n_pred, 0) as double)"
+            ).alias("f1"),
+        ).persist()
+    )
+    cls.count()
+
+    def _macro(col: str):
+        return (
+            F.sum(F.round(F.coalesce(F.col(col), F.lit(0.0)) * 1000000, 0).cast("long"))
+            .cast("double")
+            / (F.count(F.lit(1)) * 1000000).cast("double")
+        ).alias(col)
+
+    per_class = cls.select(
+        F.lit("class").alias("scope"), "label", "n_true", "n_pred", "tp",
+        "prec", "rec", "f1",
+    )
+    macro = cls.agg(
+        F.sum("n_true").cast("long").alias("n_true"),
+        F.sum("n_pred").cast("long").alias("n_pred"),
+        F.sum("tp").cast("long").alias("tp"),
+        _macro("prec"),
+        _macro("rec"),
+        _macro("f1"),
+    ).select(
+        F.lit("macro").alias("scope"), F.lit(-1).cast("long").alias("label"),
+        "n_true", "n_pred", "tp", "prec", "rec", "f1",
+    )
+    acc = F.col("tp").cast("double") / F.col("n_true").cast("double")
+    micro = (
+        cls.agg(
+            F.sum("n_true").cast("long").alias("n_true"),
+            F.sum("n_pred").cast("long").alias("n_pred"),
+            F.sum("tp").cast("long").alias("tp"),
+        )
+        .select(
+            F.lit("micro").alias("scope"), F.lit(-1).cast("long").alias("label"),
+            "n_true", "n_pred", "tp",
+            acc.alias("prec"), acc.alias("rec"), acc.alias("f1"),
+        )
+    )
+    return per_class.unionAll(macro).unionAll(micro).orderBy("scope", "label")

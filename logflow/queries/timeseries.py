@@ -2477,3 +2477,242 @@ def ts_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ts_croston_forecast",
+    """
+WITH f AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS q
+  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0
+  GROUP BY user_id, CAST(ts AS DATE)),
+s AS (
+  SELECT user_id,
+         array_agg(q ORDER BY day) AS qs,
+         array_agg(day ORDER BY day) AS ds
+  FROM f GROUP BY user_id HAVING COUNT(*) >= 3),
+iv AS (
+  SELECT user_id, qs,
+         list_transform(range(1, len(ds)),
+                        i -> CAST(date_diff('day', ds[i], ds[i+1]) AS DOUBLE)) AS ivs
+  FROM s),
+r AS (
+  SELECT user_id,
+         CAST(len(qs) AS BIGINT) AS n_demand_days,
+         list_reduce(qs, (acc, x) -> (acc + x) / 2) AS size_ewma,
+         list_reduce(ivs, (acc, x) -> (acc + x) / 2) AS interval_ewma
+  FROM iv)
+SELECT user_id, n_demand_days, size_ewma, interval_ewma,
+       size_ewma / interval_ewma AS croston_forecast,
+       size_ewma / interval_ewma * 0.75 AS sba_forecast
+FROM r
+ORDER BY user_id
+""",
+    doc="Croston's method for intermittent demand (each user's purchase "
+    "stream is sparse: demand on ~1/3 of days): maintain TWO alpha=1/2 "
+    "EWMAs — one over the nonzero demand SIZES, one over the INTER-"
+    "demand day gaps — and forecast demand-per-day as size/interval, "
+    "plus the Syntetos-Boylan (SBA) bias correction x(1-alpha/2)=0.75. "
+    "Croston 1972 is the standard forecaster where plain EWMA under-"
+    "reacts because most periods are zero. Cross-engine: both EWMAs are "
+    "the ts_ewma_daily recipe — sequential folds s'=(s+x)/2 over the "
+    "identical ordered sequence, so every IEEE add/halve is bit-"
+    "identical; intervals are exact integer day gaps cast to double; "
+    "the forecast is ONE division of bit-identical operands and the SBA "
+    "multiply by 0.75 is exact (power-of-two scaled), so raw doubles "
+    "hash-match with no rounding. At 100 TB: daily demand is a map-side-"
+    "combined shuffle; per-user state is one bounded array (days per "
+    "user is span-bounded, not event-bounded); folds are codegen'd JVM "
+    "HOFs — one user_id shuffle end to end, no Python, no window "
+    "re-sort (the array_sort inside the agg replaces a second shuffle).",
+)
+def ts_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0)
+    )
+    d = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+        .cast("double")
+        .alias("q")
+    )
+    s = (
+        d.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "q"))).alias("pts"))
+        .filter(F.size("pts") >= 3)
+        .select(
+            "user_id",
+            F.expr("transform(pts, x -> x.q)").alias("qs"),
+            F.expr("transform(pts, x -> x.day)").alias("ds"),
+        )
+    )
+    # interval list via zip-of-slices (each slice evaluates ds once per
+    # row — never transform(sequence, i -> ds[i]), the O(len^2) trap)
+    iv = s.select(
+        "user_id",
+        "qs",
+        F.expr(
+            "zip_with(slice(ds, 1, size(ds) - 1), slice(ds, 2, size(ds) - 1),"
+            " (a, b) -> cast(datediff(b, a) as double))"
+        ).alias("ivs"),
+    )
+    r = iv.select(
+        "user_id",
+        F.size("qs").cast("long").alias("n_demand_days"),
+        F.expr(
+            "reduce(slice(qs, 2, size(qs) - 1), qs[0], (acc, x) -> (acc + x) / 2)"
+        ).alias("size_ewma"),
+        F.expr(
+            "reduce(slice(ivs, 2, size(ivs) - 1), ivs[0], (acc, x) -> (acc + x) / 2)"
+        ).alias("interval_ewma"),
+    )
+    return r.select(
+        "user_id",
+        "n_demand_days",
+        "size_ewma",
+        "interval_ewma",
+        (F.col("size_ewma") / F.col("interval_ewma")).alias("croston_forecast"),
+        (F.col("size_ewma") / F.col("interval_ewma") * F.lit(0.75)).alias(
+            "sba_forecast"
+        ),
+    ).orderBy("user_id")
+
+
+@register(
+    "ts_forecast_accuracy",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2)
+                         AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+lagged AS (
+  SELECT event_type, day, cents,
+         lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day) AS f_naive,
+         lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS f_snaive
+  FROM daily),
+m AS (
+  SELECT event_type, 'naive' AS method, cents AS a, f_naive AS fc
+  FROM lagged WHERE f_naive IS NOT NULL
+  UNION ALL
+  SELECT event_type, 'snaive7' AS method, cents AS a, f_snaive AS fc
+  FROM lagged WHERE f_snaive IS NOT NULL),
+agg AS (
+  SELECT event_type, method,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(ABS(a - fc)) AS BIGINT) AS sae,
+         SUM(CAST(a - fc AS DECIMAL(20,0)) * CAST(a - fc AS DECIMAL(20,0))) AS sse,
+         CAST(SUM(CAST(ROUND(CAST(ABS(a - fc) AS DOUBLE)
+                             / CAST(NULLIF(ABS(a), 0) AS DOUBLE) * 1000000, 0)
+                       AS BIGINT)) AS BIGINT) AS sape_micros
+  FROM m GROUP BY event_type, method),
+sc AS (
+  SELECT event_type, method, n_days,
+         CAST(sae AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae_cents,
+         SQRT(CAST(sse AS DOUBLE) / CAST(n_days AS DOUBLE)) AS rmse_cents,
+         CAST(sape_micros AS DOUBLE) / CAST(n_days * 1000000 AS DOUBLE) AS mape
+  FROM agg)
+SELECT sc.event_type, sc.method, sc.n_days, sc.mae_cents, sc.rmse_cents, sc.mape,
+       sc.mae_cents / nv.naive_mae AS mase
+FROM sc JOIN (SELECT event_type AS et, mae_cents AS naive_mae
+              FROM sc WHERE method = 'naive') nv
+  ON sc.event_type = nv.et
+ORDER BY sc.event_type, sc.method
+""",
+    doc="Forecast-accuracy scorecard (MAE / RMSE / MAPE / MASE) for two "
+    "baseline forecasters — naive (yesterday's value) and seasonal-naive "
+    "(7 days ago) — over daily per-event-type revenue: the evaluation "
+    "harness every forecasting deployment (Croston, Holt, AR(1) here) "
+    "is graded against, with MASE (Hyndman-Koehler 2006) normalizing by "
+    "the naive MAE so scores compare across series. Cross-engine: daily "
+    "revenue is exact integer CENTS, so SAE and the DECIMAL(38,0) SSE "
+    "are exact order-independent sums; MAE/RMSE are single divisions + "
+    "the correctly-rounded IEEE SQRT of identical operands; MAPE rounds "
+    "each per-day ratio to micros fixed-point BEFORE the integer sum "
+    "(float-sum order is engine-chosen, integer sums are not); MASE is "
+    "a ratio of two bit-identical doubles. At 100 TB: the daily rollup "
+    "is the only data-scale shuffle (map-side combined); lag windows "
+    "and both method branches share the event_type partitioning, and "
+    "the MASE join is against a handful-of-rows aggregate.",
+)
+def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.round(
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2)
+            .cast("double")
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.lag("cents", 1).over(w).alias("f_naive"),
+        F.lag("cents", 7).over(w).alias("f_snaive"),
+    )
+    m = lagged.selectExpr(
+        "event_type",
+        "stack(2, 'naive', cents, f_naive, 'snaive7', cents, f_snaive)"
+        " AS (method, a, fc)",
+    ).filter(F.col("fc").isNotNull())
+    agg = track(
+        m.groupBy("event_type", "method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.abs(F.col("a") - F.col("fc"))).cast("long").alias("sae"),
+            F.sum(
+                (F.col("a") - F.col("fc")).cast("decimal(20,0)")
+                * (F.col("a") - F.col("fc")).cast("decimal(20,0)")
+            ).alias("sse"),
+            F.sum(
+                F.round(
+                    F.abs(F.col("a") - F.col("fc")).cast("double")
+                    / F.expr("cast(nullif(abs(a), 0) as double)")
+                    * 1000000,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("sape_micros"),
+        )
+        .persist()
+    )
+    agg.count()
+    sc = agg.select(
+        "event_type",
+        "method",
+        "n_days",
+        (F.col("sae").cast("double") / F.col("n_days").cast("double")).alias(
+            "mae_cents"
+        ),
+        F.sqrt(F.col("sse").cast("double") / F.col("n_days").cast("double")).alias(
+            "rmse_cents"
+        ),
+        (
+            F.col("sape_micros").cast("double")
+            / (F.col("n_days") * 1000000).cast("double")
+        ).alias("mape"),
+    )
+    nv = sc.filter(F.col("method") == "naive").select(
+        "event_type", F.col("mae_cents").alias("naive_mae")
+    )
+    return (
+        sc.join(F.broadcast(nv), "event_type")
+        .select(
+            "event_type",
+            "method",
+            "n_days",
+            "mae_cents",
+            "rmse_cents",
+            "mape",
+            (F.col("mae_cents") / F.col("naive_mae")).alias("mase"),
+        )
+        .orderBy("event_type", "method")
+    )

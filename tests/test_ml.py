@@ -350,3 +350,41 @@ def test_knn_classifier_covers_queries(spark, sf_dir):
     pdf = load_all()["ml_knn_classifier"].fn(spark, sf_dir).toPandas()
     assert int(pdf["n_queries"].sum()) == _KNNC_Q
     assert (pdf["n_queries"] > 0).all()
+
+
+def test_class_prf1_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_class_prf1_report", sf_dir)
+
+
+def test_class_prf1_consistent_with_confusion(spark, sf_dir):
+    """The P/R/F1 report must agree with the independently grouped
+    confusion matrix: per-class tp/n_true/n_pred are confusion-matrix
+    marginals, micro P=R=F1=accuracy, F1 sits between min and max of
+    (P, R), and macro rollups equal the micros-rounded per-class mean."""
+    from logflow.queries import load_all
+
+    reg = load_all()
+    rep = reg["ml_class_prf1_report"].fn(spark, sf_dir).toPandas()
+    conf = reg["ml_knn_classifier"].fn(spark, sf_dir).toPandas()
+
+    cls = rep[rep["scope"] == "class"].set_index("label")
+    n_true = conf.groupby("label_true")["n_queries"].sum()
+    n_pred = conf.groupby("label_pred")["n_queries"].sum()
+    diag = conf[conf["label_true"] == conf["label_pred"]].set_index("label_true")[
+        "n_queries"
+    ]
+    for lbl, row in cls.iterrows():
+        assert row["n_true"] == n_true.get(lbl, 0)
+        assert row["n_pred"] == n_pred.get(lbl, 0)
+        assert row["tp"] == diag.get(lbl, 0)
+        if row["tp"] > 0:
+            lo, hi = sorted([row["prec"], row["rec"]])
+            assert lo - 1e-12 <= row["f1"] <= hi + 1e-12
+    micro = rep[rep["scope"] == "micro"].iloc[0]
+    assert micro["prec"] == micro["rec"] == micro["f1"]
+    assert micro["prec"] == diag.sum() / conf["n_queries"].sum()
+    macro = rep[rep["scope"] == "macro"].iloc[0]
+    want = round(sum(round(v * 1e6) for v in cls["f1"].fillna(0)) / (len(cls) * 1e6), 9)
+    assert abs(macro["f1"] - want) < 1e-9

@@ -686,3 +686,74 @@ def test_cumulative_reach_invariants(spark, sf_dir):
     total = load_table(spark, "events", sf_dir).select("user_id").distinct().count()
     assert reach[-1] == total
     assert (pdf["dau"] <= pdf["cumulative_reach"]).all()
+
+
+def test_croston_forecast_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_croston_forecast", sf_dir)
+
+
+def test_croston_matches_python_fold(spark, sf_dir):
+    """Replay Croston for every reported user with a pure-Python alpha=1/2
+    fold over the same daily demand series; EWMAs and forecasts must be
+    bit-identical (the raw-double hash-match contract)."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    got = (
+        load_all()["ts_croston_forecast"].fn(spark, sf_dir).toPandas()
+        .set_index("user_id")
+    )
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("q")
+        )
+        .toPandas()
+    )
+    assert len(got) > 0
+    for uid, grp in daily.groupby("user_id"):
+        grp = grp.sort_values("day").reset_index(drop=True)
+        if len(grp) < 3:
+            assert uid not in got.index
+            continue
+        z = grp["q"].iloc[0]
+        for x in grp["q"].iloc[1:]:
+            z = (z + x) / 2
+        gaps = [float((b - a).days) for a, b in zip(grp["day"], grp["day"].iloc[1:])]
+        p = gaps[0]
+        for x in gaps[1:]:
+            p = (p + x) / 2
+        row = got.loc[uid]
+        assert row["n_demand_days"] == len(grp)
+        assert row["size_ewma"] == z
+        assert row["interval_ewma"] == p
+        assert row["croston_forecast"] == z / p
+        assert row["sba_forecast"] == z / p * 0.75
+
+
+def test_forecast_accuracy_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_forecast_accuracy", sf_dir)
+
+
+def test_forecast_accuracy_invariants(spark, sf_dir):
+    """Naive rows are the MASE unit (mase == 1.0 exactly — same double
+    divided by itself); RMSE >= MAE (Jensen); MAPE >= 0; both methods
+    reported for every event type."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_forecast_accuracy"].fn(spark, sf_dir).toPandas()
+    naive = pdf[pdf["method"] == "naive"]
+    assert (naive["mase"] == 1.0).all()
+    assert (pdf["rmse_cents"] >= pdf["mae_cents"] - 1e-9).all()
+    assert (pdf["mape"] >= 0).all()
+    assert set(pdf.groupby("event_type")["method"].count()) == {2}
