@@ -82,6 +82,9 @@ PRIORITY: list[str] = [
     "ts_croston_forecast",
     "ts_forecast_accuracy",
     "ml_class_prf1_report",
+    "ts_allen_interval_relations",
+    "join_bitemporal_asof",
+    "er_soundex_blocking",
     # ------- re-attestation fill: driver-green r8, stable plans -------
     "attribution_markov_removal",
     "division_covering_buyers",

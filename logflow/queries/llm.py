@@ -3509,3 +3509,131 @@ def diag_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cohens_kappa"),
         )
     )
+
+
+def _soundex_expr(col: str, duck: bool) -> str:
+    """American Soundex as one SQL expression chain, hand-rolled because
+    DuckDB has no soundex builtin. Identical letter-class table and
+    collapse order in both engines; the ONLY dialect split is DuckDB's
+    regexp_replace needing an explicit 'g' flag (Spark's is global by
+    default). Implements the full classic rules: first letter retained,
+    h/w transparent (stripped before coding so same-class consonants
+    across them collapse: Pfister -> P236), vowels coded 0 so they
+    SEPARATE duplicates (Honeyman -> H555), adjacent same-class digits
+    collapsed per class (no regex backreferences — RE2 lacks them),
+    zero-strip, 3-digit zero-pad (Lloyd -> L300, Tymczak -> T522)."""
+
+    def rr(x: str, pat: str, rep: str) -> str:
+        return (
+            f"regexp_replace({x}, '{pat}', '{rep}', 'g')"
+            if duck
+            else f"regexp_replace({x}, '{pat}', '{rep}')"
+        )
+
+    cleaned = rr(f"lower({col})", "[^a-z]", "")
+    nohw = f"(substr({cleaned}, 1, 1) || {rr(f'substr({cleaned}, 2)', '[hw]', '')})"
+    coded = (
+        f"translate({nohw}, 'bfpvcgjkqsxzdtlmnraeiouyhw',"
+        " '11112222222233455600000000')"
+    )
+    for d in "123456":
+        coded = rr(coded, d + "{2,}", d)
+    digits = rr(f"substr({coded}, 2)", "0", "")
+    return f"(upper(substr({cleaned}, 1, 1)) || substr({digits} || '000', 1, 3))"
+
+
+def _soundex_blocking_sql() -> str:
+    sdx = _soundex_expr("tail", duck=True)
+    return f"""
+WITH s AS (SELECT DISTINCT p_name FROM part ORDER BY p_name LIMIT 256),
+k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS tail FROM s),
+k2 AS (SELECT p_name, tail, {sdx} AS sdx FROM k),
+pairs AS (
+  SELECT CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS d,
+         CASE WHEN a.sdx = b.sdx THEN 1 ELSE 0 END AS blk_sdx,
+         CASE WHEN a.tail = b.tail THEN 1 ELSE 0 END AS blk_tail
+  FROM k2 a JOIN k2 b ON a.p_name < b.p_name),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(CASE WHEN d <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         CAST(SUM(blk_sdx) AS BIGINT) AS cand_sdx,
+         CAST(SUM(CASE WHEN d <= 3 THEN blk_sdx ELSE 0 END) AS BIGINT) AS hit_sdx,
+         CAST(SUM(blk_tail) AS BIGINT) AS cand_tail,
+         CAST(SUM(CASE WHEN d <= 3 THEN blk_tail ELSE 0 END) AS BIGINT) AS hit_tail
+  FROM pairs),
+schemes AS (
+  SELECT 'soundex-last' AS scheme, n_all, n_truth, cand_sdx AS n_candidates,
+         hit_sdx AS n_hits FROM m
+  UNION ALL
+  SELECT 'last-token', n_all, n_truth, cand_tail, hit_tail FROM m)
+SELECT scheme, n_truth, n_candidates, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / NULLIF(n_truth, 0), 4) AS pair_completeness,
+       ROUND(1.0 - CAST(n_candidates AS DOUBLE) / n_all, 4) AS reduction_ratio
+FROM schemes
+ORDER BY scheme
+"""
+
+
+@register(
+    "er_soundex_blocking",
+    _soundex_blocking_sql(),
+    doc="Phonetic (American Soundex) blocking for entity resolution, "
+    "graded by er_blocking_quality's pair-completeness / reduction-"
+    "ratio harness on the same bounded 256-name domain with the "
+    "last-token scheme reproduced side by side: soundex keys cluster "
+    "spelling VARIANTS of the same-sounding token into one block, the "
+    "classic recipe for name-typo ER where exact last-token equality "
+    "misses phonetically-equal misspellings. The soundex itself is "
+    "hand-rolled (DuckDB lacks the builtin) as an identical "
+    "translate + per-digit-collapse regex chain in both engines — full "
+    "classic rules incl. h/w transparency and vowel separation, "
+    "docstring-verified against the canonical Pfister/Tymczak/Lloyd/"
+    "Honeyman vectors — with the one dialect split (DuckDB's explicit "
+    "'g' flag) isolated in _soundex_expr. All counts exact BIGINTs; "
+    "truth = the same Levenshtein<=3 verifier. At 100 TB blocking keys "
+    "are map-side string ops and the audit's all-pairs side stays "
+    "vocabulary-bounded by the LIMIT 256 contract.",
+)
+def er_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    s = part.select("p_name").distinct().orderBy("p_name").limit(256)
+    k = s.select(
+        "p_name", F.element_at(F.split(F.col("p_name"), " "), -1).alias("tail")
+    )
+    k2 = k.select(
+        "p_name", "tail", F.expr(_soundex_expr("tail", duck=False)).alias("sdx")
+    )
+    a, b = k2.alias("a"), k2.alias("b")
+    pairs = a.join(b, F.col("a.p_name") < F.col("b.p_name")).select(
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("long").alias("d"),
+        F.when(F.col("a.sdx") == F.col("b.sdx"), 1).otherwise(0).alias("blk_sdx"),
+        F.when(F.col("a.tail") == F.col("b.tail"), 1).otherwise(0).alias("blk_tail"),
+    )
+    truth = F.when(F.col("d") <= 3, 1).otherwise(0)
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(truth).cast("long").alias("n_truth"),
+        F.sum("blk_sdx").cast("long").alias("cand_sdx"),
+        F.sum(truth * F.col("blk_sdx")).cast("long").alias("hit_sdx"),
+        F.sum("blk_tail").cast("long").alias("cand_tail"),
+        F.sum(truth * F.col("blk_tail")).cast("long").alias("hit_tail"),
+    )
+    schemes = m.selectExpr(
+        "stack(2, 'soundex-last', cand_sdx, hit_sdx,"
+        " 'last-token', cand_tail, hit_tail)"
+        " AS (scheme, n_candidates, n_hits)",
+        "n_all",
+        "n_truth",
+    )
+    return schemes.select(
+        "scheme",
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.nullif(F.col("n_truth"), F.lit(0)), 4
+        ).alias("pair_completeness"),
+        F.round(
+            F.lit(1.0) - F.col("n_candidates").cast("double") / F.col("n_all"), 4
+        ).alias("reduction_ratio"),
+    ).orderBy("scheme")

@@ -5243,3 +5243,93 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "join_bitemporal_asof",
+    """
+WITH dim AS (
+  SELECT o_custkey AS custkey, o_orderdate AS valid_from,
+         o_orderdate + INTERVAL (CAST((o_orderkey // 5) % 4 AS INT)) DAY AS tx_from,
+         o_orderpriority AS attr, o_orderkey
+  FROM orders WHERE o_orderkey % 5 = 0),
+facts AS (
+  SELECT o_orderkey AS factkey, o_custkey AS custkey, o_orderdate AS vt,
+         o_orderdate + INTERVAL 2 DAY AS tt
+  FROM orders WHERE o_orderkey % 5 <> 0),
+j AS (
+  SELECT f.factkey, f.custkey, d.attr, d.valid_from, d.tx_from,
+         row_number() OVER (PARTITION BY f.factkey
+                            ORDER BY d.valid_from DESC, d.tx_from DESC,
+                                     d.o_orderkey DESC) AS rn
+  FROM facts f LEFT JOIN dim d
+    ON f.custkey = d.custkey AND d.valid_from <= f.vt AND d.tx_from <= f.tt),
+pick AS (SELECT * FROM j WHERE rn = 1)
+SELECT COALESCE(attr, 'none') AS attr_asat,
+       CAST(COUNT(*) AS BIGINT) AS n_facts,
+       CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN tx_from > valid_from THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retro
+FROM pick GROUP BY COALESCE(attr, 'none')
+ORDER BY attr_asat
+""",
+    doc="Bitemporal as-of-as-at join (valid time x transaction time — the "
+    "SQL:2011 bitemporal read, extending scd2_point_in_time_join's "
+    "single-axis version): dimension versions carry BOTH valid_from "
+    "(when true in the world) and tx_from (when recorded — a "
+    "deterministic 0-3-day late-arrival lag), and each fact reads the "
+    "attribute AS OF its business date, AS AT what the system knew two "
+    "days later: the latest-valid version among those already recorded "
+    "(valid_from <= vt AND tx_from <= tt), latest tx_from winning among "
+    "equal valid times — retroactive corrections recorded after tt are "
+    "correctly invisible (n_retro counts the late-recorded versions "
+    "that did win). Left join keeps early facts as 'none'; row_number "
+    "with the unique o_orderkey tiebreak makes the pick deterministic "
+    "and provably one-row-per-fact (pytest asserts conservation). "
+    "Plan: equi hash join on custkey with the two temporal predicates "
+    "as residual filters — never a BNLJ — then the per-fact pick "
+    "shuffles on factkey; at 100 TB both shuffles are key-partitioned "
+    "and version fan-out is bounded by versions-per-customer, with the "
+    "window's per-partition state being one row.",
+)
+def join_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    dim = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.expr(
+            "timestampadd(DAY, cast((o_orderkey div 5) % 4 as int), o_orderdate)"
+        ).alias("tx_from"),
+        F.col("o_orderpriority").alias("attr"),
+        "o_orderkey",
+    )
+    facts = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("factkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("vt"),
+        F.expr("timestampadd(DAY, 2, o_orderdate)").alias("tt"),
+    )
+    j = facts.join(
+        dim,
+        (F.col("custkey") == F.col("d_custkey"))
+        & (F.col("valid_from") <= F.col("vt"))
+        & (F.col("tx_from") <= F.col("tt")),
+        "left_outer",
+    )
+    w = Window.partitionBy("factkey").orderBy(
+        F.desc("valid_from"), F.desc("tx_from"), F.desc("o_orderkey")
+    )
+    pick = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pick.groupBy(F.coalesce("attr", F.lit("none")).alias("attr_asat"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.countDistinct("custkey").cast("long").alias("n_customers"),
+            F.sum(
+                F.when(F.col("tx_from") > F.col("valid_from"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_retro"),
+        )
+        .orderBy("attr_asat")
+    )

@@ -2716,3 +2716,106 @@ def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "method")
     )
+
+
+#: The 13 Allen (1983) interval relations as one exhaustive CASE ladder on
+#: exact-micros endpoints — identical SQL text in both engines. x = the
+#: click span (cs, ce), y = the view span (vs, ve), both proper (start <
+#: end), so the ladder partitions every pair into exactly one relation.
+_ALLEN_CASE = """CASE
+  WHEN cs = vs AND ce = ve THEN 'equals'
+  WHEN ce < vs THEN 'precedes'
+  WHEN ce = vs THEN 'meets'
+  WHEN cs < vs AND ce > vs AND ce < ve THEN 'overlaps'
+  WHEN cs < vs AND ce = ve THEN 'finished_by'
+  WHEN cs < vs AND ce > ve THEN 'contains'
+  WHEN cs = vs AND ce < ve THEN 'starts'
+  WHEN cs = vs AND ce > ve THEN 'started_by'
+  WHEN cs > vs AND ce < ve THEN 'during'
+  WHEN cs > vs AND ce = ve THEN 'finishes'
+  WHEN cs > vs AND cs < ve AND ce > ve THEN 'overlapped_by'
+  WHEN cs = ve THEN 'met_by'
+  WHEN cs > ve THEN 'preceded_by'
+END"""
+
+_ALLEN_NAMES = [
+    "precedes", "meets", "overlaps", "finished_by", "contains", "starts",
+    "equals", "started_by", "during", "finishes", "overlapped_by", "met_by",
+    "preceded_by",
+]
+
+
+@register(
+    "ts_allen_interval_relations",
+    f"""
+WITH s AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS cs,
+         MAX(CASE WHEN event_type = 'click' THEN ts END) AS ce,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS vs,
+         MAX(CASE WHEN event_type = 'view' THEN ts END) AS ve,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nv
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id),
+p AS (SELECT * FROM s WHERE nc >= 2 AND nv >= 2 AND cs < ce AND vs < ve),
+rel AS (SELECT {_ALLEN_CASE} AS relation FROM p),
+cnt AS (SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM rel GROUP BY relation),
+names AS (SELECT unnest({_ALLEN_NAMES!r}) AS relation)
+SELECT n.relation, COALESCE(c.n_pairs, 0) AS n_pairs
+FROM names n LEFT JOIN cnt c ON n.relation = c.relation
+ORDER BY n.relation
+""",
+    doc="Allen's interval algebra (Allen 1983): classify each user's "
+    "click-activity span against their view-activity span into exactly "
+    "one of the 13 interval relations (precedes/meets/overlaps/"
+    "finished_by/contains/starts/equals/started_by/during/finishes + "
+    "inverses) and report the relation histogram — the temporal-"
+    "reasoning primitive behind duration/time-window predicates "
+    "(reference: Q1's trace time-window search, README.adoc:133). "
+    "Intervals are restricted to PROPER spans (>= 2 events, start < "
+    "end), the regime where the 13 relations partition all pairs, so "
+    "the exhaustive CASE ladder (identical text both engines, exact "
+    "micros comparisons — no float, no timezone) assigns exactly one "
+    "relation per pair; all 13 names are emitted with COALESCEd zero "
+    "counts so the output shape is SF-independent. At 100 TB: interval "
+    "building is ONE map-side-combined groupBy(user) with conditional "
+    "min/max — per-user state is four timestamps regardless of event "
+    "count — and everything after is constant-size (13 rows).",
+)
+def ts_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    is_click = F.col("event_type") == "click"
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(is_click, F.col("ts"))).alias("cs"),
+        F.max(F.when(is_click, F.col("ts"))).alias("ce"),
+        F.min(F.when(~is_click, F.col("ts"))).alias("vs"),
+        F.max(F.when(~is_click, F.col("ts"))).alias("ve"),
+        F.sum(F.when(is_click, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(~is_click, 1).otherwise(0)).cast("long").alias("nv"),
+    )
+    p = s.filter(
+        (F.col("nc") >= 2)
+        & (F.col("nv") >= 2)
+        & (F.col("cs") < F.col("ce"))
+        & (F.col("vs") < F.col("ve"))
+    )
+    cnt = (
+        p.select(F.expr(_ALLEN_CASE).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    names = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in _ALLEN_NAMES])).alias("relation")
+    )
+    return (
+        names.join(F.broadcast(cnt), "relation", "left_outer")
+        .select(
+            "relation",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("relation")
+    )

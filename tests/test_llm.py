@@ -833,3 +833,38 @@ def test_cohens_kappa_bounds(spark, sf_dir):
     if row["p_expected"] < 1:
         recon = (row["p_observed"] - row["p_expected"]) / (1 - row["p_expected"])
         assert abs(row["cohens_kappa"] - recon) <= 1e-4
+
+
+def test_soundex_blocking_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "er_soundex_blocking", sf_dir)
+
+
+def test_soundex_canonical_vectors(spark, duck):
+    """The hand-rolled soundex must reproduce the canonical American
+    Soundex vectors (incl. the h/w-transparency and vowel-separation
+    edge cases) IDENTICALLY in Spark and DuckDB."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries.llm import _soundex_expr
+
+    want = {
+        "robert": "R163", "rupert": "R163", "ashcraft": "A261",
+        "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+        "honeyman": "H555", "lloyd": "L300", "washington": "W252",
+        "jackson": "J250", "a": "A000",
+    }
+    df = spark.createDataFrame([(w,) for w in want], "tail string")
+    got_spark = {
+        r["tail"]: r["sdx"]
+        for r in df.select(
+            "tail", F.expr(_soundex_expr("tail", duck=False)).alias("sdx")
+        ).collect()
+    }
+    assert got_spark == want
+    sdx = _soundex_expr("tail", duck=True)
+    for w, code in want.items():
+        assert duck.execute(
+            f"SELECT {sdx} FROM (SELECT '{w}' AS tail)"
+        ).fetchone()[0] == code

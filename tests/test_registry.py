@@ -49,6 +49,12 @@ ROTATED_IN_R9_FIRST_TIME = [
     "multimodal_image_histogram",
     "diag_ols_influence",
     # ------- round-9 crop -------
+    "ts_croston_forecast",
+    "ts_forecast_accuracy",
+    "ml_class_prf1_report",
+    "ts_allen_interval_relations",
+    "join_bitemporal_asof",
+    "er_soundex_blocking",
 ]
 
 

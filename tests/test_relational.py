@@ -977,3 +977,28 @@ def test_attribution_position_credit_conserved(spark, sf_dir):
         .count()
     )
     assert abs(total_credit - attributed) <= max(1e-3 * attributed, 0.01)
+
+
+def test_bitemporal_asof_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "join_bitemporal_asof", sf_dir)
+
+
+def test_bitemporal_asof_conserves_facts(spark, sf_dir):
+    """The as-of-as-at pick emits exactly one row per fact (the grouped
+    n_facts sum equals the fact count), and the picked version is never
+    recorded after the fact's as-at horizon."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["join_bitemporal_asof"].fn(spark, sf_dir).toPandas()
+    n_facts = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") % 5 != 0)
+        .count()
+    )
+    assert pdf["n_facts"].sum() == n_facts
+    assert (pdf["n_retro"] <= pdf["n_facts"]).all()

@@ -757,3 +757,68 @@ def test_forecast_accuracy_invariants(spark, sf_dir):
     assert (pdf["rmse_cents"] >= pdf["mae_cents"] - 1e-9).all()
     assert (pdf["mape"] >= 0).all()
     assert set(pdf.groupby("event_type")["method"].count()) == {2}
+
+
+def test_allen_relations_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_allen_interval_relations", sf_dir)
+
+
+def test_allen_ladder_is_exhaustive_and_exclusive(spark):
+    """Every endpoint configuration of two proper intervals must land in
+    exactly one relation, and inverses must mirror: classify a synthetic
+    grid of all (cs,ce)x(vs,ve) proper intervals over 5 points, check no
+    NULLs and that swapping the roles maps each relation to its
+    inverse."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries.timeseries import _ALLEN_CASE
+
+    pts = range(5)
+    rows = [
+        (float(cs), float(ce), float(vs), float(ve))
+        for cs in pts for ce in pts for vs in pts for ve in pts
+        if cs < ce and vs < ve
+    ]
+    df = spark.createDataFrame(rows, "cs double, ce double, vs double, ve double")
+    got = df.select(
+        "cs", "ce", "vs", "ve", F.expr(_ALLEN_CASE).alias("rel")
+    ).toPandas()
+    assert got["rel"].notna().all()
+    inv = {
+        "precedes": "preceded_by", "meets": "met_by", "overlaps": "overlapped_by",
+        "finished_by": "finishes", "contains": "during", "starts": "started_by",
+        "equals": "equals", "started_by": "starts", "during": "contains",
+        "finishes": "finished_by", "overlapped_by": "overlaps",
+        "met_by": "meets", "preceded_by": "precedes",
+    }
+    key = got.set_index(["cs", "ce", "vs", "ve"])["rel"]
+    for (cs, ce, vs, ve), rel in key.items():
+        assert key[(vs, ve, cs, ce)] == inv[rel]
+
+
+def test_allen_counts_cover_all_qualifying_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ts_allen_interval_relations"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 13
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("cs"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("ce"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("vs"),
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).alias("ve"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
+    )
+    n = s.filter(
+        (F.col("nc") >= 2) & (F.col("nv") >= 2)
+        & (F.col("cs") < F.col("ce")) & (F.col("vs") < F.col("ve"))
+    ).count()
+    assert pdf["n_pairs"].sum() == n
