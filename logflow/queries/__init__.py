@@ -85,6 +85,15 @@ PRIORITY: list[str] = [
     "ts_allen_interval_relations",
     "join_bitemporal_asof",
     "er_soundex_blocking",
+    "graph_closeness_sampled",
+    "ml_decile_lift",
+    "diag_lorenz_curve",
+    "ts_logrank_test",
+    "graph_katz_centrality",
+    "text_chao1_vocab",
+    "corpus_token_budget_fill",
+    "diag_jackknife_variance",
+    "privacy_t_closeness",
     # ------- re-attestation fill: driver-green r8, stable plans -------
     "attribution_markov_removal",
     "division_covering_buyers",

@@ -3675,3 +3675,334 @@ def diag_ols_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve points — the distributional view behind diag_gini_
+# concentration's single number: cumulative spend share vs cumulative
+# customer share at exact population deciles.
+# --------------------------------------------------------------------------
+
+_LORENZ_TILES = 10
+
+
+@register(
+    "diag_lorenz_curve",
+    f"""
+WITH spend AS (
+  SELECT c.c_custkey,
+         CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(20,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey),
+ranked AS (
+  SELECT cents, CAST(ntile({_LORENZ_TILES}) OVER (ORDER BY cents, c_custkey)
+                     AS BIGINT) AS decile
+  FROM spend),
+d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM ranked GROUP BY decile),
+t AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS tot_n,
+             CAST(SUM(cents) AS BIGINT) AS tot_cents FROM d)
+SELECT decile, n_customers,
+       CAST(ROUND(cents / 100.0, 2) AS DOUBLE) AS decile_spend,
+       ROUND(CAST(SUM(n_customers) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(tot_n AS DOUBLE), 6) AS cum_cust_share,
+       ROUND(CAST(SUM(cents) OVER (ORDER BY decile) AS DOUBLE)
+             / NULLIF(CAST(tot_cents AS DOUBLE), 0.0), 6) AS cum_spend_share
+FROM d CROSS JOIN t
+ORDER BY decile
+""",
+    doc=f"Lorenz curve at {_LORENZ_TILES} population deciles of customer "
+    "spend (zero-order customers included at x=0 via the LEFT JOIN, "
+    "exactly diag_gini_concentration's population) — the curve whose "
+    "area deficit IS the Gini: each point is (cumulative customer "
+    "share, cumulative spend share) after sorting customers by spend "
+    "ascending. Spends are exact DECIMAL sums converted to BIGINT "
+    "cents before any further arithmetic; the decile cut is exact "
+    "ntile over the unique (cents, custkey) composite; shares are "
+    "identical IEEE divisions of exact integers. Spark side replaces "
+    "the oracle's single-partition ntile window with operators/"
+    "packing.global_ntile (quantile-edge range buckets + per-bucket "
+    "row_number + broadcast prefix offsets) — no global sort at any "
+    "scale; the cumulative window then runs on the 10-row decile "
+    "frame. At 100 TB: one custkey shuffle for the spend rollup, one "
+    "range-bucket shuffle for the cut, constant-size everything after.",
+)
+def diag_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.packing import global_ntile
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    spend = (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(20,2)")),
+                    F.lit(0).cast("decimal(20,2)"),
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tiled = global_ntile(spend, ["cents", "c_custkey"], _LORENZ_TILES, "decile")
+    d = tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    t = d.agg(
+        F.sum("n_customers").cast("long").alias("tot_n"),
+        F.sum("cents").cast("long").alias("tot_cents"),
+    )
+    cum_w = Window.orderBy("decile")  # 10-row frame: bounded window
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("cents") / F.lit(100.0), 2).cast("double").alias(
+                "decile_spend"
+            ),
+            F.round(
+                F.sum("n_customers").over(cum_w).cast("double")
+                / F.col("tot_n").cast("double"),
+                6,
+            ).alias("cum_cust_share"),
+            F.round(
+                F.sum("cents").over(cum_w).cast("double")
+                / F.nullif(F.col("tot_cents").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("cum_spend_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Delete-a-group jackknife — the variance estimate for the global mean
+# when rows arrive in G natural clusters (nations): leave one group out,
+# recompute, spread of the G replicates estimates the sampling variance.
+# --------------------------------------------------------------------------
+
+_JK_SCALE = 1_000_000  # replicate means rounded to 1e-6 cents fixed point
+
+
+@register(
+    "diag_jackknife_variance",
+    f"""
+WITH o AS (
+  SELECT c.c_nationkey AS grp,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(cents) AS BIGINT) AS s_g
+      FROM o GROUP BY grp),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gg, CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS BIGINT) AS s FROM g),
+reps AS (
+  SELECT CAST(ROUND(CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE)
+                    * {_JK_SCALE}, 0) AS BIGINT) AS theta_fp
+  FROM g CROSS JOIN tot),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS gg,
+         CAST(SUM(theta_fp) AS BIGINT) AS st,
+         SUM(CAST(theta_fp AS DECIMAL(20,0)) * CAST(theta_fp AS DECIMAL(20,0)))
+           AS stt
+  FROM reps)
+SELECT m.gg AS n_groups, tot.n AS n_rows,
+       ROUND(CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE) / 100.0, 6)
+         AS mean_price,
+       ROUND(CAST(m.st AS DOUBLE) / CAST(m.gg AS DOUBLE) / {_JK_SCALE}.0
+             / 100.0, 6) AS jack_mean_price,
+       ROUND(sqrt(CAST(m.gg - 1 AS DOUBLE) / CAST(m.gg AS DOUBLE)
+                  * (CAST(m.gg AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(m.st AS DOUBLE) * CAST(m.st AS DOUBLE))
+                  / (CAST(m.gg AS DOUBLE) * CAST(m.gg AS DOUBLE)))
+             / {_JK_SCALE}.0 / 100.0, 6) AS jackknife_se
+FROM m CROSS JOIN tot
+""",
+    doc="Delete-a-group jackknife standard error of the mean order price, "
+    "groups = customer nations (the survey-statistics variance recipe "
+    "when rows cluster naturally and a delete-one jackknife would need "
+    "N replicates): each replicate mean (S-s_g)/(N-n_g) is ONE "
+    "identical IEEE division of exact BIGINT cents, rounded once to "
+    "1e-6 fixed point; the spread uses the moment identity "
+    "G*sum(t^2)-(sum t)^2 over DECIMAL(20,0)-widened products (int128 "
+    "in DuckDB per the width>18 rule — theta_fp^2 ~ 1e22 overflows "
+    "int64) so the variance numerator is EXACT and the final sqrt is "
+    "one identical IEEE expression. At 100 TB: one fact join + one "
+    "group-scale rollup; replicates are G-scale arithmetic, never a "
+    "second data pass — the resampling-free alternative to "
+    "diag_bootstrap_ci's Poisson replicates.",
+)
+def diag_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    o = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+        "o_custkey",
+    ).select(
+        F.col("c_nationkey").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    g = o.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("cents").cast("long").alias("s_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("gg"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+    )
+    reps = g.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("s") - F.col("s_g")).cast("double")
+            / (F.col("n") - F.col("n_g")).cast("double")
+            * _JK_SCALE,
+            0,
+        )
+        .cast("long")
+        .alias("theta_fp")
+    )
+    m = reps.agg(
+        F.count(F.lit(1)).cast("long").alias("gg"),
+        F.sum("theta_fp").cast("long").alias("st"),
+        F.sum(
+            F.col("theta_fp").cast("decimal(20,0)")
+            * F.col("theta_fp").cast("decimal(20,0)")
+        ).alias("stt"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    ggd = dd("gg")
+    var_num = ggd * dd("stt") - dd("st") * dd("st")
+    return m.crossJoin(F.broadcast(tot.select("n", "s"))).select(
+        F.col("gg").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        F.round(dd("s") / dd("n") / F.lit(100.0), 6).alias("mean_price"),
+        F.round(
+            dd("st") / ggd / F.lit(float(_JK_SCALE)) / F.lit(100.0), 6
+        ).alias("jack_mean_price"),
+        F.round(
+            F.sqrt((ggd - 1) / ggd * var_num / (ggd * ggd))
+            / F.lit(float(_JK_SCALE))
+            / F.lit(100.0),
+            6,
+        ).alias("jackknife_se"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t-closeness — the third rung of the privacy-audit ladder after
+# k-anonymity (class sizes) and l-diversity (distinct sensitive values):
+# does any QI class' SENSITIVE-VALUE DISTRIBUTION differ too much from
+# the population's? EMD over the ordered balance bands.
+# --------------------------------------------------------------------------
+
+_TCL_BANDS = 6  # floor((acctbal + 1000) / 2000): TPC-H balances -> 0..5
+
+
+def _tcl_cols(prefix: str) -> str:
+    return ", ".join(
+        f"CAST(SUM(CASE WHEN band = {j} THEN 1 ELSE 0 END) AS BIGINT) AS {prefix}{j}"
+        for j in range(_TCL_BANDS)
+    )
+
+
+def _tcl_emd_terms() -> str:
+    """|r_0| + ... + |r_(m-2)| where r_j = sum_(k<=j) (c_k*N - t_k*n_g).
+
+    Written as explicit left-associated sums of the 6 fixed band
+    columns — no window, no float until the single final division."""
+    runs = []
+    for j in range(_TCL_BANDS - 1):
+        runs.append(
+            "ABS(" + " + ".join(f"(c{k} * n - t{k} * n_g)" for k in range(j + 1)) + ")"
+        )
+    return " + ".join(runs)
+
+
+@register(
+    "privacy_t_closeness",
+    f"""
+WITH s AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR((c_acctbal + 1000.0) / 2000.0) AS BIGINT) AS band
+  FROM customer),
+g AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_g,
+             {_tcl_cols("c")}
+      FROM s GROUP BY c_nationkey, c_mktsegment),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {_tcl_cols("t")} FROM s)
+SELECT c_nationkey, c_mktsegment, n_g,
+       CAST({_tcl_emd_terms()} AS BIGINT) AS emd_num,
+       ROUND(CAST({_tcl_emd_terms()} AS DOUBLE)
+             / ({_TCL_BANDS - 1}.0 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE)),
+             6) AS t_closeness
+FROM g CROSS JOIN tot
+ORDER BY t_closeness DESC, c_nationkey, c_mktsegment
+LIMIT 40
+""",
+    doc="t-closeness audit (Li/Li/Venkatasubramanian 2007) over the "
+    "(nation, segment) QI classes with the ORDERED sensitive attribute "
+    f"band = floor((acctbal+1000)/2000) ({_TCL_BANDS} bands): per class, "
+    "the Earth-Mover's Distance between the class' band distribution "
+    "and the population's, EMD_ordered = (1/(m-1)) * sum_j |running "
+    "prefix diff| — completes the privacy ladder after "
+    "privacy_k_anonymity (sizes) and privacy_l_diversity (distinct "
+    "counts), catching classes that are large AND diverse yet skewed. "
+    "The prefix diffs are computed over common denominators (c_k*N - "
+    "t_k*n_g, exact BIGINTs; bounded by n_g*N*m ~ 1e11 at sf0.1) as "
+    "explicit left-associated 6-band expressions — no window, no float "
+    "until the single final division, which is identical IEEE both "
+    "engines. Top-40 worst classes with full key tiebreak. At 100 TB: "
+    "ONE map-side-combined groupBy to QI-class scale with 6 "
+    "conditional sums + a broadcast 1-row population histogram — the "
+    "audit costs one aggregate regardless of class count.",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    s = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor((F.col("c_acctbal") + 1000.0) / 2000.0).cast("long").alias("band"),
+    )
+    band_sums = lambda p: [  # noqa: E731
+        F.sum(F.when(F.col("band") == j, 1).otherwise(0))
+        .cast("long")
+        .alias(f"{p}{j}")
+        for j in range(_TCL_BANDS)
+    ]
+    g = s.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"), *band_sums("c")
+    )
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n"), *band_sums("t"))
+    emd = F.expr(_tcl_emd_terms())
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            emd.cast("long").alias("emd_num"),
+            F.round(
+                emd.cast("double")
+                / (
+                    F.lit(float(_TCL_BANDS - 1))
+                    * F.col("n_g").cast("double")
+                    * F.col("n").cast("double")
+                ),
+                6,
+            ).alias("t_closeness"),
+        )
+        .orderBy(F.desc("t_closeness"), "c_nationkey", "c_mktsegment")
+        .limit(40)
+    )

@@ -1622,3 +1622,244 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("pos")
         .orderBy(F.desc("clustering_coeff"), "p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Sampled closeness centrality via one MULTI-SOURCE BFS (Eppstein-Wang) —
+# the k-seed generalization of graph_bfs_levels: every wave carries its
+# seed id, so one frontier frame computes a k x V distance matrix.
+# --------------------------------------------------------------------------
+
+_CLOSE_SEEDS = 6
+_CLOSE_HOPS = 3
+_CLOSE_SCALE = 1_000_000  # fixed-point closeness scale
+_CLOSE_TOPK = 30
+
+
+def _closeness_ctes() -> str:
+    """Unrolled multi-source frontier/visited chain on ``und``.
+
+    Every step CTE is ``AS MATERIALIZED``: f_h is referenced by both
+    d_h and f_{h+1}, and d_h by both f_{h+1} and d_{h+1} — without the
+    hint DuckDB's CTE inlining re-executes each step per reference and
+    the chain goes exponential (the round-8 cumulative-reachability
+    lesson, CLAUDE.md)."""
+    parts = [
+        "sd AS (SELECT DISTINCT u FROM und)",
+        f"seeds AS (SELECT u AS s FROM sd ORDER BY u LIMIT {_CLOSE_SEEDS})",
+        "d0 AS MATERIALIZED (SELECT s, s AS u, CAST(0 AS BIGINT) AS dist"
+        " FROM seeds)",
+    ]
+    for h in range(1, _CLOSE_HOPS + 1):
+        prev_f = "d0" if h == 1 else f"f{h - 1}"
+        parts.append(
+            f"f{h} AS MATERIALIZED (SELECT DISTINCT d.s, e.v AS u "
+            f"FROM und e JOIN {prev_f} d ON e.u = d.u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM d{h - 1} x "
+            f"WHERE x.s = d.s AND x.u = e.v))"
+        )
+        parts.append(
+            f"d{h} AS MATERIALIZED (SELECT s, u, dist FROM d{h - 1} "
+            f"UNION ALL SELECT s, u, CAST({h} AS BIGINT) AS dist FROM f{h})"
+        )
+    return ",\n".join(parts)
+
+
+_CLOSENESS_SQL = (
+    "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),\n"
+    "und AS (SELECT a.p AS u, b.p AS v\n"
+    "        FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p\n"
+    "        GROUP BY a.p, b.p),\n"
+    + _closeness_ctes()
+    + f"""
+SELECT p_partkey, sum_dist, closeness_fp, closeness FROM (
+  SELECT u AS p_partkey,
+         CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         CAST(({_CLOSE_SEEDS - 1} * {_CLOSE_SCALE}) // SUM(dist) AS BIGINT)
+           AS closeness_fp,
+         CAST(ROUND({_CLOSE_SEEDS - 1}.0 / CAST(SUM(dist) AS DOUBLE), 9)
+           AS DOUBLE) AS closeness
+  FROM d{_CLOSE_HOPS}
+  GROUP BY u
+  HAVING COUNT(*) = {_CLOSE_SEEDS})
+ORDER BY closeness_fp DESC, p_partkey
+LIMIT {_CLOSE_TOPK}
+"""
+)
+
+
+@register(
+    "graph_closeness_sampled",
+    _CLOSENESS_SQL,
+    doc=f"Sampled closeness centrality (Eppstein-Wang 2001): ONE multi-"
+    f"source BFS from the {_CLOSE_SEEDS} smallest part keys carries "
+    "(seed, node) pairs per frontier, so k waves cost one frame — the "
+    "k-seed generalization of graph_bfs_levels' frontier loop. "
+    f"Closeness(u) = (k-1)/sum_s dist(s,u) over nodes ALL {_CLOSE_SEEDS} "
+    f"seeds reach within {_CLOSE_HOPS} hops (bounded-hop harmonic "
+    "variant; requiring full reach removes sample bias and makes "
+    "sum_dist >= k-1, so the fixed-point division never sees zero). "
+    "All distances are exact BIGINTs; closeness_fp = (k-1)*1e6 DIV "
+    "sum_dist is a pure integer function (Spark DIV == DuckDB // on "
+    "non-negatives) and the double is ONE identical IEEE division of "
+    "exact ints — hash-exact both engines. Oracle: unrolled frontier/"
+    "visited CTE chain with AS MATERIALIZED on every step (each step "
+    "is referenced twice; inlining would go exponential — the round-8 "
+    "cumulative-reachability lesson). Spark side: per hop, one "
+    "edges-to-frontier equi-join + distinct + left_anti against the "
+    "visited (s,u) set; frontiers localCheckpoint(eager) per round "
+    "(lineage otherwise doubles per hop), loop-frame partition counts "
+    "size-derived (_size_parts), edge list built once and persisted. "
+    "At 100 TB: Eppstein-Wang bounds the error of k-sample closeness "
+    "at O(log n / eps^2) seeds; the frontier join is the standard BSP "
+    "layout (edges bucketed by source node -> co-located supersteps), "
+    "and the k-fold frontier fan-out shards naturally because the key "
+    "is (seed, node), never node alone — no celebrity-seed hotspot.",
+)
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir, ordered=False)
+    seeds = (
+        # constant-bounded coalesce(1): <= _CLOSE_SEEDS rows by the LIMIT
+        edges.select("u").distinct().orderBy("u").limit(_CLOSE_SEEDS)
+        .select(
+            F.col("u").alias("s"),
+            F.col("u").alias("u"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .coalesce(1)
+    )
+    frontier = track(seeds.persist())
+    visited = frontier
+    n_visited = _CLOSE_SEEDS
+    for hop in range(1, _CLOSE_HOPS + 1):
+        nxt = (
+            edges.join(frontier.select("s", "u"), "u")
+            .select("s", F.col("v").alias("u"))
+            .distinct()
+            .join(visited.select("s", "u"), ["s", "u"], "left_anti")
+            .select("s", "u", F.lit(hop).cast("long").alias("dist"))
+            # size-derived estimate, re-anchored by the exact count below
+            .coalesce(_size_parts(n_visited * 8))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        n_new = nxt.count()
+        if n_new == 0:
+            break
+        n_visited += n_new
+        visited = track(
+            visited.union(nxt).coalesce(_size_parts(n_visited)).persist()
+        )
+        frontier = nxt
+    return (
+        visited.groupBy(F.col("u").alias("p_partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+        )
+        .filter(F.col("reached") == _CLOSE_SEEDS)
+        .select(
+            "p_partkey",
+            "sum_dist",
+            F.expr(
+                f"CAST(({_CLOSE_SEEDS - 1} * {_CLOSE_SCALE}) DIV sum_dist"
+                " AS BIGINT)"
+            ).alias("closeness_fp"),
+            F.round(
+                F.lit(float(_CLOSE_SEEDS - 1)) / F.col("sum_dist").cast("double"),
+                9,
+            ).alias("closeness"),
+        )
+        .orderBy(F.desc("closeness_fp"), "p_partkey")
+        .limit(_CLOSE_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Katz centrality — attenuated walk counting: the third centrality family
+# next to PageRank (random surfer) and closeness (geodesics). No degree
+# normalization, additive base score, so it rewards raw reachable volume.
+# --------------------------------------------------------------------------
+
+_KATZ_ITERS = 3
+_KATZ_SCALE = 1_000_000_000_000  # 1e12 fixed-point score scale
+_KATZ_ADEN = 4096  # attenuation alpha = 1/4096 as a truncating DIV
+_KATZ_TOPK = 30
+
+
+def _katz_iter_cte(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.u, CAST({_KATZ_SCALE} + COALESCE(s.s, 0) AS BIGINT) AS x
+  FROM nodes n LEFT JOIN (
+    SELECT e.v AS u, CAST(SUM(x.x // {_KATZ_ADEN}) AS BIGINT) AS s
+    FROM und e JOIN {prev} x ON e.u = x.u GROUP BY e.v) s ON n.u = s.u
+)"""
+
+
+_KATZ_SQL = (
+    "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),\n"
+    "und AS (SELECT a.p AS u, b.p AS v\n"
+    "        FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p\n"
+    "        GROUP BY a.p, b.p),\n"
+    "nodes AS (SELECT DISTINCT u FROM und),\n"
+    f"k0 AS (SELECT u, CAST({_KATZ_SCALE} AS BIGINT) AS x FROM nodes),"
+    + ",".join(_katz_iter_cte(f"k{i}", f"k{i + 1}") for i in range(_KATZ_ITERS))
+    + f"""
+SELECT u AS p_partkey, x AS katz_fp,
+       ROUND(CAST(x AS DOUBLE) / {_KATZ_SCALE}, 6) AS katz
+FROM k{_KATZ_ITERS}
+ORDER BY katz_fp DESC, p_partkey
+LIMIT {_KATZ_TOPK}
+"""
+)
+
+
+@register(
+    "graph_katz_centrality",
+    _KATZ_SQL,
+    doc=f"Katz centrality by {_KATZ_ITERS} unrolled fixed-point iterations "
+    f"x_(k+1)(v) = beta + alpha*sum over in-neighbors x_k(u), with "
+    f"beta = 1 (scaled 1e12) and alpha = 1/{_KATZ_ADEN} applied as a "
+    "truncating per-edge integer DIV before the exact BIGINT sum "
+    "(Spark DIV == DuckDB //, order-independent adds — the PageRank "
+    "recipe without the out-degree normalization, so it measures "
+    "attenuated walk VOLUME, the third centrality family next to the "
+    "random-surfer and geodesic ones). alpha far below 1/max-degree "
+    "keeps the series contractive and the 3-step scores bounded "
+    "~1e15 << int64. Single-reference CTE chain (each k_i feeds only "
+    "k_(i+1)) — the PageRank/GD shape that needs no MATERIALIZED "
+    "hint. At 100 TB: per iteration ONE edges-to-scores equi-join + "
+    "one partial-agg'd sum keyed by destination (standard Pregel-on-"
+    "dataframes); the edge list is iteration-invariant and persisted "
+    "once (bucketed by source in production so every superstep "
+    "co-locates); node-scale score frames coalesce by _size_parts.",
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir, ordered=False)
+    nodes = edges.select("u").distinct()
+    nodes = track(nodes.coalesce(_size_parts(nodes.count())).persist())
+    x = nodes.select("u", F.lit(_KATZ_SCALE).cast("long").alias("x"))
+    for _ in range(_KATZ_ITERS):
+        contrib = (
+            edges.join(x, "u")
+            .select(F.col("v").alias("u"), F.expr(f"x DIV {_KATZ_ADEN}").alias("c"))
+            .groupBy("u")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        x = nodes.join(contrib, "u", "left").select(
+            "u",
+            (F.lit(_KATZ_SCALE) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("x"),
+        )
+    return (
+        x.select(
+            F.col("u").alias("p_partkey"),
+            F.col("x").alias("katz_fp"),
+            F.round(F.col("x").cast("double") / F.lit(float(_KATZ_SCALE)), 6).alias(
+                "katz"
+            ),
+        )
+        .orderBy(F.desc("katz_fp"), "p_partkey")
+        .limit(_KATZ_TOPK)
+    )

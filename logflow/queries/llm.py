@@ -3637,3 +3637,197 @@ def er_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_candidates").cast("double") / F.col("n_all"), 4
         ).alias("reduction_ratio"),
     ).orderBy("scheme")
+
+
+# --------------------------------------------------------------------------
+# Chao1 species-richness estimate of the vocabulary — "how many terms does
+# the corpus REALLY have, counting the ones we haven't seen yet?" — the
+# capture-recapture companion to text_heaps_law's growth-curve fit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_chao1_vocab",
+    r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM tf)
+SELECT s_obs, f1, f2, n_tokens,
+       ROUND(CAST(s_obs AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+               / (2.0 * CAST(f2 + 1 AS DOUBLE)), 4) AS chao1,
+       ROUND(1.0 - CAST(f1 AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0),
+             6) AS good_turing_coverage
+FROM m
+""",
+    doc="Chao1 vocabulary-richness estimate (bias-corrected form "
+    "S_obs + F1*(F1-1)/(2*(F2+1)), Chao 1984) plus Good-Turing sample "
+    "coverage 1 - F1/N from the term-frequency histogram: singletons "
+    "(F1) and doubletons (F2) bound how much vocabulary the corpus has "
+    "NOT yet surfaced — the capture-recapture answer to 'is this "
+    "corpus big enough for the tokenizer vocab we plan?'. The "
+    "bias-corrected estimator is total on F2 = 0 and degrades to "
+    "S_obs when F1 = 0 (the synthetic corpus' closed ~31-term "
+    "vocabulary produces exactly that — asserting F1 > 0 would be the "
+    "seed-coupled trap from CLAUDE.md). Everything is one exact "
+    "integer frequency histogram; both ratios are single identical "
+    "IEEE expressions of exact BIGINTs. At 100 TB: one tokenize "
+    "explode + one vocab-scale GROUP BY (partial-agg'd), then a 1-row "
+    "rollup — the cheapest corpus fingerprint in the suite.",
+)
+def text_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode_outer(tokenize("text")).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.select(
+        "s_obs",
+        "f1",
+        "f2",
+        "n_tokens",
+        F.round(
+            dd("s_obs")
+            + dd("f1") * (F.col("f1") - 1).cast("double")
+            / (F.lit(2.0) * (F.col("f2") + 1).cast("double")),
+            4,
+        ).alias("chao1"),
+        F.round(
+            F.lit(1.0) - dd("f1") / F.nullif(dd("n_tokens"), F.lit(0.0)), 6
+        ).alias("good_turing_coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget-constrained corpus selection — greedy quality-first fill:
+# rank docs by a lexical-quality proxy, take them in order until the token
+# budget is spent. The data-selection step between quality gating
+# (quality_percentile_gate) and shard packing (corpus_shard_packing).
+# --------------------------------------------------------------------------
+
+_BUDGET_DEN = 4  # budget = total corpus tokens DIV 4
+_BUDGET_QS = 1_000_000  # quality fixed-point scale
+_BUDGET_KEYW = 10_000_000_000  # okey = (QS - q_fp) * KEYW + doc_id
+
+
+@register(
+    "corpus_token_budget_fill",
+    rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> t <> '')) AS term
+  FROM documents),
+d0 AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS n_dist
+  FROM tok GROUP BY doc_id),
+d AS (
+  SELECT t.doc_id, s.source, t.n_tok,
+         CAST((t.n_dist * {_BUDGET_QS}) // t.n_tok AS BIGINT) AS q_fp,
+         CAST(({_BUDGET_QS} - (t.n_dist * {_BUDGET_QS}) // t.n_tok)
+              * {_BUDGET_KEYW} + t.doc_id AS BIGINT) AS okey
+  FROM d0 t JOIN documents s ON s.doc_id = t.doc_id
+  WHERE t.n_tok > 0),
+r AS (
+  SELECT doc_id, source, n_tok, q_fp,
+         CAST(SUM(n_tok) OVER (ORDER BY okey) - n_tok AS BIGINT) AS tok_before,
+         CAST(SUM(n_tok) OVER () AS BIGINT) AS tot
+  FROM d),
+sel AS (SELECT * FROM r WHERE tok_before < tot // {_BUDGET_DEN})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE)
+             / CAST(MAX(tot) // {_BUDGET_DEN} AS DOUBLE), 6) AS budget_share,
+       ROUND(CAST(SUM(q_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {_BUDGET_QS},
+             6) AS avg_quality
+FROM sel
+GROUP BY source
+ORDER BY source
+""",
+    doc=f"Token-budget-constrained greedy corpus selection: rank documents "
+    "by a lexical-quality proxy (distinct-token ratio in exact 1e6 "
+    "fixed point), then take them best-first until 1/"
+    f"{_BUDGET_DEN} of the corpus' tokens are spent — the data-"
+    "selection step every budgeted pretraining mix runs between "
+    "quality gating and shard packing, reported per source. "
+    "Determinism: the fill order is ONE BIGINT key ((1e6 - q_fp) * "
+    "1e10 + doc_id — quality desc, doc tiebreak, unique), selection "
+    "is an integer prefix-sum threshold (tok_before < total DIV "
+    f"{_BUDGET_DEN}), and the reported shares/averages are identical "
+    "IEEE divisions of exact integers. Spark side replaces the "
+    "oracle's single-partition ORDER BY window with operators/"
+    "packing.global_running_sum (quantile-edge range buckets on the "
+    "key + per-bucket cumsum + broadcast prefix offsets) — the "
+    "AQE-safe distributed prefix sum, boundary-exact at any scale. "
+    "At 100 TB: one tokenize pass, one doc-scale rollup, one "
+    "range-bucket shuffle for the prefix sum; never a global sort.",
+)
+def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.packing import global_running_sum
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokenize("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    d0 = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.countDistinct("term").cast("long").alias("n_dist"),
+    )
+    q_fp = F.expr(f"(n_dist * {_BUDGET_QS}) DIV n_tok")
+    d = (
+        d0.filter(F.col("n_tok") > 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            q_fp.cast("long").alias("q_fp"),
+            (
+                (F.lit(_BUDGET_QS) - q_fp) * F.lit(_BUDGET_KEYW) + F.col("doc_id")
+            )
+            .cast("long")
+            .alias("okey"),
+        )
+    )
+    tot = d.agg(F.sum("n_tok").cast("long").alias("tot"))
+    r = global_running_sum(d, "okey", "n_tok", out_col="cum").crossJoin(
+        F.broadcast(tot)
+    )
+    sel = r.filter(
+        (F.col("cum") - F.col("n_tok")) < F.expr(f"tot DIV {_BUDGET_DEN}")
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            F.round(
+                F.sum("n_tok").cast("double")
+                / F.expr(f"CAST(MAX(tot) DIV {_BUDGET_DEN} AS DOUBLE)"),
+                6,
+            ).alias("budget_share"),
+            F.round(
+                F.sum("q_fp").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(_BUDGET_QS)),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )

@@ -1597,3 +1597,116 @@ def ml_class_prf1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_class.unionAll(macro).unionAll(micro).orderBy("scope", "label")
+
+
+# --------------------------------------------------------------------------
+# Decile lift / gains table for the GD classifier — the campaign-targeting
+# view of score quality: rank by score, cut into 10 equal-count buckets,
+# report per-decile lift over the base rate and cumulative gain.
+# --------------------------------------------------------------------------
+
+_LIFT_TILES = 10
+_LIFT_SCALE = 1_000_000  # fixed-point lift scale
+
+
+_LIFT_SQL = (
+    "WITH "
+    + _lr_feat_sql()
+    + ",\nw0_t AS (SELECT "
+    + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(5))
+    + "),"
+    + ",".join(_lr_iter_sql(f"w{i}_t", f"w{i + 1}_t") for i in range(_LR_ITERS))
+    + f""",
+final_scored AS (
+  SELECT f.vec_id, f.y,
+         {_P6.format(zsum=" + ".join(f"w.w{j} * f.x{j}" for j in range(5)))} AS p6
+  FROM feat f CROSS JOIN w{_LR_ITERS}_t w),
+ranked AS (
+  SELECT y, CAST(ntile({_LIFT_TILES}) OVER (ORDER BY p6 DESC, vec_id)
+               AS BIGINT) AS decile
+  FROM final_scored),
+d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY decile),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot_n,
+             CAST(SUM(n_pos) AS BIGINT) AS tot_pos FROM d)
+SELECT decile, n_rows, n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+       CAST((n_pos * tot_n * {_LIFT_SCALE}) // NULLIF(n_rows * tot_pos, 0)
+            AS BIGINT) AS lift_fp,
+       ROUND((CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+             / NULLIF(CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE), 0.0),
+             6) AS lift,
+       ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+             / NULLIF(CAST(tot_pos AS DOUBLE), 0.0), 6) AS cum_gain
+FROM d CROSS JOIN t
+ORDER BY decile
+"""
+)
+
+
+@register(
+    "ml_decile_lift",
+    _LIFT_SQL,
+    doc=f"Decile lift / cumulative-gains table for the hard-sigmoid GD "
+    "classifier (shares ml_logreg_gd's exact integer fit -> identical "
+    "p6 scores both engines): rank rows by score descending, cut into "
+    f"{_LIFT_TILES} equal-count deciles, report per-decile positive "
+    "counts, lift over the base rate, and cumulative gain — the "
+    "campaign-targeting / model-triage view ROC's threshold grid "
+    "doesn't give. Determinism: the decile cut is exact ntile over "
+    "(p6 DESC, vec_id) — a unique composite, so tile boundaries are "
+    "identical cross-engine; lift_fp = (pos*N*1e6) DIV (n*P) is a pure "
+    "BIGINT function, and the double lift/gain columns are identical "
+    "IEEE divisions of exact integers. Spark side avoids the oracle's "
+    "single-partition ntile window with operators/packing.global_ntile "
+    "(driver-collected quantile edges -> range buckets -> per-bucket "
+    "row_number + broadcast prefix offsets, the SQL-standard q/r tile "
+    "formula) — plan-independent and shardable at any scale. The "
+    "10-row decile frame then aggregates exactly. At 100 TB: scoring "
+    "is map-side (broadcast weights); the only shuffle is the range "
+    "bucketing that replaces the global sort.",
+)
+def ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.packing import global_ntile
+
+    feat, w, p6_col = _lr_fit(spark, sf_dir)
+    scored = (
+        feat.crossJoin(F.broadcast(w))
+        .withColumn("p6", p6_col())
+        .select("vec_id", "y", "p6", (-F.col("p6")).alias("neg_p6"))
+    )
+    tiled = global_ntile(scored, ["neg_p6", "vec_id"], _LIFT_TILES, "decile")
+    d = tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    t = d.agg(
+        F.sum("n_rows").cast("long").alias("tot_n"),
+        F.sum("n_pos").cast("long").alias("tot_pos"),
+    )
+    cum_w = Window.orderBy("decile")  # 10-row frame: the window is bounded
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn("cum_pos", F.sum("n_pos").over(cum_w).cast("long"))
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            "cum_pos",
+            F.expr(
+                f"CAST((n_pos * tot_n * {_LIFT_SCALE})"
+                " DIV NULLIF(n_rows * tot_pos, 0) AS BIGINT)"
+            ).alias("lift_fp"),
+            F.round(
+                (dd("n_pos") / dd("n_rows"))
+                / F.nullif(dd("tot_pos") / dd("tot_n"), F.lit(0.0)),
+                6,
+            ).alias("lift"),
+            F.round(
+                dd("cum_pos") / F.nullif(dd("tot_pos"), F.lit(0.0)), 6
+            ).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )

@@ -2819,3 +2819,172 @@ def ts_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relation")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-arm log-rank test — the hypothesis test on top of ts_kaplan_meier's
+# survival machinery: do the md5-arm cohorts churn at the same rate?
+# --------------------------------------------------------------------------
+
+_LOGRANK_SQL = """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS fs, MAX(ts) AS ls FROM events GROUP BY user_id),
+g AS (SELECT MAX(ls) AS study_end FROM u),
+s AS (
+  SELECT CAST(concat('0x', substr(md5(concat('arm:', CAST(user_id AS VARCHAR))),
+              1, 8)) AS BIGINT) % 2 AS arm,
+         date_diff('day', fs, ls) AS t,
+         CASE WHEN ls > study_end - INTERVAL 7 DAY THEN 0 ELSE 1 END AS observed
+  FROM u CROSS JOIN g),
+by_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0_t,
+         CAST(SUM(CASE WHEN arm = 1 THEN observed ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN arm = 0 THEN observed ELSE 0 END) AS BIGINT) AS d0
+  FROM s GROUP BY t),
+risk AS (
+  SELECT t, d1, d0,
+         CAST(SUM(n1_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1r,
+         CAST(SUM(n0_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS BIGINT) AS n0r
+  FROM by_t),
+terms AS (
+  SELECT d1, d1 + d0 AS dt, n1r, n0r, n1r + n0r AS nt
+  FROM risk WHERE d1 + d0 > 0),
+m AS (
+  SELECT CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o1,
+         COALESCE(SUM(CAST(ROUND(CAST(dt AS DOUBLE) * CAST(n1r AS DOUBLE)
+                        / CAST(nt AS DOUBLE), 9) AS DECIMAL(20,9))),
+                  CAST(0 AS DECIMAL(20,9))) AS e1s,
+         COALESCE(SUM(CASE WHEN nt > 1 THEN
+               CAST(ROUND(CAST(dt AS DOUBLE) * CAST(n1r AS DOUBLE)
+                          / CAST(nt AS DOUBLE)
+                          * (CAST(n0r AS DOUBLE) / CAST(nt AS DOUBLE))
+                          * (CAST(nt - dt AS DOUBLE)
+                             / CAST(nt - 1 AS DOUBLE)), 9)
+                    AS DECIMAL(20,9))
+             ELSE CAST(0 AS DECIMAL(20,9)) END),
+                  CAST(0 AS DECIMAL(20,9))) AS v1s
+  FROM terms),
+sz AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users1
+  FROM s)
+SELECT n_users0, n_users1, o1,
+       ROUND(CAST(e1s AS DOUBLE), 6) AS e1,
+       ROUND(CAST(v1s AS DOUBLE), 6) AS v1,
+       ROUND((CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+             * (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+             / NULLIF(CAST(v1s AS DOUBLE), 0.0), 6) AS logrank_chi2
+FROM m CROSS JOIN sz
+"""
+
+
+@register(
+    "ts_logrank_test",
+    _LOGRANK_SQL,
+    doc="Two-arm log-rank (Mantel-Cox) test over user survival: cohorts "
+    "are the deterministic md5 arms of the A/B suite (same hash recipe "
+    "as _ab_user_frame — arms stay consistent across every experiment "
+    "operator), durations/censoring are exactly ts_kaplan_meier's "
+    "(last-7-day actives right-censored). At each event time the "
+    "arm-1 expectation d_t*n1_t/N_t and hypergeometric variance are "
+    "computed as ONE identical IEEE expression of exact at-risk "
+    "integers, rounded once to DECIMAL(20,9), then summed EXACTLY "
+    "(order-independent) — the KM ln-sum recipe applied to a test "
+    "statistic; chi2 = (O1-E1)^2/V1 (written b*b, never POWER) is one "
+    "final identical expression. Risk sets are reverse cumulative "
+    "window sums on the day-scale frame (no per-time self-join). At "
+    "100 TB: one groupBy(user) pass + day-cardinality window work — "
+    "the test statistic costs no more than the KM curve it tests.",
+)
+def ts_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("fs"), F.max("ts").alias("ls"))
+    g = u.agg(F.max("ls").alias("study_end"))
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    s = u.crossJoin(F.broadcast(g)).select(
+        arm.alias("arm"),
+        F.expr("datediff(ls, fs)").cast("long").alias("t"),
+        F.expr(
+            "CASE WHEN ls > study_end - INTERVAL 7 DAY THEN 0 ELSE 1 END"
+        ).alias("observed"),
+    )
+    by_t = s.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("observed")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("observed")).otherwise(0))
+        .cast("long")
+        .alias("d0"),
+    )
+    w_rev = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = by_t.select(
+        "d1",
+        "d0",
+        F.sum("n1_t").over(w_rev).cast("long").alias("n1r"),
+        F.sum("n0_t").over(w_rev).cast("long").alias("n0r"),
+    )
+    terms = risk.select(
+        "d1",
+        (F.col("d1") + F.col("d0")).alias("dt"),
+        "n1r",
+        "n0r",
+        (F.col("n1r") + F.col("n0r")).alias("nt"),
+    ).filter(F.col("d1") + F.col("d0") > 0)
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    e_term = F.round(dd("dt") * dd("n1r") / dd("nt"), 9).cast("decimal(20,9)")
+    v_term = F.when(
+        F.col("nt") > 1,
+        F.round(
+            dd("dt")
+            * dd("n1r")
+            / dd("nt")
+            * (dd("n0r") / dd("nt"))
+            * (
+                (F.col("nt") - F.col("dt")).cast("double")
+                / (F.col("nt") - 1).cast("double")
+            ),
+            9,
+        ).cast("decimal(20,9)"),
+    ).otherwise(F.lit(0).cast("decimal(20,9)"))
+    zero_dec = F.lit(0).cast("decimal(20,9)")
+    m = terms.agg(
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("long").alias("o1"),
+        F.coalesce(F.sum(e_term), zero_dec).alias("e1s"),
+        F.coalesce(F.sum(v_term), zero_dec).alias("v1s"),
+    )
+    sz = s.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users1"),
+    )
+    diff = F.col("o1").cast("double") - F.col("e1s").cast("double")
+    return m.crossJoin(F.broadcast(sz)).select(
+        "n_users0",
+        "n_users1",
+        "o1",
+        F.round(F.col("e1s").cast("double"), 6).alias("e1"),
+        F.round(F.col("v1s").cast("double"), 6).alias("v1"),
+        F.round(
+            diff * diff / F.nullif(F.col("v1s").cast("double"), F.lit(0.0)), 6
+        ).alias("logrank_chi2"),
+    )

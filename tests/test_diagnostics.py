@@ -884,3 +884,61 @@ def test_isotonic_matches_sklearn_free_pav_replay(spark, sf_dir):
     assert len(vals) == len(pdf)
     for got_v, want_v in zip(pdf["iso_rate"], vals):
         assert abs(got_v - want_v) <= 1e-5
+
+
+def test_lorenz_curve_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_lorenz_curve", sf_dir)
+
+
+def test_lorenz_curve_is_convex_below_diagonal(spark, sf_dir):
+    """Lorenz invariants: shares are nondecreasing, end at 1, and the
+    curve never rises above the equality diagonal (spend sorted
+    ascending => cum spend share <= cum customer share)."""
+    from logflow.operators.cache import release_all
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_lorenz_curve"].fn(spark, sf_dir).toPandas()
+    assert (pdf["cum_cust_share"].diff().dropna() >= 0).all()
+    assert (pdf["cum_spend_share"].diff().dropna() >= 0).all()
+    assert abs(pdf["cum_cust_share"].iloc[-1] - 1.0) < 1e-9
+    assert abs(pdf["cum_spend_share"].iloc[-1] - 1.0) < 1e-9
+    assert (pdf["cum_spend_share"] <= pdf["cum_cust_share"] + 1e-9).all()
+    release_all()
+
+
+def test_jackknife_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_jackknife_variance", sf_dir)
+
+
+def test_jackknife_invariants(spark, sf_dir):
+    """SE is nonnegative and the jackknife replicate mean sits close to
+    the full-sample mean (delete-a-group bias is small for a mean)."""
+    from logflow.queries import load_all
+
+    row = load_all()["diag_jackknife_variance"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert row["n_groups"] >= 2
+    assert row["jackknife_se"] >= 0
+    assert abs(row["jack_mean_price"] - row["mean_price"]) < 0.05 * row["mean_price"]
+
+
+def test_t_closeness_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "privacy_t_closeness", sf_dir)
+
+
+def test_t_closeness_bounds(spark, sf_dir):
+    """EMD-based t is in [0, 1] and sorted descending with key tiebreaks."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["privacy_t_closeness"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["t_closeness"] >= 0).all() and (pdf["t_closeness"] <= 1).all()
+    key = list(
+        zip(-pdf["t_closeness"], pdf["c_nationkey"], pdf["c_mktsegment"])
+    )
+    assert key == sorted(key)

@@ -560,3 +560,50 @@ def test_hits_matches_int64_replay(spark, sf_dir):
         for (neg_s, n), (_, row) in zip(want, sub.sort_values("pos").iterrows()):
             assert int(row["p_partkey"]) == n
             assert int(row["score_fp"]) == -neg_s
+
+
+def test_closeness_sampled_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_closeness_sampled", sf_dir)
+
+
+def test_closeness_sampled_invariants(spark, sf_dir):
+    """closeness_fp is the exact integer image of (k-1)/sum_dist; rows are
+    sorted by it descending with the part-key tiebreak; sum_dist >= k-1
+    (full reach of k seeds, at most one zero self-distance)."""
+    from logflow.operators.cache import release_all
+    from logflow.queries import load_all
+    from logflow.queries.graph import _CLOSE_SCALE, _CLOSE_SEEDS
+
+    pdf = load_all()["graph_closeness_sampled"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["sum_dist"] >= _CLOSE_SEEDS - 1).all()
+    expect = ((_CLOSE_SEEDS - 1) * _CLOSE_SCALE) // pdf["sum_dist"]
+    assert (pdf["closeness_fp"] == expect).all()
+    key = list(zip(-pdf["closeness_fp"], pdf["p_partkey"]))
+    assert key == sorted(key)
+    release_all()
+
+
+def test_katz_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_katz_centrality", sf_dir)
+
+
+def test_katz_invariants(spark, sf_dir):
+    """Every Katz score is >= the beta base (1e12 fixed point), the
+    output is sorted by score descending with the part-key tiebreak,
+    and the double column is the rounded image of the fixed point."""
+    from logflow.operators.cache import release_all
+    from logflow.queries import load_all
+    from logflow.queries.graph import _KATZ_SCALE
+
+    pdf = load_all()["graph_katz_centrality"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["katz_fp"] >= _KATZ_SCALE).all()
+    key = list(zip(-pdf["katz_fp"], pdf["p_partkey"]))
+    assert key == sorted(key)
+    assert (abs(pdf["katz"] - (pdf["katz_fp"] / _KATZ_SCALE).round(6)) < 1e-9).all()
+    release_all()

@@ -868,3 +868,52 @@ def test_soundex_canonical_vectors(spark, duck):
         assert duck.execute(
             f"SELECT {sdx} FROM (SELECT '{w}' AS tail)"
         ).fetchone()[0] == code
+
+
+def test_chao1_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "text_chao1_vocab", sf_dir)
+
+
+def test_chao1_invariants(spark, sf_dir):
+    """chao1 >= S_obs (the estimator only adds unseen mass), coverage in
+    [0, 1], and the frequency classes F1/F2 are bounded by the
+    vocabulary size."""
+    from logflow.queries import load_all
+
+    row = load_all()["text_chao1_vocab"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert row["chao1"] >= row["s_obs"]
+    assert 0.0 <= row["good_turing_coverage"] <= 1.0
+    assert row["f1"] + row["f2"] <= row["s_obs"]
+    assert row["n_tokens"] >= row["s_obs"]
+
+
+def test_token_budget_fill_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "corpus_token_budget_fill", sf_dir)
+
+
+def test_token_budget_fill_respects_budget(spark, sf_dir):
+    """Selected tokens stay within budget + one document (the greedy
+    boundary doc may straddle), and budget shares sum to ~<= 1 + the
+    boundary slack."""
+    from logflow.queries import load_all
+    from logflow.queries.llm import _BUDGET_DEN
+    from logflow.sources.tables import load_table
+    from logflow.functions.text import tokenize
+
+    pdf = load_all()["corpus_token_budget_fill"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0 and (pdf["n_docs"] > 0).all()
+    docs = load_table(spark, "documents", sf_dir)
+    total = (
+        docs.select(F.size(tokenize("text")).alias("n")).agg(F.sum("n")).collect()[0][0]
+    )
+    budget = total // _BUDGET_DEN
+    picked = pdf["tokens"].sum()
+    max_doc = (
+        docs.select(F.size(tokenize("text")).alias("n")).agg(F.max("n")).collect()[0][0]
+    )
+    assert picked <= budget + max_doc
+    assert picked > 0

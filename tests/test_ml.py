@@ -388,3 +388,28 @@ def test_class_prf1_consistent_with_confusion(spark, sf_dir):
     macro = rep[rep["scope"] == "macro"].iloc[0]
     want = round(sum(round(v * 1e6) for v in cls["f1"].fillna(0)) / (len(cls) * 1e6), 9)
     assert abs(macro["f1"] - want) < 1e-9
+
+
+def test_decile_lift_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_decile_lift", sf_dir)
+
+
+def test_decile_lift_invariants(spark, sf_dir):
+    """Deciles are equal-count (within 1), cum_pos is nondecreasing and
+    ends at the total positive count, and lift_fp is the exact integer
+    image of the per-decile rate over the base rate."""
+    from logflow.operators.cache import release_all
+    from logflow.queries import load_all
+    from logflow.queries.ml import _LIFT_SCALE, _LIFT_TILES
+
+    pdf = load_all()["ml_decile_lift"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == _LIFT_TILES
+    assert pdf["n_rows"].max() - pdf["n_rows"].min() <= 1
+    assert (pdf["cum_pos"].diff().dropna() >= 0).all()
+    assert pdf["cum_pos"].iloc[-1] == pdf["n_pos"].sum()
+    tot_n, tot_pos = pdf["n_rows"].sum(), pdf["n_pos"].sum()
+    expect = (pdf["n_pos"] * tot_n * _LIFT_SCALE) // (pdf["n_rows"] * tot_pos)
+    assert (pdf["lift_fp"] == expect).all()
+    release_all()

@@ -822,3 +822,23 @@ def test_allen_counts_cover_all_qualifying_pairs(spark, sf_dir):
         & (F.col("cs") < F.col("ce")) & (F.col("vs") < F.col("ve"))
     ).count()
     assert pdf["n_pairs"].sum() == n
+
+
+def test_logrank_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_logrank_test", sf_dir)
+
+
+def test_logrank_invariants(spark, sf_dir):
+    """O1 <= total events, E1 > 0 when any events exist, chi2 >= 0, and
+    the two arm sizes partition the user population."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_logrank_test"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 1
+    row = pdf.iloc[0]
+    assert row["n_users0"] > 0 and row["n_users1"] > 0
+    assert row["o1"] >= 0 and row["v1"] >= 0
+    if row["v1"] > 0:
+        assert row["logrank_chi2"] >= 0
