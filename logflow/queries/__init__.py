@@ -94,6 +94,8 @@ PRIORITY: list[str] = [
     "corpus_token_budget_fill",
     "diag_jackknife_variance",
     "privacy_t_closeness",
+    "diag_ks_exact_value",
+    "attribution_shapley",
     # ------- re-attestation fill: driver-green r8, stable plans -------
     "attribution_markov_removal",
     "division_covering_buyers",

@@ -4006,3 +4006,100 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("t_closeness"), "c_nationkey", "c_mktsegment")
         .limit(40)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov over the value DOMAIN — the
+# all-scale twin of ks_click_purchase_drift's cogroup form: the statistic
+# is a pure integer max over pre-aggregated value counts, never a
+# per-group array collect.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "diag_ks_exact_value",
+    """
+WITH v AS (
+  SELECT event_type, ROUND(value, 4) AS y FROM events
+  WHERE event_type IN ('click', 'view')),
+d AS (
+  SELECT y,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM v GROUP BY y),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM d),
+r AS (
+  SELECT CAST(SUM(c1) OVER (ORDER BY y) AS BIGINT) AS r1,
+         CAST(SUM(c2) OVER (ORDER BY y) AS BIGINT) AS r2
+  FROM d),
+m AS (
+  SELECT CAST(MAX(ABS(r1 * t.n2 - r2 * t.n1)) AS BIGINT) AS d_num
+  FROM r CROSS JOIN t)
+SELECT t.n1, t.n2, m.d_num,
+       ROUND(CAST(m.d_num AS DOUBLE)
+             / NULLIF(CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE), 0.0), 6)
+         AS ks_stat,
+       ROUND(sqrt(CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)
+                  / (CAST(t.n1 AS DOUBLE) + CAST(t.n2 AS DOUBLE)))
+             * CAST(m.d_num AS DOUBLE)
+             / NULLIF(CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE), 0.0), 6)
+         AS ks_scaled
+FROM t CROSS JOIN m
+""",
+    doc="Exact two-sample Kolmogorov-Smirnov statistic between click and "
+    "view event values, computed entirely over the VALUE DOMAIN: rows "
+    "pre-aggregate to per-4dp-value counts, ECDF gaps are the exact "
+    "integers |R1*n2 - R2*n1| (common-denominator form — no float "
+    "ECDFs), and D = max/(n1*n2) with the effective-sample scaling "
+    "sqrt(n1*n2/(n1+n2))*D are single identical IEEE expressions of "
+    "exact BIGINTs. The cogroup/pandas form of the same test "
+    "(ks_click_purchase_drift) collects each group; THIS form is the "
+    "100 TB path — one map-side-combined groupBy bounded by the value "
+    "domain, one domain-scale running sum (distributable via "
+    "range-bucket prefix sums), one max. The integer max also makes "
+    "the statistic hash-exact where float ECDF subtraction would be "
+    "summation-order-noise.",
+)
+def diag_ks_exact_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.round("value", 4).alias("y")
+    )
+    d = v.groupBy("y").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    t = d.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = d.select(
+        F.sum("c1").over(w).cast("long").alias("r1"),
+        F.sum("c2").over(w).cast("long").alias("r2"),
+    )
+    m = r.crossJoin(F.broadcast(t)).agg(
+        F.max(F.abs(F.col("r1") * F.col("n2") - F.col("r2") * F.col("n1")))
+        .cast("long")
+        .alias("d_num")
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    prod = F.nullif(dd("n1") * dd("n2"), F.lit(0.0))
+    return t.crossJoin(F.broadcast(m)).select(
+        "n1",
+        "n2",
+        "d_num",
+        F.round(dd("d_num") / prod, 6).alias("ks_stat"),
+        F.round(
+            F.sqrt(dd("n1") * dd("n2") / (dd("n1") + dd("n2")))
+            * dd("d_num")
+            / prod,
+            6,
+        ).alias("ks_scaled"),
+    )

@@ -1409,3 +1409,157 @@ def finance_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume_effect"
         ),
     ).orderBy("p_brand")
+
+
+# --------------------------------------------------------------------------
+# Shapley-value attribution — the cooperative-game member of the
+# attribution family (last-touch / time-decay / position / Markov
+# removal): channels are players, the characteristic function is the
+# observed conversion rate per EXACT touch-set, and credit is the exact
+# 3-player Shapley average of marginal contributions.
+# --------------------------------------------------------------------------
+
+#: channel -> bitmask lane (click=1, signup=2, view=4)
+_SHAP_CHANNELS = [("click", 1), ("signup", 2), ("view", 4)]
+
+
+def _shap_phi(bit: int) -> str:
+    """phi_i = sum over S not containing i of w(|S|) * (v(S+i) - v(S)),
+    n = 3: w(0) = w(2) = 1/3, w(1) = 1/6. One literal expression over the
+    8 per-mask conversion rates v0..v7 — identical text both engines."""
+    others = [m for m in range(8) if not (m & bit)]
+    terms = []
+    for s in others:
+        size = bin(s).count("1")
+        w = "3.0" if size in (0, 2) else "6.0"
+        terms.append(f"(v{s | bit} - v{s}) / {w}")
+    return " + ".join(terms)
+
+
+def _shap_wide_sql() -> str:
+    """The 1-row wide frame: per-mask user counts, converter counts and
+    v_m = conversion rate (0 when the mask is unpopulated)."""
+    cols = []
+    for m in range(8):
+        cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN mask = {m} THEN n_u END), 0) AS BIGINT)"
+            f" AS n{m}"
+        )
+        cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN mask = {m} THEN n_c END), 0) AS BIGINT)"
+            f" AS c{m}"
+        )
+    return ", ".join(cols)
+
+
+_SHAP_SQL = (
+    """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              + 2 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              + 4 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS mask,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id),
+bym AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_u,
+               CAST(SUM(conv) AS BIGINT) AS n_c
+        FROM u GROUP BY mask),
+wide AS (SELECT """
+    + _shap_wide_sql()
+    + " FROM bym),\nrates AS (SELECT *, "
+    + ", ".join(
+        f"CAST(c{m} AS DOUBLE) / NULLIF(CAST(n{m} AS DOUBLE), 0.0) AS vr{m}"
+        for m in range(8)
+    )
+    + " FROM wide),\nv AS (SELECT *, "
+    + ", ".join(f"COALESCE(vr{m}, 0.0) AS v{m}" for m in range(8))
+    + " FROM rates)\n"
+    + "SELECT channel, n_exposed, ROUND(shapley, 6) AS shapley_credit FROM (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, CAST("
+        + " + ".join(f"n{m}" for m in range(8) if m & bit)
+        + f" AS BIGINT) AS n_exposed, {_shap_phi(bit)} AS shapley FROM v"
+        for ch, bit in _SHAP_CHANNELS
+    )
+    + "\n) ORDER BY channel"
+)
+
+
+@register(
+    "attribution_shapley",
+    _SHAP_SQL,
+    doc="Shapley-value attribution over the 3-channel touch game (click/"
+    "signup/view -> purchase): per user, the EXACT set of channels "
+    "touched is a 3-bit mask; v(S) is the observed conversion rate of "
+    "users with exactly that touch set (empty cells contribute 0); "
+    "each channel's credit is the exact 3-player Shapley value "
+    "phi_i = sum_S w(|S|)(v(S+i)-v(S)) with w = 1/3, 1/6, 1/3 — the "
+    "axiomatically fair division the heuristic attribution family "
+    "approximates, and the complement to attribution_markov_removal's "
+    "path-based counterfactual. Determinism: masks and per-mask "
+    "counts are exact integers; each v_m is ONE identical IEEE "
+    "division; phi is a generated-once literal expression (identical "
+    "text both engines, left-associated). At 100 TB: one groupBy("
+    "user) with 4 conditional maxes, one 8-row mask rollup, then "
+    "constant-size arithmetic — the whole game fits in one stage "
+    "regardless of corpus size; k channels cost a 2^k-row rollup "
+    "(tractable to ~20 channels, sampled-permutation Shapley beyond).",
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    )
+    bym = u.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.sum("conv").cast("long").alias("n_c"),
+    )
+    wide_cols = []
+    for m in range(8):
+        wide_cols.append(
+            F.coalesce(F.sum(F.when(F.col("mask") == m, F.col("n_u"))), F.lit(0))
+            .cast("long")
+            .alias(f"n{m}")
+        )
+        wide_cols.append(
+            F.coalesce(F.sum(F.when(F.col("mask") == m, F.col("n_c"))), F.lit(0))
+            .cast("long")
+            .alias(f"c{m}")
+        )
+    wide = bym.agg(*wide_cols)
+    v = wide.select(
+        "*",
+        *[
+            F.coalesce(
+                F.col(f"c{m}").cast("double")
+                / F.nullif(F.col(f"n{m}").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias(f"v{m}")
+            for m in range(8)
+        ],
+    )
+    parts = []
+    for ch, bit in _SHAP_CHANNELS:
+        exposed = " + ".join(f"n{m}" for m in range(8) if m & bit)
+        parts.append(
+            v.select(
+                F.lit(ch).alias("channel"),
+                F.expr(f"CAST({exposed} AS BIGINT)").alias("n_exposed"),
+                F.round(F.expr(_shap_phi(bit)), 6).alias("shapley_credit"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("channel")

@@ -942,3 +942,18 @@ def test_t_closeness_bounds(spark, sf_dir):
         zip(-pdf["t_closeness"], pdf["c_nationkey"], pdf["c_mktsegment"])
     )
     assert key == sorted(key)
+
+
+def test_ks_exact_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_ks_exact_value", sf_dir)
+
+
+def test_ks_exact_bounds(spark, sf_dir):
+    """KS in [0,1]; d_num bounded by n1*n2; scaled statistic consistent."""
+    from logflow.queries import load_all
+
+    row = load_all()["diag_ks_exact_value"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert 0 <= row["d_num"] <= row["n1"] * row["n2"]

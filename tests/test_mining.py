@@ -367,3 +367,40 @@ def test_pvm_bridge_reconciles(spark, sf_dir):
     delta = pdf["revenue_p1"] - pdf["revenue_p0"]
     recon = pdf["price_effect"] + pdf["volume_effect"]
     assert ((delta - recon).abs() <= 0.05).all()
+
+
+def test_shapley_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "attribution_shapley", sf_dir)
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Shapley credits sum to v(grand coalition) - v(empty set) — the
+    efficiency axiom, a strong end-to-end correctness check on the
+    per-mask rate pipeline."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["attribution_shapley"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 3
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        ).alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    rows = {
+        r["mask"]: (r["n"], r["c"])
+        for r in u.groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+        .collect()
+    }
+    v = lambda m: (rows[m][1] / rows[m][0]) if m in rows and rows[m][0] else 0.0
+    assert abs(pdf["shapley_credit"].sum() - (v(7) - v(0))) < 1e-4

@@ -64,6 +64,8 @@ ROTATED_IN_R9_FIRST_TIME = [
     "corpus_token_budget_fill",
     "diag_jackknife_variance",
     "privacy_t_closeness",
+    "diag_ks_exact_value",
+    "attribution_shapley",
 ]
 
 
