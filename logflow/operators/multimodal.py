@@ -666,3 +666,32 @@ def decode_pgm_histogram(media: DataFrame, n_bins: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(dec, "media_id long, bin long, n_pixels long")
+
+
+def decode_pgm_quantize_sse(media: DataFrame, levels: int = 16) -> DataFrame:
+    """REAL image decode → per-image quantization error: parse the P5
+    container, quantize pixels to ``levels`` uniform levels (q = (p //
+    step) * step, step = 256 // levels) and return the exact integer
+    sum of squared errors plus the pixel count — the map-side half of a
+    corpus PSNR audit (error = p % step, so sse fits int64 trivially:
+    max (step-1)^2 per pixel)."""
+    import pandas as pd
+
+    step = 256 // levels
+
+    def dec(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "sse": [], "n_pixels": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, _, img = _parse_pgm(bytes(payload))
+                res = (img.ravel().astype(np.int64)) % step
+                out["media_id"].append(int(mid))
+                out["sse"].append(int((res * res).sum()))
+                out["n_pixels"].append(int(img.size))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(dec, "media_id long, sse long, n_pixels long")

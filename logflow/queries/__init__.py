@@ -96,6 +96,7 @@ PRIORITY: list[str] = [
     "privacy_t_closeness",
     "diag_ks_exact_value",
     "attribution_shapley",
+    "multimodal_image_psnr",
     # ------- re-attestation fill: driver-green r8, stable plans -------
     "attribution_markov_removal",
     "division_covering_buyers",

@@ -437,3 +437,88 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus PSNR under uniform quantization — the compression-quality audit
+# on the REAL P5 decode path: how much signal would 4-bit luma cost?
+# --------------------------------------------------------------------------
+
+#: ln(10) — Python repr inlined verbatim into BOTH engines (ab_sprt recipe)
+_LN10 = "2.302585092994046"
+_PSNR_LEVELS = 16  # 4-bit quantization: step = 256 // 16, error = p % 16
+
+
+@register(
+    "multimodal_image_psnr",
+    f"""
+WITH px AS (
+  SELECT unnest(list_transform(
+           range(0, (16 + (doc_id % 5) * 8) * (12 + (doc_id % 3) * 8)),
+           i -> ((doc_id * 7 + i) * 13) % 256 % {256 // _PSNR_LEVELS})) AS res
+  FROM documents),
+m AS (SELECT CAST(SUM(res * res) AS BIGINT) AS sse,
+             CAST(COUNT(*) AS BIGINT) AS n_pixels FROM px),
+l AS (SELECT sse, n_pixels,
+             CAST(ROUND(ln(65025.0 * CAST(n_pixels AS DOUBLE)
+                           / CAST(sse AS DOUBLE)) * 1000000, 0) AS BIGINT)
+               AS ln_fp
+      FROM m)
+SELECT sse, n_pixels,
+       ROUND(CAST(sse AS DOUBLE) / CAST(n_pixels AS DOUBLE), 6) AS mse,
+       ROUND(10.0 * (CAST(ln_fp AS DOUBLE) / 1000000.0) / {_LN10}, 4)
+         AS psnr_db
+FROM l
+""",
+    doc=f"Corpus PSNR of {_PSNR_LEVELS}-level uniform luma quantization "
+    "through the REAL image path: genuine P5 containers are synthesized "
+    "and DECODED from raw bytes; per image one Arrow-batched map pass "
+    "computes the exact integer sum of squared quantization errors "
+    "(error = pixel % step — numpy int64, no float in the kernel), "
+    "then the corpus MSE/PSNR roll up from two exact BIGINTs. The "
+    "oracle predicts every pixel arithmetically from the synth "
+    "formula, so a hash match proves byte-level decode + the error "
+    "arithmetic. PSNR = 10*log10(255^2/MSE) follows the repo ln "
+    "recipe: ONE data-dependent ln of an identical exact-integer "
+    "ratio, rounded immediately to fixed-point micros, and ln(10) "
+    "inlined as the same Python repr literal in both engines. At "
+    "100 TB: payload bytes never leave the executor — one map pass, "
+    "one 1-row aggregate; the audit shape generalizes to any "
+    "codec-vs-reference comparison (resize, chroma subsample, "
+    "bit-depth reduction).",
+)
+def multimodal_image_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.multimodal import decode_pgm_quantize_sse, synthesize_pgm
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("media_id")
+    )
+    per_img = decode_pgm_quantize_sse(
+        synthesize_pgm(docs), levels=_PSNR_LEVELS
+    )
+    m = per_img.agg(
+        F.sum("sse").cast("long").alias("sse"),
+        F.sum("n_pixels").cast("long").alias("n_pixels"),
+    )
+    ln_fp = F.round(
+        F.log(
+            F.lit(65025.0)
+            * F.col("n_pixels").cast("double")
+            / F.col("sse").cast("double")
+        )
+        * 1000000,
+        0,
+    ).cast("long")
+    return m.select(
+        "sse",
+        "n_pixels",
+        F.round(
+            F.col("sse").cast("double") / F.col("n_pixels").cast("double"), 6
+        ).alias("mse"),
+        F.round(
+            F.lit(10.0)
+            * (ln_fp.cast("double") / F.lit(1000000.0))
+            / F.lit(float(_LN10)),
+            4,
+        ).alias("psnr_db"),
+    )

@@ -283,3 +283,27 @@ def test_image_histogram_partitions_all_pixels(spark, sf_dir):
     assert int(pdf["n_pixels"].sum()) == expect
     assert pdf["bin"].between(0, 15).all()
     assert abs(pdf["share"].sum() - 1.0) <= 1e-4
+
+
+def test_image_psnr_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "multimodal_image_psnr", sf_dir)
+
+
+def test_image_psnr_matches_theory(spark, sf_dir):
+    """4-bit uniform quantization of a near-uniform luma source has
+    MSE close to E[(U%16)^2] = 77.5 (residues 0..15 uniform) and PSNR
+    = 10*log10(65025/MSE) — check the reported pair is self-consistent
+    and in a sane band."""
+    import math
+
+    from logflow.queries import load_all
+
+    row = load_all()["multimodal_image_psnr"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert row["sse"] > 0 and row["n_pixels"] > 0
+    mse = row["sse"] / row["n_pixels"]
+    assert abs(row["mse"] - round(mse, 6)) < 1e-9
+    assert 60 <= mse <= 95  # near-uniform residues: E = 77.5
+    expect_psnr = 10.0 * math.log10(65025.0 / mse)
+    assert abs(row["psnr_db"] - expect_psnr) < 0.01

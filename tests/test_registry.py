@@ -66,6 +66,7 @@ ROTATED_IN_R9_FIRST_TIME = [
     "privacy_t_closeness",
     "diag_ks_exact_value",
     "attribution_shapley",
+    "multimodal_image_psnr",
 ]
 
 
