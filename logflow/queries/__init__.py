@@ -97,6 +97,9 @@ PRIORITY: list[str] = [
     "diag_ks_exact_value",
     "attribution_shapley",
     "multimodal_image_psnr",
+    "diag_vif",
+    "graph_rich_club",
+    "text_term_burstiness",
     # ------- re-attestation fill: driver-green r8, stable plans -------
     "attribution_markov_removal",
     "division_covering_buyers",

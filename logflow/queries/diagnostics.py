@@ -4103,3 +4103,134 @@ def diag_ks_exact_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Variance inflation factors — the collinearity screen on top of the
+# correlation machinery: how much does each predictor's variance blow up
+# when the OTHER two are in the regression?
+# --------------------------------------------------------------------------
+
+
+def _vif_r2(j: int) -> str:
+    """R_j^2 of predictor j on the other two, from pairwise correlations:
+    R1^2 = (r12^2 + r13^2 - 2*r12*r13*r23) / (1 - r23^2) and cyclic.
+    Built ONCE as expression text over columns r12/r13/r23 — identical
+    operand order in both engines."""
+    a, b, c = {
+        1: ("r12", "r13", "r23"),
+        2: ("r12", "r23", "r13"),
+        3: ("r13", "r23", "r12"),
+    }[j]
+    return f"(({a}*{a} + {b}*{b}) - 2.0*{a}*{b}*{c}) / (1.0 - {c}*{c})"
+
+
+def _vif_corr(i: int, j: int) -> str:
+    """Pearson r from exact BIGINT moments — one identical expression."""
+    return (
+        f"(CAST(n AS DOUBLE)*CAST(s{i}{j} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE)*CAST(s{j} AS DOUBLE))"
+        f" / sqrt((CAST(n AS DOUBLE)*CAST(s{i}{i} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE)*CAST(s{i} AS DOUBLE))"
+        f" * (CAST(n AS DOUBLE)*CAST(s{j}{j} AS DOUBLE)"
+        f" - CAST(s{j} AS DOUBLE)*CAST(s{j} AS DOUBLE)))"
+    )
+
+
+_VIF_NAMES = {1: "quantity", 2: "discount_cents", 3: "tax_cents"}
+
+
+_VIF_SQL = (
+    """
+WITH x AS (
+  SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+         CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS x3
+  FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x3) AS BIGINT) AS s3,
+         CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x2*x2) AS BIGINT) AS s22,
+         CAST(SUM(x3*x3) AS BIGINT) AS s33,
+         CAST(SUM(x1*x2) AS BIGINT) AS s12, CAST(SUM(x1*x3) AS BIGINT) AS s13,
+         CAST(SUM(x2*x3) AS BIGINT) AS s23
+  FROM x),
+r AS (SELECT n, """
+    + ", ".join(f"{_vif_corr(i, j)} AS r{i}{j}" for i, j in ((1, 2), (1, 3), (2, 3)))
+    + """ FROM m)
+SELECT feature, n_rows, ROUND(r2_others, 6) AS r2_others,
+       ROUND(1.0 / (1.0 - r2_others), 6) AS vif
+FROM (
+"""
+    + "\n  UNION ALL ".join(
+        f"SELECT '{_VIF_NAMES[j]}' AS feature, n AS n_rows,"
+        f" {_vif_r2(j)} AS r2_others FROM r"
+        for j in (1, 2, 3)
+    )
+    + """
+) ORDER BY feature
+"""
+)
+
+
+@register(
+    "diag_vif",
+    _VIF_SQL,
+    doc="Variance inflation factors for the (quantity, discount, tax) "
+    "design — the multicollinearity screen a regression pipeline runs "
+    "before trusting coefficients (VIF_j = 1/(1-R_j^2), R_j^2 from "
+    "regressing predictor j on the other two; the 3-predictor R^2 has "
+    "the closed pairwise-correlation form, so no per-feature refit): "
+    "completes the regression-diagnostics shelf next to "
+    "diag_correlation_matrix (raw r), diag_groupwise_ols (fit) and "
+    "diag_ols_influence (leverage). All second moments are exact "
+    "BIGINTs over integer-scaled features in ONE map-side-combined "
+    "pass; every correlation and the R^2/VIF ladder are expression "
+    "text generated once and inlined into BOTH engines (identical "
+    "operand order -> identical IEEE results). At 100 TB: one "
+    "aggregate, constant-size arithmetic after — adding features "
+    "costs O(k^2) moments in the same single pass.",
+)
+def diag_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    x = li.select(
+        F.round("l_quantity", 0).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("x3"),
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(f"x{i}").cast("long").alias(f"s{i}") for i in (1, 2, 3)],
+        *[
+            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).cast("long").alias(f"s{i}{j}")
+            for i, j in ((1, 1), (2, 2), (3, 3), (1, 2), (1, 3), (2, 3))
+        ],
+    )
+    r = m.select(
+        "n",
+        *[
+            F.expr(_vif_corr(i, j)).alias(f"r{i}{j}")
+            for i, j in ((1, 2), (1, 3), (2, 3))
+        ],
+    )
+    # ONE pass: the 3-feature fan-out is a stack over the 1-row frame,
+    # never three traversals of the lineitem aggregate (the ROC lesson)
+    stack_args = ", ".join(
+        f"'{_VIF_NAMES[j]}', {_vif_r2(j)}" for j in (1, 2, 3)
+    )
+    return (
+        r.select(
+            F.expr(f"stack(3, {stack_args}) AS (feature, r2_others)"),
+            F.col("n").alias("n_rows"),
+        )
+        .select(
+            "feature",
+            "n_rows",
+            F.round("r2_others", 6).alias("r2_others"),
+            F.round(F.lit(1.0) / (F.lit(1.0) - F.col("r2_others")), 6).alias(
+                "vif"
+            ),
+        )
+        .orderBy("feature")
+    )

@@ -3831,3 +3831,93 @@ def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Term burstiness (Fano factor) — does a term spread evenly across the
+# corpus or clump into few documents? The dispersion screen behind
+# stopword detection, keyword extraction and contamination triage.
+# --------------------------------------------------------------------------
+
+_BURST_SCALE = 10_000  # fixed-point burstiness scale (1e4: ~6e16 headroom)
+_BURST_MIN_CF = 50  # ignore rare terms (Fano of tiny counts is noise)
+_BURST_TOPK = 20
+
+
+@register(
+    "text_term_burstiness",
+    rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> t <> '')) AS term
+  FROM documents),
+dtc AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY term, doc_id),
+tf AS (SELECT term,
+              CAST(COUNT(*) AS BIGINT) AS df,
+              CAST(SUM(c) AS BIGINT) AS cf,
+              CAST(SUM(c * c) AS BIGINT) AS sxx
+       FROM dtc GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents)
+SELECT term, df, cf, burstiness_fp,
+       ROUND(CAST(d * sxx - cf * cf AS DOUBLE)
+             / (CAST(d AS DOUBLE) * CAST(cf AS DOUBLE)), 6) AS fano
+FROM (
+  SELECT term, df, cf, sxx, d,
+         CAST(((d * sxx - cf * cf) * {_BURST_SCALE}) // (d * cf) AS BIGINT)
+           AS burstiness_fp
+  FROM tf CROSS JOIN nd
+  WHERE cf >= {_BURST_MIN_CF})
+ORDER BY burstiness_fp DESC, term
+LIMIT {_BURST_TOPK}
+""",
+    doc=f"Term burstiness via the Fano factor Var/Mean of per-document "
+    "counts INCLUDING the zero-count documents (Var over all D docs "
+    "folds to the moment identity (D*sum(c^2) - cf^2)/(D*cf) — the "
+    "zeros never materialize): Fano ~ 1 is Poisson scatter "
+    "(function words), >> 1 is clumping (topical/boilerplate terms; "
+    "contamination shows up as extreme clumps). Top-{_BURST_TOPK} "
+    f"bursty terms with cf >= {_BURST_MIN_CF}. The ranking key is the "
+    "PURE-INTEGER fixed point ((D*sxx - cf^2) * 1e4) DIV (D*cf) "
+    "(Spark DIV == DuckDB // on non-negatives — Cauchy-Schwarz makes "
+    "the numerator >= 0), the double is one identical IEEE division, "
+    "ties break on the term. At 100 TB: one tokenize pass -> "
+    "(term, doc) counts (map-side combined), one vocab-scale moment "
+    "rollup, a broadcast 1-row doc count — never a per-term scan of "
+    "the zero cells.",
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokenize("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    dtc = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tf = dtc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    num = F.col("d") * F.col("sxx") - F.col("cf") * F.col("cf")
+    return (
+        tf.filter(F.col("cf") >= _BURST_MIN_CF)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.expr(
+                f"CAST(((d * sxx - cf * cf) * {_BURST_SCALE}) DIV (d * cf)"
+                " AS BIGINT)"
+            ).alias("burstiness_fp"),
+            F.round(
+                num.cast("double")
+                / (F.col("d").cast("double") * F.col("cf").cast("double")),
+                6,
+            ).alias("fano"),
+        )
+        .orderBy(F.desc("burstiness_fp"), "term")
+        .limit(_BURST_TOPK)
+    )

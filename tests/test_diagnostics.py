@@ -957,3 +957,19 @@ def test_ks_exact_bounds(spark, sf_dir):
     row = load_all()["diag_ks_exact_value"].fn(spark, sf_dir).toPandas().iloc[0]
     assert 0.0 <= row["ks_stat"] <= 1.0
     assert 0 <= row["d_num"] <= row["n1"] * row["n2"]
+
+
+def test_vif_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_vif", sf_dir)
+
+
+def test_vif_bounds(spark, sf_dir):
+    """VIF >= 1 by construction (R^2 in [0,1)); 3 feature rows."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_vif"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 3
+    assert (pdf["vif"] >= 1.0 - 1e-9).all()
+    assert ((pdf["r2_others"] >= -1e-9) & (pdf["r2_others"] < 1.0)).all()

@@ -607,3 +607,22 @@ def test_katz_invariants(spark, sf_dir):
     assert key == sorted(key)
     assert (abs(pdf["katz"] - (pdf["katz_fp"] / _KATZ_SCALE).round(6)) < 1e-9).all()
     release_all()
+
+
+def test_rich_club_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_rich_club", sf_dir)
+
+
+def test_rich_club_monotone_counts(spark, sf_dir):
+    """N_k and E_k are nonincreasing in k; phi in [0,1]."""
+    from logflow.operators.cache import release_all
+    from logflow.queries import load_all
+
+    pdf = load_all()["graph_rich_club"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_rich"].diff().dropna() <= 0).all()
+    assert (pdf["e_rich"].diff().dropna() <= 0).all()
+    ok = pdf["phi"].dropna()
+    assert ((ok >= 0) & (ok <= 1.0 + 1e-9)).all()
+    release_all()

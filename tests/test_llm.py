@@ -917,3 +917,25 @@ def test_token_budget_fill_respects_budget(spark, sf_dir):
     )
     assert picked <= budget + max_doc
     assert picked > 0
+
+
+def test_burstiness_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "text_term_burstiness", sf_dir)
+
+
+def test_burstiness_nonnegative_sorted(spark, sf_dir):
+    """Fano numerator is Cauchy-Schwarz-nonnegative; output sorted by the
+    fixed-point key descending with term tiebreak; df <= cf."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["text_term_burstiness"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        import pytest
+
+        pytest.skip("no term reaches the cf floor at this SF")
+    assert (pdf["burstiness_fp"] >= 0).all()
+    assert (pdf["df"] <= pdf["cf"]).all()
+    key = list(zip(-pdf["burstiness_fp"], pdf["term"]))
+    assert key == sorted(key)

@@ -67,6 +67,9 @@ ROTATED_IN_R9_FIRST_TIME = [
     "diag_ks_exact_value",
     "attribution_shapley",
     "multimodal_image_psnr",
+    "diag_vif",
+    "graph_rich_club",
+    "text_term_burstiness",
 ]
 
 
