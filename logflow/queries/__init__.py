@@ -100,6 +100,9 @@ PRIORITY: list[str] = [
     "diag_vif",
     "graph_rich_club",
     "text_term_burstiness",
+    "agg_listagg_ordered",
+    "diag_mahalanobis_outliers",
+    "seq_session_edit_distance",
     # ------- re-attestation fill: driver-green r8, stable plans -------
     "attribution_markov_removal",
     "division_covering_buyers",

@@ -4234,3 +4234,129 @@ def diag_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --------------------------------------------------------------------------
+# Bivariate Mahalanobis outlier gate — the correlation-aware 2-D fence
+# that diag_iqr_outliers' per-column fences cannot express: a point can
+# be inside both marginals yet far off the joint ellipse.
+# --------------------------------------------------------------------------
+
+#: chi-square(2 df) quantiles at 95 / 99 / 99.9% — literature constants,
+#: inlined as identical literals in both engines.
+_MAHA_THRESH = ["5.991464547107979", "9.210340371976184", "13.815510557964274"]
+
+
+def _maha_d2() -> str:
+    """Mahalanobis^2 as one expression over exact integer operands:
+    d2 = (C*dxn^2 - 2*B*dxn*dyn + A*dyn^2) / (A*C - B*B), with
+    A = n*sxx - sx^2 (and cyclic) and dxn = n*x - sx — the n^4 factors
+    cancel, every operand is exact, identical text both engines."""
+    a = "(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+    b = "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+    c = "(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))"
+    dxn = "CAST(n*x - sx AS DOUBLE)"
+    dyn = "CAST(n*y - sy AS DOUBLE)"
+    return (
+        f"({c}*{dxn}*{dxn} - 2.0*{b}*{dxn}*{dyn} + {a}*{dyn}*{dyn})"
+        f" / ({a}*{c} - {b}*{b})"
+    )
+
+
+_MAHA_SQL = (
+    """
+WITH x AS (
+  SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM x),
+d AS (SELECT """
+    + _maha_d2()
+    + """ AS d2 FROM x CROSS JOIN m)
+SELECT chi2_threshold, n_outliers, n_rows,
+       ROUND(CAST(n_outliers AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS outlier_share
+FROM (
+"""
+    + "\n  UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS chi2_threshold,"
+        f" CAST(COALESCE(SUM(CASE WHEN d2 > {t} THEN 1 END), 0) AS BIGINT)"
+        f" AS n_outliers, CAST(COUNT(*) AS BIGINT) AS n_rows FROM d"
+        for t in _MAHA_THRESH
+    )
+    + """
+) ORDER BY chi2_threshold
+"""
+)
+
+
+@register(
+    "diag_mahalanobis_outliers",
+    _MAHA_SQL,
+    doc="Bivariate Mahalanobis outlier gate on (quantity, price): counts "
+    "rows whose squared Mahalanobis distance from the joint centroid "
+    "exceeds the chi-square(2) fences at 95/99/99.9% — the "
+    "correlation-aware screen that catches points inside both "
+    "marginal IQR fences but far off the joint ellipse. The n^4 "
+    "normalization cancels, so d2 = (C*dxn^2 - 2B*dxn*dyn + A*dyn^2)"
+    "/(AC - B^2) is ONE generated-once expression whose operands "
+    "(n*x - sx, moment complements) are all exact integers — both "
+    "engines compute bit-identical doubles per row, making the fence "
+    "counts exact matches (a knife-edge comparison only bites when "
+    "expressions differ; these are textually identical). At 100 TB: "
+    "one moment pass + one broadcast-moments conditional-count pass; "
+    "the Spark side folds the 3-threshold grid into one aggregate + "
+    "stack instead of the oracle's 3-scan UNION (values identical). "
+    "Moment magnitudes: integer dollars/quantities keep sums < 1e17 "
+    "at sf100; past that the moment accumulators widen to "
+    "DECIMAL(38,0) with identical semantics.",
+)
+def diag_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    x = li.select(
+        F.round("l_quantity", 0).cast("long").alias("x"),
+        F.round("l_extendedprice", 0).cast("long").alias("y"),
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = x.crossJoin(F.broadcast(m)).select(F.expr(_maha_d2()).alias("d2"))
+    aggs = [
+        F.coalesce(F.sum(F.when(F.col("d2") > float(t), 1)), F.lit(0))
+        .cast("long")
+        .alias(f"o{i}")
+        for i, t in enumerate(_MAHA_THRESH)
+    ]
+    wide = d.agg(*aggs, F.count(F.lit(1)).cast("long").alias("n_rows"))
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), o{i}" for i, t in enumerate(_MAHA_THRESH)
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_MAHA_THRESH)}, {stack_args})"
+                " AS (chi2_threshold, n_outliers)"
+            ),
+            "n_rows",
+        )
+        .select(
+            "chi2_threshold",
+            "n_outliers",
+            "n_rows",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n_rows").cast("double"),
+                6,
+            ).alias("outlier_share"),
+        )
+        .orderBy("chi2_threshold")
+    )

@@ -1563,3 +1563,74 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("channel")
+
+
+# --------------------------------------------------------------------------
+# Session edit distance — behavioral drift per user: how differently does
+# the SECOND half of a user's event stream read vs the first half?
+# Levenshtein over the compressed event-initial strings.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "seq_session_edit_distance",
+    """
+WITH e AS (
+  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ch
+  FROM events),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS seq
+  FROM e GROUP BY user_id),
+h AS (
+  SELECT user_id,
+         substr(seq, 1, len(seq) // 2) AS s1,
+         substr(seq, len(seq) // 2 + 1, len(seq)) AS s2
+  FROM s WHERE len(seq) >= 4),
+d AS (
+  SELECT CAST(levenshtein(s1, s2) AS BIGINT) AS edit_dist FROM h)
+SELECT edit_dist, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d
+GROUP BY edit_dist
+ORDER BY edit_dist
+""",
+    doc="Per-user behavioral drift: the event stream compresses to a "
+    "string of event-type initials in exact (ts, event_id) order; the "
+    "first and second halves are compared with LEVENSHTEIN (builtin "
+    "both engines, exact integer) and the corpus reports the "
+    "edit-distance histogram — stable routines cluster near 0, "
+    "behavior shifts (or bot takeovers) push mass right. The ordered "
+    "string build is Spark's array_sort-of-structs (lexicographic "
+    "struct ordering == the oracle's string_agg ORDER BY ts, "
+    "event_id — the unique-tiebreak window rule applied to "
+    "aggregation order); halves split at len DIV 2 identically. At "
+    "100 TB: one user-keyed shuffle; per-user strings are "
+    "session-bounded (the longest observed user stream is ~hundreds "
+    "of chars, and levenshtein is O(|s1|*|s2|) per user, "
+    "embarrassingly parallel); the histogram is distance-scale.",
+)
+def seq_session_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+    )
+    s = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    h = s.filter(F.length("seq") >= 4).select(
+        F.expr("substr(seq, 1, length(seq) DIV 2)").alias("s1"),
+        F.expr("substr(seq, length(seq) DIV 2 + 1, length(seq))").alias("s2"),
+    )
+    return (
+        h.select(F.levenshtein("s1", "s2").cast("long").alias("edit_dist"))
+        .groupBy("edit_dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("edit_dist")
+    )

@@ -329,3 +329,70 @@ def sqlparam_identifier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "sqlparam_orders_v", "min_price": 150000.0, "status": "O"},
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered LISTAGG (SQL:2016 WITHIN GROUP) — Spark 4's listagg against
+# DuckDB's ordered string_agg: deterministic string aggregation, the
+# report-friendly "top names as one cell" surface.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_listagg_ordered",
+    """
+WITH cn AS (
+  SELECT c.c_mktsegment, n.n_name, CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_mktsegment, n.n_name),
+ranked AS (
+  SELECT c_mktsegment, n_name, n_cust,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY n_cust DESC, n_name) AS rn
+  FROM cn)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_listed,
+       string_agg(n_name, ',' ORDER BY rn) AS top_nations
+FROM ranked WHERE rn <= 5
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="SQL:2016 ordered string aggregation: per market segment, the "
+    "top-5 nations by customer count as ONE comma-joined cell — Spark "
+    "4's listagg(...) WITHIN GROUP (ORDER BY ...) against DuckDB's "
+    "string_agg(... ORDER BY ...), the deterministic form of the "
+    "report-cell aggregation that is silently nondeterministic "
+    "without the mandatory order clause. The rank window carries the "
+    "full (count DESC, name) tiebreak so the list CONTENT and ORDER "
+    "are both exact; the string comparison is a byte-exact hash "
+    "match. At 100 TB: one dim-broadcast join + segment-scale window "
+    "over nation-cardinality rows; listagg concatenates bounded "
+    "top-5 lists, never unbounded cells.",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cn = (
+        cust.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n_cust"), "n_name")
+    ranked = cn.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_listed"),
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY rn)"
+            ).alias("top_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -973,3 +973,19 @@ def test_vif_bounds(spark, sf_dir):
     assert len(pdf) == 3
     assert (pdf["vif"] >= 1.0 - 1e-9).all()
     assert ((pdf["r2_others"] >= -1e-9) & (pdf["r2_others"] < 1.0)).all()
+
+
+def test_mahalanobis_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_mahalanobis_outliers", sf_dir)
+
+
+def test_mahalanobis_monotone(spark, sf_dir):
+    """Outlier counts shrink as the fence widens; shares consistent."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["diag_mahalanobis_outliers"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 3
+    assert (pdf["n_outliers"].diff().dropna() <= 0).all()
+    assert (pdf["n_outliers"] <= pdf["n_rows"]).all()

@@ -404,3 +404,19 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     }
     v = lambda m: (rows[m][1] / rows[m][0]) if m in rows and rows[m][0] else 0.0
     assert abs(pdf["shapley_credit"].sum() - (v(7) - v(0))) < 1e-4
+
+
+def test_session_edit_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "seq_session_edit_distance", sf_dir)
+
+
+def test_session_edit_bounds(spark, sf_dir):
+    """Edit distance between two halves is bounded by the longer half."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["seq_session_edit_distance"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["edit_dist"] >= 0).all()
+    assert (pdf["n_users"] > 0).all()

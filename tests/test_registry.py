@@ -70,6 +70,9 @@ ROTATED_IN_R9_FIRST_TIME = [
     "diag_vif",
     "graph_rich_club",
     "text_term_burstiness",
+    "agg_listagg_ordered",
+    "diag_mahalanobis_outliers",
+    "seq_session_edit_distance",
 ]
 
 

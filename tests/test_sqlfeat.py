@@ -126,3 +126,21 @@ def test_sqlparam_binding_equals_inline(spark, sf_dir):
         """
     ).toPandas()
     assert got.equals(want)
+
+
+def test_listagg_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "agg_listagg_ordered", sf_dir)
+
+
+def test_listagg_shape(spark, sf_dir):
+    """<= 5 nations per segment, comma-joined, count column consistent."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["agg_listagg_ordered"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for _, r in pdf.iterrows():
+        names = r["top_nations"].split(",")
+        assert 1 <= len(names) <= 5
+        assert len(names) == r["n_listed"]
