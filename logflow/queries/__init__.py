@@ -103,6 +103,8 @@ PRIORITY: list[str] = [
     "agg_listagg_ordered",
     "diag_mahalanobis_outliers",
     "seq_session_edit_distance",
+    "ts_pacf",
+    "reco_item_item_jaccard",
     # ------- re-attestation fill: driver-green r8, stable plans -------
     "attribution_markov_removal",
     "division_covering_buyers",

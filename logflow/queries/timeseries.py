@@ -2988,3 +2988,136 @@ def ts_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             diff * diff / F.nullif(F.col("v1s").cast("double"), F.lit(0.0)), 6
         ).alias("logrank_chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson, lags 1..3) — the AR-order
+# selector on top of ts_autocorrelation's stationarity probe: PACF cuts
+# off after lag p exactly where an AR(p) model is the right fit.
+# --------------------------------------------------------------------------
+
+
+def _pacf_exprs() -> dict[str, str]:
+    """Durbin-Levinson recursion unrolled over the r1/r2/r3 columns —
+    generated ONCE and inlined verbatim into both engines (identical
+    operand order -> identical IEEE doubles)."""
+    p22 = "((r2 - r1*r1) / NULLIF(1.0 - r1*r1, 0.0))"
+    p21 = f"(r1 * (1.0 - {p22}))"
+    p33 = (
+        f"((r3 - {p21}*r2 - {p22}*r1)"
+        f" / NULLIF(1.0 - {p21}*r1 - {p22}*r2, 0.0))"
+    )
+    return {"p22": p22, "p33": p33}
+
+
+_PACF_E = _pacf_exprs()
+
+_PACF_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2)
+                         AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+lags AS (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3),
+pairs AS (
+  SELECT a.event_type, l.k, a.cents AS x, b.cents AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day - l.k),
+m AS (
+  SELECT event_type, k,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY event_type, k),
+acf AS (
+  SELECT event_type, k,
+         CAST(n*sxy - sx*sy AS DOUBLE)
+           / NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0) AS r
+  FROM m),
+piv AS (
+  SELECT event_type,
+         MAX(CASE WHEN k = 1 THEN r END) AS r1,
+         MAX(CASE WHEN k = 2 THEN r END) AS r2,
+         MAX(CASE WHEN k = 3 THEN r END) AS r3
+  FROM acf GROUP BY event_type)
+SELECT event_type,
+       ROUND(r1, 6) AS pacf1,
+       ROUND({_PACF_E["p22"]}, 6) AS pacf2,
+       ROUND({_PACF_E["p33"]}, 6) AS pacf3
+FROM piv
+ORDER BY event_type
+"""
+
+
+@register(
+    "ts_pacf",
+    _PACF_SQL,
+    doc="Partial autocorrelation at lags 1..3 per event type via the "
+    "unrolled Durbin-Levinson recursion — the AR-order selector (PACF "
+    "cuts off after lag p exactly where ts_ar1_forecast's model is "
+    "sufficient; a significant pacf2/pacf3 says reach for a higher-"
+    "order AR). Reuses ts_autocorrelation's exact machinery: calendar-"
+    "lag pairs on integer cents, exact BIGINT Pearson moments, one "
+    "identical IEEE r per lag; the recursion (phi22, phi21, phi33) is "
+    "expression text generated ONCE and inlined into both engines, "
+    "NULLIF-guarded at both unit-root denominators. A type lacking "
+    "lag-k pairs propagates NULL identically. At 100 TB: same "
+    "footprint as the ACF — day-scale lag joins, a 15-row moment "
+    "table, constant arithmetic after.",
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.round(
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2)
+            .cast("double")
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("cents").alias("y"),
+    )
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("day2") == F.date_sub(F.col("day"), F.col("k"))),
+        )
+        .select("event_type", "k", F.col("cents").alias("x"), "y")
+    )
+    m = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / F.nullif(
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+        F.lit(0.0),
+    )
+    acf = m.select("event_type", "k", r.alias("r"))
+    piv = acf.groupBy("event_type").agg(
+        F.max(F.when(F.col("k") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("k") == 3, F.col("r"))).alias("r3"),
+    )
+    return piv.select(
+        "event_type",
+        F.round("r1", 6).alias("pacf1"),
+        F.round(F.expr(_PACF_E["p22"]), 6).alias("pacf2"),
+        F.round(F.expr(_PACF_E["p33"]), 6).alias("pacf3"),
+    ).orderBy("event_type")

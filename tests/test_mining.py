@@ -420,3 +420,25 @@ def test_session_edit_bounds(spark, sf_dir):
     assert len(pdf) > 0
     assert (pdf["edit_dist"] >= 0).all()
     assert (pdf["n_users"] > 0).all()
+
+
+def test_item_item_jaccard_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "reco_item_item_jaccard", sf_dir)
+
+
+def test_item_item_jaccard_bounds(spark, sf_dir):
+    """Jaccard in (0, 1]; co-order count bounded by both item counts;
+    sorted by the fixed-point key with pair tiebreak."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["reco_item_item_jaccard"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        import pytest
+
+        pytest.skip("no pair reaches the co-order floor at this SF")
+    assert (pdf["n_co_orders"] <= pdf[["na", "nb"]].min(axis=1)).all()
+    assert ((pdf["jaccard"] > 0) & (pdf["jaccard"] <= 1.0)).all()
+    key = list(zip(-pdf["jaccard_fp"], pdf["item_a"], pdf["item_b"]))
+    assert key == sorted(key)

@@ -73,6 +73,8 @@ ROTATED_IN_R9_FIRST_TIME = [
     "agg_listagg_ordered",
     "diag_mahalanobis_outliers",
     "seq_session_edit_distance",
+    "ts_pacf",
+    "reco_item_item_jaccard",
 ]
 
 

@@ -842,3 +842,21 @@ def test_logrank_invariants(spark, sf_dir):
     assert row["o1"] >= 0 and row["v1"] >= 0
     if row["v1"] > 0:
         assert row["logrank_chi2"] >= 0
+
+
+def test_pacf_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_pacf", sf_dir)
+
+
+def test_pacf_lag1_equals_acf1(spark, sf_dir):
+    """pacf1 IS the lag-1 autocorrelation (Durbin-Levinson base case)."""
+    from logflow.queries import load_all
+
+    reg = load_all()
+    pacf = reg["ts_pacf"].fn(spark, sf_dir).toPandas().set_index("event_type")
+    acf = reg["ts_autocorrelation"].fn(spark, sf_dir).toPandas()
+    acf1 = acf[acf["lag_days"] == 1].set_index("event_type")["acf"]
+    for et, r1 in acf1.items():
+        assert abs(pacf.loc[et, "pacf1"] - r1) < 1e-9
