@@ -280,6 +280,64 @@ WHITELIST: dict[str, dict[str, str]] = {
         "b3 header parse (a few string ops per row); constraint inference "
         "is otherwise load-bearing for join pruning"
     },
+    # ------- round-9 crop: every BNLJ below is a crossJoin whose broadcast
+    # side is a CONSTANT-SIZE frame (1-row totals/moments, <=4-row
+    # threshold grids, per-bucket offset tables bounded by the bucket
+    # count) — the broadcast-the-model pattern, never a data-scale loop ----
+    "ml_class_prf1_report": {
+        "bnlj": "crossJoins of the 1-row kNN/NB confusion totals feeding "
+        "the macro/micro rollups"
+    },
+    "er_soundex_blocking": {
+        "bnlj": "crossJoin of the 1-row all-pairs/total aggregates (the "
+        "er_blocking_quality reduction-ratio pattern)"
+    },
+    "ml_decile_lift": {
+        "bnlj": "crossJoins of the 1-row GD weight vector (shared _lr_fit "
+        "broadcast-the-model), the 1-row decile totals, and the "
+        "bucket-count-bounded prefix-offset table from global_ntile"
+    },
+    "diag_lorenz_curve": {
+        "bnlj": "crossJoins of the 1-row decile-totals aggregate and the "
+        "bucket-count-bounded prefix-offset table from global_ntile"
+    },
+    "ts_logrank_test": {
+        "bnlj": "crossJoins of the 1-row study-end (MAX ts) censoring "
+        "cutoff and the 1-row statistic/arm-size aggregates"
+    },
+    "corpus_token_budget_fill": {
+        "bnlj": "crossJoins of the 1-row corpus-token-total (the budget) "
+        "and the bucket-count-bounded prefix-offset table from "
+        "global_running_sum"
+    },
+    "diag_jackknife_variance": {
+        "bnlj": "crossJoins of the 1-row grand-total and replicate-moment "
+        "aggregates (G-scale arithmetic, never a second data pass)"
+    },
+    "privacy_t_closeness": {
+        "bnlj": "crossJoin of the 1-row population band histogram (6 "
+        "conditional sums) against the QI-class table"
+    },
+    "diag_ks_exact_value": {
+        "bnlj": "crossJoins of the 1-row n1/n2 totals and the 1-row "
+        "max-gap aggregate"
+    },
+    "graph_rich_club": {
+        "bnlj": "crossJoin of the two 1-row conditional-sum frames (N_k "
+        "and E_k grids folded into single aggregates + stack)"
+    },
+    "text_term_burstiness": {
+        "bnlj": "crossJoin of the 1-row document-count aggregate (the "
+        "zero-cell fold-in denominator)"
+    },
+    "diag_mahalanobis_outliers": {
+        "bnlj": "crossJoin of the 1-row moment aggregate broadcast onto "
+        "the row scan (centroid + covariance as the model)"
+    },
+    "ts_pacf": {
+        "bnlj": "crossJoin of the 3-row lag grid (the ts_autocorrelation "
+        "pattern) feeding the calendar-lag self-join"
+    },
     # NOTE: knn_cosine_numpy / multimodal_features use Arrow-batched
     # mapInPandas, which shows as MapInPandas (not BatchEvalPython) and is
     # not a smell.
