@@ -30,6 +30,7 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+    from logflow.operators.cache import release_all
     from logflow.queries import load_all
     from tests.oracle import compare_frames
 
@@ -58,6 +59,16 @@ def main() -> int:
                 results[name] = {"status": "pass", "rows": len(spark_pdf), "err": None}
         except Exception:
             results[name] = {"status": "fail", "rows": None, "err": traceback.format_exc(limit=3)}
+        finally:
+            # Drop the query's tracked persists before moving on: 347
+            # queries' accumulated cached blocks otherwise exhaust the
+            # vanilla session's broadcast memory near the end of the
+            # sweep (ml_pca_power_iteration failed to broadcast a
+            # 64-float frame at sf0.1 in round 9 for exactly this
+            # reason — the driver runs one query per process and never
+            # sees the buildup).
+            release_all()
+            spark.catalog.clearCache()
         print(f"{results[name]['status']:9s} {name}", flush=True)
 
     n_pass = sum(1 for r in results.values() if r["status"] == "pass")

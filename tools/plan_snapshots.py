@@ -197,6 +197,25 @@ HEADLINERS: dict[str, str] = {
     "diag_group_median_arrow": "grouped Arrow UDF: one shuffle on the "
     "group key, per-group index selection on exact cents inside the "
     "Arrow kernel",
+    # ------- round-9 headliners -------
+    "graph_closeness_sampled": "multi-source BFS: (seed, node) frontier "
+    "joins edges per hop, localCheckpoint cuts per-hop lineage doubling; "
+    "the (seed, node) key shards the fan-out — no celebrity-seed hotspot",
+    "ml_decile_lift": "scored frame eager-persisted above the ntile "
+    "machinery's three branches; the decile cut is quantile-edge range "
+    "buckets + per-bucket row_number, never a single-partition sort",
+    "corpus_token_budget_fill": "distributed prefix sum on ONE BIGINT "
+    "order key; the budget threshold is an integer comparison, the "
+    "token totals broadcast",
+    "attribution_shapley": "one groupBy(user) with 4 conditional maxes, "
+    "an 8-row mask rollup, then constant-size game arithmetic — the "
+    "whole Shapley computation is one stage regardless of corpus size",
+    "diag_mahalanobis_outliers": "1-row moment aggregate broadcast onto "
+    "the row scan; the 3-threshold grid folds into one conditional-sum "
+    "pass + stack (no per-threshold rescans)",
+    "reco_item_item_jaccard": "basket pair fan-out bounded by "
+    "parts-per-order, w>=2 pruning BEFORE the item-frequency joins, "
+    "top-k via TakeOrderedAndProject",
 }
 
 
