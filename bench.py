@@ -26,14 +26,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _parse_shard(argv: list[str]) -> tuple[int, int]:
+    """`--shard i/n` runs every n-th registry query starting at i (0-based)
+    — mirrors tools/drivercheck.py sharding so close-of-round sweeps can
+    run as n parallel PROCESSES instead of one serial hour. Default 0/1
+    (the full registry; the driver's invocation is unchanged)."""
+    for a in argv:
+        if a.startswith("--shard"):
+            spec = a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1]
+            i, n = spec.split("/")
+            return int(i), int(n)
+    return 0, 1
+
+
 def main() -> None:
     from logflow.operators.cache import release_all
     from logflow.queries import load_all
     from logflow.session import get_spark
 
+    shard_i, shard_n = _parse_shard(sys.argv[1:])
     spark = get_spark(app_name="logflow-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
+    if shard_n > 1:
+        names = list(registry)[shard_i::shard_n]
+        registry = {n: registry[n] for n in names}
 
     # Warmup at the measured SF (codegen classes + JIT are plan-shape
     # specific); drop any caches a query materialized so the measured pass
@@ -65,7 +82,10 @@ def main() -> None:
     # The driver captures only the tail of stdout (~2 KB): print a compact
     # summary line ("queries" = slowest 5 only) and write the full
     # per-query timing map to bench_detail.json next to this script.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    detail_name = (
+        "bench_detail.json" if shard_n == 1 else f"bench_detail_{shard_i}of{shard_n}.json"
+    )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as fh:
         json.dump(
             {"metric": "total_query_sec", "value": total, "unit": "sec",
@@ -81,8 +101,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "max_sec": max(timings.values()) if timings else 0.0,
                 "queries": slowest,
-                "detail": "bench_detail.json",
+                "detail": detail_name,
                 "sf": SF_DIR,
+                **({"shard": f"{shard_i}/{shard_n}"} if shard_n > 1 else {}),
             }
         )
     )

@@ -92,6 +92,18 @@ def _offset_join(bucketed: DataFrame, value_col: Column) -> DataFrame:
     per-bucket totals are prefix-summed.  Adds ``__offset`` (sum of prior
     buckets' totals) and ``__grand`` (the global total) to every row.
     """
+    out = _offset_join_multi(bucketed, [value_col])
+    return out.withColumnRenamed("__offset0", "__offset").withColumnRenamed(
+        "__grand0", "__grand"
+    )
+
+
+def _offset_join_multi(bucketed: DataFrame, value_cols: list[Column]) -> DataFrame:
+    """:func:`_offset_join` for several quantities in ONE bucket-totals
+    pass: adds ``__offset{i}`` / ``__grand{i}`` per value column.  One
+    groupBy + one broadcast regardless of how many running sums ride the
+    same ordering (a second single-column call would pay a second
+    traversal of the bucketed subtree)."""
     totals_w = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -102,11 +114,19 @@ def _offset_join(bucketed: DataFrame, value_col: Column) -> DataFrame:
     # bucket count, not the data.
     offsets = (
         bucketed.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__ptotal"))
+        .agg(*[F.sum(v).alias(f"__ptotal{i}") for i, v in enumerate(value_cols)])
         .select(
             "__pid",
-            (F.sum("__ptotal").over(totals_w) - F.col("__ptotal")).alias("__offset"),
-            F.sum("__ptotal").over(all_w).cast("long").alias("__grand"),
+            *[
+                (F.sum(f"__ptotal{i}").over(totals_w) - F.col(f"__ptotal{i}")).alias(
+                    f"__offset{i}"
+                )
+                for i in range(len(value_cols))
+            ],
+            *[
+                F.sum(f"__ptotal{i}").over(all_w).cast("long").alias(f"__grand{i}")
+                for i in range(len(value_cols))
+            ],
         )
     )
     return bucketed.join(F.broadcast(offsets), "__pid")
@@ -118,17 +138,34 @@ def global_running_sum(
     """Cumulative sum of ``value_col`` in ``order_col`` order, inclusive of
     the current row — distributed via deterministic range buckets + offset
     join."""
+    return global_running_sums(df, order_col, [value_col], [out_col])
+
+
+def global_running_sums(
+    df: DataFrame, order_col: str, value_cols: list[str], out_cols: list[str]
+) -> DataFrame:
+    """Several cumulative sums sharing one ``order_col`` ordering, in ONE
+    range-bucket pass (one quantile probe, one per-bucket window, one
+    broadcast offset join — a per-column loop would multiply all three)."""
     bucketed = range_bucket_ids(df, [order_col])
     local_w = (
         Window.partitionBy("__pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = bucketed.withColumn("__local", F.sum(value_col).over(local_w))
-    return (
-        _offset_join(local, F.col(value_col))
-        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
-        .drop("__pid", "__local", "__offset", "__grand")
+    local = bucketed
+    for i, v in enumerate(value_cols):
+        local = local.withColumn(f"__local{i}", F.sum(v).over(local_w))
+    out = _offset_join_multi(local, [F.col(v) for v in value_cols])
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(
+            oc, (F.col(f"__local{i}") + F.col(f"__offset{i}")).cast("long")
+        )
+    return out.drop(
+        "__pid",
+        *[f"__local{i}" for i in range(len(value_cols))],
+        *[f"__offset{i}" for i in range(len(value_cols))],
+        *[f"__grand{i}" for i in range(len(value_cols))],
     )
 
 

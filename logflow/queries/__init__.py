@@ -59,16 +59,72 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: DuckDB parity at sf0.01 AND sf0.1 in tools/parity_all.py (artifacts:
 #: PARITY_FULL.json / PARITY_FULL_sf0.1.json).
 #:
-#: ROTATION (round 9): cumulative driver-green after r8 is 308/321; the
-#: only oracle-backed queries never driver-attested are the 9 round-8
-#: late-crop operators, so they take the head of the window, followed by
-#: the round-9 crop (first-time attestations). Remaining window slots
-#: fall through to stable re-attestations (all driver-green r7/r8).
-#: Every query rotated OUT stays parity-checked at both SFs every round
-#: (PARITY_FULL artifacts). tests/test_registry.py pins the rotated-in
-#: set.
+#: ROTATION (round 10): cumulative driver-green after r9 is 343/347 (the
+#: 4 rows-only sketches are never attestable); no oracle-backed query is
+#: un-attested, so the window spends its slots on (a) the round-10 crop
+#: (first-time attestations) and (b) the OLDEST green cohort — queries
+#: last driver-attested in rounds 1-3 whose testdata has regenerated six+
+#: times since (r1: 8, r2: 19, r3: the first 17 by name). Every query
+#: rotated OUT stays parity-checked at both SFs every round (PARITY_FULL
+#: artifacts). tests/test_registry.py pins the rotated-in set.
 PRIORITY: list[str] = [
-    # ------- round-8 late crop (9, oracle-backed, first attestation) -------
+    # ------- round-10 crop (first-time attestations) -------
+    "ab_benjamini_hochberg",
+    "cluster_dbscan_grid",
+    "er_fellegi_sunter",
+    "ts_holt_winters",
+    "ml_learning_curve",
+    "graph_betweenness_sampled",
+    # ------- re-attest: last driver-attested round 1 -------
+    "agg_cube_orders",
+    "agg_rollup_lineitem",
+    "dedup_ngram_jaccard",
+    "join_anti_dormant",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_count",
+    "text_vocab_topk",
+    # ------- re-attest: last driver-attested round 2 -------
+    "agg_collect_user_journey",
+    "agg_distinct_per_segment",
+    "agg_grouping_sets",
+    "agg_pivot_event_types",
+    "dedup_first_event",
+    "join_broadcast_dims",
+    "join_full_outer_daily",
+    "join_semi_buyers",
+    "scalar_array_map_suite",
+    "scalar_datetime_monthly",
+    "scalar_json_props",
+    "scalar_string_suite",
+    "setops_customer_cohorts",
+    "subquery_exists_late_orders",
+    "topk_orders",
+    "unpivot_returnflag_measures",
+    "window_lead_gap",
+    "window_ntile_cume",
+    "window_top3_orders_per_customer",
+    # ------- re-attest: last driver-attested round 3 (first 18) -------
+    "cdc_apply_upsert",
+    "contamination_ngram_overlap",
+    "corpus_build_pipeline",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "events_sliding_2h",
+    "events_tumbling_hourly",
+    "funnel_signup_click_purchase",
+    "join_asof_purchase_click",
+    "join_bucketed_revenue",
+    "join_range_bands",
+    "join_salted_skew",
+    "knn_cosine_brute",
+    "knn_cosine_ivf",
+    "ks_click_purchase_drift",
+    # ------- tail: driver-green in r4-r9 or rows-only; parity-checked
+    # at BOTH SFs every round (PARITY_FULL artifacts) -------
+    "maintenance_compact_files",
     "graph_clustering_coefficient",
     "finance_pvm_bridge",
     "ts_cumulative_reach",
@@ -78,7 +134,6 @@ PRIORITY: list[str] = [
     "ab_srm_check",
     "multimodal_image_histogram",
     "diag_ols_influence",
-    # ------- round-9 crop (all oracle-backed, first attestation) -------
     "ts_croston_forecast",
     "ts_forecast_accuracy",
     "ml_class_prf1_report",
@@ -105,7 +160,6 @@ PRIORITY: list[str] = [
     "seq_session_edit_distance",
     "ts_pacf",
     "reco_item_item_jaccard",
-    # ------- re-attestation fill: driver-green r8, stable plans -------
     "attribution_markov_removal",
     "division_covering_buyers",
     "text_zipf_fit",
@@ -149,8 +203,6 @@ PRIORITY: list[str] = [
     "privacy_l_diversity",
     "ab_two_proportion_ztest",
     "ab_power_analysis",
-    # ------- tail: driver-green in CORRECTNESS_r01..r08 or rows-only;
-    # parity-checked at BOTH SFs every round (PARITY_FULL artifacts) -------
     "agg_approx_distinct",
     "agg_approx_percentile",
     "diag_hll_sketch_union",
@@ -356,13 +408,7 @@ PRIORITY: list[str] = [
     "bpe_merge_steps",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "join_range_bands",
-    "join_asof_purchase_click",
-    "join_salted_skew",
-    "join_bucketed_revenue",
     "scalar_codec_int_serde",
-    "events_tumbling_hourly",
-    "events_sliding_2h",
     "sessionize_events",
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -371,55 +417,16 @@ PRIORITY: list[str] = [
     "q16_part_supplier_stats",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
-    "cdc_apply_upsert",
     "scd2_customer_history",
-    "contamination_ngram_overlap",
     "source_custom_wirelog",
     "source_json_events",
     "source_csv_orders",
     "scan_schema_evolution",
-    "maintenance_compact_files",
-    "funnel_signup_click_purchase",
     "retention_weekly_cohorts",
     "subquery_exists_not_exists",
-    "ks_click_purchase_drift",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_cluster_canonical",
-    "knn_cosine_brute",
-    "knn_cosine_ivf",
-    "corpus_build_pipeline",
     "text_robust_zscore",
     "multimodal_meta_summary",
     "multimodal_frame_sample",
-    "join_broadcast_dims",
-    "join_semi_buyers",
-    "join_full_outer_daily",
-    "window_top3_orders_per_customer",
-    "window_lead_gap",
-    "window_ntile_cume",
-    "topk_orders",
-    "setops_customer_cohorts",
-    "dedup_first_event",
-    "scalar_string_suite",
-    "scalar_json_props",
-    "scalar_datetime_monthly",
-    "scalar_array_map_suite",
-    "agg_grouping_sets",
-    "agg_distinct_per_segment",
-    "agg_collect_user_journey",
-    "agg_pivot_event_types",
-    "unpivot_returnflag_measures",
-    "subquery_exists_late_orders",
-    "agg_rollup_lineitem",
-    "text_lang_id",
-    "text_token_count",
-    "text_fingerprint",
-    "dedup_ngram_jaccard",
-    "text_vocab_topk",
-    "join_anti_dormant",
-    "agg_cube_orders",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

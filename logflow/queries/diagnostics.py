@@ -3730,6 +3730,7 @@ ORDER BY decile
     "range-bucket shuffle for the cut, constant-size everything after.",
 )
 def diag_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
     from logflow.operators.packing import global_ntile
 
     cust = load_table(spark, "customer", sf_dir)
@@ -3753,6 +3754,11 @@ def diag_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    # eager-persist above the fork: spend feeds global_ntile's
+    # approxQuantile probe + offsets branch + main branch — unpersisted,
+    # the customer⋈orders rollup re-executes 3× (r9 ADVICE).
+    spend = track(spend.persist())
+    spend.count()
     tiled = global_ntile(spend, ["cents", "c_custkey"], _LORENZ_TILES, "decile")
     d = tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -3844,6 +3850,8 @@ FROM m CROSS JOIN tot
     "diag_bootstrap_ci's Poisson replicates.",
 )
 def diag_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
     o = orders.join(
@@ -3855,10 +3863,20 @@ def diag_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    g = o.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum("cents").cast("long").alias("s_g"),
+    # eager-persist above the fork: g (group-scale, ~25 rows) feeds the tot
+    # aggregate AND the reps projection, and tot itself is broadcast twice
+    # — unpersisted, the orders⋈customer rollup re-executes per branch
+    # (r9 ADVICE).
+    g = track(
+        o.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("cents").cast("long").alias("s_g"),
+        )
+        .coalesce(1)
+        .persist()
     )
+    g.count()
     tot = g.agg(
         F.count(F.lit(1)).cast("long").alias("gg"),
         F.sum("n_g").cast("long").alias("n"),
@@ -3963,7 +3981,12 @@ LIMIT 40
     "t_k*n_g, exact BIGINTs; bounded by n_g*N*m ~ 1e11 at sf0.1) as "
     "explicit left-associated 6-band expressions — no window, no float "
     "until the single final division, which is identical IEEE both "
-    "engines. Top-40 worst classes with full key tiebreak. At 100 TB: "
+    "engines. Precondition: the n_g*N*m bound crosses int64 around "
+    "N ~ 4e8 rows with m=6 (hot classes first); past that, widen the "
+    "prefix-diff terms to DECIMAL(38,0) (int128 in DuckDB per the "
+    "width>18 rule — the diag_mahalanobis_outliers path) with "
+    "identical semantics. Top-40 worst classes with full key tiebreak. "
+    "At 100 TB: "
     "ONE map-side-combined groupBy to QI-class scale with 6 "
     "conditional sums + a broadcast 1-row population histogram — the "
     "audit costs one aggregate regardless of class count.",
@@ -4076,14 +4099,20 @@ def diag_ks_exact_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c2"),
     )
+    from logflow.operators.cache import track
+    from logflow.operators.packing import global_running_sums
+
+    # eager-persist above the fork: d feeds the totals aggregate plus the
+    # prefix-sum's probe/offsets/main branches (r9 ADVICE).
+    d = track(d.persist())
+    d.count()
     t = d.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
     )
-    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r = d.select(
-        F.sum("c1").over(w).cast("long").alias("r1"),
-        F.sum("c2").over(w).cast("long").alias("r2"),
-    )
+    # both ECDF running sums in ONE distributed range-bucket prefix pass —
+    # the doc's 100 TB claim implemented, not a single-task global window
+    # (y is unique post-groupBy, so the ordering needs no tiebreak).
+    r = global_running_sums(d, "y", ["c1", "c2"], ["r1", "r2"]).select("r1", "r2")
     m = r.crossJoin(F.broadcast(t)).agg(
         F.max(F.abs(F.col("r1") * F.col("n2") - F.col("r2") * F.col("n1")))
         .cast("long")
@@ -4359,4 +4388,227 @@ def diag_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_share"),
         )
         .orderBy("chi2_threshold")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the A/B suite's per-metric z-tests — the
+# multiple-comparisons gate a metrics platform runs when one experiment
+# reads out MANY metrics: control the expected fraction of false
+# discoveries at q, not the per-test alpha.
+# --------------------------------------------------------------------------
+
+_BH_Q_NUM, _BH_Q_DEN = 1, 10  # q = 0.10
+_BH_MMAX = 10  # literal grid covers any family size up to 10
+
+
+def _bh_grid() -> list[tuple[int, int, float]]:
+    """(k, m, zcrit) for every 1 <= k <= m <= _BH_MMAX, where zcrit is the
+    two-sided z threshold equivalent to the BH rung p <= (k/m)*q:
+    zcrit = Phi^-1(1 - (k*q/m)/2).  Computed ONCE in Python and inlined as
+    identical literals into both engines — the BH comparison then never
+    evaluates a normal CDF in-engine (no exp/erf ulp exposure at all; the
+    z-space form of the test is exactly equivalent because p(z) is
+    strictly decreasing in |z|)."""
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    q = _BH_Q_NUM / _BH_Q_DEN
+    return [
+        (k, m, nd.inv_cdf(1.0 - (k * q / m) / 2.0))
+        for m in range(1, _BH_MMAX + 1)
+        for k in range(1, m + 1)
+    ]
+
+
+_BH_GRID_SQL = ", ".join(f"({k}, {m}, {z!r})" for k, m, z in _bh_grid())
+
+
+@register(
+    "ab_benjamini_hochberg",
+    f"""
+WITH e AS (
+  SELECT user_id, event_type, value,
+         date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS tsm
+  FROM events),
+mid AS (SELECT (MIN(tsm) + MAX(tsm)) // 2 AS m FROM e),
+u AS (
+  SELECT event_type, user_id,
+         CAST(concat('0x', substr(md5(concat('arm:', CAST(user_id AS VARCHAR))),
+              1, 8)) AS BIGINT) % 2 AS arm,
+         CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))) * 100 AS BIGINT) AS post
+  FROM e CROSS JOIN mid WHERE tsm >= m GROUP BY event_type, user_id),
+g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN arm = 0 THEN post*post ELSE 0 END) AS BIGINT) AS ss0,
+         CAST(SUM(CASE WHEN arm = 1 THEN post*post ELSE 0 END) AS BIGINT) AS ss1
+  FROM u GROUP BY event_type),
+z AS (
+  SELECT event_type, n0, n1,
+         (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         / NULLIF(sqrt(
+             CAST(n0*ss0 - s0*s0 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))
+               / CAST(n0 AS DOUBLE)
+             + CAST(n1*ss1 - s1*s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+               / CAST(n1 AS DOUBLE)), 0.0) AS zval
+  FROM g WHERE n0 >= 2 AND n1 >= 2),
+zr AS (
+  SELECT event_type, n0, n1, zval,
+         CAST(ROW_NUMBER() OVER (ORDER BY ROUND(abs(zval), 6) DESC, event_type)
+              AS BIGINT) AS rnk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM z WHERE zval IS NOT NULL),
+grid AS (SELECT k, gm, CAST(zcrit AS DOUBLE) AS zcrit
+         FROM (VALUES {_BH_GRID_SQL}) AS t(k, gm, zcrit)),
+j AS (
+  SELECT zr.event_type, zr.n0, zr.n1, zr.zval, zr.rnk, zr.m, grid.zcrit,
+         CASE WHEN ROUND(abs(zr.zval), 6) >= grid.zcrit THEN zr.rnk END AS hitk
+  FROM zr JOIN grid ON grid.k = zr.rnk AND grid.gm = zr.m),
+km AS (SELECT MAX(hitk) AS kmax FROM j)
+SELECT event_type, n0, n1,
+       ROUND(zval, 6) AS z,
+       rnk AS rank,
+       ROUND(zcrit, 6) AS z_critical,
+       CAST(CASE WHEN kmax IS NOT NULL AND rnk <= kmax THEN 1 ELSE 0 END
+            AS BIGINT) AS rejected
+FROM j CROSS JOIN km
+ORDER BY rank
+""",
+    doc="Benjamini-Hochberg FDR (q=0.10) across the A/B experiment's "
+    "per-metric readouts: one Welch-style two-sample z per event_type "
+    "(arm means of per-user post-period spend; same md5 arm hash and "
+    "exact-micros midpoint as the whole _ab_user_frame suite, so the "
+    "family shares the experiment's arms/splits), then the BH step-up "
+    "rule in Z-SPACE — the rung p_(k) <= (k/m)q is equivalently "
+    "|z|_(k) >= Phi^-1(1-(kq/m)/2), and those thresholds are a "
+    "(k, m) literal grid inlined identically into both engines, so NO "
+    "normal CDF (no exp/erf ulp risk) is ever evaluated in-engine. "
+    "z itself is one identical IEEE expression over exact BIGINT "
+    "moments (NULLIF-guarded denominator), ranked by its 6dp rounding "
+    "with the event_type tiebreak (the rank-on-rounded rule). "
+    "Precondition: n*ss terms cross int64 around ~1e5 users with "
+    "1e6-cent spends — widen to DECIMAL(38,0) past that. At 100 TB: "
+    "one (type,user) shuffle, one type-scale moment rollup; the BH "
+    "step-up runs on the metric-family domain (here <= 5 rows).",
+)
+def ab_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("tsm"),
+    )
+    mid = e.agg(F.expr("(MIN(tsm) + MAX(tsm)) DIV 2").alias("m"))
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .filter(F.col("tsm") >= F.col("m"))
+        .groupBy("event_type", "user_id")
+        .agg(
+            (F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")) * 100)
+            .cast("long")
+            .alias("post")
+        )
+        .select("event_type", "user_id", arm.alias("arm"), "post")
+    )
+    g = u.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post") * F.col("post")).otherwise(0))
+        .cast("long")
+        .alias("ss0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post") * F.col("post")).otherwise(0))
+        .cast("long")
+        .alias("ss1"),
+    )
+    zval = F.expr(
+        "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+        " / NULLIF(sqrt("
+        " CAST(n0*ss0 - s0*s0 AS DOUBLE)"
+        " / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))"
+        " / CAST(n0 AS DOUBLE)"
+        " + CAST(n1*ss1 - s1*s1 AS DOUBLE)"
+        " / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))"
+        " / CAST(n1 AS DOUBLE)), 0.0)"
+    )
+    z = (
+        g.filter((F.col("n0") >= 2) & (F.col("n1") >= 2))
+        .select("event_type", "n0", "n1", zval.alias("zval"))
+        .filter(F.col("zval").isNotNull())
+    )
+    # metric-family-domain window (<= #event_types rows): bounded
+    w = Window.orderBy(F.desc(F.round(F.abs(F.col("zval")), 6)), "event_type")
+    # eager-persist above the fork: the metric-family frame feeds both the
+    # kmax aggregate and the final projection — unpersisted, the events
+    # scan + user rollup re-execute per branch.
+    zr = track(
+        z.select(
+            "event_type",
+            "n0",
+            "n1",
+            "zval",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+        )
+        .coalesce(1)
+        .persist()
+    )
+    zr.count()
+    grid = spark.createDataFrame(_bh_grid(), "k long, gm long, zcrit double")
+    j = zr.join(
+        F.broadcast(grid),
+        (F.col("k") == F.col("rnk")) & (F.col("gm") == F.col("m")),
+    ).select(
+        "event_type",
+        "n0",
+        "n1",
+        "zval",
+        "rnk",
+        "zcrit",
+        F.when(
+            F.round(F.abs(F.col("zval")), 6) >= F.col("zcrit"), F.col("rnk")
+        ).alias("hitk"),
+    )
+    km = j.agg(F.max("hitk").alias("kmax"))
+    return (
+        j.crossJoin(F.broadcast(km))
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            F.round("zval", 6).alias("z"),
+            F.col("rnk").alias("rank"),
+            F.round("zcrit", 6).alias("z_critical"),
+            F.when(F.col("kmax").isNotNull() & (F.col("rnk") <= F.col("kmax")), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rejected"),
+        )
+        .orderBy("rank")
     )

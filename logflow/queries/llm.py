@@ -87,14 +87,24 @@ _KM_CTES, _KM_FINAL = _dd_kmeans_ctes(_KMEANS_ITERS)
 
 def _trained_centroids(spark: "SparkSession", sf_dir: str):
     """Shared Spark side: seeds = the 8 lowest-id vectors, then
-    ``_KMEANS_ITERS`` exact-arithmetic Lloyd updates over the corpus."""
+    ``_KMEANS_ITERS`` exact-arithmetic Lloyd updates over the corpus.
+
+    The corpus frame is eager-persisted ABOVE every consumer fork (the
+    HITS persist-above-the-fork rule): the training loop scans it
+    ``_KMEANS_ITERS`` times inside one job and the callers
+    (knn_ivf_kmeans / knn_recall_eval / pq trainers) each scan it 1-3
+    more times across assignment + truth branches — unpersisted, each
+    branch re-reads parquet and recomputes norms (knn_recall_eval's r9
+    driver outlier). track()ed so release_all() reclaims it."""
+    from logflow.operators.cache import track
     from logflow.operators.similarity import kmeans_iterate
 
     emb = load_table(spark, "embeddings", sf_dir)
     seeds = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    corpus = emb.filter(F.col("vec_id") >= 10)
+    corpus = track(emb.filter(F.col("vec_id") >= 10).persist())
+    corpus.count()
     return corpus, kmeans_iterate(
         corpus, seeds, "vec_id", "embedding", iters=_KMEANS_ITERS
     )
@@ -3779,6 +3789,14 @@ ORDER BY source
     "range-bucket shuffle for the prefix sum; never a global sort.",
 )
 def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Precondition: okey = (QS - q_fp) * KEYW + doc_id requires
+    # doc_id < _BUDGET_KEYW (1e10) — beyond that the composite key would
+    # mis-order across quality levels and (QS * KEYW ~ 1e16) leaves ~900×
+    # int64 headroom, so the guard is the id domain, not the arithmetic.
+    # For wider id spaces, order by the (q_fp DESC, doc_id) pair instead
+    # (global_running_sum accepts any orderable key column — build a
+    # negated-quality struct) rather than growing KEYW.
+    from logflow.operators.cache import track
     from logflow.operators.packing import global_running_sum
 
     docs = load_table(spark, "documents", sf_dir)
@@ -3805,6 +3823,12 @@ def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("okey"),
         )
     )
+    # eager-persist above the fork: d feeds the tot aggregate PLUS
+    # global_running_sum's approxQuantile probe, offsets branch, and main
+    # branch — unpersisted, the tokenize+groupBy+join lineage re-executes
+    # 3-4× (the ml_decile_lift multi-branch lesson, r9 ADVICE).
+    d = track(d.persist())
+    d.count()
     tot = d.agg(F.sum("n_tok").cast("long").alias("tot"))
     r = global_running_sum(d, "okey", "n_tok", out_col="cum").crossJoin(
         F.broadcast(tot)
@@ -3920,4 +3944,160 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("burstiness_fp"), "term")
         .limit(_BURST_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage scoring — the decision layer
+# on top of the blocking/verification machinery: per-field agreement
+# patterns weighted by log2(m/u) literals, summed into a match score.
+# --------------------------------------------------------------------------
+
+#: (field, m, u): m = P(agree | match), u = P(agree | non-match). Fixed
+#: model parameters (the values an EM fit on labeled pairs would produce),
+#: turned into fixed-point log2 weight LITERALS in Python below — the
+#: engines only ever sum integers.
+_FS_MU = [
+    ("soundex_tail", 0.90, 0.05),
+    ("exact_tail", 0.85, 0.02),
+    ("lev3_name", 0.95, 0.01),
+    ("first_token", 0.60, 0.10),
+    ("len_diff2", 0.90, 0.50),
+]
+_FS_SCALE = 1_000_000
+_FS_UPPER = 4 * _FS_SCALE  # >= 4 bits of evidence -> match
+_FS_LOWER = 0  # [0, 4) bits -> possible (clerical review)
+
+
+def _fs_weights() -> list[tuple[str, int, int]]:
+    from math import log2
+
+    return [
+        (
+            f,
+            round(log2(m / u) * _FS_SCALE),
+            round(log2((1.0 - m) / (1.0 - u)) * _FS_SCALE),
+        )
+        for f, m, u in _FS_MU
+    ]
+
+
+def _fs_sql() -> str:
+    sdx = _soundex_expr("tail", duck=True)
+    ws = _fs_weights()
+    score = " + ".join(
+        f"CASE WHEN g{i} = 1 THEN {wa} ELSE {wd} END"
+        for i, (_, wa, wd) in enumerate(ws)
+    )
+    return f"""
+WITH s AS (SELECT DISTINCT p_name FROM part ORDER BY p_name LIMIT 256),
+k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS tail,
+             string_split(p_name, ' ')[1] AS head FROM s),
+k2 AS (SELECT p_name, tail, head, {sdx} AS sdx FROM k),
+pairs AS (
+  SELECT CASE WHEN a.sdx = b.sdx THEN 1 ELSE 0 END AS g0,
+         CASE WHEN a.tail = b.tail THEN 1 ELSE 0 END AS g1,
+         CASE WHEN levenshtein(a.p_name, b.p_name) <= 3 THEN 1 ELSE 0 END AS g2,
+         CASE WHEN a.head = b.head THEN 1 ELSE 0 END AS g3,
+         CASE WHEN abs(length(a.p_name) - length(b.p_name)) <= 2
+              THEN 1 ELSE 0 END AS g4,
+         CASE WHEN levenshtein(a.p_name, b.p_name) <= 3 THEN 1 ELSE 0 END
+           AS is_truth
+  FROM k2 a JOIN k2 b ON a.p_name < b.p_name),
+scored AS (
+  SELECT concat(g0, g1, g2, g3, g4) AS pattern,
+         CAST({score} AS BIGINT) AS score_fp, is_truth
+  FROM pairs)
+SELECT pattern,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(is_truth) AS BIGINT) AS n_truth,
+       score_fp,
+       ROUND(CAST(score_fp AS DOUBLE) / {_FS_SCALE}.0, 6) AS score_bits,
+       CASE WHEN score_fp >= {_FS_UPPER} THEN 'match'
+            WHEN score_fp >= {_FS_LOWER} THEN 'possible'
+            ELSE 'nonmatch' END AS decision
+FROM scored
+GROUP BY pattern, score_fp
+ORDER BY score_fp DESC, pattern
+"""
+
+
+@register(
+    "er_fellegi_sunter",
+    _fs_sql(),
+    doc="Fellegi-Sunter (1969) probabilistic record-linkage scoring over "
+    "the ER suite's bounded 256-name pair domain: five field "
+    "comparators (soundex-of-last-token, exact last token, "
+    "Levenshtein<=3 on the full name, first token, length-within-2) "
+    "form a 5-bit agreement pattern per pair, and the match score is "
+    "the sum of per-field log2(m/u) agreement weights / "
+    "log2((1-m)/(1-u)) disagreement weights with (m, u) FIXED model "
+    "literals — the weights are precomputed in Python to 1e6 "
+    "fixed-point INTEGER literals inlined identically into both "
+    "engines, so the engines only ever sum integers (zero float-"
+    "summation exposure; the composing-literals recipe from "
+    "ab_sprt_monitor). Decision bands: >= 4 evidence bits = match, "
+    ">= 0 = possible (clerical review), else nonmatch. Reported at "
+    "PATTERN scale (<= 32 rows) with truth overlap from the same "
+    "Levenshtein<=3 verifier as er_blocking_quality. At 100 TB: "
+    "patterns/scores are map-side per-pair expressions over blocked "
+    "candidates (the all-pairs side here is the LIMIT-256 audit "
+    "contract), and the report is one pattern-scale rollup.",
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    s = part.select("p_name").distinct().orderBy("p_name").limit(256)
+    k2 = s.select(
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("tail"),
+        F.element_at(F.split(F.col("p_name"), " "), 1).alias("head"),
+    ).withColumn("sdx", F.expr(_soundex_expr("tail", duck=False)))
+    a, b = k2.alias("a"), k2.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    gs = [
+        F.when(F.col("a.sdx") == F.col("b.sdx"), 1).otherwise(0).alias("g0"),
+        F.when(F.col("a.tail") == F.col("b.tail"), 1).otherwise(0).alias("g1"),
+        F.when(lev <= 3, 1).otherwise(0).alias("g2"),
+        F.when(F.col("a.head") == F.col("b.head"), 1).otherwise(0).alias("g3"),
+        F.when(
+            F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2, 1
+        )
+        .otherwise(0)
+        .alias("g4"),
+    ]
+    pairs = a.join(b, F.col("a.p_name") < F.col("b.p_name")).select(
+        *gs, F.when(lev <= 3, 1).otherwise(0).alias("is_truth")
+    )
+    ws = _fs_weights()
+    score = None
+    for i, (_, wa, wd) in enumerate(ws):
+        term = F.when(F.col(f"g{i}") == 1, F.lit(wa)).otherwise(F.lit(wd))
+        score = term if score is None else score + term
+    scored = pairs.select(
+        F.concat(*[F.col(f"g{i}").cast("string") for i in range(len(ws))]).alias(
+            "pattern"
+        ),
+        score.cast("long").alias("score_fp"),
+        "is_truth",
+    )
+    return (
+        scored.groupBy("pattern", "score_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("is_truth").cast("long").alias("n_truth"),
+        )
+        .select(
+            "pattern",
+            "n_pairs",
+            "n_truth",
+            "score_fp",
+            F.round(F.col("score_fp").cast("double") / _FS_SCALE, 6).alias(
+                "score_bits"
+            ),
+            F.when(F.col("score_fp") >= _FS_UPPER, "match")
+            .when(F.col("score_fp") >= _FS_LOWER, "possible")
+            .otherwise("nonmatch")
+            .alias("decision"),
+        )
+        .orderBy(F.desc("score_fp"), "pattern")
     )

@@ -1723,3 +1723,133 @@ def reco_item_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.orderBy(F.desc("jaccard_fp"), "item_a", "item_b").limit(_IIJ_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Grid-cell DBSCAN over the (quantity, price) plane — density clustering
+# restructured to CELL scale: quantize points to an exact integer grid,
+# call a cell dense when it carries at least the mean per-cell load, and
+# merge 8-adjacent dense cells with the connected-components machinery.
+# --------------------------------------------------------------------------
+
+_DBSCAN_PRICE_BIN = 2000.0  # price band width; quantity is already integer
+_DBSCAN_KEYW = 1000  # cell key = cx * KEYW + cy (cy < KEYW by construction)
+
+_DBSCAN_OFFSETS = [
+    (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+]
+
+
+@register(
+    "cluster_dbscan_grid",
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS cx,
+         CAST(FLOOR(l_extendedprice / {_DBSCAN_PRICE_BIN}) AS BIGINT) AS cy
+  FROM lineitem),
+cells AS (
+  SELECT cx, cy, cx * {_DBSCAN_KEYW} + cy AS key,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pts GROUP BY cx, cy),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_pts,
+               CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+dense AS (
+  SELECT c.cx, c.cy, c.key, c.cnt FROM cells c CROSS JOIN tot
+  WHERE c.cnt * tot.n_cells >= tot.n_pts),
+off AS (SELECT * FROM (VALUES {", ".join(f"({dx}, {dy})" for dx, dy in _DBSCAN_OFFSETS)}) AS o(dx, dy)),
+e AS (
+  SELECT a.key AS u, b.key AS v
+  FROM dense a CROSS JOIN off
+  JOIN dense b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
+  WHERE a.key < b.key),
+bid AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+lab AS (
+  SELECT key AS id, key AS comp FROM dense
+  UNION
+  SELECT bid.v AS id, lab.comp FROM lab JOIN bid ON bid.u = lab.id),
+cl AS (SELECT id, MIN(comp) AS comp FROM lab GROUP BY id)
+SELECT CAST(cl.comp AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(d.cnt) AS BIGINT) AS n_points,
+       CAST(MIN(d.cx) AS BIGINT) AS qty_min,
+       CAST(MAX(d.cx) AS BIGINT) AS qty_max,
+       CAST(MIN(d.cy) AS BIGINT) AS price_band_min,
+       CAST(MAX(d.cy) AS BIGINT) AS price_band_max
+FROM cl JOIN dense d ON d.key = cl.id
+GROUP BY cl.comp
+ORDER BY cluster_id
+""",
+    doc="Grid-cell DBSCAN over (l_quantity, l_extendedprice): points "
+    f"quantize to EXACT integer cells (quantity x {_DBSCAN_PRICE_BIN:.0f}-"
+    "wide price bands — floor on positive doubles, engine-identical), a "
+    "cell is dense iff cnt * n_cells >= n_points (at-least-mean load: "
+    "scale-free, pure BIGINT — no float epsilon anywhere), and clusters "
+    "are connected components of the 8-adjacency graph over dense cells "
+    "(grid DBSCAN a la Gunawan 2013: cell-level density + neighbor-cell "
+    "merge approximates point DBSCAN with eps = one cell, at CELL-scale "
+    "cost). Spark merges with the Kiveris two-phase CC operator "
+    "(diameter-proof, the graph_cc_two_phase machinery) plus self-loop "
+    "seeds so singleton dense cells survive; the oracle is the exact "
+    "recursive-CTE transitive min over the same bidirected cell graph — "
+    "integer min labels, so convergence equals the closure EXACTLY. "
+    "Noise = points in sparse cells, deliberately not emitted (the "
+    "report is cluster-scale). At 100 TB: ONE map-side-combined "
+    "groupBy to the bounded cell domain (~2.6k cells here), then "
+    "everything — density rule, adjacency equi-join on shifted cells, "
+    "CC, rollup — runs at cell scale; the point set is never joined "
+    "or sorted.",
+)
+def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+    from logflow.operators.graph import two_phase_connected_components
+
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = li.select(
+        F.round("l_quantity", 0).cast("long").alias("cx"),
+        F.floor(F.col("l_extendedprice") / _DBSCAN_PRICE_BIN).cast("long").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = cells.select(
+        "cx", "cy", (F.col("cx") * _DBSCAN_KEYW + F.col("cy")).alias("key"), "cnt"
+    )
+    tot = cells.agg(
+        F.sum("cnt").cast("long").alias("n_pts"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    # eager-persist above the fork: the dense-cell frame (bounded by the
+    # grid domain) feeds the adjacency join twice, the self-loop seeds,
+    # and the final rollup join — unpersisted, the full point-scale
+    # groupBy re-executes per branch.
+    dense = track(
+        cells.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * F.col("n_cells") >= F.col("n_pts"))
+        .select("cx", "cy", "key", "cnt")
+        .coalesce(1)
+        .persist()
+    )
+    dense.count()
+    off = spark.createDataFrame(_DBSCAN_OFFSETS, "dx long, dy long")
+    probe = dense.crossJoin(F.broadcast(off)).select(
+        F.col("key").alias("u"),
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        (F.col("cy") + F.col("dy")).alias("ny"),
+    )
+    e = probe.join(
+        F.broadcast(dense.select(F.col("cx").alias("nx"), F.col("cy").alias("ny"), F.col("key").alias("v"))),
+        ["nx", "ny"],
+    ).filter(F.col("u") < F.col("v")).select("u", "v")
+    loops = dense.select(F.col("key").alias("u"), F.col("key").alias("v"))
+    comp = two_phase_connected_components(e.unionByName(loops))
+    return (
+        comp.join(dense, comp["node"] == dense["key"])
+        .groupBy(F.col("comp").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("cnt").cast("long").alias("n_points"),
+            F.min("cx").cast("long").alias("qty_min"),
+            F.max("cx").cast("long").alias("qty_max"),
+            F.min("cy").cast("long").alias("price_band_min"),
+            F.max("cy").cast("long").alias("price_band_max"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -277,9 +277,13 @@ def _lr_fit(spark: SparkSession, sf_dir: str):
         F.lit(0).cast("long"),
         lambda a, e: a + term(e),
     ).alias(f"x{j + 1}")
-    # coalesced: the feature frame is rows × 6 longs (tiny at any SF that
-    # fits one machine) and every GD step re-reads it — without this each
-    # of the 4 passes pays 32-task scheduling overhead (CLAUDE.md rule)
+    # repartition(4), NOT coalesce(4): coalesce collapses the parquet scan
+    # + HOF block-sum build itself to 4 tasks; repartition keeps the build
+    # at full scan width and only the cached frame (rows × 6 longs, tiny)
+    # lands in 4 partitions, so the 4 downstream GD passes avoid 32-task
+    # scheduling overhead without serializing the expensive pass. Eager
+    # (count()) so the build runs ONCE as its own job instead of inside
+    # the first broadcast-exchange job of the GD chain.
     feat = track(
         emb.select(
             "vec_id",
@@ -287,9 +291,10 @@ def _lr_fit(spark: SparkSession, sf_dir: str):
             F.lit(_LR_XS).cast("long").alias("x0"),
             *[block(j) for j in range(4)],
         )
-        .coalesce(4)
+        .repartition(4)
         .persist()
     )
+    feat.count()
 
     def p6_col() -> F.Column:
         zsum = " + ".join(f"w{j} * x{j}" for j in range(5))
@@ -1520,83 +1525,93 @@ ORDER BY scope, label
     "the same one scan the confusion matrix already pays.",
 )
 def ml_class_prf1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logflow.operators.cache import track
-
-    pred = track(_knnc_pred(spark, sf_dir).persist())
-    pred.count()
-    a = pred.groupBy(F.col("yt").cast("long").alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_true"),
-        F.sum(F.when(F.col("yt") == F.col("yp"), 1).otherwise(0))
-        .cast("long")
-        .alias("tp"),
+    # localCheckpoint (eager), not persist: persist keeps the full kNN
+    # lineage in the STATIC plan, so every downstream branch re-embeds the
+    # ~35-exchange scoring subtree (the r9 verdict counted 207 Exchange
+    # nodes); checkpointing the query-sample-scale prediction frame
+    # truncates the lineage at a leaf. Fixed-iteration single-action
+    # consumers -> eager=True per the CLAUDE.md checkpoint rule.
+    pred = _knnc_pred(spark, sf_dir).localCheckpoint(eager=True)
+    # ONE pass over pred: each prediction contributes a true-role row
+    # (label = yt, carrying the tp flag) and a pred-role row (label = yp),
+    # then a single groupBy(label) with conditional sums builds the whole
+    # per-class count frame — no two-groupBy full-outer join, so the
+    # static plan carries pred's lineage once here instead of twice (the
+    # r9 verdict flagged 207 Exchange nodes from the branchy form; the
+    # oracle keeps the readable a/b/FULL OUTER shape, values identical).
+    roles = pred.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("yt").cast("long").alias("label"),
+                    F.lit(1).alias("is_t"),
+                    F.when(F.col("yt") == F.col("yp"), 1).otherwise(0).alias("is_tp"),
+                ),
+                F.struct(
+                    F.col("yp").cast("long").alias("label"),
+                    F.lit(0).alias("is_t"),
+                    F.lit(0).alias("is_tp"),
+                ),
+            )
+        ).alias("r")
     )
-    b = pred.groupBy(F.col("yp").cast("long").alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_pred")
+    cm = roles.groupBy(F.col("r.label").alias("label")).agg(
+        F.sum("r.is_t").cast("long").alias("n_true"),
+        F.sum(1 - F.col("r.is_t")).cast("long").alias("n_pred"),
+        F.sum("r.is_tp").cast("long").alias("tp"),
     )
-    cm = (
-        a.join(b, "label", "full_outer")
-        .select(
-            "label",
-            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
-            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
-            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
-        )
-    )
-    cls = track(
-        cm.select(
-            "label",
-            "n_true",
-            "n_pred",
-            "tp",
-            F.expr("cast(tp as double) / cast(nullif(n_pred, 0) as double)").alias(
-                "prec"
-            ),
-            F.expr("cast(tp as double) / cast(nullif(n_true, 0) as double)").alias(
-                "rec"
-            ),
-            F.expr(
-                "cast(2 * tp as double) / cast(nullif(n_true + n_pred, 0) as double)"
-            ).alias("f1"),
-        ).persist()
-    )
-    cls.count()
-
-    def _macro(col: str):
-        return (
-            F.sum(F.round(F.coalesce(F.col(col), F.lit(0.0)) * 1000000, 0).cast("long"))
-            .cast("double")
-            / (F.count(F.lit(1)) * 1000000).cast("double")
-        ).alias(col)
+    cls = cm.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.expr("cast(tp as double) / cast(nullif(n_pred, 0) as double)").alias(
+            "prec"
+        ),
+        F.expr("cast(tp as double) / cast(nullif(n_true, 0) as double)").alias(
+            "rec"
+        ),
+        F.expr(
+            "cast(2 * tp as double) / cast(nullif(n_true + n_pred, 0) as double)"
+        ).alias("f1"),
+    ).localCheckpoint(eager=True)
 
     per_class = cls.select(
         F.lit("class").alias("scope"), "label", "n_true", "n_pred", "tp",
         "prec", "rec", "f1",
     )
-    macro = cls.agg(
+    # macro + micro from ONE conditional aggregate over the persisted class
+    # frame, reshaped with stack() — the r9 diag_vif lesson: N scope
+    # branches re-embed the upstream lineage N times in the static plan.
+    fp = lambda c: F.sum(  # noqa: E731
+        F.round(F.coalesce(F.col(c), F.lit(0.0)) * 1000000, 0).cast("long")
+    ).alias(f"s_{c}")
+    roll = cls.agg(
         F.sum("n_true").cast("long").alias("n_true"),
         F.sum("n_pred").cast("long").alias("n_pred"),
         F.sum("tp").cast("long").alias("tp"),
-        _macro("prec"),
-        _macro("rec"),
-        _macro("f1"),
-    ).select(
-        F.lit("macro").alias("scope"), F.lit(-1).cast("long").alias("label"),
-        "n_true", "n_pred", "tp", "prec", "rec", "f1",
+        fp("prec"),
+        fp("rec"),
+        fp("f1"),
+        F.count(F.lit(1)).alias("k"),
     )
-    acc = F.col("tp").cast("double") / F.col("n_true").cast("double")
-    micro = (
-        cls.agg(
-            F.sum("n_true").cast("long").alias("n_true"),
-            F.sum("n_pred").cast("long").alias("n_pred"),
-            F.sum("tp").cast("long").alias("tp"),
-        )
-        .select(
-            F.lit("micro").alias("scope"), F.lit(-1).cast("long").alias("label"),
-            "n_true", "n_pred", "tp",
-            acc.alias("prec"), acc.alias("rec"), acc.alias("f1"),
-        )
-    )
-    return per_class.unionAll(macro).unionAll(micro).orderBy("scope", "label")
+    rollups = roll.select(
+        F.expr(
+            "stack(2,"
+            " 'macro', cast(s_prec as double) / cast(k * 1000000 as double),"
+            "          cast(s_rec as double) / cast(k * 1000000 as double),"
+            "          cast(s_f1 as double) / cast(k * 1000000 as double),"
+            " 'micro', cast(tp as double) / cast(n_true as double),"
+            "          cast(tp as double) / cast(n_true as double),"
+            "          cast(tp as double) / cast(n_true as double)"
+            ") as (scope, prec, rec, f1)"
+        ),
+        F.lit(-1).cast("long").alias("label"),
+        "n_true",
+        "n_pred",
+        "tp",
+    ).select("scope", "label", "n_true", "n_pred", "tp", "prec", "rec", "f1")
+    return per_class.unionAll(rollups).orderBy("scope", "label")
 
 
 # --------------------------------------------------------------------------
@@ -1718,4 +1733,255 @@ def ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_gain"),
         )
         .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Learning-curve evaluation — the "is more data still buying accuracy?"
+# audit: train the NB language classifier on nested deterministic-hash
+# fractions of the training fold and score each model on one fixed
+# held-out fold.
+# --------------------------------------------------------------------------
+
+_LC_FRACS = [25, 50, 75, 100]
+
+
+def _lc_sql() -> str:
+    tiers = (
+        "CASE WHEN h < 25 THEN 25 WHEN h < 50 THEN 50 "
+        "WHEN h < 75 THEN 75 ELSE 100 END"
+    )
+    fracs = ", ".join(f"({f})" for f in _LC_FRACS)
+    return f"""
+WITH train0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+tr AS (
+  SELECT doc_id, lang, text, {tiers} AS tier
+  FROM (SELECT *, CAST(concat('0x', substr(md5(concat('lc:',
+               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS h
+        FROM train0)),
+fr AS (SELECT * FROM (VALUES {fracs}) AS t(frac)),
+ttok AS (SELECT tier, lang, unnest({TOKS}) AS tok FROM tr),
+cwt AS (SELECT tier, lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ttok GROUP BY tier, lang, tok),
+cwf AS (SELECT f.frac, lang, tok, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM cwt JOIN fr f ON cwt.tier <= f.frac GROUP BY f.frac, lang, tok),
+ncf AS (SELECT frac, lang, CAST(SUM(cnt) AS BIGINT) AS n_c
+        FROM cwf GROUP BY frac, lang),
+vf AS (SELECT frac, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsize
+       FROM cwf GROUP BY frac),
+clsf AS (SELECT f.frac, lang, CAST(COUNT(*) AS BIGINT) AS d_c
+         FROM tr JOIN fr f ON tr.tier <= f.frac GROUP BY f.frac, lang),
+dtotf AS (SELECT frac, CAST(SUM(d_c) AS BIGINT) AS d_all
+          FROM clsf GROUP BY frac),
+priorf AS (
+  SELECT clsf.frac, clsf.lang,
+         CAST(ROUND(log2(CAST(d_c AS DOUBLE) / CAST(d_all AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lp0
+  FROM clsf JOIN dtotf ON clsf.frac = dtotf.frac),
+modelf AS (
+  SELECT cwf.frac, cwf.lang, cwf.tok,
+         CAST(ROUND(log2(CAST(cwf.cnt + 1 AS DOUBLE)
+                         / CAST(ncf.n_c + vf.vsize AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM cwf JOIN ncf ON cwf.frac = ncf.frac AND cwf.lang = ncf.lang
+  JOIN vf ON vf.frac = cwf.frac),
+unkf AS (
+  SELECT ncf.frac, ncf.lang,
+         CAST(ROUND(log2(1.0 / CAST(ncf.n_c + vf.vsize AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lpu
+  FROM ncf JOIN vf ON vf.frac = ncf.frac),
+tetok AS (SELECT doc_id, lang AS lang_true, unnest({TOKS}) AS tok FROM test),
+st AS (
+  SELECT u.frac, t.doc_id, t.lang_true, u.lang AS lang_pred,
+         COALESCE(m.lp, u.lpu) AS lp
+  FROM tetok t
+  CROSS JOIN unkf u
+  LEFT JOIN modelf m ON m.frac = u.frac AND m.tok = t.tok AND m.lang = u.lang),
+ds AS (SELECT frac, doc_id, lang_true, lang_pred, SUM(lp) AS tok_score
+       FROM st GROUP BY frac, doc_id, lang_true, lang_pred),
+fs AS (
+  SELECT d.frac, d.doc_id, d.lang_true, d.lang_pred, d.tok_score + p.lp0 AS score
+  FROM ds d JOIN priorf p ON p.frac = d.frac AND p.lang = d.lang_pred),
+pr AS (
+  SELECT frac, doc_id, lang_true, lang_pred,
+         ROW_NUMBER() OVER (PARTITION BY frac, doc_id
+                            ORDER BY score DESC, lang_pred) AS rk
+  FROM fs),
+acc AS (
+  SELECT frac, CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM pr WHERE rk = 1 GROUP BY frac)
+SELECT CAST(acc.frac AS BIGINT) AS train_pct,
+       d.d_all AS n_train_docs,
+       v.vsize AS vocab_size,
+       acc.n_test, acc.n_correct,
+       ROUND(CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS accuracy
+FROM acc JOIN dtotf d ON d.frac = acc.frac JOIN vf v ON v.frac = acc.frac
+ORDER BY train_pct
+"""
+
+
+@register(
+    "ml_learning_curve",
+    _lc_sql(),
+    doc="Learning-curve evaluation of the in-engine NB language "
+    "classifier: four NESTED training subsets (25/50/75/100% of the "
+    "doc_id%5<>0 fold, membership by deterministic md5 hash bucket so "
+    "each subset contains the smaller ones — the curve is monotone in "
+    "DATA, not re-shuffled), each scored on the SAME held-out fold "
+    "(doc_id%5=0), reported as accuracy vs training size — the audit "
+    "that says whether the next 10 TB of labels buys anything. "
+    "Computed in ONE pass: token counts roll up per (tier, lang, tok) "
+    "where tier = smallest containing fraction, fraction models derive "
+    "by tier<=frac rollup (never four training passes), and scoring "
+    "fans the test token stream out over the 4-fraction model "
+    "dimension. Same log2-round-6dp/DECIMAL-sum determinism recipe as "
+    "ml_nb_lang_confusion (identical argmax both engines, class-name "
+    "tiebreak). At 100 TB: the token stream shuffles ONCE (tiered "
+    "counts); models stay vocab-scale x 4 and broadcast; test scoring "
+    "is one map-side fan-out + one doc-keyed rollup.",
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lc:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    tier = (
+        F.when(F.col("h") < 25, 25)
+        .when(F.col("h") < 50, 50)
+        .when(F.col("h") < 75, 75)
+        .otherwise(100)
+    )
+    tr = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .withColumn("h", h)
+        .withColumn("tier", tier)
+    )
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    fr = spark.createDataFrame([(f,) for f in _LC_FRACS], "frac long")
+
+    ttok = tr.select("tier", "lang", F.explode(tokenize("text")).alias("tok"))
+    cwt = ttok.groupBy("tier", "lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # eager localCheckpoint above the fork: the per-fraction count frame
+    # (vocab x 4 scale) feeds the class totals, the vocab rollup, and the
+    # model projection — checkpointing truncates the tokenize lineage so
+    # the three branches don't re-embed it in the static plan (the
+    # ml_class_prf1_report lesson).
+    cwf = (
+        cwt.join(F.broadcast(fr), cwt["tier"] <= fr["frac"])
+        .groupBy("frac", "lang", "tok")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    ncf = cwf.groupBy("frac", "lang").agg(F.sum("cnt").cast("long").alias("n_c"))
+    vf = cwf.groupBy("frac").agg(F.countDistinct("tok").cast("long").alias("vsize"))
+    clsf = (
+        tr.join(F.broadcast(fr), tr["tier"] <= fr["frac"])
+        .groupBy("frac", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    dtotf = clsf.groupBy("frac").agg(F.sum("d_c").cast("long").alias("d_all"))
+    priorf = clsf.join(F.broadcast(dtotf), "frac").select(
+        "frac",
+        "lang",
+        F.round(F.log2(F.col("d_c").cast("double") / F.col("d_all").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp0"),
+    )
+    modelf = (
+        cwf.join(F.broadcast(ncf), ["frac", "lang"])
+        .join(F.broadcast(vf), "frac")
+        .select(
+            "frac",
+            "lang",
+            "tok",
+            F.round(
+                F.log2(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("n_c") + F.col("vsize")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    unkf = ncf.join(F.broadcast(vf), "frac").select(
+        "frac",
+        "lang",
+        F.round(
+            F.log2(F.lit(1.0) / (F.col("n_c") + F.col("vsize")).cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("lpu"),
+    )
+
+    tetok = test.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.explode(tokenize("text")).alias("tok"),
+    )
+    st = (
+        tetok.crossJoin(F.broadcast(unkf.withColumnRenamed("lang", "lang_pred")))
+        .join(
+            F.broadcast(modelf.withColumnRenamed("lang", "lang_pred")),
+            ["frac", "tok", "lang_pred"],
+            "left",
+        )
+        .select(
+            "frac",
+            "doc_id",
+            "lang_true",
+            "lang_pred",
+            F.coalesce(F.col("lp"), F.col("lpu")).alias("lp"),
+        )
+    )
+    ds = st.groupBy("frac", "doc_id", "lang_true", "lang_pred").agg(
+        F.sum("lp").alias("tok_score")
+    )
+    fs = ds.join(
+        F.broadcast(priorf.withColumnRenamed("lang", "lang_pred")),
+        ["frac", "lang_pred"],
+    ).select(
+        "frac",
+        "doc_id",
+        "lang_true",
+        "lang_pred",
+        (F.col("tok_score") + F.col("lp0")).alias("score"),
+    )
+    w = Window.partitionBy("frac", "doc_id").orderBy(
+        F.col("score").desc(), F.col("lang_pred")
+    )
+    pr = fs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    acc = pr.groupBy("frac").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("lang_pred") == F.col("lang_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return (
+        acc.join(F.broadcast(dtotf), "frac")
+        .join(F.broadcast(vf), "frac")
+        .select(
+            F.col("frac").cast("long").alias("train_pct"),
+            F.col("d_all").alias("n_train_docs"),
+            F.col("vsize").alias("vocab_size"),
+            "n_test",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_test").cast("double"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("train_pct")
     )

@@ -3121,3 +3121,145 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_PACF_E["p22"]), 6).alias("pacf2"),
         F.round(F.expr(_PACF_E["p33"]), 6).alias("pacf3"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive (level + trend + weekly seasonality) — the
+# fixed-coefficient recursion UNROLLED in Python into closed-form weight
+# literals over the last 28 observations: the engines evaluate one
+# explicit weighted sum per state, never a sequential fold.
+# --------------------------------------------------------------------------
+
+_HW_N = 28  # last 4 full weeks per series
+_HW_M = 7  # weekly season
+
+
+def _hw_weight_vectors() -> dict[str, list[float]]:
+    """Weight vectors making each HW state a LINEAR functional of the last
+    ``_HW_N`` observations, for alpha = beta = gamma = 1/2:
+
+      L_t = 0.5*(y_t - S_{t-m}) + 0.5*(L_{t-1} + T_{t-1})
+      T_t = 0.5*(L_t - L_{t-1}) + 0.5*T_{t-1}
+      S_t = 0.5*(y_t - L_t) + 0.5*S_{t-m}
+
+    with the standard linear initialization (L_0 = mean of week 1, T_0 =
+    (mean week 2 - mean week 1)/7, S_j = y_j - mean week 1).  Because
+    every update is linear in y, running the recursion on the identity
+    basis yields exact weight vectors; inlined as repr literals they make
+    the in-engine computation ONE explicit left-associated weighted sum —
+    bit-identical cross-engine (the attribution_markov_removal rule),
+    with no sequential fold and no state arrays at runtime."""
+    import numpy as np
+
+    n, m = _HW_N, _HW_M
+    Y = np.eye(n)
+    w1 = Y[0:m].mean(axis=0)
+    L = w1.copy()
+    T = (Y[m : 2 * m].mean(axis=0) - w1) / float(m)
+    S = [Y[j] - w1 for j in range(m)]
+    for i in range(m, n):
+        ph = i % m
+        Lnew = 0.5 * (Y[i] - S[ph]) + 0.5 * (L + T)
+        Tnew = 0.5 * (Lnew - L) + 0.5 * T
+        Snew = 0.5 * (Y[i] - Lnew) + 0.5 * S[ph]
+        L, T, S[ph] = Lnew, Tnew, Snew
+    return {
+        "level": [float(x) for x in L],
+        "trend": [float(x) for x in T],
+        "f1": [float(x) for x in (L + T + S[n % m])],
+        "f7": [float(x) for x in (L + 7.0 * T + S[(n + 6) % m])],
+    }
+
+
+_HW_W = _hw_weight_vectors()
+
+
+def _hw_sum(name: str, elem) -> str:
+    """Explicit left-associated weighted sum (identical text both engines
+    modulo the element accessor). Every weight is CAST AS DOUBLE: a bare
+    17-digit literal parses as DECIMAL in both SQL dialects, which would
+    silently switch the arithmetic from IEEE to decimal."""
+    return " + ".join(
+        f"CAST({w!r} AS DOUBLE) * {elem(i)}" for i, w in enumerate(_HW_W[name])
+    )
+
+
+@register(
+    "ts_holt_winters",
+    f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2)
+                         AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         array_agg(cents ORDER BY day) AS allv
+  FROM daily GROUP BY event_type HAVING COUNT(*) >= {_HW_N}),
+y AS (SELECT event_type, n_days,
+             allv[len(allv) - {_HW_N - 1}:len(allv)] AS ys FROM s)
+SELECT event_type, n_days,
+       ROUND(({_hw_sum("level", lambda i: f"ys[{i + 1}]")}) / 100.0, 4) AS level,
+       ROUND(({_hw_sum("trend", lambda i: f"ys[{i + 1}]")}) / 100.0, 4) AS trend,
+       ROUND(({_hw_sum("f1", lambda i: f"ys[{i + 1}]")}) / 100.0, 4)
+         AS forecast_1d,
+       ROUND(({_hw_sum("f7", lambda i: f"ys[{i + 1}]")}) / 100.0, 4)
+         AS forecast_7d
+FROM y
+ORDER BY event_type
+""",
+    doc="Holt-Winters additive forecaster (alpha=beta=gamma=1/2, weekly "
+    f"season m={_HW_M}) over each event type's daily spend, evaluated on "
+    f"the last {_HW_N} observed days: because the coefficients are "
+    "fixed, the three coupled EWMA states are LINEAR in the "
+    "observations, so the whole recursion (plus its level/trend/"
+    "seasonal initialization) is unrolled ONCE in Python on the "
+    "identity basis into per-state weight vectors, inlined as repr "
+    "literals — the 3-state generalization of ts_croston_forecast's "
+    "EWMA pair and ts_holt_linear's level+trend, with NO in-engine "
+    "fold at all: each reported state is one explicit left-associated "
+    "weighted sum of exact BIGINT cents (bit-identical IEEE in any "
+    "engine, the attribution_markov_removal rule). Forecasts are "
+    "level + h*trend + the matching phase's seasonal. At 100 TB: one "
+    "map-side-combined daily rollup, one type-keyed array agg bounded "
+    "by the day span; the weighted sums are per-row codegen "
+    "expressions — no window, no iteration, no shuffle beyond the two "
+    "rollups.",
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2).cast(
+                "double"
+            )
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    s = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr("transform(array_sort(collect_list(struct(day, cents))),"
+                   " x -> x.cents)").alias("allv"),
+        )
+        .filter(F.col("n_days") >= _HW_N)
+    )
+    y = s.select(
+        "event_type",
+        "n_days",
+        F.expr(f"slice(allv, size(allv) - {_HW_N - 1}, {_HW_N})").alias("ys"),
+    )
+    acc = lambda i: f"element_at(ys, {i + 1})"  # noqa: E731
+    return y.select(
+        "event_type",
+        "n_days",
+        F.round(F.expr(f"({_hw_sum('level', acc)}) / 100.0"), 4).alias("level"),
+        F.round(F.expr(f"({_hw_sum('trend', acc)}) / 100.0"), 4).alias("trend"),
+        F.round(F.expr(f"({_hw_sum('f1', acc)}) / 100.0"), 4).alias("forecast_1d"),
+        F.round(F.expr(f"({_hw_sum('f7', acc)}) / 100.0"), 4).alias("forecast_7d"),
+    ).orderBy("event_type")

@@ -28,6 +28,7 @@ NEW_QUERIES = [
     "diag_wilson_ci",
     "diag_cramers_v",
     "diag_winsorized_mean",
+    "ab_benjamini_hochberg",
 ]
 
 
@@ -989,3 +990,29 @@ def test_mahalanobis_monotone(spark, sf_dir):
     assert len(pdf) == 3
     assert (pdf["n_outliers"].diff().dropna() <= 0).all()
     assert (pdf["n_outliers"] <= pdf["n_rows"]).all()
+
+
+def test_bh_fdr_stepup_shape(spark, sf_dir):
+    """BH output is a valid step-up decision: ranks are the permutation
+    1..m, |z| is nonincreasing in rank, and the rejected set is a PREFIX
+    of the ranking (the defining property of step-up procedures)."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ab_benjamini_hochberg"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert len(pdf) > 0
+    assert list(pdf["rank"]) == list(range(1, len(pdf) + 1))
+    az = pdf["z"].abs().to_numpy()
+    assert (az[:-1] >= az[1:] - 1e-12).all()
+    rej = pdf["rejected"].to_numpy()
+    assert set(rej) <= {0, 1}
+    # prefix property: once a 0 appears, no 1 follows
+    seen_zero = False
+    for r in rej:
+        if r == 0:
+            seen_zero = True
+        assert not (seen_zero and r == 1)

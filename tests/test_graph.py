@@ -626,3 +626,22 @@ def test_rich_club_monotone_counts(spark, sf_dir):
     ok = pdf["phi"].dropna()
     assert ((ok >= 0) & (ok <= 1.0 + 1e-9)).all()
     release_all()
+
+
+def test_betweenness_sampled_invariants(spark, sf_dir):
+    """Betweenness scores are nonnegative integers at 1e6 scale; sampled
+    sources themselves never appear (Brandes excludes endpoints); ordering
+    is by the exact fixed-point score."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["graph_betweenness_sampled"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        import pytest
+
+        pytest.skip("no intermediate node within the hop horizon at this SF/seed")
+    assert (pdf["bc_fp"] > 0).all()
+    bc = pdf["bc_fp"].to_numpy()
+    assert (bc[:-1] >= bc[1:]).all()
+    assert (
+        (pdf["betweenness"] - pdf["bc_fp"] / 1e6 / 4).abs() < 1e-6
+    ).all()

@@ -939,3 +939,31 @@ def test_burstiness_nonnegative_sorted(spark, sf_dir):
     assert (pdf["df"] <= pdf["cf"]).all()
     key = list(zip(-pdf["burstiness_fp"], pdf["term"]))
     assert key == sorted(key)
+
+
+def test_fellegi_sunter_patterns(spark, sf_dir):
+    """Pattern rows partition the 256-name pair universe; scores are the
+    exact literal-weight sums of their bit patterns; decisions match the
+    published thresholds."""
+    from logflow.queries import load_all
+    from logflow.queries.llm import _FS_LOWER, _FS_UPPER, _fs_weights
+
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["er_fellegi_sunter"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    n = min(256, load_table(spark, "part", sf_dir).select("p_name").distinct().count())
+    assert pdf["n_pairs"].sum() == n * (n - 1) // 2
+    ws = _fs_weights()
+    for _, row in pdf.iterrows():
+        bits = [int(b) for b in row["pattern"]]
+        assert len(bits) == len(ws)
+        expect = sum(wa if b else wd for b, (_, wa, wd) in zip(bits, ws))
+        assert int(row["score_fp"]) == expect
+        want = (
+            "match"
+            if row["score_fp"] >= _FS_UPPER
+            else ("possible" if row["score_fp"] >= _FS_LOWER else "nonmatch")
+        )
+        assert row["decision"] == want
+        assert row["n_truth"] <= row["n_pairs"]

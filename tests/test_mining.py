@@ -16,6 +16,7 @@ MINING_QUERIES = [
     "seq_run_length_encode",
     "assoc_rules_triples",
     "rfm_quintile_segments",
+    "cluster_dbscan_grid",
 ]
 
 
@@ -442,3 +443,23 @@ def test_item_item_jaccard_bounds(spark, sf_dir):
     assert ((pdf["jaccard"] > 0) & (pdf["jaccard"] <= 1.0)).all()
     key = list(zip(-pdf["jaccard_fp"], pdf["item_a"], pdf["item_b"]))
     assert key == sorted(key)
+
+
+def test_dbscan_grid_invariants(spark, sf_dir):
+    """Clusters are disjoint cell sets with coherent bounding boxes: the
+    cluster id is one of its own member cell keys (the min), boxes nest
+    inside the data's grid domain, and the at-least-mean density rule
+    means every cluster's per-cell load >= the global mean load."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["cluster_dbscan_grid"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_cells"] >= 1).all()
+    assert (pdf["n_points"] >= pdf["n_cells"]).all()
+    assert (pdf["qty_min"] <= pdf["qty_max"]).all()
+    assert (pdf["price_band_min"] <= pdf["price_band_max"]).all()
+    # cluster_id = min member key = qty*KEYW + band for some member cell:
+    # it must be >= the box's min corner key and <= its max corner key
+    lo = pdf["qty_min"] * 1000 + pdf["price_band_min"]
+    hi = pdf["qty_max"] * 1000 + pdf["price_band_max"]
+    assert ((pdf["cluster_id"] >= lo) & (pdf["cluster_id"] <= hi)).all()

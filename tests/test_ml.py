@@ -13,6 +13,7 @@ ML_QUERIES = [
     "ml_feature_hashing",
     "ml_target_encoding_kfold",
     "ml_ndcg_link_prediction",
+    "ml_learning_curve",
 ]
 
 
@@ -413,3 +414,22 @@ def test_decile_lift_invariants(spark, sf_dir):
     expect = (pdf["n_pos"] * tot_n * _LIFT_SCALE) // (pdf["n_rows"] * tot_pos)
     assert (pdf["lift_fp"] == expect).all()
     release_all()
+
+
+def test_learning_curve_shape(spark, sf_dir):
+    """Nested hash fractions: training size strictly grows with the
+    fraction, the test fold is identical across fractions, vocab is
+    monotone nondecreasing, and accuracies are valid rates."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ml_learning_curve"].fn(spark, sf_dir).toPandas().sort_values("train_pct")
+    )
+    assert list(pdf["train_pct"]) == [25, 50, 75, 100]
+    tr = pdf["n_train_docs"].to_numpy()
+    assert (tr[:-1] < tr[1:]).all()
+    vo = pdf["vocab_size"].to_numpy()
+    assert (vo[:-1] <= vo[1:]).all()
+    assert pdf["n_test"].nunique() == 1
+    assert ((pdf["accuracy"] >= 0) & (pdf["accuracy"] <= 1)).all()
+    assert (pdf["n_correct"] <= pdf["n_test"]).all()

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-#: No rows-only entries belong in the round-9 window: all four
+#: No rows-only entries belong in the round-10 window: all four
 #: rows-only-by-design queries got their (weaker) rows-only driver record
 #: in CORRECTNESS_r08 — a window slot re-buys nothing for them.
 WINDOW_ROWS_ONLY_OK: set[str] = set()
@@ -34,59 +34,85 @@ def test_driver_window_is_oracle_checked_except_documented():
     assert not missing, f"no-oracle queries waste driver window slots: {missing}"
 
 
-#: Round-9 rotation: the 9 round-8 late-crop operators (the only
-#: oracle-backed queries never driver-attested after r8) plus the whole
-#: round-9 crop — first-time attestations all. Grown in lockstep with the
-#: "round-9 crop" block in PRIORITY as operators land this round.
-ROTATED_IN_R9_FIRST_TIME = [
-    "graph_clustering_coefficient",
-    "finance_pvm_bridge",
-    "ts_cumulative_reach",
-    "diag_qq_normal_points",
-    "text_heaps_law",
-    "diag_cohens_kappa",
-    "ab_srm_check",
-    "multimodal_image_histogram",
-    "diag_ols_influence",
-    # ------- round-9 crop -------
-    "ts_croston_forecast",
-    "ts_forecast_accuracy",
-    "ml_class_prf1_report",
-    "ts_allen_interval_relations",
-    "join_bitemporal_asof",
-    "er_soundex_blocking",
-    "graph_closeness_sampled",
-    "ml_decile_lift",
-    "diag_lorenz_curve",
-    "ts_logrank_test",
-    "graph_katz_centrality",
-    "text_chao1_vocab",
-    "corpus_token_budget_fill",
-    "diag_jackknife_variance",
-    "privacy_t_closeness",
-    "diag_ks_exact_value",
-    "attribution_shapley",
-    "multimodal_image_psnr",
-    "diag_vif",
-    "graph_rich_club",
-    "text_term_burstiness",
-    "agg_listagg_ordered",
-    "diag_mahalanobis_outliers",
-    "seq_session_edit_distance",
-    "ts_pacf",
-    "reco_item_item_jaccard",
+#: Round-10 rotation: cumulative driver-green after r9 is 343/347 — no
+#: oracle-backed query is un-attested — so the window spends its slots on
+#: the round-10 crop (first-time attestations) and the OLDEST green
+#: cohort (last driver-attested in rounds 1-3; testdata has regenerated
+#: six+ times since those rows were issued). Grown in lockstep with the
+#: "round-10 crop" block in PRIORITY as operators land this round.
+ROTATED_IN_R10_FIRST_TIME = [
+    "ab_benjamini_hochberg",
+    "cluster_dbscan_grid",
+    "er_fellegi_sunter",
+    "ts_holt_winters",
+    "ml_learning_curve",
+    "graph_betweenness_sampled",
+]
+
+ROTATED_IN_R10_REATTEST = [
+    # last driver-attested round 1
+    "agg_cube_orders",
+    "agg_rollup_lineitem",
+    "dedup_ngram_jaccard",
+    "join_anti_dormant",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_count",
+    "text_vocab_topk",
+    # last driver-attested round 2
+    "agg_collect_user_journey",
+    "agg_distinct_per_segment",
+    "agg_grouping_sets",
+    "agg_pivot_event_types",
+    "dedup_first_event",
+    "join_broadcast_dims",
+    "join_full_outer_daily",
+    "join_semi_buyers",
+    "scalar_array_map_suite",
+    "scalar_datetime_monthly",
+    "scalar_json_props",
+    "scalar_string_suite",
+    "setops_customer_cohorts",
+    "subquery_exists_late_orders",
+    "topk_orders",
+    "unpivot_returnflag_measures",
+    "window_lead_gap",
+    "window_ntile_cume",
+    "window_top3_orders_per_customer",
+    # last driver-attested round 3 (first 17 by name)
+    "cdc_apply_upsert",
+    "contamination_ngram_overlap",
+    "corpus_build_pipeline",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "events_sliding_2h",
+    "events_tumbling_hourly",
+    "funnel_signup_click_purchase",
+    "join_asof_purchase_click",
+    "join_bucketed_revenue",
+    "join_range_bands",
+    "join_salted_skew",
+    "knn_cosine_brute",
+    "knn_cosine_ivf",
+    "ks_click_purchase_drift",
 ]
 
 
-def test_round9_rotation_sits_in_driver_window():
+def test_round10_rotation_sits_in_driver_window():
     from logflow.queries import load_all
 
     window = list(load_all())[:DRIVER_WINDOW]
-    missing = [n for n in ROTATED_IN_R9_FIRST_TIME if n not in window]
+    missing = [
+        n
+        for n in ROTATED_IN_R10_FIRST_TIME + ROTATED_IN_R10_REATTEST
+        if n not in window
+    ]
     assert not missing, f"rotated-in queries fell out of the window: {missing}"
 
 
-def test_round9_rotation_is_first_time_attestation():
+def test_round10_first_time_is_first_time():
     """Every first-time slot must be spent on a query with no prior
     driver-issued green row (the rotation's whole point)."""
     import json
@@ -94,14 +120,31 @@ def test_round9_rotation_is_first_time_attestation():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("rows_match") and row.get("err") is None:
                     green.add(name)
-    already = [n for n in ROTATED_IN_R9_FIRST_TIME if n in green]
+    already = [n for n in ROTATED_IN_R10_FIRST_TIME if n in green]
     assert not already, f"window slots wasted on already-attested queries: {already}"
+
+
+def test_round10_reattest_is_the_stalest_cohort():
+    """Re-attest slots go to queries whose LAST green row is r1-r3."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
+        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                if row.get("rows_match") and row.get("err") is None:
+                    last[name] = r
+    fresh = [n for n in ROTATED_IN_R10_REATTEST if last.get(n, 0) > 3]
+    assert not fresh, f"re-attest slots wasted on recently-attested queries: {fresh}"
 
 
 def test_load_table_works_on_vanilla_session(spark, sf_dir):

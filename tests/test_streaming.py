@@ -1583,3 +1583,101 @@ def test_streaming_heavy_hitters_recall_guarantee(spark, tmp_path):
         assert len(summ) <= _MG_CAPACITY * 2  # across-batch emissions union
         for item, est in summ.items():
             assert est <= true.get(item, 0)
+
+
+def test_streaming_ks_drift_detects_shift(spark, tmp_path):
+    """ks_drift_monitor: reference prefix frozen per key, drifted tail
+    raises KS; the emitted statistic must equal the exact binned KS
+    recomputed in Python from the same split."""
+    import numpy as np
+
+    from logflow.streaming.stateful import ks_drift_monitor
+
+    path = str(tmp_path / "drift_src")
+    rng = np.random.RandomState(7)
+    ref_vals = rng.uniform(10, 50, 200).round(3)
+    drift_vals = (rng.uniform(10, 50, 200) + 30).round(3)  # shifted regime
+    spark.createDataFrame(
+        [("m", float(v)) for v in ref_vals], "key string, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [("m", float(v)) for v in drift_vals], "key string, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema("key string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = (
+        ks_drift_monitor(stream, "key", "value", n_bins=20, lo=0.0, hi=100.0, ref_n=200)
+        .writeStream.format("memory")
+        .queryName("ks_drift_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ks_drift_t").collect()
+    assert rows, "no emissions"
+    final = max(rows, key=lambda r: (r.n_ref + r.n_cur))
+    assert final.n_ref == 200 and final.n_cur == 200
+    # recompute the exact binned KS for the same split
+    width = 100.0 / 20
+    rb = np.bincount(np.clip((ref_vals / width).astype(int), 0, 19), minlength=20)
+    cb = np.bincount(np.clip((drift_vals / width).astype(int), 0, 19), minlength=20)
+    want_num = int(np.max(np.abs(np.cumsum(rb) * 200 - np.cumsum(cb) * 200)))
+    assert final.ks_num == want_num
+    assert final.ks == want_num / (200.0 * 200.0)
+    assert final.ks > 0.4  # a 30-unit shift on a 40-wide uniform is gross drift
+
+
+def test_streaming_ks_drift_checkpoint_restart(spark, tmp_path):
+    """State (reference histogram + counts) survives a stop/restart from
+    the same checkpoint: run 2 processes only the new file and continues
+    accumulating into the SAME reference."""
+    import numpy as np
+
+    from logflow.streaming.stateful import ks_drift_monitor
+
+    path = str(tmp_path / "drift_src2")
+    ckpt = str(tmp_path / "ckpt_ks2")
+    rng = np.random.RandomState(11)
+    spark.createDataFrame(
+        [("m", float(v)) for v in rng.uniform(10, 50, 100).round(3)],
+        "key string, value double",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    def run_once():
+        # foreachBatch sink: the memory sink refuses checkpoint recovery
+        rows: list = []
+        stream = (
+            spark.readStream.schema("key string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        q = (
+            ks_drift_monitor(
+                stream, "key", "value", n_bins=20, lo=0.0, hi=100.0, ref_n=100
+            )
+            .writeStream.foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    r1 = run_once()
+    assert len(r1) == 1 and r1[0].n_ref == 100 and r1[0].n_cur == 0
+
+    spark.createDataFrame(
+        [("m", float(v)) for v in (rng.uniform(10, 50, 50) + 25).round(3)],
+        "key string, value double",
+    ).coalesce(1).write.mode("append").parquet(path)
+    r2 = run_once()
+    # only the NEW file was processed, against state restored from ckpt
+    assert len(r2) == 1 and r2[0].n_ref == 100 and r2[0].n_cur == 50
+    assert r2[0].ks > 0.0

@@ -860,3 +860,40 @@ def test_pacf_lag1_equals_acf1(spark, sf_dir):
     acf1 = acf[acf["lag_days"] == 1].set_index("event_type")["acf"]
     for et, r1 in acf1.items():
         assert abs(pacf.loc[et, "pacf1"] - r1) < 1e-9
+
+
+def test_holt_winters_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_holt_winters", sf_dir)
+
+
+def test_holt_winters_weights_are_a_valid_linear_model():
+    """The unrolled weight vectors must satisfy the exact linear
+    identities of the recursion: level weights sum to 1 (a constant
+    series y=c yields level c), trend weights sum to 0, and the
+    one-step forecast weights sum to 1 (constant series forecasts
+    itself)."""
+    from logflow.queries.timeseries import _hw_weight_vectors
+
+    w = _hw_weight_vectors()
+    assert abs(sum(w["level"]) - 1.0) < 1e-12
+    assert abs(sum(w["trend"])) < 1e-12
+    assert abs(sum(w["f1"]) - 1.0) < 1e-12
+    assert abs(sum(w["f7"]) - 1.0) < 1e-12
+
+
+def test_holt_winters_rows_shape(spark, sf_dir):
+    """Every emitted series saw >= 28 days and forecasts are finite."""
+    import numpy as np
+
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_holt_winters"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        import pytest
+
+        pytest.skip("no event type spans 28 observed days at this SF/seed")
+    assert (pdf["n_days"] >= 28).all()
+    for c in ("level", "trend", "forecast_1d", "forecast_7d"):
+        assert np.isfinite(pdf[c]).all()

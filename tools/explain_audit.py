@@ -338,6 +338,25 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "crossJoin of the 3-row lag grid (the ts_autocorrelation "
         "pattern) feeding the calendar-lag self-join"
     },
+    # ---- round-10 crop: same constant-size broadcast contract ----
+    "ab_benjamini_hochberg": {
+        "bnlj": "crossJoins of the 1-row midpoint (shared _ab_user_frame "
+        "anchor) and the 1-row kmax aggregate over the <=5-row metric "
+        "family"
+    },
+    "cluster_dbscan_grid": {
+        "bnlj": "crossJoins of the 1-row cell-total aggregate (the "
+        "density rule) and the 8-row literal neighbor-offset table"
+    },
+    "er_fellegi_sunter": {
+        "bnlj": "the bounded 256-name all-pairs inequality join (the "
+        "er_soundex_blocking audit contract: pairs are LIMIT-bounded, "
+        "never corpus-scale)"
+    },
+    "ml_learning_curve": {
+        "bnlj": "tier<=frac joins against the 4-row fraction dimension "
+        "(nested-subset rollup) — the broadcast side is a literal grid"
+    },
     # NOTE: knn_cosine_numpy / multimodal_features use Arrow-batched
     # mapInPandas, which shows as MapInPandas (not BatchEvalPython) and is
     # not a smell.
