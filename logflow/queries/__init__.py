@@ -64,7 +64,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: un-attested, so the window spends its slots on (a) the round-10 crop
 #: (first-time attestations) and (b) the OLDEST green cohort — queries
 #: last driver-attested in rounds 1-3 whose testdata has regenerated six+
-#: times since (r1: 8, r2: 19, r3: the first 17 by name). Every query
+#: times since (r1: 8, r2: 19, r3: the first 14 by name). Every query
 #: rotated OUT stays parity-checked at both SFs every round (PARITY_FULL
 #: artifacts). tests/test_registry.py pins the rotated-in set.
 PRIORITY: list[str] = [
@@ -75,6 +75,9 @@ PRIORITY: list[str] = [
     "ts_holt_winters",
     "ml_learning_curve",
     "graph_betweenness_sampled",
+    "ml_tree_depth2",
+    "graph_ktruss",
+    "ml_ridge_kfold_cv",
     # ------- re-attest: last driver-attested round 1 -------
     "agg_cube_orders",
     "agg_rollup_lineitem",
@@ -119,12 +122,12 @@ PRIORITY: list[str] = [
     "join_bucketed_revenue",
     "join_range_bands",
     "join_salted_skew",
-    "knn_cosine_brute",
-    "knn_cosine_ivf",
-    "ks_click_purchase_drift",
     # ------- tail: driver-green in r4-r9 or rows-only; parity-checked
     # at BOTH SFs every round (PARITY_FULL artifacts) -------
     "maintenance_compact_files",
+    "knn_cosine_brute",
+    "knn_cosine_ivf",
+    "ks_click_purchase_drift",
     "graph_clustering_coefficient",
     "finance_pvm_bridge",
     "ts_cumulative_reach",

@@ -2152,3 +2152,103 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bc_fp"), "p_partkey")
         .limit(_BC_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# k-truss peeling — the EDGE-level cohesion refinement of k-core: keep an
+# edge only while it closes >= k-2 triangles in the surviving subgraph.
+# Denser-than-core community extraction (Cohen 2008).
+# --------------------------------------------------------------------------
+
+_TRUSS_K = 3  # every surviving edge sits in >= 1 triangle (the regenerated
+# testdata's weight-floored graph is too sparse for 4-trusses at sf>=0.01 —
+# k=3 keeps the driver-gate attestation non-degenerate while the peel
+# mechanics are k-independent)
+_TRUSS_ROUNDS = 2
+_TRUSS_TOPK = 30
+
+
+def _truss_ctes() -> str:
+    parts = ["e0 AS MATERIALIZED (SELECT u, v FROM e)"]
+    for i in range(_TRUSS_ROUNDS):
+        parts.append(
+            f"u{i} AS MATERIALIZED (SELECT u, v FROM e{i} "
+            f"UNION ALL SELECT v, u FROM e{i})"
+        )
+        parts.append(
+            f"sup{i} AS MATERIALIZED ("
+            f"SELECT t.u, t.v, CAST(COUNT(*) AS BIGINT) AS s "
+            f"FROM e{i} t JOIN u{i} a ON a.u = t.u "
+            f"JOIN u{i} b ON b.u = t.v AND b.v = a.v "
+            f"GROUP BY t.u, t.v)"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT u, v FROM sup{i} "
+            f"WHERE s >= {_TRUSS_K - 2})"
+        )
+    return ",\n".join(parts)
+
+
+_TRUSS_SQL = (
+    f"WITH {_ORDERED_EDGE_CTES},\n"
+    + _truss_ctes()
+    + f""",
+undf AS (SELECT u, v FROM e{_TRUSS_ROUNDS}
+         UNION ALL SELECT v, u FROM e{_TRUSS_ROUNDS})
+SELECT u AS p_partkey, CAST(COUNT(*) AS BIGINT) AS truss_degree
+FROM undf GROUP BY u
+ORDER BY truss_degree DESC, p_partkey
+LIMIT {_TRUSS_TOPK}
+"""
+)
+
+
+@register(
+    "graph_ktruss",
+    _TRUSS_SQL,
+    doc=f"k-truss peeling (k={_TRUSS_K}, {_TRUSS_ROUNDS} unrolled rounds) "
+    "over the weight-floored co-purchase graph: per round, count each "
+    "surviving edge's triangle SUPPORT (common neighbors in the current "
+    "subgraph — the triangle-count wedge join re-run on a shrinking "
+    "edge set) and drop edges below k-2. Edge-level cohesion strictly "
+    "refines k-core's node degrees (a high-degree node whose edges "
+    "close no triangles peels out here but survives k-core) — the "
+    "community-core extraction of Cohen 2008. Exact integer supports, "
+    "no ranking floats anywhere; edges with ZERO support vanish from "
+    "the count join in both engines identically. Every oracle step CTE "
+    "is AS MATERIALIZED (each e_i feeds the wedge join twice plus the "
+    "filter — the round-8 CTE-inlining-explosion rule). Fixed rounds "
+    "keep one Catalyst plan (the run-to-convergence form is the "
+    "dedup_cluster_canonical loop shape); eager localCheckpoint per "
+    "round since the loop's only action is terminal (CLAUDE.md rule). "
+    "At 100 TB: support counting is the O(m^1.5)-style wedge join on "
+    "edges bucketed by endpoint; each round strictly shrinks the edge "
+    "set, so round cost is monotone decreasing.",
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN).select("u", "v")
+    cur = e
+    for _ in range(_TRUSS_ROUNDS):
+        und = cur.unionAll(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        a = und.select(F.col("u").alias("au"), F.col("v").alias("w"))
+        b = und.select(F.col("u").alias("bu"), F.col("v").alias("bw"))
+        sup = (
+            cur.join(a, cur["u"] == a["au"])
+            .join(b, (cur["v"] == b["bu"]) & (a["w"] == b["bw"]))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        )
+        # fixed-iteration loop with one terminal action -> eager
+        # checkpoint (lazy would re-expand the wedge join per consumer)
+        cur = (
+            sup.filter(F.col("s") >= _TRUSS_K - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    undf = cur.unionAll(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        undf.groupBy(F.col("u").alias("p_partkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("truss_degree"))
+        .orderBy(F.desc("truss_degree"), "p_partkey")
+        .limit(_TRUSS_TOPK)
+    )

@@ -1985,3 +1985,369 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# Depth-2 classification tree — the decision stump RECURSED once: pick the
+# best root split, then the best split inside each child, all with the
+# same histogram trick (never a per-threshold data scan).
+# --------------------------------------------------------------------------
+
+
+def _gini_sql() -> str:
+    """Weighted-Gini expression over (n, pos, n_left, pos_left) — the
+    identical parenthesized IEEE sequence as ml_decision_stump."""
+    return """
+         (CAST(n_left AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1 - (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+                   * (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+                 - (CAST(n_left - pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+                   * (CAST(n_left - pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)))
+         + (CAST(n - n_left AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1 - (CAST(pos - pos_left AS DOUBLE) / CAST(n - n_left AS DOUBLE))
+                   * (CAST(pos - pos_left AS DOUBLE) / CAST(n - n_left AS DOUBLE))
+                 - (CAST((n - n_left) - (pos - pos_left) AS DOUBLE)
+                    / CAST(n - n_left AS DOUBLE))
+                   * (CAST((n - n_left) - (pos - pos_left) AS DOUBLE)
+                      / CAST(n - n_left AS DOUBLE)))
+"""
+
+
+@register(
+    "ml_tree_depth2",
+    f"""
+WITH ev AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         user_id % 10 AS uid_mod,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+  FROM events),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos FROM ev),
+feat AS (
+  SELECT 'hour' AS feature, hour AS fv, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS p FROM ev GROUP BY hour
+  UNION ALL
+  SELECT 'uid_mod', uid_mod, CAST(COUNT(*) AS BIGINT), CAST(SUM(y) AS BIGINT)
+  FROM ev GROUP BY uid_mod),
+cum AS (
+  SELECT feature, fv AS threshold,
+         CAST(SUM(cnt) OVER w AS BIGINT) AS n_left,
+         CAST(SUM(p) OVER w AS BIGINT) AS pos_left
+  FROM feat
+  WINDOW w AS (PARTITION BY feature ORDER BY fv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT feature, threshold, n_left, pos_left,
+         n - n_left AS n_right, pos - pos_left AS pos_right,
+         {_gini_sql()} AS gini
+  FROM cum CROSS JOIN tot
+  WHERE n_left > 0 AND n - n_left > 0),
+best AS (
+  SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+         ROUND(gini, 6) AS gini_split
+  FROM scored ORDER BY ROUND(gini, 6), feature, threshold LIMIT 1),
+ev2 AS (
+  SELECT ev.*, CASE WHEN (b.feature = 'hour' AND ev.hour <= b.threshold)
+                      OR (b.feature = 'uid_mod' AND ev.uid_mod <= b.threshold)
+               THEN 'left' ELSE 'right' END AS side
+  FROM ev CROSS JOIN best b),
+tot2 AS (SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(y) AS BIGINT) AS pos FROM ev2 GROUP BY side),
+feat2 AS (
+  SELECT side, 'hour' AS feature, hour AS fv, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS p FROM ev2 GROUP BY side, hour
+  UNION ALL
+  SELECT side, 'uid_mod', uid_mod, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(y) AS BIGINT) FROM ev2 GROUP BY side, uid_mod),
+cum2 AS (
+  SELECT side, feature, fv AS threshold,
+         CAST(SUM(cnt) OVER w AS BIGINT) AS n_left,
+         CAST(SUM(p) OVER w AS BIGINT) AS pos_left
+  FROM feat2
+  WINDOW w AS (PARTITION BY side, feature ORDER BY fv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+scored2 AS (
+  SELECT side, feature, threshold, n_left, pos_left,
+         n - n_left AS n_right, pos - pos_left AS pos_right,
+         {_gini_sql()} AS gini
+  FROM cum2 JOIN tot2 USING (side)
+  WHERE n_left > 0 AND n - n_left > 0),
+best2 AS (
+  SELECT side, feature, threshold, n_left, pos_left, n_right, pos_right,
+         gini_split
+  FROM (SELECT s.*, ROUND(gini, 6) AS gini_split,
+               ROW_NUMBER() OVER (PARTITION BY side
+                                  ORDER BY ROUND(gini, 6), feature, threshold)
+                 AS rk
+        FROM scored2 s) WHERE rk = 1)
+SELECT 'root' AS node, feature, threshold, n_left, pos_left, n_right,
+       pos_right, gini_split
+FROM best
+UNION ALL
+SELECT side AS node, feature, threshold, n_left, pos_left, n_right,
+       pos_right, gini_split
+FROM best2
+ORDER BY node
+""",
+    doc="Depth-2 classification tree trained in-engine: the "
+    "ml_decision_stump split search run at the root, then AGAIN inside "
+    "each child (same two integer features, same weighted-Gini "
+    "criterion) — the one-level recursion that turns the stump into the "
+    "histogram-based tree grower every GBDT library uses. Each level is "
+    "the XGBoost histogram trick: per-(side, feature) value histograms "
+    "in one shuffle, every candidate split's counts from a cumulative "
+    "window — O(distinct values), never a per-threshold data scan. The "
+    "root choice is data-dependent, so determinism leans on the "
+    "rank-on-ROUNDED-gini rule with (feature, threshold) tiebreaks at "
+    "BOTH levels: both engines provably pick the same tree. All counts "
+    "exact BIGINTs; the Gini expression is the stump's identical "
+    "parenthesized IEEE sequence. At 100 TB: two histogram passes over "
+    "the pruned event scan (one per level) + constant-size broadcasts "
+    "of the chosen splits; the model is a 3-row frame.",
+)
+def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        F.hour("ts").cast("long").alias("hour"),
+        (F.col("user_id") % 10).alias("uid_mod"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("y"),
+    )
+
+    def hist(src: DataFrame, keys: list) -> DataFrame:
+        out = None
+        for fname in ("hour", "uid_mod"):
+            g = src.groupBy(
+                *keys, F.lit(fname).alias("feature"), F.col(fname).alias("fv")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("y").cast("long").alias("p"),
+            )
+            out = g if out is None else out.unionByName(g)
+        return out
+
+    def gini_cols():
+        d = F.col("n").cast("double")
+        nl = F.col("n_left").cast("double")
+        pl = F.col("pos_left").cast("double")
+        nr = (F.col("n") - F.col("n_left")).cast("double")
+        pr = (F.col("pos") - F.col("pos_left")).cast("double")
+        return (nl / d) * (
+            1 - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+        ) + (nr / d) * (
+            1 - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+        )
+
+    def level(src: DataFrame, keys: list) -> DataFrame:
+        """Best split per key group: (keys..., feature, threshold, counts,
+        gini_split) via the histogram trick."""
+        tot = src.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        ) if keys else src.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        w = (
+            Window.partitionBy(*(keys + ["feature"]))
+            .orderBy("fv")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist(src, keys).select(
+            *keys,
+            "feature",
+            F.col("fv").alias("threshold"),
+            F.sum("cnt").over(w).cast("long").alias("n_left"),
+            F.sum("p").over(w).cast("long").alias("pos_left"),
+        )
+        joined = (
+            cum.join(F.broadcast(tot), keys) if keys else cum.crossJoin(F.broadcast(tot))
+        )
+        scored = joined.filter(
+            (F.col("n_left") > 0) & (F.col("n") - F.col("n_left") > 0)
+        ).select(
+            *keys,
+            "feature",
+            "threshold",
+            "n_left",
+            "pos_left",
+            (F.col("n") - F.col("n_left")).cast("long").alias("n_right"),
+            (F.col("pos") - F.col("pos_left")).cast("long").alias("pos_right"),
+            F.round(gini_cols(), 6).alias("gini_split"),
+        )
+        rw = Window.partitionBy(*keys).orderBy("gini_split", "feature", "threshold")
+        return (
+            scored.withColumn("rk", F.row_number().over(rw))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    # 1-row model frame feeding 3+ downstream branches: eager checkpoint
+    # so the level-1 histogram search doesn't re-execute per branch
+    best = level(ev, []).localCheckpoint(eager=True)
+    side = F.when(
+        ((F.col("feature") == "hour") & (F.col("hour") <= F.col("threshold")))
+        | ((F.col("feature") == "uid_mod") & (F.col("uid_mod") <= F.col("threshold"))),
+        "left",
+    ).otherwise("right")
+    ev2 = ev.crossJoin(
+        F.broadcast(best.select("feature", "threshold"))
+    ).select("hour", "uid_mod", "y", side.alias("side"))
+    best2 = level(ev2, ["side"])
+    root_row = best.select(
+        F.lit("root").alias("node"), "feature", "threshold", "n_left",
+        "pos_left", "n_right", "pos_right", "gini_split",
+    )
+    child_rows = best2.select(
+        F.col("side").alias("node"), "feature", "threshold", "n_left",
+        "pos_left", "n_right", "pos_right", "gini_split",
+    )
+    return root_row.unionByName(child_rows).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# k-fold cross-validated ridge — the generalization estimate for
+# ml_ridge_closed_form WITHOUT a second data pass: per-fold moments in one
+# aggregate, train moments by subtraction from the totals, and the test
+# RMSE expanded ALGEBRAICALLY over the held-out fold's exact moments.
+# --------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+#: test-fold SSE of y - (b0 + b1*x1 + b2*x2), expanded over the fold's
+#: exact moments: sum((y - yhat)^2) = syy + n*b0^2 + b1^2*s11 + b2^2*s22
+#: - 2*b0*sy - 2*b1*s1y - 2*b2*s2y + 2*b0*b1*s1 + 2*b0*b2*s2 + 2*b1*b2*s12.
+#: Inlined verbatim into both engines: no per-row float residuals exist,
+#: so there is no engine-chosen summation order to drift.
+_CV_SSE = (
+    "CAST(syy AS DOUBLE) + CAST(n AS DOUBLE)*b0*b0"
+    " + b1*b1*CAST(s11 AS DOUBLE) + b2*b2*CAST(s22 AS DOUBLE)"
+    " - 2*b0*CAST(sy AS DOUBLE) - 2*b1*CAST(s1y AS DOUBLE)"
+    " - 2*b2*CAST(s2y AS DOUBLE)"
+    " + 2*b0*b1*CAST(s1 AS DOUBLE) + 2*b0*b2*CAST(s2 AS DOUBLE)"
+    " + 2*b1*b2*CAST(s12 AS DOUBLE)"
+)
+
+_CV_MOMS = ["n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy"]
+
+
+def _cv_sql() -> str:
+    fold_moms = """
+  SELECT (l_orderkey * 7 + l_linenumber) % {k} AS fold,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x1*x2) AS BIGINT) AS s12,
+         CAST(SUM(x2*x2) AS BIGINT) AS s22,
+         CAST(SUM(x1*y) AS BIGINT) AS s1y, CAST(SUM(x2*y) AS BIGINT) AS s2y,
+         SUM(CAST(y AS DECIMAL(20,0)) * CAST(y AS DECIMAL(20,0))) AS syy
+  FROM rows_r GROUP BY 1""".format(k=_CV_FOLDS)
+    train = ", ".join(
+        f"CAST(t.{m} - g.{m} AS {'DECIMAL(38,0)' if m == 'syy' else 'BIGINT'}) AS {m}"
+        for m in _CV_MOMS
+    )
+    tots = ", ".join(f"SUM({m}) AS {m}" for m in _CV_MOMS)
+    return f"""
+WITH rows_r AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem),
+g AS ({fold_moms}),
+t AS (SELECT {tots} FROM g),
+tm AS (SELECT g.fold, g.n AS n_test, {train} FROM g CROSS JOIN t),
+b AS (
+  SELECT fold, n_test, n AS n_train,
+         ({_RIDGE_E["d0"]}) / NULLIF(({_RIDGE_E["det"]}), 0.0) AS b0,
+         ({_RIDGE_E["d1"]}) / NULLIF(({_RIDGE_E["det"]}), 0.0) AS b1,
+         ({_RIDGE_E["d2"]}) / NULLIF(({_RIDGE_E["det"]}), 0.0) AS b2
+  FROM tm),
+sse AS (
+  SELECT b.fold, b.n_train, b.n_test, b.b1, b.b2,
+         ({_CV_SSE}) AS test_sse
+  FROM b JOIN g ON g.fold = b.fold)
+SELECT CAST(fold AS BIGINT) AS fold, n_train, n_test,
+       ROUND(b1 / 100.0, 6) AS beta_quantity,
+       ROUND(b2 / 100.0, 6) AS beta_discount,
+       ROUND(sqrt(test_sse / CAST(n_test AS DOUBLE)) / 100.0, 4) AS test_rmse
+FROM sse
+ORDER BY fold
+"""
+
+
+@register(
+    "ml_ridge_kfold_cv",
+    _cv_sql(),
+    doc=f"{_CV_FOLDS}-fold cross-validated ridge regression (same model as "
+    "ml_ridge_closed_form): folds are a pure integer function of the "
+    "line key, per-fold moments come from ONE map-side-combined "
+    "aggregate, each fold's TRAINING moments are total-minus-fold "
+    "subtraction (exact BIGINTs — never a second scan), betas solve by "
+    "the shared verbatim Cramer expressions, and the held-out RMSE is "
+    "the algebraic expansion of sum((y-yhat)^2) over the test fold's "
+    "exact moments — per-row residuals never exist, so there is no "
+    "float summation order for engines to disagree on. syy widens to "
+    "DECIMAL(20,0)-product sums (int128 in DuckDB per the width>18 "
+    "rule: cents-squared sums cross int64 near sf0.1 already). The "
+    "whole CV costs ONE scan + fold-count-scale arithmetic at any data "
+    "size — the estimator every in-engine model fit should publish "
+    "instead of train-set fit quality.",
+)
+def ml_ridge_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    r = li.select(
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % _CV_FOLDS).alias("fold"),
+        F.round("l_quantity", 0).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    g = r.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(
+            F.col("y").cast("decimal(20,0)") * F.col("y").cast("decimal(20,0)")
+        ).alias("syy"),
+    )
+    # fold-count-scale frame feeding the totals aggregate + two joins:
+    # eager localCheckpoint truncates the scan lineage (prf1 lesson)
+    g = g.localCheckpoint(eager=True)
+    t = g.agg(*[F.sum(m).alias(m) for m in _CV_MOMS])
+    train = [
+        (F.col(f"t_{m}") - F.col(m)).cast(
+            "decimal(38,0)" if m == "syy" else "long"
+        ).alias(m)
+        for m in _CV_MOMS
+    ]
+    tm = (
+        g.select("fold", F.col("n").alias("n_test_"), *[F.col(m).alias(m) for m in _CV_MOMS])
+        .crossJoin(F.broadcast(t.select(*[F.col(m).alias(f"t_{m}") for m in _CV_MOMS])))
+        .select("fold", F.col("n_test_").alias("n_test"), *train)
+    )
+    det = F.expr(_RIDGE_E["det"])
+    b = tm.select(
+        "fold",
+        "n_test",
+        F.col("n").alias("n_train"),
+        (F.expr(_RIDGE_E["d0"]) / F.nullif(det, F.lit(0.0))).alias("b0"),
+        (F.expr(_RIDGE_E["d1"]) / F.nullif(det, F.lit(0.0))).alias("b1"),
+        (F.expr(_RIDGE_E["d2"]) / F.nullif(det, F.lit(0.0))).alias("b2"),
+    )
+    sse = b.join(g, "fold").select(
+        "fold", "n_train", "n_test", "b1", "b2", F.expr(_CV_SSE).alias("test_sse")
+    )
+    return sse.select(
+        F.col("fold").cast("long").alias("fold"),
+        "n_train",
+        "n_test",
+        F.round(F.col("b1") / 100.0, 6).alias("beta_quantity"),
+        F.round(F.col("b2") / 100.0, 6).alias("beta_discount"),
+        F.round(
+            F.sqrt(F.col("test_sse") / F.col("n_test").cast("double")) / 100.0, 4
+        ).alias("test_rmse"),
+    ).orderBy("fold")

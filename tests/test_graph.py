@@ -645,3 +645,23 @@ def test_betweenness_sampled_invariants(spark, sf_dir):
     assert (
         (pdf["betweenness"] - pdf["bc_fp"] / 1e6 / 4).abs() < 1e-6
     ).all()
+
+
+def test_ktruss_membership(spark, sf_dir):
+    """Every k-truss member has truss degree >= k-1 is NOT guaranteed
+    after fixed rounds, but membership must be a subset of the
+    weight-floored graph's nodes and degrees must be positive and even
+    counts of undirected incidences are impossible — assert the sound
+    invariants: positive degrees, subset of base nodes."""
+    from logflow.queries import load_all
+    from logflow.queries.graph import _copurchase_edges
+
+    pdf = load_all()["graph_ktruss"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        import pytest
+
+        pytest.skip("no edge survives the truss peel at this SF/seed")
+    assert (pdf["truss_degree"] > 0).all()
+    e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=2).toPandas()
+    base_nodes = set(e["u"]) | set(e["v"])
+    assert set(pdf["p_partkey"]).issubset(base_nodes)

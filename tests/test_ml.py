@@ -14,6 +14,8 @@ ML_QUERIES = [
     "ml_target_encoding_kfold",
     "ml_ndcg_link_prediction",
     "ml_learning_curve",
+    "ml_tree_depth2",
+    "ml_ridge_kfold_cv",
 ]
 
 
@@ -433,3 +435,42 @@ def test_learning_curve_shape(spark, sf_dir):
     assert pdf["n_test"].nunique() == 1
     assert ((pdf["accuracy"] >= 0) & (pdf["accuracy"] <= 1)).all()
     assert (pdf["n_correct"] <= pdf["n_test"]).all()
+
+
+def test_tree_depth2_structure(spark, sf_dir):
+    """The tree is structurally valid: exactly a root plus at most two
+    children, child populations partition the root's sides, and every
+    reported split is non-degenerate."""
+    from logflow.queries import load_all
+
+    pdf = (
+        load_all()["ml_tree_depth2"].fn(spark, sf_dir).toPandas().set_index("node")
+    )
+    assert "root" in pdf.index and len(pdf) <= 3
+    root = pdf.loc["root"]
+    assert root["n_left"] > 0 and root["n_right"] > 0
+    if "left" in pdf.index:
+        child = pdf.loc["left"]
+        assert child["n_left"] + child["n_right"] == root["n_left"]
+        assert child["pos_left"] + child["pos_right"] == root["pos_left"]
+    if "right" in pdf.index:
+        child = pdf.loc["right"]
+        assert child["n_left"] + child["n_right"] == root["n_right"]
+        assert child["pos_left"] + child["pos_right"] == root["pos_right"]
+
+
+def test_ridge_cv_folds(spark, sf_dir):
+    """Five folds that partition the table; per-fold RMSE is finite and
+    positive; train+test row counts all equal the table size."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ml_ridge_kfold_cv"].fn(spark, sf_dir).toPandas()
+    assert list(pdf["fold"]) == [0, 1, 2, 3, 4]
+    n = load_table(spark, "lineitem", sf_dir).count()
+    assert (pdf["n_train"] + pdf["n_test"] == n).all()
+    assert pdf["n_test"].sum() == n
+    assert np.isfinite(pdf["test_rmse"]).all()
+    assert (pdf["test_rmse"] > 0).all()

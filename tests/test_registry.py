@@ -47,6 +47,9 @@ ROTATED_IN_R10_FIRST_TIME = [
     "ts_holt_winters",
     "ml_learning_curve",
     "graph_betweenness_sampled",
+    "ml_tree_depth2",
+    "graph_ktruss",
+    "ml_ridge_kfold_cv",
 ]
 
 ROTATED_IN_R10_REATTEST = [
@@ -79,7 +82,7 @@ ROTATED_IN_R10_REATTEST = [
     "window_lead_gap",
     "window_ntile_cume",
     "window_top3_orders_per_customer",
-    # last driver-attested round 3 (first 17 by name)
+    # last driver-attested round 3 (first 14 by name)
     "cdc_apply_upsert",
     "contamination_ngram_overlap",
     "corpus_build_pipeline",
@@ -94,9 +97,6 @@ ROTATED_IN_R10_REATTEST = [
     "join_bucketed_revenue",
     "join_range_bands",
     "join_salted_skew",
-    "knn_cosine_brute",
-    "knn_cosine_ivf",
-    "ks_click_purchase_drift",
 ]
 
 

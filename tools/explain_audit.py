@@ -357,6 +357,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "tier<=frac joins against the 4-row fraction dimension "
         "(nested-subset rollup) — the broadcast side is a literal grid"
     },
+    "ml_tree_depth2": {
+        "bnlj": "crossJoins of the 1-row label totals and the 1-row best "
+        "root split (broadcast-the-model at each tree level)"
+    },
+    "ml_ridge_kfold_cv": {
+        "bnlj": "crossJoin of the 1-row total-moment aggregate against "
+        "the fold-count-scale frame (train = total minus fold)"
+    },
     # NOTE: knn_cosine_numpy / multimodal_features use Arrow-batched
     # mapInPandas, which shows as MapInPandas (not BatchEvalPython) and is
     # not a smell.
