@@ -2087,7 +2087,6 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     levels: list[DataFrame] = [track(seeds.persist())]
     visited = levels[0].select("s", "u")
-    n_visited = _BC_SEEDS
     for hop in range(1, _BC_HOPS + 1):
         nxt = (
             edges.join(levels[-1].select("s", "u", "sigma"), "u")
@@ -2095,20 +2094,18 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited, ["s", "u"], "left_anti")
             .groupBy("s", "u")
             .agg(F.sum("sigma").cast("long").alias("sigma"))
-            # size-derived estimate, re-anchored by the exact count below
-            .coalesce(_size_parts(n_visited * 8))
+            # static fan-out estimate (seeds x 8^hop): the fixed unroll
+            # needs no per-hop count action — exact counts bought nothing
+            # but a job per hop here (empty frontiers propagate through
+            # the remaining joins at trivial cost), and 10 jobs of stage
+            # floor were the measured cost of this operator at sf0.1
+            .coalesce(_size_parts(_BC_SEEDS * 8**hop))
         )
         nxt = nxt.localCheckpoint(eager=True)
-        n_new = nxt.count()
         levels.append(nxt)
-        if n_new == 0:
-            break
-        n_visited += n_new
-        visited = track(
-            visited.union(nxt.select("s", "u"))
-            .coalesce(_size_parts(n_visited))
-            .persist()
-        )
+        # plain union of CHECKPOINTED leaves: single consumer per hop and
+        # flat lineage — needs neither persist nor its own checkpoint
+        visited = visited.union(nxt.select("s", "u"))
     # backward pair-dependency: deepest level seeds delta = 0, each level
     # is one join against the NEXT level's (already integer) deltas
     deltas: list[DataFrame] = []
@@ -2129,7 +2126,7 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             nb.join(succ, ["s", "w"], "left")
             .groupBy("s", "u", "sigma")
             .agg(F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("delta"))
-            .coalesce(_size_parts(n_visited))
+            .coalesce(_size_parts(_BC_SEEDS * 8**_BC_HOPS))
         )
         # two consumers (next backward level + final union): materialize
         delta = delta.localCheckpoint(eager=True)
