@@ -216,6 +216,31 @@ HEADLINERS: dict[str, str] = {
     "reco_item_item_jaccard": "basket pair fan-out bounded by "
     "parts-per-order, w>=2 pruning BEFORE the item-frequency joins, "
     "top-k via TakeOrderedAndProject",
+    "ab_benjamini_hochberg": "BH step-up in z-space: one user-keyed "
+    "shuffle to per-(metric,user) scale, 1-row midpoint broadcast, the "
+    "literal inverse-CDF grid joined at metric-family scale",
+    "cluster_dbscan_grid": "points collapse to a constant cell domain in "
+    "ONE map-side-combined groupBy; density rule and union-find merge run "
+    "at cell scale — the point set is never joined or sorted",
+    "er_fellegi_sunter": "five comparators evaluated map-side per blocked "
+    "pair; integer weight sums; pattern-scale (<=32 rows) rollup",
+    "ml_learning_curve": "ONE tiered token-count shuffle serves all four "
+    "training fractions; vocab-scale models broadcast into the single "
+    "test-scoring fan-out",
+    "graph_betweenness_sampled": "multi-source BFS frontiers with exact "
+    "path counts, each backward level joins only the NEXT level — "
+    "(source x frontier)-scale state, never all-pairs",
+    "ml_ridge_kfold_cv": "whole 5-fold CV = one scan: per-fold moments, "
+    "train = total-minus-fold, held-out RMSE expanded algebraically "
+    "(per-row residuals never exist)",
+    "ml_tree_depth2": "histogram split search per level: value-domain "
+    "windows, 1-row model broadcasts between levels — O(distinct values), "
+    "never per-threshold scans",
+    "graph_ktruss": "per-round wedge-join support counts on a strictly "
+    "shrinking checkpointed edge set",
+    "ts_holt_winters": "3-state recursion folded into literal weight "
+    "vectors: two rollups then pure per-row codegen expressions — no "
+    "fold, no window, no extra shuffle",
 }
 
 
