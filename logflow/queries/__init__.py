@@ -59,16 +59,64 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: DuckDB parity at sf0.01 AND sf0.1 in tools/parity_all.py (artifacts:
 #: PARITY_FULL.json / PARITY_FULL_sf0.1.json).
 #:
-#: ROTATION (round 10): cumulative driver-green after r9 is 343/347 (the
-#: 4 rows-only sketches are never attestable); no oracle-backed query is
-#: un-attested, so the window spends its slots on (a) the round-10 crop
-#: (first-time attestations) and (b) the OLDEST green cohort — queries
-#: last driver-attested in rounds 1-3 whose testdata has regenerated six+
-#: times since (r1: 8, r2: 19, r3: the first 14 by name). Every query
-#: rotated OUT stays parity-checked at both SFs every round (PARITY_FULL
-#: artifacts). tests/test_registry.py pins the rotated-in set.
+#: ROTATION (round 11): after the r10 gate every one of the 352
+#: oracle-backed queries is driver-green ever, so window value =
+#: re-attestation freshness. Slots: (a) the round-11 crop (first-time
+#: attestations), then (b) the OLDEST green cohort — the 25 queries last
+#: driver-attested in round 3 plus the first 50-crop-25 of the 50-query
+#: round-4 cohort by name. Every query rotated OUT stays parity-checked
+#: at both SFs every round (PARITY_FULL artifacts).
+#: tests/test_registry.py derives staleness from the CORRECTNESS_r*.json
+#: history and pins the rotated-in set.
 PRIORITY: list[str] = [
-    # ------- round-10 crop (first-time attestations) -------
+    # ------- round-11 crop (first-time attestations; grown as ops land) -------
+    # ------- re-attest: last driver-attested round 3 (remaining 25) -------
+    "knn_cosine_brute",
+    "knn_cosine_ivf",
+    "ks_click_purchase_drift",
+    "maintenance_compact_files",
+    "multimodal_frame_sample",
+    "multimodal_meta_summary",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_stats",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "retention_weekly_cohorts",
+    "scalar_codec_int_serde",
+    "scan_schema_evolution",
+    "scd2_customer_history",
+    "sessionize_events",
+    "source_csv_orders",
+    "source_custom_wirelog",
+    "source_json_events",
+    "subquery_exists_not_exists",
+    "text_robust_zscore",
+    # ------- re-attest: last driver-attested round 4 (first 18 by name) -------
+    "bm25_search",
+    "bpe_merge_steps",
+    "cdc_snapshot_diff",
+    "dedup_incremental_minhash",
+    "dedup_prefix_jaccard",
+    "diag_column_profile",
+    "diag_join_cardinality",
+    "diag_key_skew",
+    "diag_psi_value_drift",
+    "diag_value_histogram",
+    "dup_chunk_filter",
+    "graph_pagerank_parts",
+    "graph_triangle_count",
+    "graph_walks_recursive_cte",
+    "inverted_index_postings",
+    "logscan_grep",
+    "multimodal_image_resize",
+    "multimodal_video_frame_stats",
+    # ------- tail: driver-green in r5-r10 or rows-only; parity-checked
+    # at BOTH SFs every round (PARITY_FULL artifacts) -------
     "ab_benjamini_hochberg",
     "cluster_dbscan_grid",
     "er_fellegi_sunter",
@@ -78,7 +126,6 @@ PRIORITY: list[str] = [
     "ml_tree_depth2",
     "graph_ktruss",
     "ml_ridge_kfold_cv",
-    # ------- re-attest: last driver-attested round 1 -------
     "agg_cube_orders",
     "agg_rollup_lineitem",
     "dedup_ngram_jaccard",
@@ -87,7 +134,6 @@ PRIORITY: list[str] = [
     "text_lang_id",
     "text_token_count",
     "text_vocab_topk",
-    # ------- re-attest: last driver-attested round 2 -------
     "agg_collect_user_journey",
     "agg_distinct_per_segment",
     "agg_grouping_sets",
@@ -107,7 +153,6 @@ PRIORITY: list[str] = [
     "window_lead_gap",
     "window_ntile_cume",
     "window_top3_orders_per_customer",
-    # ------- re-attest: last driver-attested round 3 (first 18) -------
     "cdc_apply_upsert",
     "contamination_ngram_overlap",
     "corpus_build_pipeline",
@@ -122,12 +167,6 @@ PRIORITY: list[str] = [
     "join_bucketed_revenue",
     "join_range_bands",
     "join_salted_skew",
-    # ------- tail: driver-green in r4-r9 or rows-only; parity-checked
-    # at BOTH SFs every round (PARITY_FULL artifacts) -------
-    "maintenance_compact_files",
-    "knn_cosine_brute",
-    "knn_cosine_ivf",
-    "ks_click_purchase_drift",
     "graph_clustering_coefficient",
     "finance_pvm_bridge",
     "ts_cumulative_reach",
@@ -369,7 +408,6 @@ PRIORITY: list[str] = [
     "trace_log_summary",
     "trace_baggage_propagation",
     "trace_hash_sampling",
-    "logscan_grep",
     "q2_min_cost_supplier",
     "q4_order_priority_check",
     "q7_nation_volume",
@@ -381,55 +419,17 @@ PRIORITY: list[str] = [
     "q17_small_quantity_revenue",
     "q20_promotion_suppliers",
     "q22_dormant_balance",
-    "graph_pagerank_parts",
-    "graph_triangle_count",
-    "graph_walks_recursive_cte",
     "pii_redaction",
-    "dup_chunk_filter",
-    "bm25_search",
-    "inverted_index_postings",
     "semdedup_prune",
     "ts_gap_fill_forward",
     "ts_max_concurrency_daily",
     "ts_markov_transitions",
-    "diag_key_skew",
-    "diag_join_cardinality",
-    "diag_psi_value_drift",
-    "diag_value_histogram",
-    "diag_column_profile",
     "multimodal_wav_roundtrip",
-    "multimodal_image_resize",
-    "multimodal_video_frame_stats",
     "source_orc_lineitem",
-    "cdc_snapshot_diff",
     "scalar_variant_extract",
     "udtf_sentence_explode",
     "pipe_syntax_shipping_margin",
-    "dedup_prefix_jaccard",
-    "dedup_incremental_minhash",
     "text_bigram_logprob",
-    "bpe_merge_steps",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "scalar_codec_int_serde",
-    "sessionize_events",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_stats",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "scd2_customer_history",
-    "source_custom_wirelog",
-    "source_json_events",
-    "source_csv_orders",
-    "scan_schema_evolution",
-    "retention_weekly_cohorts",
-    "subquery_exists_not_exists",
-    "text_robust_zscore",
-    "multimodal_meta_summary",
-    "multimodal_frame_sample",
 ]
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), then return

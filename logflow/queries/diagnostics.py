@@ -4399,7 +4399,13 @@ def diag_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _BH_Q_NUM, _BH_Q_DEN = 1, 10  # q = 0.10
-_BH_MMAX = 10  # literal grid covers any family size up to 10
+# Literal grid covers any family size up to 40 — 4x the regenerated
+# testdata's largest event_type family ever observed (5), because a
+# family with m > _BH_MMAX would match NOTHING in the inner grid join
+# and the query would silently return an empty (yet parity-green)
+# result.  tests/test_diagnostics.py::test_bh_fdr_stepup_shape asserts
+# the family actually fits the grid at every seed (r10 ADVICE item).
+_BH_MMAX = 40
 
 
 def _bh_grid() -> list[tuple[int, int, float]]:

@@ -421,13 +421,23 @@ def ks_drift_monitor(
 ) -> DataFrame:
     """Per-key streaming KS drift against a frozen reference prefix.
 
-    The first ``ref_n`` values per key (in arrival order) define the
-    reference histogram; every subsequent value accumulates into the
-    current histogram, and each micro-batch emits the exact-integer KS
-    distance between the two binned ECDFs.  State is O(n_bins) longs per
-    key — bounded forever, RocksDB-friendly at cluster scale — and the
-    KS numerator is exact BIGINT (no float ECDF drift), so emissions are
-    reproducible across retries/restarts from the same offsets.
+    The first ``ref_n`` values per key (in pandas-batch iteration order)
+    define the reference histogram; every subsequent value accumulates
+    into the current histogram, and each micro-batch emits the
+    exact-integer KS distance between the two binned ECDFs.  State is
+    O(n_bins) longs per key — bounded forever, RocksDB-friendly at
+    cluster scale — and the KS numerator is exact BIGINT (no float ECDF
+    drift).
+
+    Determinism caveat (r10 ADVICE): row order WITHIN a micro-batch
+    after the groupBy shuffle is not guaranteed, so when a single batch
+    straddles the ``ref_n`` boundary a retry from the same offsets may
+    assign different rows to the reference.  Emissions are therefore
+    reproducible across retries/restarts only when batch boundaries
+    align with ``ref_n`` (as in the tests); callers needing a
+    retry-stable reference should pre-sort each batch on an explicit
+    ordering column (e.g. event time) upstream, or pick ``ref_n`` as a
+    multiple of the ingest batch size.
     """
     from pyspark.sql import functions as F
 

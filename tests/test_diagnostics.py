@@ -998,13 +998,31 @@ def test_bh_fdr_stepup_shape(spark, sf_dir):
     of the ranking (the defining property of step-up procedures)."""
     from logflow.queries import load_all
 
+    from logflow.queries.diagnostics import _BH_MMAX
+    from logflow.sources.tables import load_table
+
     pdf = (
         load_all()["ab_benjamini_hochberg"]
         .fn(spark, sf_dir)
         .toPandas()
         .sort_values("rank")
     )
-    assert len(pdf) > 0
+    # Grid-coverage contract (r10 ADVICE): the inner join against the
+    # (k, m <= _BH_MMAX) literal grid silently empties the result when
+    # the metric family outgrows the grid — assert the current seed's
+    # family fits AND that output is non-empty, so a regenerated corpus
+    # with more event types fails loudly here instead of going green.
+    m_family = (
+        load_table(spark, "events", sf_dir).select("event_type").distinct().count()
+    )
+    assert m_family <= _BH_MMAX, (
+        f"event_type family size {m_family} exceeds the BH literal grid "
+        f"(_BH_MMAX={_BH_MMAX}); regenerate the grid with a larger bound"
+    )
+    assert len(pdf) > 0, (
+        "ab_benjamini_hochberg returned an empty frame — the (k, m) grid "
+        f"join matched nothing (m must be <= _BH_MMAX={_BH_MMAX})"
+    )
     assert list(pdf["rank"]) == list(range(1, len(pdf) + 1))
     az = pdf["z"].abs().to_numpy()
     assert (az[:-1] >= az[1:] - 1e-12).all()

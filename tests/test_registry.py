@@ -34,116 +34,105 @@ def test_driver_window_is_oracle_checked_except_documented():
     assert not missing, f"no-oracle queries waste driver window slots: {missing}"
 
 
-#: Round-10 rotation: cumulative driver-green after r9 is 343/347 — no
-#: oracle-backed query is un-attested — so the window spends its slots on
-#: the round-10 crop (first-time attestations) and the OLDEST green
-#: cohort (last driver-attested in rounds 1-3; testdata has regenerated
-#: six+ times since those rows were issued). Grown in lockstep with the
-#: "round-10 crop" block in PRIORITY as operators land this round.
-ROTATED_IN_R10_FIRST_TIME = [
-    "ab_benjamini_hochberg",
-    "cluster_dbscan_grid",
-    "er_fellegi_sunter",
-    "ts_holt_winters",
-    "ml_learning_curve",
-    "graph_betweenness_sampled",
-    "ml_tree_depth2",
-    "graph_ktruss",
-    "ml_ridge_kfold_cv",
-]
+#: Round-11 rotation: after the r10 gate every oracle-backed query is
+#: driver-green ever, so window value = re-attestation freshness. Slots
+#: go to the round-11 crop (first-time attestations, grown in lockstep
+#: with the crop block in PRIORITY as operators land) and the OLDEST
+#: green cohort: the 25 queries last driver-attested in round 3 plus the
+#: first (50 - crop - 25) of the 50-query round-4 cohort by name.
+ROTATED_IN_R11_FIRST_TIME: list[str] = []
 
-ROTATED_IN_R10_REATTEST = [
-    # last driver-attested round 1
-    "agg_cube_orders",
-    "agg_rollup_lineitem",
-    "dedup_ngram_jaccard",
-    "join_anti_dormant",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_token_count",
-    "text_vocab_topk",
-    # last driver-attested round 2
-    "agg_collect_user_journey",
-    "agg_distinct_per_segment",
-    "agg_grouping_sets",
-    "agg_pivot_event_types",
-    "dedup_first_event",
-    "join_broadcast_dims",
-    "join_full_outer_daily",
-    "join_semi_buyers",
-    "scalar_array_map_suite",
-    "scalar_datetime_monthly",
-    "scalar_json_props",
-    "scalar_string_suite",
-    "setops_customer_cohorts",
-    "subquery_exists_late_orders",
-    "topk_orders",
-    "unpivot_returnflag_measures",
-    "window_lead_gap",
-    "window_ntile_cume",
-    "window_top3_orders_per_customer",
-    # last driver-attested round 3 (first 14 by name)
-    "cdc_apply_upsert",
-    "contamination_ngram_overlap",
-    "corpus_build_pipeline",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "events_sliding_2h",
-    "events_tumbling_hourly",
-    "funnel_signup_click_purchase",
-    "join_asof_purchase_click",
-    "join_bucketed_revenue",
-    "join_range_bands",
-    "join_salted_skew",
+ROTATED_IN_R11_REATTEST = [
+    # last driver-attested round 3 (all 25)
+    "knn_cosine_brute",
+    "knn_cosine_ivf",
+    "ks_click_purchase_drift",
+    "maintenance_compact_files",
+    "multimodal_frame_sample",
+    "multimodal_meta_summary",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_stats",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "retention_weekly_cohorts",
+    "scalar_codec_int_serde",
+    "scan_schema_evolution",
+    "scd2_customer_history",
+    "sessionize_events",
+    "source_csv_orders",
+    "source_custom_wirelog",
+    "source_json_events",
+    "subquery_exists_not_exists",
+    "text_robust_zscore",
+    # last driver-attested round 4 (first 18 by name)
+    "bm25_search",
+    "bpe_merge_steps",
+    "cdc_snapshot_diff",
+    "dedup_incremental_minhash",
+    "dedup_prefix_jaccard",
+    "diag_column_profile",
+    "diag_join_cardinality",
+    "diag_key_skew",
+    "diag_psi_value_drift",
+    "diag_value_histogram",
+    "dup_chunk_filter",
+    "graph_pagerank_parts",
+    "graph_triangle_count",
+    "graph_walks_recursive_cte",
+    "inverted_index_postings",
+    "logscan_grep",
+    "multimodal_image_resize",
+    "multimodal_video_frame_stats",
 ]
 
 
-def test_round10_rotation_sits_in_driver_window():
+def test_round11_rotation_sits_in_driver_window():
     from logflow.queries import load_all
 
     window = list(load_all())[:DRIVER_WINDOW]
     missing = [
         n
-        for n in ROTATED_IN_R10_FIRST_TIME + ROTATED_IN_R10_REATTEST
+        for n in ROTATED_IN_R11_FIRST_TIME + ROTATED_IN_R11_REATTEST
         if n not in window
     ]
     assert not missing, f"rotated-in queries fell out of the window: {missing}"
 
 
-def test_round10_first_time_is_first_time():
-    """Every first-time slot must be spent on a query with no prior
-    driver-issued green row (the rotation's whole point)."""
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
-        with open(path) as fh:
-            for name, row in json.load(fh).items():
-                if row.get("rows_match") and row.get("err") is None:
-                    green.add(name)
-    already = [n for n in ROTATED_IN_R10_FIRST_TIME if n in green]
-    assert not already, f"window slots wasted on already-attested queries: {already}"
-
-
-def test_round10_reattest_is_the_stalest_cohort():
-    """Re-attest slots go to queries whose LAST green row is r1-r3."""
+def _green_history():
+    """name -> last driver-green round, from every CORRECTNESS_r*.json."""
+    import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        r = int(path.rsplit("_r", 1)[1].split(".")[0])
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("rows_match") and row.get("err") is None:
-                    last[name] = r
-    fresh = [n for n in ROTATED_IN_R10_REATTEST if last.get(n, 0) > 3]
+                    last[name] = max(last.get(name, 0), r)
+    return last
+
+
+def test_round11_first_time_is_first_time():
+    """Every first-time slot must be spent on a query with no prior
+    driver-issued green row (the rotation's whole point)."""
+    last = _green_history()
+    already = [n for n in ROTATED_IN_R11_FIRST_TIME if n in last]
+    assert not already, f"window slots wasted on already-attested queries: {already}"
+
+
+def test_round11_reattest_is_the_stalest_cohort():
+    """Re-attest slots go to queries whose LAST green row is r3-r4 (the
+    post-r10 stalest cohort; derived from the full CORRECTNESS history)."""
+    last = _green_history()
+    fresh = [n for n in ROTATED_IN_R11_REATTEST if last.get(n, 0) > 4]
     assert not fresh, f"re-attest slots wasted on recently-attested queries: {fresh}"
 
 

@@ -14,11 +14,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # parse both --runs=N and --runs N (mirrors bench.py's shard parsing),
+    # dropping the consumed value token from the positional names list
+    argv = sys.argv[1:]
     runs = 3
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs = int(a.split("=")[1])
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+            else:
+                runs = int(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     sf_dir, names = args[0], args[1:]
 
     from logflow.operators.cache import release_all
