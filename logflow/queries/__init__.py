@@ -70,6 +70,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history and pins the rotated-in set.
 PRIORITY: list[str] = [
     # ------- round-11 crop (first-time attestations; grown as ops land) -------
+    "seq_prefixspan",
     # ------- re-attest: last driver-attested round 3 (remaining 25) -------
     "knn_cosine_brute",
     "knn_cosine_ivf",

@@ -1875,3 +1875,164 @@ def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PrefixSpan sequential patterns — the sequence-mining twin of
+# assoc_rules_triples: frequent SUBSEQUENCES (order matters, gaps allowed)
+# of per-user event-type streams, with exact distinct-user supports.
+# --------------------------------------------------------------------------
+
+_PS_SUP_DEN = 2  # minsup = n_users DIV 2 (50% of users)
+
+
+@register(
+    "seq_prefixspan",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_type AS t,
+         date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS tsm
+  FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ev),
+ms AS (SELECT n_users, n_users // {_PS_SUP_DEN} AS minsup FROM nu),
+e1 AS (SELECT user_id, t AS a, MIN(tsm) AS t1 FROM ev GROUP BY user_id, t),
+f1 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS sup
+       FROM e1 GROUP BY a
+       HAVING COUNT(*) >= (SELECT minsup FROM ms)),
+e1f AS (SELECT e1.user_id, e1.a, e1.t1 FROM e1 JOIN f1 ON e1.a = f1.a),
+evf AS (SELECT ev.user_id, ev.t, ev.tsm FROM ev JOIN f1 ON ev.t = f1.a),
+e2 AS (SELECT b.user_id, p.a, b.t AS b, MIN(b.tsm) AS t2
+       FROM evf b JOIN e1f p ON b.user_id = p.user_id AND b.tsm > p.t1
+       GROUP BY b.user_id, p.a, b.t),
+f2 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup
+       FROM e2 GROUP BY a, b
+       HAVING COUNT(*) >= (SELECT minsup FROM ms)),
+e2f AS (SELECT e2.user_id, e2.a, e2.b, e2.t2
+        FROM e2 JOIN f2 ON e2.a = f2.a AND e2.b = f2.b),
+f3 AS (SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+         SELECT s.user_id, p.a, p.b, s.t AS c
+         FROM evf s JOIN e2f p ON s.user_id = p.user_id AND s.tsm > p.t2
+         GROUP BY s.user_id, p.a, p.b, s.t)
+       GROUP BY a, b, c
+       HAVING COUNT(*) >= (SELECT minsup FROM ms))
+SELECT pattern, length, support,
+       ROUND(CAST(support AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS support_frac
+FROM (
+  SELECT a AS pattern, CAST(1 AS BIGINT) AS length, sup AS support FROM f1
+  UNION ALL
+  SELECT concat(a, '>', b), CAST(2 AS BIGINT), sup FROM f2
+  UNION ALL
+  SELECT concat(a, '>', b, '>', c), CAST(3 AS BIGINT), sup FROM f3
+) CROSS JOIN nu
+ORDER BY length, support DESC, pattern
+""",
+    doc="PrefixSpan-style sequential-pattern mining over per-user event "
+    "streams: frequent subsequences (order matters, gaps allowed, strict "
+    "ts inequality) of lengths 1-3 with EXACT distinct-user supports, "
+    "minsup = 50% of users. Projection uses the earliest-occurrence "
+    "greedy invariant — a pattern a>b>c is supported by a user iff "
+    "min-ts(a), then min ts of b after it, then any c after THAT exist; "
+    "greedy earliest occurrence is complete for subsequence matching, so "
+    "supports are exact (no enumeration of all occurrences). Apriori "
+    "pruning between levels: length-k candidates extend only frequent "
+    "length-(k-1) patterns with frequent items, so the per-user join "
+    "fan-out is bounded by |L1| <= |event-type domain| per level, never "
+    "the raw sequence length squared. Exact-micros timestamps, BIGINT "
+    "supports — hash-stable cross-engine. At 100 TB: three user-keyed "
+    "shuffles (one per level); the frequent-set joins are broadcast "
+    "(type-domain-scale); pattern space is bounded by |T|+|T|^2+|T|^3, "
+    "a compile-time-ish constant independent of row count.",
+)
+def seq_prefixspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("t"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("tsm"),
+    )
+    nu = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    # 1-row / type-domain-scale frames feed MANY plan branches: eager
+    # localCheckpoint truncates the logical plan (the ml_class_prf1
+    # lesson — persist alone leaves the lineage re-expanding per branch;
+    # unchecked this query planned 101 Exchange nodes).
+    ms = nu.select(
+        "n_users", F.expr(f"n_users DIV {_PS_SUP_DEN}").alias("minsup")
+    ).localCheckpoint(eager=True)
+    e1 = track(
+        ev.groupBy("user_id", F.col("t").alias("a"))
+        .agg(F.min("tsm").alias("t1"))
+        .persist()
+    )
+    f1 = (
+        e1.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .select("a", "sup")
+    ).localCheckpoint(eager=True)
+    e1f = e1.join(F.broadcast(f1.select("a")), "a")
+    evf = track(ev.join(F.broadcast(f1.select(F.col("a").alias("t"))), "t").persist())
+    e2 = track(
+        evf.alias("b")
+        .join(e1f.alias("p"), "user_id")
+        .filter(F.col("b.tsm") > F.col("p.t1"))
+        .groupBy("user_id", "p.a", F.col("b.t").alias("b"))
+        .agg(F.min("b.tsm").alias("t2"))
+        .persist()
+    )
+    f2 = (
+        e2.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .select("a", "b", "sup")
+    ).localCheckpoint(eager=True)
+    e2f = e2.join(F.broadcast(f2.select("a", "b")), ["a", "b"])
+    f3 = (
+        evf.alias("s")
+        .join(e2f.alias("p"), "user_id")
+        .filter(F.col("s.tsm") > F.col("p.t2"))
+        .groupBy("user_id", "p.a", "p.b", F.col("s.t").alias("c"))
+        .agg(F.lit(1).alias("one"))
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .select("a", "b", "c", "sup")
+    )
+    out = (
+        f1.select(
+            F.col("a").alias("pattern"),
+            F.lit(1).cast("long").alias("length"),
+            F.col("sup").alias("support"),
+        )
+        .unionByName(
+            f2.select(
+                F.concat_ws(">", "a", "b").alias("pattern"),
+                F.lit(2).cast("long").alias("length"),
+                F.col("sup").alias("support"),
+            )
+        )
+        .unionByName(
+            f3.select(
+                F.concat_ws(">", "a", "b", "c").alias("pattern"),
+                F.lit(3).cast("long").alias("length"),
+                F.col("sup").alias("support"),
+            )
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(nu))
+        .select(
+            "pattern",
+            "length",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("n_users").cast("double"), 6
+            ).alias("support_frac"),
+        )
+        .orderBy("length", F.desc("support"), "pattern")
+    )

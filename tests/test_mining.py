@@ -17,6 +17,7 @@ MINING_QUERIES = [
     "assoc_rules_triples",
     "rfm_quintile_segments",
     "cluster_dbscan_grid",
+    "seq_prefixspan",
 ]
 
 
@@ -463,3 +464,21 @@ def test_dbscan_grid_invariants(spark, sf_dir):
     lo = pdf["qty_min"] * 1000 + pdf["price_band_min"]
     hi = pdf["qty_max"] * 1000 + pdf["price_band_max"]
     assert ((pdf["cluster_id"] >= lo) & (pdf["cluster_id"] <= hi)).all()
+
+
+def test_prefixspan_apriori_monotone(spark, sf_dir):
+    """Sequential-pattern supports obey Apriori monotonicity: every
+    frequent a>b has support <= support(a); every a>b>c has support <=
+    support(a>b). Supports never exceed the user count."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["seq_prefixspan"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0  # length-1 patterns always reach 50% at any seed
+    sup = dict(zip(pdf["pattern"], pdf["support"]))
+    assert (pdf["support_frac"] <= 1.0).all()
+    for pat, s in sup.items():
+        parts = pat.split(">")
+        if len(parts) >= 2:
+            prefix = ">".join(parts[:-1])
+            # the prefix must itself be frequent (Apriori) and dominate
+            assert prefix in sup and s <= sup[prefix], (pat, s, sup.get(prefix))

@@ -31,6 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: queries allowed to contain the listed smell, with the reason.
 WHITELIST: dict[str, dict[str, str]] = {
+    # ------- round-11 crop -------
+    "seq_prefixspan": {
+        "bnlj": "crossJoins of the 1-row n_users/minsup aggregate and the "
+        "type-domain-scale frequent-set broadcasts (<= |T|^2 rows) — "
+        "Apriori support thresholds, never a data-scale nested loop"
+    },
     # ------- round-8 crop: every BNLJ below is a crossJoin whose broadcast
     # side is a CONSTANT-SIZE frame (1-row moment/total aggregates, <=11-row
     # threshold grids, <=10-row bin tables) — the broadcast-the-model
