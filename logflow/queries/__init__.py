@@ -71,6 +71,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 PRIORITY: list[str] = [
     # ------- round-11 crop (first-time attestations; grown as ops land) -------
     "seq_prefixspan",
+    "ts_dtw_dayofweek",
     # ------- re-attest: last driver-attested round 3 (remaining 25) -------
     "knn_cosine_brute",
     "knn_cosine_ivf",

@@ -3263,3 +3263,162 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"({_hw_sum('f1', acc)}) / 100.0"), 4).alias("forecast_1d"),
         F.round(F.expr(f"({_hw_sum('f7', acc)}) / 100.0"), 4).alias("forecast_7d"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Band-limited DTW similarity between event-type day-of-week profiles —
+# the classic elastic-distance measure (Sakoe-Chiba band), run entirely in
+# exact fixed-point integers so the DP is hash-checkable cross-engine.
+# --------------------------------------------------------------------------
+
+_DTW_N = 7  # series length: day-of-week profile
+_DTW_BAND = 2  # Sakoe-Chiba band half-width
+
+
+def _dtw_cells() -> list[tuple[int, int, list[tuple[int, int]]]]:
+    """Topologically-ordered band cells with their in-band predecessors."""
+    cells = []
+    for s in range(2 * _DTW_N - 1):
+        for i in range(_DTW_N):
+            j = s - i
+            if 0 <= j < _DTW_N and abs(i - j) <= _DTW_BAND:
+                preds = [
+                    (pi, pj)
+                    for pi, pj in ((i - 1, j), (i, j - 1), (i - 1, j - 1))
+                    if pi >= 0 and pj >= 0 and abs(pi - pj) <= _DTW_BAND
+                ]
+                cells.append((i, j, preds))
+    return cells
+
+
+def _dtw_sql() -> str:
+    """Generate the full oracle: dow profiles -> ppm normalization ->
+    pair frame -> one chained CTE per DP cell (each CTE referenced once,
+    so no 2^n inlining blowup — the single-reference-chain rule)."""
+    n = _DTW_N
+    sums = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN dow = {d} THEN cents END), 0) AS BIGINT)"
+        f" AS s{d}"
+        for d in range(n)
+    )
+    tot = " + ".join(f"s{d}" for d in range(n))
+    ppm = ", ".join(f"(s{d} * 1000000) // tot AS p{d}" for d in range(n))
+    xy = ", ".join(
+        [f"a.p{d} AS x{d}" for d in range(n)] + [f"b.p{d} AS y{d}" for d in range(n)]
+    )
+    ctes = [
+        f"""ev AS (
+  SELECT event_type,
+         (date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+          // 86400000000) % 7 AS dow,
+         CAST(CAST(ROUND(value, 4) AS DECIMAL(14,4)) * 10000 AS BIGINT) AS cents
+  FROM events),
+prof AS (SELECT event_type AS t, {sums} FROM ev GROUP BY event_type),
+norm AS (SELECT t, {ppm} FROM (SELECT t, {tot} AS tot, * FROM prof) WHERE tot > 0),
+c0 AS (SELECT {xy} , a.t AS type_a, b.t AS type_b
+       FROM norm a JOIN norm b ON a.t < b.t)"""
+    ]
+    k = 0
+    for i, j, preds in _dtw_cells():
+        k += 1
+        cost = f"abs(x{i} - y{j})"
+        if preds:
+            p = ", ".join(f"d{pi}_{pj}" for pi, pj in preds)
+            expr = f"{cost} + least({p})" if len(preds) > 1 else f"{cost} + {p}"
+        else:
+            expr = cost
+        ctes.append(f"c{k} AS (SELECT *, {expr} AS d{i}_{j} FROM c{k - 1})")
+    last = f"d{n - 1}_{n - 1}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT type_a, type_b, CAST({last} AS BIGINT) AS dtw_ppm,
+       ROUND(CAST({last} AS DOUBLE) / 1000000.0, 6) AS dtw
+FROM c{k}
+ORDER BY dtw_ppm, type_a, type_b
+"""
+    )
+
+
+@register(
+    "ts_dtw_dayofweek",
+    _dtw_sql(),
+    doc="Band-limited (Sakoe-Chiba w=2) dynamic-time-warping distance "
+    "between the day-of-week activity profiles of every event-type "
+    "pair. Profiles are exact: per-(type, dow) DECIMAL cent sums "
+    "normalized to integer parts-per-million of the type's total, so "
+    "shape is compared, not volume; the DP then runs entirely in "
+    "BIGINT (|x_i - y_j| cell cost, min over in-band predecessors) — "
+    "dtw_ppm is an exact integer, hash-stable cross-engine where a "
+    "float DTW would drift by accumulation order. Spark runs the DP "
+    "vectorized per pair row inside ONE mapInPandas (numpy int64; the "
+    "pair frame is |T|(|T|-1)/2 rows); the oracle unrolls the same "
+    "topologically-ordered band cells as a single-reference CTE chain "
+    "(no 2^n inlining). At 100 TB: the only data-scale work is the "
+    "(type, dow) conditional aggregate — one shuffle of partial sums; "
+    "the DP cost is O(|T|^2 * n * w) on domain-scale rows, and longer "
+    "series (hourly profiles, per-entity pairs) shard naturally over "
+    "the pair rows.",
+)
+def ts_dtw_dayofweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr(
+            "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " DIV 86400000000) % 7"
+        ).alias("dow"),
+        F.expr("CAST(CAST(ROUND(value, 4) AS DECIMAL(14,4)) * 10000 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    n = _DTW_N
+    prof = ev.groupBy(F.col("event_type").alias("t")).agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("dow") == d, F.col("cents"))), F.lit(0))
+            .cast("long")
+            .alias(f"s{d}")
+            for d in range(n)
+        ]
+    )
+    tot = " + ".join(f"s{d}" for d in range(n))
+    norm = prof.withColumn("tot", F.expr(tot)).filter(F.col("tot") > 0)
+    norm = norm.select(
+        "t", *[F.expr(f"(s{d} * 1000000) DIV tot").alias(f"p{d}") for d in range(n)]
+    )
+    a, b = norm.alias("a"), norm.alias("b")
+    pairs = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        F.col("a.t").alias("type_a"),
+        F.col("b.t").alias("type_b"),
+        *[F.col(f"a.p{d}").alias(f"x{d}") for d in range(n)],
+        *[F.col(f"b.p{d}").alias(f"y{d}") for d in range(n)],
+    )
+    cells = _dtw_cells()
+
+    def dp(it):
+        import numpy as np  # noqa: F401
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for r in pdf.itertuples(index=False):
+                x = [getattr(r, f"x{d}") for d in range(n)]
+                y = [getattr(r, f"y{d}") for d in range(n)]
+                d_: dict[tuple[int, int], int] = {}
+                for i, j, preds in cells:
+                    cost = abs(int(x[i]) - int(y[j]))
+                    d_[(i, j)] = cost + (
+                        min(d_[p] for p in preds) if preds else 0
+                    )
+                out.append((r.type_a, r.type_b, d_[(n - 1, n - 1)]))
+            yield pd.DataFrame(out, columns=["type_a", "type_b", "dtw_ppm"])
+
+    res = pairs.mapInPandas(dp, "type_a string, type_b string, dtw_ppm long")
+    return res.select(
+        "type_a",
+        "type_b",
+        "dtw_ppm",
+        F.round(F.col("dtw_ppm").cast("double") / 1000000.0, 6).alias("dtw"),
+    ).orderBy("dtw_ppm", "type_a", "type_b")

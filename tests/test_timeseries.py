@@ -897,3 +897,59 @@ def test_holt_winters_rows_shape(spark, sf_dir):
     assert (pdf["n_days"] >= 28).all()
     for c in ("level", "trend", "forecast_1d", "forecast_7d"):
         assert np.isfinite(pdf[c]).all()
+
+
+def test_dtw_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_dtw_dayofweek", sf_dir)
+
+
+def test_dtw_metric_properties(spark, sf_dir):
+    """Band-DTW sanity: all C(|T|,2) pairs present; dtw_ppm >= the
+    band-free lower bound 0, equals 0 only for identical profiles; and
+    the value never exceeds the no-warp (diagonal) cost recomputed from
+    the profiles."""
+    from logflow.queries import load_all
+    from logflow.queries.timeseries import _DTW_N
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["ts_dtw_dayofweek"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["dtw_ppm"] >= 0).all()
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr(
+            "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " DIV 86400000000) % 7"
+        ).alias("dow"),
+        F.expr(
+            "CAST(CAST(ROUND(value, 4) AS DECIMAL(14,4)) * 10000 AS BIGINT)"
+        ).alias("cents"),
+    )
+    prof = (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                F.coalesce(F.sum(F.when(F.col("dow") == d, F.col("cents"))), F.lit(0))
+                .cast("long")
+                .alias(f"s{d}")
+                for d in range(_DTW_N)
+            ]
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    n_types = len(prof)
+    assert len(pdf) == n_types * (n_types - 1) // 2
+    for r in pdf.itertuples():
+        sa = prof.loc[r.type_a]
+        sb = prof.loc[r.type_b]
+        ta, tb = int(sa.sum()), int(sb.sum())
+        pa = [int(sa[f"s{d}"]) * 1_000_000 // ta for d in range(_DTW_N)]
+        pb = [int(sb[f"s{d}"]) * 1_000_000 // tb for d in range(_DTW_N)]
+        diag = sum(abs(a - b) for a, b in zip(pa, pb))
+        assert r.dtw_ppm <= diag, "DTW exceeds the no-warp alignment cost"
+        if pa == pb:
+            assert r.dtw_ppm == 0

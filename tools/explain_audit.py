@@ -37,6 +37,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "type-domain-scale frequent-set broadcasts (<= |T|^2 rows) — "
         "Apriori support thresholds, never a data-scale nested loop"
     },
+    "ts_dtw_dayofweek": {
+        "bnlj": "the a.t < b.t pair self-join runs on the |T|-row "
+        "day-of-week profile frame (type-domain scale, 5 rows here) — "
+        "the DP input, never a data-scale nested loop"
+    },
     # ------- round-8 crop: every BNLJ below is a crossJoin whose broadcast
     # side is a CONSTANT-SIZE frame (1-row moment/total aggregates, <=11-row
     # threshold grids, <=10-row bin tables) — the broadcast-the-model
