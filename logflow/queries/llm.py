@@ -4101,3 +4101,124 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_fp"), "pattern")
     )
+
+
+# --------------------------------------------------------------------------
+# Banded SRP-LSH verified-pair embedding dedup — the cosine-space twin of
+# dedup_minhash_lsh's band-OR amplification: 16 SRP bits split into 2
+# bands of 8; a pair is a candidate if EITHER band collides (higher
+# recall than the single-bucket dedup_embedding_cosine), every candidate
+# verified by exact rounded cosine.
+# --------------------------------------------------------------------------
+
+_SRPB_THRESHOLD = 0.2
+
+
+@register(
+    "dedup_srp_banded_pairs",
+    f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {_dd_norm('embedding')} AS vnorm,
+         CAST({_srp_sig_sql('embedding')} AS BIGINT) AS s
+  FROM embeddings),
+v AS (SELECT vec_id, embedding, vnorm, s % 256 AS b0, s // 256 AS b1 FROM sig),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(MAX(CASE WHEN a.b0 = b.b0 THEN 1 ELSE 0 END)
+              + MAX(CASE WHEN a.b1 = b.b1 THEN 1 ELSE 0 END) AS BIGINT) AS bands,
+         ROUND({_dd_dot('a.embedding', 'b.embedding')}
+               / (a.vnorm * b.vnorm), 6) AS sim
+  FROM v a JOIN v b
+    ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id, a.embedding, b.embedding, a.vnorm, b.vnorm)
+SELECT vec_a, vec_b, bands, sim
+FROM cand WHERE sim >= {_SRPB_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+    doc="Banded SRP-LSH near-dup pairs over the embedding corpus — the "
+    "OR-amplified cosine twin of dedup_minhash_lsh: the 16-bit "
+    "signed-random-projection signature (deterministic ±1 hyperplanes, "
+    "exact integer dots — embedding_srp_buckets' signature) splits "
+    "into 2 bands of 8 bits; a pair becomes a candidate when EITHER "
+    "band collides (P[candidate] = 1-(1-p^8)^2 for per-bit agreement "
+    "p — strictly higher recall than the single 8-bit bucket of "
+    "dedup_embedding_cosine), then every candidate is verified by the "
+    "exact 6dp-rounded cosine >= "
+    f"{_SRPB_THRESHOLD}. bands counts how many bands agree (2 = both). "
+    "At 100 TB: two band-key equi-joins (uniform md5-derived planes "
+    "keep buckets balanced — max bucket 28 of 2000 vectors at sf0.1), "
+    "candidates are union-of-bands deduped by the group-by, never an "
+    "all-pairs cross join; the Spark side shuffles IDs per band and "
+    "joins vectors back only for the deduped candidate set.",
+)
+def dedup_srp_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.similarity import _dot as _srp_dot
+    from logflow.operators.similarity import _norm as _srp_norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = track(
+        emb.select(
+            "vec_id",
+            "embedding",
+            _srp_norm(F.col("embedding")).alias("vnorm"),
+            _srp_sig_spark("embedding").cast("long").alias("s"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "vnorm",
+            (F.col("s") % 256).alias("b0"),
+            F.expr("s DIV 256").alias("b1"),
+        )
+        .persist()
+    )
+    # v feeds FOUR plan branches (two band joins + two vector join-backs):
+    # eager-persist or the 16-plane signature chain re-evaluates per branch
+    v.count()
+    ids = v.select("vec_id", "b0", "b1")
+    cand = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.b0") == F.col("b.b0"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.lit(1).alias("hit0"),
+            F.when(F.col("a.b1") == F.col("b.b1"), 1).otherwise(0).alias("hit1"),
+        )
+        .unionByName(
+            ids.alias("a")
+            .join(ids.alias("b"), F.col("a.b1") == F.col("b.b1"))
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.when(F.col("a.b0") == F.col("b.b0"), 1).otherwise(0).alias("hit0"),
+                F.lit(1).alias("hit1"),
+            )
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            (F.max("hit0") + F.max("hit1")).cast("long").alias("bands"),
+        )
+    )
+    va = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("vnorm").alias("na"),
+    )
+    vb = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("vnorm").alias("nb"),
+    )
+    sim = F.round(
+        _srp_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", "bands", sim.alias("sim"))
+        .filter(F.col("sim") >= _SRPB_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -15,6 +15,7 @@ LLM_QUERIES = [
     "mine_hard_negatives",
     "embedding_srp_buckets",
     "dedup_embedding_cosine",
+    "dedup_srp_banded_pairs",
     "knn_cosine_brute",
     "knn_cosine_ivf",
     "knn_cosine_numpy",
@@ -967,3 +968,30 @@ def test_fellegi_sunter_patterns(spark, sf_dir):
         )
         assert row["decision"] == want
         assert row["n_truth"] <= row["n_pairs"]
+
+
+def test_srp_banded_pairs_superset_and_verified(spark, sf_dir):
+    """Band-OR amplification semantics: every emitted pair shares at
+    least one SRP band (bands in {1,2}); sim respects the threshold; and
+    any pair that shares the FULL 16-bit signature necessarily has
+    bands == 2 (signature equality implies both band equalities)."""
+    from logflow.queries import load_all
+    from logflow.queries.llm import _SRPB_THRESHOLD, _srp_sig_spark
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["dedup_srp_banded_pairs"].fn(spark, sf_dir).toPandas()
+    assert set(pdf["bands"].unique()) <= {1, 2}
+    assert (pdf["sim"] >= _SRPB_THRESHOLD).all()
+    assert (pdf["vec_a"] < pdf["vec_b"]).all()
+    sig = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", _srp_sig_spark("embedding").cast("long").alias("s"))
+        .toPandas()
+        .set_index("vec_id")["s"]
+    )
+    for r in pdf.itertuples():
+        b0a, b1a = sig[r.vec_a] % 256, sig[r.vec_a] // 256
+        b0b, b1b = sig[r.vec_b] % 256, sig[r.vec_b] // 256
+        got = int(b0a == b0b) + int(b1a == b1b)
+        assert got == r.bands and got >= 1
