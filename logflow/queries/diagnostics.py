@@ -4618,3 +4618,118 @@ def ab_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-randomization permutation test on the A/B suite's experiment —
+# the nonparametric twin of ab_two_proportion_ztest/ab_cuped_adjustment:
+# no normal approximation anywhere, the null distribution is built from
+# md5-DETERMINISTIC re-labelings so every replicate is reproducible and
+# the whole test stays oracle-checkable (RNG-based permutation is not).
+# --------------------------------------------------------------------------
+
+_PERM_R = 64  # deterministic re-labelings; p-value resolution 1/65
+
+
+def _perm_bit(r: int, *, duck: bool) -> str:
+    """Deterministic 0/1 re-label for replicate ``r`` from md5(user_id)."""
+    if duck:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('perm:{r}:', "
+            f"CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2"
+        )
+    return (
+        f"CAST(conv(substring(md5(concat('perm:{r}:', "
+        f"CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+    )
+
+
+def _perm_diff(s1: str, n1: str) -> str:
+    """Mean difference from one arm's exact integer sums vs the rest —
+    the IDENTICAL IEEE expression in both engines (the denominator
+    NULLIF guard covers degenerate all-one-side relabelings)."""
+    return (
+        f"CAST({s1} AS DOUBLE) / CAST(NULLIF({n1}, 0) AS DOUBLE)"
+        f" - CAST(st - {s1} AS DOUBLE) / CAST(NULLIF(nt - {n1}, 0) AS DOUBLE)"
+    )
+
+
+def _perm_sql() -> str:
+    reps = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN {_perm_bit(r, duck=True)} = 1 THEN post ELSE 0 END)"
+        f" AS BIGINT) AS s1_{r},"
+        f" CAST(SUM({_perm_bit(r, duck=True)}) AS BIGINT) AS n1_{r}"
+        for r in range(_PERM_R)
+    )
+    extreme = " + ".join(
+        f"COALESCE(CASE WHEN abs({_perm_diff(f's1_{r}', f'n1_{r}')})"
+        f" >= abs({_perm_diff('s1o', 'n1o')}) THEN 1 END, 0)"
+        for r in range(_PERM_R)
+    )
+    return f"""
+WITH {_AB_USER_SQL.strip()},
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+         CAST(SUM(post) AS BIGINT) AS st,
+         CAST(SUM(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS s1o,
+         CAST(SUM(arm) AS BIGINT) AS n1o,
+         {reps}
+  FROM u)
+SELECT nt AS n_users, n1o AS n_treat,
+       ROUND(({_perm_diff('s1o', 'n1o')}) / 100.0, 6) AS diff_obs,
+       CAST({extreme} AS BIGINT) AS n_extreme,
+       ROUND((1.0 + CAST({extreme} AS DOUBLE)) / {_PERM_R + 1}.0, 6) AS p_value
+FROM g
+"""
+
+
+@register(
+    "ab_permutation_test",
+    _perm_sql(),
+    doc="Exact-randomization permutation test of the experiment's "
+    "post-period per-user spend difference (same md5 arms / exact-"
+    f"micros midpoint as the whole _ab_user_frame suite): {_PERM_R} "
+    "deterministic md5 re-labelings of users build the null "
+    "distribution — each replicate's arm-mean difference derives from "
+    "exact BIGINT cent sums (order-independent), and the observed-vs-"
+    "replicate comparison is the IDENTICAL IEEE expression in both "
+    "engines, so even the >= tie cases agree bit-for-bit. p = (1 + "
+    "#extreme)/(R+1), the standard add-one permutation estimate — no "
+    "normal CDF, no RNG, fully hash-checkable. At 100 TB: ONE pass — "
+    "all replicate sums are conditional aggregates in a single "
+    "map-side-combined agg (the Poisson-bootstrap layout); no "
+    "user-level shuffle beyond the shared per-user rollup.",
+)
+def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _ab_user_frame(spark, sf_dir)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        F.sum("post").cast("long").alias("st"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post")).otherwise(0))
+        .cast("long")
+        .alias("s1o"),
+        F.sum("arm").cast("long").alias("n1o"),
+    ]
+    for r in range(_PERM_R):
+        bit = F.expr(_perm_bit(r, duck=False))
+        aggs.append(
+            F.sum(F.when(bit == 1, F.col("post")).otherwise(0))
+            .cast("long")
+            .alias(f"s1_{r}")
+        )
+        aggs.append(F.sum(bit).cast("long").alias(f"n1_{r}"))
+    g = u.agg(*aggs)
+    extreme = " + ".join(
+        f"COALESCE(CASE WHEN abs({_perm_diff(f's1_{r}', f'n1_{r}')})"
+        f" >= abs({_perm_diff('s1o', 'n1o')}) THEN 1 END, 0)"
+        for r in range(_PERM_R)
+    )
+    return g.select(
+        F.col("nt").alias("n_users"),
+        F.col("n1o").alias("n_treat"),
+        F.expr(f"ROUND(({_perm_diff('s1o', 'n1o')}) / 100.0, 6)").alias("diff_obs"),
+        F.expr(f"CAST({extreme} AS BIGINT)").alias("n_extreme"),
+        F.expr(
+            f"ROUND((1.0 + CAST({extreme} AS DOUBLE)) / {_PERM_R + 1}.0, 6)"
+        ).alias("p_value"),
+    )

@@ -2249,3 +2249,245 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("truss_degree"), "p_partkey")
         .limit(_TRUSS_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# One Louvain refinement sweep over the LPA labels — exact integer
+# modularity gains, synchronous moves (deterministic, unlike sequential
+# Louvain), before/after modularity in exact 4m² fixed point.
+# --------------------------------------------------------------------------
+
+_LOUVAIN_SQL = (
+    "WITH "
+    + _LPA_CTES
+    + f""",
+labs AS MATERIALIZED (SELECT id, lab FROM l{_LPA_ITERS}),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s),
+deg AS MATERIALIZED (
+  SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d FROM bid GROUP BY u),
+tot AS MATERIALIZED (
+  SELECT labs.lab, CAST(SUM(deg.d) AS BIGINT) AS t
+  FROM deg JOIN labs ON deg.id = labs.id GROUP BY labs.lab),
+k AS MATERIALIZED (
+  SELECT e.u AS id, lv.lab AS c, CAST(COUNT(*) AS BIGINT) AS k
+  FROM bid e JOIN labs lv ON lv.id = e.v GROUP BY e.u, lv.lab),
+base AS MATERIALIZED (
+  SELECT n.id, lo.lab AS own, deg.d,
+         COALESCE(ko.k, 0) AS k_own, to_.t AS t_own
+  FROM nodes n
+  JOIN labs lo ON lo.id = n.id
+  JOIN deg ON deg.id = n.id
+  JOIN tot to_ ON to_.lab = lo.lab
+  LEFT JOIN k ko ON ko.id = n.id AND ko.c = lo.lab),
+gains AS (
+  SELECT b.id, b.own, k.c,
+         2 * m.m * (k.k - b.k_own) - b.d * (tc.t - b.t_own + b.d) AS gain
+  FROM base b
+  JOIN k ON k.id = b.id AND k.c <> b.own
+  JOIN tot tc ON tc.lab = k.c
+  CROSS JOIN m),
+best AS (
+  SELECT id, c AS new_lab FROM (
+    SELECT id, c, gain,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY gain DESC, c) AS rn
+    FROM gains WHERE gain > 0) WHERE rn = 1),
+after AS MATERIALIZED (
+  SELECT b.id, b.own AS old_lab, COALESCE(best.new_lab, b.own) AS lab
+  FROM base b LEFT JOIN best ON best.id = b.id),
+q_before AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS q FROM (
+    SELECT 4 * m.m * CAST(COUNT(*) AS BIGINT) AS x
+    FROM s JOIN labs la ON s.u = la.id JOIN labs lb ON s.v = lb.id
+    CROSS JOIN m WHERE la.lab = lb.lab GROUP BY m.m
+    UNION ALL
+    SELECT -SUM(t * t) FROM tot)),
+tot2 AS (
+  SELECT a.lab, CAST(SUM(deg.d) AS BIGINT) AS t
+  FROM deg JOIN after a ON deg.id = a.id GROUP BY a.lab),
+q_after AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS q FROM (
+    SELECT 4 * m.m * CAST(COUNT(*) AS BIGINT) AS x
+    FROM s JOIN after la ON s.u = la.id JOIN after lb ON s.v = lb.id
+    CROSS JOIN m WHERE la.lab = lb.lab GROUP BY m.m
+    UNION ALL
+    SELECT -SUM(t * t) FROM tot2))
+SELECT m.m AS m_edges,
+       (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM labs) AS n_comm_before,
+       (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM after) AS n_comm_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM after WHERE lab <> old_lab) AS n_moves,
+       (SELECT q FROM q_before) AS q4m2_before,
+       (SELECT q FROM q_after) AS q4m2_after,
+       ROUND(CAST((SELECT q FROM q_before) AS DOUBLE)
+             / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)), 6) AS q_before,
+       ROUND(CAST((SELECT q FROM q_after) AS DOUBLE)
+             / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)), 6) AS q_after
+FROM m
+"""
+)
+
+
+@register(
+    "graph_louvain_refine",
+    _LOUVAIN_SQL,
+    doc="One synchronous Louvain refinement sweep over the deterministic "
+    "3-round LPA labels (graph_modularity_lpa's partition) on the "
+    "weight>=2 co-purchase graph: every node evaluates the standard "
+    "Louvain modularity gain of moving to each NEIGHBOR community — "
+    "gain x 2m² = 2m(k_iC − k_i,own) − d_i(Σtot_C − Σtot_own + d_i), "
+    "an exact BIGINT — and moves iff the best gain is strictly "
+    "positive (tiebreak: smallest community id). All nodes move "
+    "simultaneously against the pre-sweep configuration, which makes "
+    "the sweep deterministic and cross-engine reproducible where "
+    "sequential Louvain's visit order is not (documented semantic "
+    "difference; a synchronous sweep can overshoot, so the after-"
+    "modularity is reported, not assumed improved). Modularity is "
+    "exact fixed point: Q·4m² = Σ_c(4m·e_c − d_c²), a pure BIGINT "
+    "hash-checkable in both engines, divided by 4m² only at the final "
+    "projection. At 100 TB: degree/total/neighbor-community frames "
+    "are the standard Pregel joins (one shuffle each); gains are one "
+    "join of the node-community edge counts against community totals; "
+    "no iteration beyond the fixed LPA rounds.",
+)
+def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir, ordered=True, w_min=2)
+    bid = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    base_n = track(bid.select(F.col("u").alias("id")).distinct().persist())
+    nodes = base_n.coalesce(_size_parts(base_n.count()))
+    labels = nodes.select("id", F.col("id").alias("lab"))
+    for _ in range(_LPA_ITERS):
+        cand = (
+            bid.join(labels.select(F.col("id").alias("v"), "lab"), "v")
+            .groupBy(F.col("u").alias("id"), "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        pick = cand.groupBy("id").agg(
+            F.expr("max_by(lab, struct(c, -lab))").alias("new_lab")
+        )
+        labels = nodes.join(pick, "id", "left").select(
+            "id", F.coalesce("new_lab", F.col("id")).alias("lab")
+        )
+    # Every frame below feeds MANY downstream branches (gains, before/
+    # after modularity, counts): eager localCheckpoint TRUNCATES the
+    # logical plan where persist alone leaves the whole LPA lineage
+    # re-expanding per branch — unchecked this query planned 13,413
+    # Exchange nodes (the ml_class_prf1_report lesson). All checkpointed
+    # frames are node/community-scale, i.e. bounded.
+    labels = labels.coalesce(_size_parts(base_n.count())).localCheckpoint(eager=True)
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m")).localCheckpoint(
+        eager=True
+    )
+    deg = (
+        bid.groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    tot = (
+        deg.join(labels, "id")
+        .groupBy("lab")
+        .agg(F.sum("d").cast("long").alias("t"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    k = (
+        bid.join(labels.select(F.col("id").alias("v"), F.col("lab").alias("c")), "v")
+        .groupBy(F.col("u").alias("id"), "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    base = (
+        labels.select("id", F.col("lab").alias("own"))
+        .join(deg, "id")
+        .join(tot.select(F.col("lab").alias("own"), F.col("t").alias("t_own")), "own")
+        .join(
+            k.select("id", F.col("c").alias("own"), F.col("k").alias("k_own")),
+            ["id", "own"],
+            "left",
+        )
+        .select(
+            "id", "own", "d", F.coalesce("k_own", F.lit(0)).alias("k_own"), "t_own"
+        )
+    )
+    gains = (
+        base.join(k, "id")
+        .filter(F.col("c") != F.col("own"))
+        .join(tot.select(F.col("lab").alias("c"), F.col("t").alias("t_c")), "c")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "id",
+            "own",
+            "c",
+            (
+                2 * F.col("m") * (F.col("k") - F.col("k_own"))
+                - F.col("d") * (F.col("t_c") - F.col("t_own") + F.col("d"))
+            ).alias("gain"),
+        )
+        .filter(F.col("gain") > 0)
+    )
+    best = gains.groupBy("id").agg(
+        F.expr("max_by(c, struct(gain, -c))").alias("new_lab")
+    )
+    after = (
+        labels.join(best, "id", "left")
+        .select(
+            "id",
+            F.col("lab").alias("old_lab"),
+            F.coalesce("new_lab", F.col("lab")).alias("lab"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+
+    def _q4m2(lab_df: DataFrame, tot_df: DataFrame):
+        la = lab_df.select(F.col("id").alias("u"), F.col("lab").alias("lab_u"))
+        lb = lab_df.select(F.col("id").alias("v"), F.col("lab").alias("lab_v"))
+        intra = (
+            edges.join(F.broadcast(la), "u")
+            .join(F.broadcast(lb), "v")
+            .filter(F.col("lab_u") == F.col("lab_v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+        )
+        dsq = tot_df.agg(F.sum(F.col("t") * F.col("t")).cast("long").alias("dsq"))
+        return (
+            intra.crossJoin(F.broadcast(dsq))
+            .crossJoin(F.broadcast(m))
+            .select(
+                (4 * F.col("m") * F.col("e_in") - F.col("dsq")).alias("q")
+            )
+        )
+
+    tot2 = deg.join(after.select("id", "lab"), "id").groupBy("lab").agg(
+        F.sum("d").cast("long").alias("t")
+    )
+    qb = _q4m2(labels, tot).localCheckpoint(eager=True)
+    qa = _q4m2(after.select("id", "lab"), tot2).localCheckpoint(eager=True)
+    ncb = labels.agg(F.countDistinct("lab").cast("long").alias("n_comm_before"))
+    nca = after.agg(F.countDistinct("lab").cast("long").alias("n_comm_after"))
+    nmv = after.filter(F.col("lab") != F.col("old_lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves")
+    )
+    mm = F.col("m").cast("double")
+    return (
+        m.crossJoin(F.broadcast(ncb))
+        .crossJoin(F.broadcast(nca))
+        .crossJoin(F.broadcast(nmv))
+        .crossJoin(F.broadcast(qb.select(F.col("q").alias("q4m2_before"))))
+        .crossJoin(F.broadcast(qa.select(F.col("q").alias("q4m2_after"))))
+        .select(
+            F.col("m").alias("m_edges"),
+            "n_comm_before",
+            "n_comm_after",
+            "n_moves",
+            "q4m2_before",
+            "q4m2_after",
+            F.round(F.col("q4m2_before").cast("double") / (4.0 * mm * mm), 6).alias(
+                "q_before"
+            ),
+            F.round(F.col("q4m2_after").cast("double") / (4.0 * mm * mm), 6).alias(
+                "q_after"
+            ),
+        )
+    )

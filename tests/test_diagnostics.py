@@ -1034,3 +1034,26 @@ def test_bh_fdr_stepup_shape(spark, sf_dir):
         if r == 0:
             seen_zero = True
         assert not (seen_zero and r == 1)
+
+
+def test_permutation_test_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ab_permutation_test", sf_dir)
+
+
+def test_permutation_test_definition(spark, sf_dir):
+    """The add-one permutation p-value reproduces from n_extreme and R;
+    bounds hold; and the observed diff matches a direct per-arm mean
+    difference recomputed from the shared user frame."""
+    from logflow.queries import load_all
+    from logflow.queries.diagnostics import _PERM_R, _ab_user_frame
+
+    r = load_all()["ab_permutation_test"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert 0 <= r.n_extreme <= _PERM_R
+    assert abs(r.p_value - round((1 + r.n_extreme) / (_PERM_R + 1), 6)) < 1e-12
+    u = _ab_user_frame(spark, sf_dir).toPandas()
+    g = u.groupby("arm")["post"]
+    want = round((g.mean()[1] - g.mean()[0]) / 100.0, 6)
+    assert abs(r.diff_obs - want) < 1e-6
+    assert r.n_treat == int((u["arm"] == 1).sum())

@@ -665,3 +665,27 @@ def test_ktruss_membership(spark, sf_dir):
     e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=2).toPandas()
     base_nodes = set(e["u"]) | set(e["v"])
     assert set(pdf["p_partkey"]).issubset(base_nodes)
+
+
+def test_louvain_refine_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_louvain_refine", sf_dir)
+
+
+def test_louvain_refine_invariants(spark, sf_dir):
+    """Exact-fixed-point identities: q4m2/(4m^2) reproduces the rounded
+    modularity columns; modularity stays in [-0.5, 1]; zero moves implies
+    identical before/after partition stats."""
+    from logflow.queries import load_all
+
+    r = load_all()["graph_louvain_refine"].fn(spark, sf_dir).toPandas().iloc[0]
+    m = int(r.m_edges)
+    assert m > 0
+    for q4, q in ((r.q4m2_before, r.q_before), (r.q4m2_after, r.q_after)):
+        assert abs(q - round(int(q4) / (4.0 * m * m), 6)) < 1e-12
+        assert -0.5 - 1e-9 <= q <= 1.0 + 1e-9
+    assert 0 <= r.n_moves <= r.m_edges * 2
+    if r.n_moves == 0:
+        assert r.q4m2_before == r.q4m2_after
+        assert r.n_comm_before == r.n_comm_after

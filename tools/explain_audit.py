@@ -42,6 +42,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "day-of-week profile frame (type-domain scale, 5 rows here) — "
         "the DP input, never a data-scale nested loop"
     },
+    "graph_louvain_refine": {
+        "bnlj": "crossJoins of 1-row frames only (edge count m, the "
+        "q4m2/count scalars) — the broadcast-the-model pattern"
+    },
+    "ab_permutation_test": {
+        "bnlj": "crossJoin of the 1-row midpoint aggregate (shared "
+        "_ab_user_frame pre/post split anchor)"
+    },
     # ------- round-8 crop: every BNLJ below is a crossJoin whose broadcast
     # side is a CONSTANT-SIZE frame (1-row moment/total aggregates, <=11-row
     # threshold grids, <=10-row bin tables) — the broadcast-the-model
