@@ -1002,3 +1002,62 @@ def test_bitemporal_asof_conserves_facts(spark, sf_dir):
     )
     assert pdf["n_facts"].sum() == n_facts
     assert (pdf["n_retro"] <= pdf["n_facts"]).all()
+
+
+def test_spatial_grid_knn_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "join_spatial_grid_knn", sf_dir)
+
+
+def test_spatial_grid_knn_is_exact_within_cell_radius(spark, sf_dir):
+    """The grid-join contract: every reported rank-1 neighbor within one
+    cell width of its query point must equal the TRUE brute-force
+    nearest customer (candidates are complete inside that radius); ranks
+    are dense per supplier and distances nondecreasing."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.queries.relational import _GEO_CELL, _geo_coord
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["join_spatial_grid_knn"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for _, g in pdf.groupby("s_suppkey"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["sqdist"].to_numpy()) >= 0).all()
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .select(
+            "c_custkey",
+            F.expr(_geo_coord("gx", "c_custkey", duck=False)).alias("x"),
+            F.expr(_geo_coord("gy", "c_custkey", duck=False)).alias("y"),
+        )
+        .toPandas()
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .select(
+            "s_suppkey",
+            F.expr(_geo_coord("gx", "s_suppkey", duck=False)).alias("x"),
+            F.expr(_geo_coord("gy", "s_suppkey", duck=False)).alias("y"),
+        )
+        .toPandas()
+        .set_index("s_suppkey")
+    )
+    cx, cy, ck = (cust["x"].to_numpy(), cust["y"].to_numpy(),
+                  cust["c_custkey"].to_numpy())
+    top1 = pdf[pdf["rank"] == 1].set_index("s_suppkey")
+    checked = 0
+    for sk, row in top1.head(50).iterrows():
+        sx, sy = int(supp.loc[sk, "x"]), int(supp.loc[sk, "y"])
+        d2 = (cx - sx) ** 2 + (cy - sy) ** 2
+        best = d2.min()
+        if best <= _GEO_CELL * _GEO_CELL:
+            order = np.lexsort((ck, d2))
+            assert row["sqdist"] == best
+            assert row["c_custkey"] == ck[order[0]]
+            checked += 1
+    assert checked > 0, "no supplier had a within-radius neighbor to verify"

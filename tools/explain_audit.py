@@ -50,6 +50,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "crossJoin of the 1-row midpoint aggregate (shared "
         "_ab_user_frame pre/post split anchor)"
     },
+    "join_spatial_grid_knn": {
+        "bnlj": "crossJoin of the 9-row literal cell-offset table onto "
+        "the supplier side — the grid-probe fan-out; the data-scale "
+        "join is the (cx, cy) equi-join"
+    },
     # ------- round-8 crop: every BNLJ below is a crossJoin whose broadcast
     # side is a CONSTANT-SIZE frame (1-row moment/total aggregates, <=11-row
     # threshold grids, <=10-row bin tables) — the broadcast-the-model
