@@ -3422,3 +3422,131 @@ def ts_dtw_dayofweek(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dtw_ppm",
         F.round(F.col("dtw_ppm").cast("double") / 1000000.0, 6).alias("dtw"),
     ).orderBy("dtw_ppm", "type_a", "type_b")
+
+
+# --------------------------------------------------------------------------
+# Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, the M3
+# benchmark classic): average of the theta=0 line (OLS trend) and an SES
+# over the theta=2 line — every state LINEAR in the observations, so the
+# whole method inlines as weight-vector literals (the ts_holt_winters
+# machinery, fourth member of the forecasting suite).
+# --------------------------------------------------------------------------
+
+_TH_N = 14  # evaluate on the last 14 observed days
+_TH_ALPHA = 0.5  # SES coefficient on the theta=2 line
+
+
+def _theta_weight_vectors() -> dict[str, list[float]]:
+    """Run OLS + the theta decomposition + SES once on the identity
+    basis: b_i/a_i are the closed-form OLS functionals, z_t = 2y_t -
+    (a + b t) is linear in y, and SES(alpha) over z is a linear
+    recursion — composing them gives exact per-observation weights for
+    the h-step forecast 0.5(a + b(n-1+h)) + 0.5*ses_{n-1}."""
+    import numpy as np
+
+    n = _TH_N
+    t = np.arange(n, dtype=float)
+    tbar = t.mean()
+    stt = float(((t - tbar) ** 2).sum())
+    Y = np.eye(n)
+    b = (t - tbar) @ Y / stt  # slope weights
+    a = Y.mean(axis=0) - b * tbar  # intercept weights
+    ses = np.zeros(n)
+    for i in range(n):
+        z_i = 2.0 * Y[i] - (a + b * t[i])  # theta=2 line at time i
+        ses = z_i.copy() if i == 0 else _TH_ALPHA * z_i + (1 - _TH_ALPHA) * ses
+    out = {"slope": [float(x) for x in b]}
+    for h, key in ((1, "f1"), (7, "f7")):
+        w = 0.5 * (a + b * (n - 1 + h)) + 0.5 * ses
+        out[key] = [float(x) for x in w]
+    return out
+
+
+_TH_W = _theta_weight_vectors()
+
+
+def _th_sum(name: str, elem) -> str:
+    """Explicit left-associated weighted sum with CAST AS DOUBLE literals
+    (identical text both engines — the _hw_sum rule)."""
+    return " + ".join(
+        f"CAST({w!r} AS DOUBLE) * {elem(i)}" for i, w in enumerate(_TH_W[name])
+    )
+
+
+@register(
+    "ts_theta_forecast",
+    f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(14,4))), 2)
+                         AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         array_agg(cents ORDER BY day) AS allv
+  FROM daily GROUP BY event_type HAVING COUNT(*) >= {_TH_N}),
+y AS (SELECT event_type, n_days,
+             allv[len(allv) - {_TH_N - 1}:len(allv)] AS ys FROM s)
+SELECT event_type, n_days,
+       ROUND(({_th_sum("slope", lambda i: f"ys[{i + 1}]")}) / 100.0, 4) AS slope,
+       ROUND(({_th_sum("f1", lambda i: f"ys[{i + 1}]")}) / 100.0, 4)
+         AS forecast_1d,
+       ROUND(({_th_sum("f7", lambda i: f"ys[{i + 1}]")}) / 100.0, 4)
+         AS forecast_7d
+FROM y
+ORDER BY event_type
+""",
+    doc="Theta-method forecaster (theta = 0/2 decomposition, SES alpha="
+    f"{_TH_ALPHA}, the M3-competition classic) over each event type's "
+    f"daily spend, evaluated on the last {_TH_N} observed days: the "
+    "theta=0 line is the closed-form OLS trend, the theta=2 line "
+    "2y_t - (a + bt) is smoothed by SES, and the h-step forecast is "
+    "their average with the trend extrapolated. Every component is "
+    "LINEAR in the observations, so the whole method — OLS functionals, "
+    "theta decomposition, SES recursion — is composed ONCE in Python "
+    "on the identity basis into per-horizon weight vectors inlined as "
+    "repr literals: in-engine it is one explicit left-associated "
+    "weighted sum of exact BIGINT cents (bit-identical IEEE both "
+    "engines; the ts_holt_winters machinery, completing the "
+    "Croston/Holt/Holt-Winters/Theta forecasting suite). At 100 TB: "
+    "one map-side daily rollup + one type-keyed bounded array agg; "
+    "no window, no iteration.",
+)
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2).cast(
+                "double"
+            )
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    s = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, cents))),"
+                " x -> x.cents)"
+            ).alias("allv"),
+        )
+        .filter(F.col("n_days") >= _TH_N)
+    )
+    y = s.select(
+        "event_type",
+        "n_days",
+        F.expr(f"slice(allv, size(allv) - {_TH_N - 1}, {_TH_N})").alias("ys"),
+    )
+    acc = lambda i: f"element_at(ys, {i + 1})"  # noqa: E731
+    return y.select(
+        "event_type",
+        "n_days",
+        F.round(F.expr(f"({_th_sum('slope', acc)}) / 100.0"), 4).alias("slope"),
+        F.round(F.expr(f"({_th_sum('f1', acc)}) / 100.0"), 4).alias("forecast_1d"),
+        F.round(F.expr(f"({_th_sum('f7', acc)}) / 100.0"), 4).alias("forecast_7d"),
+    ).orderBy("event_type")

@@ -953,3 +953,57 @@ def test_dtw_metric_properties(spark, sf_dir):
         assert r.dtw_ppm <= diag, "DTW exceeds the no-warp alignment cost"
         if pa == pb:
             assert r.dtw_ppm == 0
+
+
+def test_theta_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_theta_forecast", sf_dir)
+
+
+def test_theta_matches_direct_recursion(spark, sf_dir):
+    """The inlined weight vectors must reproduce the textbook theta
+    method run directly (OLS fit, theta=2 line, SES recursion) on each
+    type's last 14 daily cent totals."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.queries.timeseries import _TH_ALPHA, _TH_N
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["ts_theta_forecast"].fn(spark, sf_dir).toPandas()
+    if len(pdf) == 0:
+        import pytest
+
+        pytest.skip(f"no event type spans {_TH_N} days at this SF/seed")
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(F.round(F.col("value"), 4).cast("decimal(14,4)")), 2
+                ).cast("double")
+                * 100,
+                0,
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .toPandas()
+    )
+    for r in pdf.itertuples():
+        g = daily[daily.event_type == r.event_type].sort_values("day")
+        ys = g["cents"].to_numpy()[-_TH_N:].astype(float)
+        t = np.arange(_TH_N, dtype=float)
+        b = ((t - t.mean()) * ys).sum() / ((t - t.mean()) ** 2).sum()
+        a = ys.mean() - b * t.mean()
+        z = 2.0 * ys - (a + b * t)
+        s = z[0]
+        for i in range(1, _TH_N):
+            s = _TH_ALPHA * z[i] + (1 - _TH_ALPHA) * s
+        for h, col in ((1, r.forecast_1d), (7, r.forecast_7d)):
+            want = (0.5 * (a + b * (_TH_N - 1 + h)) + 0.5 * s) / 100.0
+            assert abs(col - want) < 1e-3, (r.event_type, h, col, want)
+        assert abs(r.slope - b / 100.0) < 1e-3
