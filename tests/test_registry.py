@@ -40,7 +40,15 @@ def test_driver_window_is_oracle_checked_except_documented():
 #: with the crop block in PRIORITY as operators land) and the OLDEST
 #: green cohort: the 25 queries last driver-attested in round 3 plus the
 #: first (50 - crop - 25) of the 50-query round-4 cohort by name.
-ROTATED_IN_R11_FIRST_TIME: list[str] = []
+ROTATED_IN_R11_FIRST_TIME: list[str] = [
+    "seq_prefixspan",
+    "ts_dtw_dayofweek",
+    "dedup_srp_banded_pairs",
+    "graph_louvain_refine",
+    "ab_permutation_test",
+    "join_spatial_grid_knn",
+    "ts_theta_forecast",
+]
 
 ROTATED_IN_R11_REATTEST = [
     # last driver-attested round 3 (all 25)
