@@ -452,3 +452,63 @@ def ks_drift_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming dependency graph — the incremental twin of the batch Q3
+# (queries/trace.py:trace_dependency_graph): per-(service, remote) edge
+# call counts maintained across micro-batches via applyInPandasWithState,
+# the reference's Zipkin dependency aggregation kept continuously fresh
+# instead of recomputed per batch window.
+# --------------------------------------------------------------------------
+
+DEP_GRAPH_SCHEMA = StructType(
+    [
+        StructField("service", StringType()),
+        StructField("remote", StringType()),
+        StructField("call_count", LongType()),
+    ]
+)
+
+_DEP_STATE = "n LONG"
+
+
+def _update_dep_edge(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n = state.get[0] if state.exists else 0
+    for pdf in batches:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame(
+        {"service": [key[0]], "remote": [key[1]], "call_count": [n]}
+    )
+
+
+def streaming_dependency_graph(spans: DataFrame) -> DataFrame:
+    """Incrementally-maintained service dependency graph over a span
+    stream (reference Q3, README.adoc:140-145): rows with a Kafka remote
+    hop count toward their (service, remote_service/topic) edge; each
+    micro-batch emits the updated cumulative call_count for every edge
+    it touched.  State is ONE long per edge — O(|services|²) bounded
+    forever regardless of stream length, exactly the shape a RocksDB
+    state store scales to; restarts resume from the checkpointed counts
+    (asserted in tests), so the graph stays exactly-once consistent
+    with the batch recompute.
+    """
+    from pyspark.sql import functions as F
+
+    edges = spans.filter(F.col("kafka_topic").isNotNull()).select(
+        "service",
+        # remote_service arrives already P3-rewritten (operators/topology.
+        # rewrite_remote_service folds the topic in) — same edge naming as
+        # the batch Q3, so the two results compare key-for-key.
+        F.col("remote_service").alias("remote"),
+    )
+    return edges.groupBy("service", "remote").applyInPandasWithState(
+        _update_dep_edge,
+        outputStructType=DEP_GRAPH_SCHEMA,
+        stateStructType=_DEP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1681,3 +1681,75 @@ def test_streaming_ks_drift_checkpoint_restart(spark, tmp_path):
     # only the NEW file was processed, against state restored from ckpt
     assert len(r2) == 1 and r2[0].n_ref == 100 and r2[0].n_cur == 50
     assert r2[0].ks > 0.0
+
+
+def test_streaming_dependency_graph_matches_batch(spark, tmp_path):
+    """The incrementally-maintained Q3 dependency graph (per-edge count
+    state) converges to the batch trace_dependency_graph result, and a
+    RESTART from the checkpoint resumes the counts instead of resetting
+    them (exactly-once edge accounting)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logflow.operators.topology import rewrite_remote_service, spans_from_records
+    from logflow.queries import load_all
+    from logflow.queries.trace import _records
+    from logflow.streaming.stateful import streaming_dependency_graph
+
+    sf = "/root/testdata/sf0.001"
+    spans = (
+        rewrite_remote_service(spans_from_records(_records(spark, sf)))
+        .select("service", "remote_service", "kafka_topic")
+        .toPandas()
+    )
+    path = tmp_path / "dep_src"
+    path.mkdir()
+    third = len(spans) // 3
+    pq.write_table(pa.Table.from_pandas(spans.iloc[:third]), str(path / "a.parquet"))
+    pq.write_table(
+        pa.Table.from_pandas(spans.iloc[third : 2 * third]), str(path / "b.parquet")
+    )
+
+    emitted: list[tuple] = []
+
+    def run():
+        # foreachBatch, not the memory sink: the memory sink refuses
+        # checkpoint recovery ("This query does not support recovering
+        # from checkpoint location") and this test restarts on purpose.
+        stream = (
+            spark.readStream.schema(
+                "service string, remote_service string, kafka_topic string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(path))
+        )
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                emitted.append((r.service, r.remote, r.call_count))
+
+        q = (
+            streaming_dependency_graph(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "dep_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    # restart with the final slice appended: counts must RESUME
+    pq.write_table(
+        pa.Table.from_pandas(spans.iloc[2 * third :]), str(path / "c.parquet")
+    )
+    run()
+    final: dict[tuple, int] = {}
+    for service, remote, n in emitted:  # later emissions supersede
+        final[(service, remote)] = n
+    batch = load_all()["trace_dependency_graph"].fn(spark, sf).collect()
+    want = {(r.service, r.remote): r.call_count for r in batch}
+    assert final == want
+    assert os.path.isdir(str(tmp_path / "dep_ckpt"))
