@@ -2128,8 +2128,12 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("delta"))
             .coalesce(_size_parts(_BC_SEEDS * 8**_BC_HOPS))
         )
-        # two consumers (next backward level + final union): materialize
-        delta = delta.localCheckpoint(eager=True)
+        if h > 1:
+            # two consumers (next backward level + final union): materialize.
+            # The LAST round (h == 1) feeds only the final union — skipping
+            # its checkpoint saves one whole job of stage floor (measured
+            # ~1 s at sf0.1 on this 8-job operator).
+            delta = delta.localCheckpoint(eager=True)
         deltas.append(delta)
     alld = deltas[0].select("s", "u", "delta")
     for d in deltas[1:]:
