@@ -4704,17 +4704,22 @@ ORDER BY layout
     "output, parallel sort.",
 )
 def scan_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
     from logflow.operators.packing import global_ntile
 
-    li = load_table(spark, "lineitem", sf_dir)
+    # the 3-column projection feeds FIVE consumers (two quantile probes,
+    # two ntile assignments, the bounds agg): persist it once or every
+    # consumer re-scans the parquet (r11 interleaved A/B: 4.2 vs 5.5 s
+    # min at sf0.1)
+    li = track(
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_shipdate", "l_orderkey", "l_linenumber")
+        .persist()
+    )
+    li.count()
 
     def zones(keys: list[str], layout: str) -> DataFrame:
-        g = global_ntile(
-            li.select("l_shipdate", "l_orderkey", "l_linenumber"),
-            keys,
-            _ZM_BUCKETS,
-            out_col="bk",
-        )
+        g = global_ntile(li, keys, _ZM_BUCKETS, out_col="bk")
         return (
             g.groupBy("bk")
             .agg(
