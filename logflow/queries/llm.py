@@ -4222,3 +4222,114 @@ def dedup_srp_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= _SRPB_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Containment near-dup pairs — the ASYMMETRIC dedup measure Jaccard
+# misses: a short doc fully quoted inside a long one has tiny Jaccard but
+# containment ~1 (Broder's containment; the doc-in-doc case an LLM corpus
+# scrub must catch separately from symmetric near-dups).
+# --------------------------------------------------------------------------
+
+_CONT_MOD = 17  # mod-sampled doc subset (output-explosion rule: the
+# corpus carries huge near-dup clusters; all-true-pairs output must be
+# sample-bounded by contract, same as dedup_ngram_jaccard)
+_CONT_THRESHOLD = 0.5
+_CONT_SQL_GRAMS = (
+    "list_distinct(list_transform(range(1, len(toks) - 3), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    " || ' ' || toks[i+3] || ' ' || toks[i+4]))"
+)
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents
+           WHERE doc_id % {_CONT_MOD} = 0),
+sh AS (SELECT doc_id, {_CONT_SQL_GRAMS} AS sh FROM t WHERE len(toks) >= 5),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh),
+posts AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_shared, na, nb, containment FROM (
+  SELECT s.doc_a, s.doc_b, s.n_shared,
+         sa.n AS na, sb.n AS nb,
+         ROUND(CAST(s.n_shared AS DOUBLE)
+               / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b)
+WHERE containment >= {_CONT_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+    doc="Broder containment near-dup pairs over word-5-gram shingle sets "
+    "— the asymmetric doc-in-doc measure: containment = |A∩B| / "
+    "min(|A|,|B|), which flags a short document quoted inside a long "
+    "one where symmetric Jaccard stays small. Candidates come from the "
+    "POSTING-LIST equi-join on shared shingles (only pairs that share "
+    "at least one gram ever materialize — the inverted-index discovery "
+    "shape, never an all-pairs cross join); intersection counts, set "
+    "sizes and the final ratio are exact. Output is mod-sampled "
+    f"(doc_id % {_CONT_MOD} = 0) by the documented output-explosion "
+    "contract — the regenerated corpus carries huge near-dup clusters, "
+    "so any all-true-pairs query must bound its subset; the Spark plan "
+    "scales to the full corpus unchanged. At 100 TB: one shingle "
+    "explode + one gram-keyed shuffle; hub grams would need the "
+    "rare-token prefix filter (dedup_prefix_jaccard's machinery) — "
+    "documented swap.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.functions.text import word_shingles
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % _CONT_MOD == 0
+    )
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # NO size(toks) >= 5 row filter: Catalyst would push it below the
+    # projection and re-inline the tokenize chain into the scan filter
+    # (the explode-rule trap). word_shingles already yields an EMPTY
+    # array for <5-token docs, explode drops empty arrays, and a
+    # zero-gram doc can never reach `shared` — same rows, no re-inline.
+    sh = toks.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("toks"), k=5)).alias("sh")
+    )
+    sh = track(sh.persist())
+    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("n"))
+    posts = sh.select("doc_id", F.explode("sh").alias("g"))
+    shared = (
+        posts.alias("a")
+        .join(posts.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "na",
+            "nb",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )

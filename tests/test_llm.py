@@ -16,6 +16,7 @@ LLM_QUERIES = [
     "embedding_srp_buckets",
     "dedup_embedding_cosine",
     "dedup_srp_banded_pairs",
+    "dedup_containment_pairs",
     "knn_cosine_brute",
     "knn_cosine_ivf",
     "knn_cosine_numpy",
@@ -995,3 +996,36 @@ def test_srp_banded_pairs_superset_and_verified(spark, sf_dir):
         b0b, b1b = sig[r.vec_b] % 256, sig[r.vec_b] // 256
         got = int(b0a == b0b) + int(b1a == b1b)
         assert got == r.bands and got >= 1
+
+
+def test_containment_pairs_exact_and_asymmetric(spark, sf_dir):
+    """Containment recomputes exactly from each pair's shingle sets; it
+    bounds Jaccard from above (containment >= jaccard always); thresholds
+    and ordering respected."""
+    from logflow.functions.text import tokenize, word_shingles
+    from logflow.queries import load_all
+    from logflow.queries.llm import _CONT_MOD, _CONT_THRESHOLD
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["dedup_containment_pairs"].fn(spark, sf_dir).toPandas()
+    assert (pdf["containment"] >= _CONT_THRESHOLD).all() if len(pdf) else True
+    sets = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % _CONT_MOD == 0)
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokenize(F.col("text")), k=5)).alias("sh"),
+        )
+        .toPandas()
+        .set_index("doc_id")["sh"]
+    )
+    for r in pdf.head(100).itertuples():
+        a, b = set(sets[r.doc_a]), set(sets[r.doc_b])
+        shared = len(a & b)
+        assert r.n_shared == shared
+        assert r.na == len(a) and r.nb == len(b)
+        want = round(shared / min(len(a), len(b)), 6)
+        assert abs(r.containment - want) < 1e-12
+        jac = shared / len(a | b)
+        assert r.containment >= jac - 1e-12
