@@ -4733,3 +4733,176 @@ def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ROUND((1.0 + CAST({extreme} AS DOUBLE)) / {_PERM_R + 1}.0, 6)"
         ).alias("p_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b on the bucketed value DOMAIN — completes the correlation
+# suite (Pearson: diag_correlation_matrix, Spearman: diag_spearman_rank_
+# corr) with the concordance measure, computed at grid scale instead of
+# the O(n²) pair definition (the diag_mann_whitney value-domain rule).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "diag_kendall_tau",
+    """
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) // 1000 AS y
+  FROM lineitem),
+cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY x, y),
+xs AS (SELECT DISTINCT x FROM cells),
+ys AS (SELECT DISTINCT y FROM cells),
+dense AS (
+  SELECT xs.x, ys.y, COALESCE(cells.c, 0) AS c
+  FROM xs CROSS JOIN ys
+  LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y),
+rc AS (  -- rowcum(x, y) = sum over x' <= x within column y
+  SELECT x, y, c,
+         CAST(SUM(c) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS rowcum
+  FROM dense),
+pf AS (  -- F(x, y) = sum over x' <= x, y' <= y (2D prefix on the DENSE grid)
+  SELECT x, y, c, rowcum,
+         CAST(SUM(rowcum) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS f
+  FROM rc),
+marg AS (
+  SELECT p.x, p.y, p.c, p.rowcum, p.f,
+         CAST(SUM(p.c) OVER (PARTITION BY p.x) AS BIGINT) AS cx_here,
+         CAST(SUM(p.c) OVER (PARTITION BY p.y) AS BIGINT) AS cy_here
+  FROM pf p),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+rmg AS (  -- R(x) = # points with x' <= x; Cl(y) = # with y' <= y
+  SELECT m.*,
+         CAST(SUM(cx_one) OVER (ORDER BY m.x) AS BIGINT) AS rx,
+         CAST(SUM(cy_one) OVER (ORDER BY m.y) AS BIGINT) AS cy
+  FROM (SELECT marg.*,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY x ORDER BY y) = 1
+                    THEN cx_here ELSE 0 END AS cx_one,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY y ORDER BY x) = 1
+                    THEN cy_here ELSE 0 END AS cy_one
+        FROM marg) m),
+terms AS (
+  SELECT CAST(SUM(c * (n - rx - cy + f)) AS BIGINT) AS conc,
+         CAST(SUM(c * ((cy - cy_here) - (f - rowcum))) AS BIGINT) AS disc
+  FROM rmg CROSS JOIN tot),
+ties AS (
+  SELECT CAST(SUM(tx * (tx - 1) // 2) AS BIGINT) AS n1
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS tx FROM cells GROUP BY x)),
+ties2 AS (
+  SELECT CAST(SUM(ty * (ty - 1) // 2) AS BIGINT) AS n2
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS ty FROM cells GROUP BY y))
+SELECT n,
+       CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+       conc AS concordant, disc AS discordant, n1 AS ties_x, n2 AS ties_y,
+       ROUND(CAST(conc - disc AS DOUBLE)
+             / sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                    * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)), 6) AS tau_b
+FROM tot CROSS JOIN terms CROSS JOIN ties CROSS JOIN ties2
+""",
+    doc="Kendall tau-b between quantity and (1k-bucketed) extended price "
+    "— the concordance member of the correlation suite. Instead of the "
+    "O(n²) pair definition, counts are computed on the DENSIFIED "
+    "(x, y) value-domain grid (50 x ~105 cells): concordant pairs per "
+    "cell = n - R(x) - C(y) + F(x,y) and discordant = (C(y<) - "
+    "F(x, y<)) from one 2D prefix sum composed of two 1D grid-scale "
+    "windows (zero-filled cells make the composition exact), tie "
+    "corrections from the margins — every count an exact BIGINT, the "
+    "tau-b division the only float. At 100 TB: one (x, y) grid "
+    "aggregate shuffle; everything after runs on the bounded domain "
+    "grid (the diag_mann_whitney value-domain rule), never on rows.",
+)
+def diag_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr("CAST(floor(l_extendedprice) AS BIGINT) DIV 1000").alias("y"),
+    )
+    cells = (
+        pts.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)  # grid-scale; feeds dense + ties + tot
+    )
+    xs = cells.select("x").distinct()
+    ys = cells.select("y").distinct()
+    dense = (
+        xs.crossJoin(ys)
+        .join(cells, ["x", "y"], "left")
+        .select("x", "y", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    rc = dense.withColumn(
+        "rowcum",
+        F.sum("c").over(Window.partitionBy("y").orderBy("x")).cast("long"),
+    )
+    pf = rc.withColumn(
+        "f", F.sum("rowcum").over(Window.partitionBy("x").orderBy("y")).cast("long")
+    )
+    marg = pf.select(
+        "*",
+        F.sum("c").over(Window.partitionBy("x")).cast("long").alias("cx_here"),
+        F.sum("c").over(Window.partitionBy("y")).cast("long").alias("cy_here"),
+    )
+    one = marg.select(
+        "*",
+        F.when(
+            F.row_number().over(Window.partitionBy("x").orderBy("y")) == 1,
+            F.col("cx_here"),
+        )
+        .otherwise(0)
+        .alias("cx_one"),
+        F.when(
+            F.row_number().over(Window.partitionBy("y").orderBy("x")) == 1,
+            F.col("cy_here"),
+        )
+        .otherwise(0)
+        .alias("cy_one"),
+    )
+    w_rx = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, 0)
+    w_cy = Window.orderBy("y").rangeBetween(Window.unboundedPreceding, 0)
+    rmg = one.select(
+        "*",
+        F.sum("cx_one").over(w_rx).cast("long").alias("rx"),
+        F.sum("cy_one").over(w_cy).cast("long").alias("cy"),
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n")).localCheckpoint(eager=True)
+    terms = rmg.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("c") * (F.col("n") - F.col("rx") - F.col("cy") + F.col("f"))
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.col("c")
+            * ((F.col("cy") - F.col("cy_here")) - (F.col("f") - F.col("rowcum")))
+        )
+        .cast("long")
+        .alias("disc"),
+    )
+    n1 = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("tx"))
+        .agg(F.sum(F.expr("tx * (tx - 1) DIV 2")).cast("long").alias("n1"))
+    )
+    n2 = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("ty"))
+        .agg(F.sum(F.expr("ty * (ty - 1) DIV 2")).cast("long").alias("n2"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "n",
+            F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            F.col("n1").alias("ties_x"),
+            F.col("n2").alias("ties_y"),
+            F.expr(
+                "ROUND(CAST(conc - disc AS DOUBLE)"
+                " / sqrt(CAST(n * (n - 1) DIV 2 - n1 AS DOUBLE)"
+                " * CAST(n * (n - 1) DIV 2 - n2 AS DOUBLE)), 6)"
+            ).alias("tau_b"),
+        )
+    )

@@ -1057,3 +1057,54 @@ def test_permutation_test_definition(spark, sf_dir):
     want = round((g.mean()[1] - g.mean()[0]) / 100.0, 6)
     assert abs(r.diff_obs - want) < 1e-6
     assert r.n_treat == int((u["arm"] == 1).sum())
+
+
+def test_kendall_tau_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_kendall_tau", sf_dir)
+
+
+def test_kendall_tau_matches_scipy_free_reference(spark, sf_dir):
+    """tau-b recomputes from a direct O(n²)-free pandas cross-tab
+    reference (concordant/discordant via the same grid identity, plus
+    the textbook tie corrections) — and the pair ledger balances:
+    C + D + ties <= n_pairs with equality up to joint ties."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = load_all()["diag_kendall_tau"].fn(spark, sf_dir).toPandas().iloc[0]
+    pts = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.expr("CAST(floor(l_extendedprice) AS BIGINT) DIV 1000").alias("y"),
+        )
+        .toPandas()
+    )
+    n = len(pts)
+    assert r.n == n and r.n_pairs == n * (n - 1) // 2
+    grid = pts.groupby(["x", "y"]).size().unstack(fill_value=0).to_numpy()
+    suffix = np.flip(np.flip(grid, 0), 1).cumsum(0).cumsum(1)
+    suffix = np.flip(np.flip(suffix, 0), 1)  # inclusive 2D suffix sums
+    gt = np.zeros_like(grid)
+    gt[:-1, :-1] = suffix[1:, 1:]  # strictly greater in both coords
+    conc = int((grid * gt).sum())
+    pre = grid.cumsum(0)
+    m = grid.sum(0)[None, :] - pre  # per (x, y'): points with x' > x at y'
+    lt_y = np.zeros_like(grid)
+    lt_y[:, 1:] = m.cumsum(1)[:, :-1]  # x' > x, y' < y
+    disc = int((grid * lt_y).sum())
+    assert r.concordant == conc and r.discordant == disc
+    tx = grid.sum(1)
+    ty = grid.sum(0)
+    n1 = int((tx * (tx - 1) // 2).sum())
+    n2 = int((ty * (ty - 1) // 2).sum())
+    assert r.ties_x == n1 and r.ties_y == n2
+    n0 = n * (n - 1) // 2
+    want = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    assert abs(r.tau_b - round(want, 6)) < 1e-9
+    assert -1.0 <= r.tau_b <= 1.0

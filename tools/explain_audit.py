@@ -50,6 +50,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "crossJoin of the 1-row midpoint aggregate (shared "
         "_ab_user_frame pre/post split anchor)"
     },
+    "diag_kendall_tau": {
+        "bnlj": "the xs x ys densification crossJoin runs on the bounded "
+        "value-domain grid (50 x ~105 cells) plus 1-row scalar "
+        "crossJoins — never a data-scale nested loop"
+    },
     "join_spatial_grid_knn": {
         "bnlj": "crossJoin of the 9-row literal cell-offset table onto "
         "the supplier side — the grid-probe fan-out; the data-scale "
