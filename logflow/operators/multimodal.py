@@ -695,3 +695,76 @@ def decode_pgm_quantize_sse(media: DataFrame, levels: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(dec, "media_id long, sse long, n_pixels long")
+
+
+Y4M_SCENE_SCHEMA = (
+    "media_id long, width long, height long, n_frames long, "
+    "frame long, sad long"
+)
+
+
+def y4m_scene_deltas(media: DataFrame) -> DataFrame:
+    """REAL video temporal analysis: decode the YUV4MPEG2 stream and emit
+    one row per consecutive-frame transition carrying the exact integer
+    SAD (sum of absolute luma differences) — the per-transition signal a
+    shot-boundary detector thresholds. Reuses the strict Y4M walk of
+    :func:`decode_y4m_sampled` (bad magic / missing FRAME / truncated
+    planes raise; 4:2:0 only)."""
+    import numpy as np
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "n_frames", "frame", "sad")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                nl = b.index(b"\n")
+                tags = b[:nl].decode().split(" ")
+                if tags[0] != "YUV4MPEG2":
+                    raise ValueError("not a YUV4MPEG2 stream")
+                w = h = None
+                cspace = "C420"
+                for t in tags[1:]:
+                    if t.startswith("W"):
+                        w = int(t[1:])
+                    elif t.startswith("H"):
+                        h = int(t[1:])
+                    elif t.startswith("C"):
+                        cspace = t
+                if not w or not h:
+                    raise ValueError("missing W/H tags")
+                if cspace not in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+                    raise NotImplementedError(
+                        f"unsupported Y4M colorspace {cspace} (4:2:0 only)"
+                    )
+                frame_bytes = w * h + 2 * (w // 2) * (h // 2)
+                pos, nf = nl + 1, 0
+                prev = None
+                sads = []
+                while pos < len(b):
+                    if b[pos:pos + 6] != b"FRAME\n":
+                        raise ValueError("missing FRAME marker")
+                    pos += 6
+                    if pos + frame_bytes > len(b):
+                        raise ValueError("truncated frame planes")
+                    y = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=pos)
+                    if prev is not None:
+                        sads.append(
+                            int(np.abs(y.astype(np.int64) - prev).sum())
+                        )
+                    prev = y.astype(np.int64)
+                    pos += frame_bytes
+                    nf += 1
+                for f, sad in enumerate(sads, start=1):
+                    rows["media_id"].append(int(mid))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(nf)
+                    rows["frame"].append(f)
+                    rows["sad"].append(sad)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(dec, Y4M_SCENE_SCHEMA)

@@ -522,3 +522,102 @@ def multimodal_image_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("psnr_db"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shot-boundary detection over the REAL Y4M clips — per-transition SAD
+# (sum of absolute luma differences) from the byte-level decode, boundary
+# = transition whose SAD exceeds the clip's own mean (scale-free rule,
+# no magic threshold).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_video_shot_detection",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         16 + (doc_id % 3) * 8 AS w, 12 AS h,
+         6 + (doc_id % 5) AS nf
+  FROM documents),
+trans AS (
+  SELECT media_id, w, h, nf, f,
+         CAST(list_sum(list_transform(range(0, w * h),
+              i -> abs(((media_id * 11 + f * 251 + i) * 7) % 256
+                       - ((media_id * 11 + (f - 1) * 251 + i) * 7) % 256)))
+              AS BIGINT) AS sad
+  FROM (SELECT media_id, w, h, nf, unnest(range(1, nf)) AS f FROM dims)),
+wt AS (
+  SELECT media_id, w, h, nf, sad,
+         CAST(COUNT(*) OVER (PARTITION BY media_id) AS BIGINT) AS n_trans,
+         CAST(SUM(sad) OVER (PARTITION BY media_id) AS BIGINT) AS total_sad
+  FROM trans)
+SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN sad * n_trans > total_sad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boundaries,
+       CAST(MAX(sad) AS BIGINT) AS max_sad,
+       ROUND(CAST(MAX(sad) AS DOUBLE) / (w * h), 4) AS max_mean_delta
+FROM wt GROUP BY media_id, w, h, nf
+ORDER BY media_id
+""",
+    doc="Shot-boundary detection over the synthesized-then-REALLY-decoded "
+    "YUV4MPEG2 clips: operators/multimodal.y4m_scene_deltas walks the "
+    "byte stream (strict header/FRAME/plane validation, numpy luma "
+    "SAD per consecutive-frame pair, exact int64), then a transition "
+    "is a boundary when its SAD exceeds the clip's own mean SAD "
+    "(sad * n_transitions > total_sad — the scale-free integer rule, "
+    "no magic threshold, no float compare). The oracle recomputes the "
+    "same SADs from the generator formula (the color_to_gray pattern: "
+    "the codec layer is pytest-proven byte-exact, the oracle checks "
+    "the analytics on top). At 100 TB: decode+SAD is one "
+    "Arrow-batched mapInPandas pass, per-clip state is two frames of "
+    "luma; the boundary rule is a per-clip window over nf<=10 rows.",
+)
+def multimodal_video_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.multimodal import synthesize_y4m, y4m_scene_deltas
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("media_id")
+    )
+    trans = y4m_scene_deltas(synthesize_y4m(docs))
+    from pyspark.sql import Window
+
+    w_clip = Window.partitionBy("media_id")
+    flagged = trans.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        "sad",
+        F.count(F.lit(1)).over(w_clip).cast("long").alias("n_trans"),
+        F.sum("sad").over(w_clip).cast("long").alias("total_sad"),
+    )
+    return (
+        flagged.groupBy("media_id", "width", "height", "n_frames")
+        .agg(
+            F.max("n_trans").alias("n_transitions"),
+            F.sum(
+                F.when(F.col("sad") * F.col("n_trans") > F.col("total_sad"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_boundaries"),
+            F.max("sad").cast("long").alias("max_sad"),
+        )
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "n_frames",
+            "n_transitions",
+            "n_boundaries",
+            "max_sad",
+            F.round(
+                F.col("max_sad").cast("double") / (F.col("width") * F.col("height")),
+                4,
+            ).alias("max_mean_delta"),
+        )
+        .orderBy("media_id")
+    )

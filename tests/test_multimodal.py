@@ -307,3 +307,45 @@ def test_image_psnr_matches_theory(spark, sf_dir):
     assert 60 <= mse <= 95  # near-uniform residues: E = 77.5
     expect_psnr = 10.0 * math.log10(65025.0 / mse)
     assert abs(row["psnr_db"] - expect_psnr) < 0.01
+
+
+def test_video_shot_detection_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "multimodal_video_shot_detection", sf_dir)
+
+
+def test_video_scene_deltas_match_numpy_decode(spark, sf_dir):
+    """The byte-level SAD rows must equal a direct numpy recompute from
+    the generator formula, and the boundary rule's ledger holds
+    (0 <= n_boundaries < n_transitions: the max can't be under the mean
+    unless all transitions are equal)."""
+    import numpy as np
+
+    from logflow.operators.multimodal import synthesize_y4m, y4m_scene_deltas
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("media_id"))
+        .limit(20)
+    )
+    got = (
+        y4m_scene_deltas(synthesize_y4m(docs))
+        .toPandas()
+        .sort_values(["media_id", "frame"])
+    )
+    for r in got.itertuples():
+        m, w, h = int(r.media_id), int(r.width), int(r.height)
+        i = np.arange(w * h, dtype=np.int64)
+        ya = ((m * 11 + (r.frame - 1) * 251 + i) * 7) % 256
+        yb = ((m * 11 + r.frame * 251 + i) * 7) % 256
+        assert r.sad == int(np.abs(yb - ya).sum())
+    pdf = load_all()["multimodal_video_shot_detection"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_transitions"] == pdf["n_frames"] - 1).all()
+    assert (pdf["n_boundaries"] >= 0).all()
+    assert (pdf["n_boundaries"] < pdf["n_transitions"]).all() or (
+        pdf["n_transitions"] == 1
+    ).any()
