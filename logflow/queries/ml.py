@@ -2351,3 +2351,119 @@ def ml_ridge_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("test_sse") / F.col("n_test").cast("double")) / 100.0, 4
         ).alias("test_rmse"),
     ).orderBy("fold")
+
+
+# --------------------------------------------------------------------------
+# Simplified (centroid-based) silhouette of the trained IVF quantizer —
+# the standard clustering-quality score, computed against the SAME
+# exact-decimal Lloyd centroids as knn_ivf_kmeans so index quality and
+# retrieval quality are judged on one model.
+# --------------------------------------------------------------------------
+
+
+def _silhouette_sql() -> str:
+    from logflow.queries.llm import _KM_CTES, _KM_FINAL, _dd_sim
+
+    return f"""
+WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+{_KM_CTES}
+cent AS (SELECT * FROM {_KM_FINAL}),
+scored AS (
+  SELECT v.vec_id, c.cid, {_dd_sim('v.embedding', 'c.cvec')} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_dd_sim('v.embedding', 'c.cvec')} DESC,
+                                     c.cid) AS rn
+  FROM corpus v, cent c),
+pairs AS (
+  SELECT a.vec_id, a.cid,
+         1.0 - a.sim AS da, 1.0 - b.sim AS db
+  FROM scored a JOIN scored b ON a.vec_id = b.vec_id
+  WHERE a.rn = 1 AND b.rn = 2),
+s AS (
+  SELECT vec_id, cid,
+         CAST(ROUND(((db - da) / NULLIF(greatest(da, db), 0.0)) * 1000000, 0)
+              AS BIGINT) AS s_fp
+  FROM pairs)
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(s_fp) AS BIGINT) AS s_fp_sum,
+       ROUND(CAST(SUM(s_fp) AS DOUBLE) / 1000000.0
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
+FROM s GROUP BY cid
+ORDER BY cid
+"""
+
+
+@register(
+    "ml_silhouette_ivf",
+    _silhouette_sql(),
+    doc="Simplified (centroid-distance) silhouette score per cluster of "
+    "the trained IVF quantizer — a(i) = cosine distance to the OWN "
+    "(nearest) trained centroid, b(i) = distance to the second-"
+    "nearest, s(i) = (b-a)/max(a,b): the standard clustering-quality "
+    "readout at corpus scale, where full silhouette's O(n²) pairwise "
+    "term is replaced by the centroid approximation (the at-scale "
+    "form). Same exact-decimal Lloyd centroids as knn_ivf_kmeans "
+    "(hash-identical model cross-engine); sims are rounded at 6dp "
+    "before ranking (the knn rule), s is rounded to 1e-6 fixed point "
+    "and summed as exact BIGINT (float mean order never exists). "
+    "At 100 TB: one broadcast-assign pass over the corpus (k·d model "
+    "broadcast), one cluster-scale rollup.",
+)
+def ml_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.similarity import _dot, _norm
+    from logflow.queries.llm import _trained_centroids
+
+    corpus, cent = _trained_centroids(spark, sf_dir)
+    # model-scale: checkpoint truncates the 2-iteration Lloyd lineage
+    # (unchecked, this query planned 62 Exchange nodes / 12 s at sf0.1)
+    cent = cent.coalesce(1).localCheckpoint(eager=True)
+    c = cent.select("cid", "cvec", _norm(F.col("cvec")).alias("cnorm"))
+    v = corpus.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("vnorm")
+    )
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")),
+        6,
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id", "cid", sim.alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    # ONE conditional aggregate, not an own/other self-join: two filter
+    # branches over the ranked frame would re-run the crossJoin + window
+    # per branch (the ROC stack lesson)
+    s = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("cid"),
+        (F.lit(1.0) - F.max(F.when(F.col("rn") == 1, F.col("sim")))).alias("da"),
+        (F.lit(1.0) - F.max(F.when(F.col("rn") == 2, F.col("sim")))).alias("db"),
+    ).select(
+        "cid",
+        F.expr(
+            "CAST(ROUND(((db - da) / NULLIF(greatest(da, db), 0.0)) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("s_fp"),
+    )
+    return (
+        s.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("s_fp").cast("long").alias("s_fp_sum"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "s_fp_sum",
+            F.round(
+                F.col("s_fp_sum").cast("double")
+                / 1000000.0
+                / F.col("n_members").cast("double"),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -474,3 +474,28 @@ def test_ridge_cv_folds(spark, sf_dir):
     assert pdf["n_test"].sum() == n
     assert np.isfinite(pdf["test_rmse"]).all()
     assert (pdf["test_rmse"] > 0).all()
+
+
+def test_silhouette_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_silhouette_ivf", sf_dir)
+
+
+def test_silhouette_bounds_and_membership(spark, sf_dir):
+    """Silhouette values live in [-1, 1]; cluster membership counts sum
+    to the corpus size; the fixed-point mean reproduces exactly."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["ml_silhouette_ivf"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["mean_silhouette"].abs() <= 1.0 + 1e-9).all()
+    n_corpus = (
+        load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") >= 10).count()
+    )
+    assert int(pdf["n_members"].sum()) == n_corpus
+    for r in pdf.itertuples():
+        want = round(r.s_fp_sum / 1e6 / r.n_members, 6)
+        assert abs(r.mean_silhouette - want) < 1e-12

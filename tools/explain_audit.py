@@ -50,6 +50,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "crossJoin of the 1-row midpoint aggregate (shared "
         "_ab_user_frame pre/post split anchor)"
     },
+    "ml_silhouette_ivf": {
+        "bnlj": "crossJoin of the 8-row trained-centroid model onto the "
+        "corpus — the broadcast-assign pass every IVF op in this file "
+        "uses; never a data-scale nested loop"
+    },
     "diag_kendall_tau": {
         "bnlj": "the xs x ys densification crossJoin runs on the bounded "
         "value-domain grid (50 x ~105 cells) plus 1-row scalar "
