@@ -5472,3 +5472,145 @@ def join_spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# File-level Bloom-filter skipping audit — the hash-sibling of
+# scan_zonemap_audit: zonemaps skip on VALUE RANGES (only effective when
+# the layout clusters the column); Bloom bitmaps skip on MEMBERSHIP and
+# work on any layout. Exact bit-position simulation, measured FPR.
+# --------------------------------------------------------------------------
+
+_BLOOM_FILES = 64  # simulated files (orderkey ranges)
+_BLOOM_BITS = 2048  # bits per file bitmap
+_BLOOM_PROBE_MOD = 250  # deterministic probe keys: p_partkey % 250 == 0
+
+
+def _bloom_bit(tag: str, key: str, *, duck: bool) -> str:
+    if duck:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{tag}:', "
+            f"CAST({key} AS VARCHAR))), 1, 8)) AS BIGINT) % {_BLOOM_BITS}"
+        )
+    return (
+        f"CAST(conv(substring(md5(concat('{tag}:', "
+        f"CAST({key} AS STRING))), 1, 8), 16, 10) AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+@register(
+    "scan_bloom_skipping_audit",
+    f"""
+WITH mx AS (SELECT CAST(MAX(l_orderkey) AS BIGINT) + 1 AS mo FROM lineitem),
+rows_ AS (
+  SELECT (l_orderkey * {_BLOOM_FILES}) // mo AS f, l_partkey AS k
+  FROM lineitem CROSS JOIN mx),
+fbits AS (
+  SELECT DISTINCT f, b FROM (
+    SELECT f, {_bloom_bit('b1', 'k', duck=True)} AS b FROM rows_
+    UNION ALL
+    SELECT f, {_bloom_bit('b2', 'k', duck=True)} AS b FROM rows_)),
+truth AS (SELECT DISTINCT f, k FROM rows_),
+probes AS (
+  SELECT DISTINCT p_partkey AS p,
+         {_bloom_bit('b1', 'p_partkey', duck=True)} AS b1,
+         {_bloom_bit('b2', 'p_partkey', duck=True)} AS b2
+  FROM part WHERE p_partkey % {_BLOOM_PROBE_MOD} = 0),
+hits AS (
+  SELECT pr.p, h1.f
+  FROM probes pr
+  JOIN fbits h1 ON h1.b = pr.b1
+  JOIN fbits h2 ON h2.f = h1.f AND h2.b = pr.b2),
+agg AS (
+  SELECT p,
+         CAST(COUNT(*) AS BIGINT) AS n_files_scanned,
+         CAST(SUM(CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_files_true
+  FROM hits LEFT JOIN truth t ON t.f = hits.f AND t.k = hits.p
+  GROUP BY p)
+SELECT p AS probe_key, n_files_scanned, n_files_true,
+       CAST(n_files_scanned - n_files_true AS BIGINT) AS n_false_positives,
+       ROUND(CAST(n_files_scanned AS DOUBLE) / {_BLOOM_FILES}, 4) AS scan_ratio
+FROM agg
+ORDER BY probe_key
+""",
+    doc="File-level Bloom-filter skipping audit — the membership sibling "
+    f"of scan_zonemap_audit: lineitem splits into {_BLOOM_FILES} "
+    "simulated files by orderkey range, each file gets a "
+    f"{_BLOOM_BITS}-bit / k=2 Bloom bitmap over l_partkey (bit "
+    "positions from md5 — identical literals both engines), and each "
+    f"deterministic probe key (p_partkey % {_BLOOM_PROBE_MOD} = 0) "
+    "counts files the filter would scan vs files that truly contain "
+    "it — the measured false-positive overhead of hash skipping on a "
+    "layout where value-range zonemaps are useless (partkey is "
+    "uncorrelated with load order). Everything is exact set algebra "
+    "on (file, bit) pairs: bitmap membership is a double semi-join on "
+    "the bit table, truth an exact distinct join. At 100 TB: fbits is "
+    f"bounded by files x {_BLOOM_BITS} bits; probes broadcast; only "
+    "the distinct-bit build touches data scale (one shuffle).",
+)
+def scan_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    mx = li.agg(
+        (F.max("l_orderkey").cast("long") + 1).alias("mo")
+    ).localCheckpoint(eager=True)
+    rows_ = li.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(l_orderkey * {_BLOOM_FILES}) DIV mo").alias("f"),
+        F.col("l_partkey").alias("k"),
+    )
+    rows_ = track(rows_.persist())
+    rows_.count()  # 3 consumers (two bit-union branches + truth)
+    fbits = (
+        rows_.select("f", F.expr(_bloom_bit("b1", "k", duck=False)).alias("b"))
+        .unionByName(
+            rows_.select("f", F.expr(_bloom_bit("b2", "k", duck=False)).alias("b"))
+        )
+        .distinct()
+    )
+    # bounded: <= files x bits rows; eager — feeds the double semi-join
+    fbits = track(fbits.persist())
+    fbits.count()
+    truth = rows_.select("f", "k").distinct()
+    part = load_table(spark, "part", sf_dir)
+    probes = (
+        part.filter(F.col("p_partkey") % _BLOOM_PROBE_MOD == 0)
+        .select(
+            F.col("p_partkey").alias("p"),
+            F.expr(_bloom_bit("b1", "p_partkey", duck=False)).alias("b1"),
+            F.expr(_bloom_bit("b2", "p_partkey", duck=False)).alias("b2"),
+        )
+        .distinct()
+    )
+    h1 = fbits.select(F.col("f"), F.col("b").alias("b1"))
+    h2 = fbits.select(F.col("f"), F.col("b").alias("b2"))
+    hits = (
+        F.broadcast(probes)
+        .join(h1, "b1")
+        .join(h2, ["f", "b2"])
+        .select("p", "f")
+    )
+    agg = (
+        hits.join(
+            truth.select("f", F.col("k").alias("p"), F.lit(1).alias("present")),
+            ["f", "p"],
+            "left",
+        )
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files_scanned"),
+            F.sum(F.coalesce("present", F.lit(0))).cast("long").alias("n_files_true"),
+        )
+    )
+    return agg.select(
+        F.col("p").alias("probe_key"),
+        "n_files_scanned",
+        "n_files_true",
+        (F.col("n_files_scanned") - F.col("n_files_true"))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.round(
+            F.col("n_files_scanned").cast("double") / _BLOOM_FILES, 4
+        ).alias("scan_ratio"),
+    ).orderBy("probe_key")

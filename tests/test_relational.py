@@ -1061,3 +1061,41 @@ def test_spatial_grid_knn_is_exact_within_cell_radius(spark, sf_dir):
             assert row["c_custkey"] == ck[order[0]]
             checked += 1
     assert checked > 0, "no supplier had a within-radius neighbor to verify"
+
+
+def test_bloom_skipping_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "scan_bloom_skipping_audit", sf_dir)
+
+
+def test_bloom_skipping_no_false_negatives(spark, sf_dir):
+    """The defining Bloom guarantee: a file that truly contains the probe
+    key is ALWAYS scanned (n_files_true counts only scanned files, so it
+    must equal the independently recomputed true-containing file count);
+    false positives are non-negative."""
+    from logflow.queries import load_all
+    from logflow.queries.relational import _BLOOM_FILES, _BLOOM_PROBE_MOD
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["scan_bloom_skipping_audit"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_false_positives"] >= 0).all()
+    assert (pdf["n_files_scanned"] <= _BLOOM_FILES).all()
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    mo = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    truth = (
+        li.select(
+            F.expr(f"(l_orderkey * {_BLOOM_FILES}) DIV {mo}").alias("f"),
+            F.col("l_partkey").alias("k"),
+        )
+        .filter(F.col("k") % _BLOOM_PROBE_MOD == 0)
+        .distinct()
+        .groupBy("k")
+        .count()
+        .toPandas()
+        .set_index("k")["count"]
+    )
+    for r in pdf.itertuples():
+        assert r.n_files_true == truth.get(r.probe_key, 0), r.probe_key

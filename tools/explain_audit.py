@@ -50,6 +50,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnlj": "crossJoin of the 1-row midpoint aggregate (shared "
         "_ab_user_frame pre/post split anchor)"
     },
+    "scan_bloom_skipping_audit": {
+        "bnlj": "crossJoin of the 1-row MAX(l_orderkey) aggregate (file-"
+        "range anchor) — the broadcast-the-model pattern"
+    },
     "ml_silhouette_ivf": {
         "bnlj": "crossJoin of the 8-row trained-centroid model onto the "
         "corpus — the broadcast-assign pass every IVF op in this file "
