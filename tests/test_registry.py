@@ -9,7 +9,7 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-#: No rows-only entries belong in the round-10 window: all four
+#: No rows-only entries belong in the round-11 window: all four
 #: rows-only-by-design queries got their (weaker) rows-only driver record
 #: in CORRECTNESS_r08 — a window slot re-buys nothing for them.
 WINDOW_ROWS_ONLY_OK: set[str] = set()
@@ -48,6 +48,11 @@ ROTATED_IN_R11_FIRST_TIME: list[str] = [
     "ab_permutation_test",
     "join_spatial_grid_knn",
     "ts_theta_forecast",
+    "dedup_containment_pairs",
+    "diag_kendall_tau",
+    "multimodal_video_shot_detection",
+    "ml_silhouette_ivf",
+    "scan_bloom_skipping_audit",
 ]
 
 ROTATED_IN_R11_REATTEST = [
@@ -77,7 +82,7 @@ ROTATED_IN_R11_REATTEST = [
     "source_json_events",
     "subquery_exists_not_exists",
     "text_robust_zscore",
-    # last driver-attested round 4 (first 18 by name)
+    # last driver-attested round 4 (first 13 by name)
     "bm25_search",
     "bpe_merge_steps",
     "cdc_snapshot_diff",
@@ -91,11 +96,6 @@ ROTATED_IN_R11_REATTEST = [
     "dup_chunk_filter",
     "graph_pagerank_parts",
     "graph_triangle_count",
-    "graph_walks_recursive_cte",
-    "inverted_index_postings",
-    "logscan_grep",
-    "multimodal_image_resize",
-    "multimodal_video_frame_stats",
 ]
 
 
