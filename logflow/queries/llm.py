@@ -4234,12 +4234,8 @@ def dedup_srp_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONT_MOD = 17  # mod-sampled doc subset (output-explosion rule: the
 # corpus carries huge near-dup clusters; all-true-pairs output must be
 # sample-bounded by contract, same as dedup_ngram_jaccard)
-_CONT_THRESHOLD = 0.5
-_CONT_SQL_GRAMS = (
-    "list_distinct(list_transform(range(1, len(toks) - 3), "
-    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
-    " || ' ' || toks[i+3] || ' ' || toks[i+4]))"
-)
+_CONT_THRESHOLD = 0.8
+_CONT_TOPK = 200
 
 
 @register(
@@ -4247,8 +4243,8 @@ _CONT_SQL_GRAMS = (
     f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents
            WHERE doc_id % {_CONT_MOD} = 0),
-sh AS (SELECT doc_id, {_CONT_SQL_GRAMS} AS sh FROM t WHERE len(toks) >= 5),
-sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh),
+sh AS (SELECT doc_id, list_distinct(toks) AS sh FROM t),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh WHERE len(sh) > 0),
 posts AS (SELECT doc_id, unnest(sh) AS g FROM sh),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -4256,49 +4252,53 @@ shared AS (
   FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b, n_shared, na, nb, containment FROM (
-  SELECT s.doc_a, s.doc_b, s.n_shared,
-         sa.n AS na, sb.n AS nb,
-         ROUND(CAST(s.n_shared AS DOUBLE)
-               / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
-  FROM shared s
-  JOIN sizes sa ON sa.doc_id = s.doc_a
-  JOIN sizes sb ON sb.doc_id = s.doc_b)
-WHERE containment >= {_CONT_THRESHOLD}
+  SELECT doc_a, doc_b, n_shared, na, nb, containment,
+         ROW_NUMBER() OVER (ORDER BY containment DESC, doc_a, doc_b) AS rn
+  FROM (
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           sa.n AS na, sb.n AS nb,
+           ROUND(CAST(s.n_shared AS DOUBLE)
+                 / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b)
+  WHERE containment >= {_CONT_THRESHOLD})
+WHERE rn <= {_CONT_TOPK}
 ORDER BY doc_a, doc_b
 """,
-    doc="Broder containment near-dup pairs over word-5-gram shingle sets "
-    "— the asymmetric doc-in-doc measure: containment = |A∩B| / "
-    "min(|A|,|B|), which flags a short document quoted inside a long "
-    "one where symmetric Jaccard stays small. Candidates come from the "
-    "POSTING-LIST equi-join on shared shingles (only pairs that share "
-    "at least one gram ever materialize — the inverted-index discovery "
-    "shape, never an all-pairs cross join); intersection counts, set "
-    "sizes and the final ratio are exact. Output is mod-sampled "
-    f"(doc_id % {_CONT_MOD} = 0) by the documented output-explosion "
-    "contract — the regenerated corpus carries huge near-dup clusters, "
-    "so any all-true-pairs query must bound its subset; the Spark plan "
-    "scales to the full corpus unchanged. At 100 TB: one shingle "
-    "explode + one gram-keyed shuffle; hub grams would need the "
-    "rare-token prefix filter (dedup_prefix_jaccard's machinery) — "
-    "documented swap.",
+    doc="Broder containment near-dup pairs over token VOCABULARY sets — "
+    "the asymmetric doc-in-doc measure: containment = |A∩B| / "
+    "min(|A|,|B|), which flags a short document subsumed by a long "
+    "one where symmetric Jaccard stays small. Token sets (k=1 "
+    "shingles) are the measure that sees this corpus's structure: the "
+    "regenerated documents form huge vocabulary-overlap near-dup "
+    "clusters while word-5-gram SEQUENCES are pairwise disjoint "
+    "(probed: zero shared 5-grams in the sampled subset — a 5-gram "
+    "variant is degenerate-green, the ab_benjamini_hochberg lesson). "
+    "Candidates come from the POSTING-LIST equi-join on shared tokens "
+    "(inverted-index discovery, never an all-pairs cross join); "
+    "counts, sizes and the ratio are exact; output is mod-sampled "
+    f"(doc_id % {_CONT_MOD} = 0) AND top-{_CONT_TOPK} by rounded "
+    "containment with full tiebreaks (the output-explosion contract). "
+    "At 100 TB: one token explode + one token-keyed shuffle; hub "
+    "tokens would need the rare-token prefix filter "
+    "(dedup_prefix_jaccard's machinery) — documented swap.",
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logflow.functions.text import word_shingles
-
     docs = load_table(spark, "documents", sf_dir).filter(
         F.col("doc_id") % _CONT_MOD == 0
     )
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    # NO size(toks) >= 5 row filter: Catalyst would push it below the
-    # projection and re-inline the tokenize chain into the scan filter
-    # (the explode-rule trap). word_shingles already yields an EMPTY
-    # array for <5-token docs, explode drops empty arrays, and a
-    # zero-gram doc can never reach `shared` — same rows, no re-inline.
-    sh = toks.select(
-        "doc_id", F.array_distinct(word_shingles(F.col("toks"), k=5)).alias("sh")
+    sh = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("sh")
     )
     sh = track(sh.persist())
-    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("n"))
+    # NO size(sh) > 0 row filter on the posting side: explode drops empty
+    # arrays itself and a pushed filter would re-inline the tokenize chain
+    # into the scan (the explode-rule trap); sizes keeps only n > 0 via a
+    # post-projection filter on the materialized count.
+    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("n")).filter(
+        F.col("n") > 0
+    )
     posts = sh.select("doc_id", F.explode("sh").alias("g"))
     shared = (
         posts.alias("a")
@@ -4309,7 +4309,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
-    return (
+    scored = (
         shared.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
@@ -4331,5 +4331,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
         .filter(F.col("containment") >= _CONT_THRESHOLD)
+    )
+    w = Window.orderBy(F.desc("containment"), "doc_a", "doc_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CONT_TOPK)
+        .drop("rn")
         .orderBy("doc_a", "doc_b")
     )

@@ -999,23 +999,27 @@ def test_srp_banded_pairs_superset_and_verified(spark, sf_dir):
 
 
 def test_containment_pairs_exact_and_asymmetric(spark, sf_dir):
-    """Containment recomputes exactly from each pair's shingle sets; it
-    bounds Jaccard from above (containment >= jaccard always); thresholds
-    and ordering respected."""
-    from logflow.functions.text import tokenize, word_shingles
+    """Containment recomputes exactly from each pair's token sets; it
+    bounds Jaccard from above (containment >= jaccard always); the
+    threshold, top-k cap and ordering are respected; output non-empty
+    (the corpus's vocabulary-overlap clusters guarantee pairs at any
+    seed — a degenerate-empty result would mean the measure regressed
+    to the sequence-disjoint 5-gram form)."""
+    from logflow.functions.text import tokenize
     from logflow.queries import load_all
-    from logflow.queries.llm import _CONT_MOD, _CONT_THRESHOLD
+    from logflow.queries.llm import _CONT_MOD, _CONT_THRESHOLD, _CONT_TOPK
     from logflow.sources.tables import load_table
     from pyspark.sql import functions as F
 
     pdf = load_all()["dedup_containment_pairs"].fn(spark, sf_dir).toPandas()
-    assert (pdf["containment"] >= _CONT_THRESHOLD).all() if len(pdf) else True
+    assert 0 < len(pdf) <= _CONT_TOPK
+    assert (pdf["containment"] >= _CONT_THRESHOLD).all()
     sets = (
         load_table(spark, "documents", sf_dir)
         .filter(F.col("doc_id") % _CONT_MOD == 0)
         .select(
             "doc_id",
-            F.array_distinct(word_shingles(tokenize(F.col("text")), k=5)).alias("sh"),
+            F.array_distinct(tokenize(F.col("text"))).alias("sh"),
         )
         .toPandas()
         .set_index("doc_id")["sh"]
