@@ -1593,10 +1593,12 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
   AND NOT EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'A'
                     AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+                    AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00')
 """,
     doc="TPC-H Q21-style combined correlation: suppliers with a returned "
-    "('R') 1996 shipment and ZERO accepted-return ('A') 1996 shipments — "
+    "('R') 1996 shipment and a CLEAN JANUARY 1996 (zero 'A' shipments "
+    "that month; the full-year anti window was degenerate-empty on the "
+    "regenerated seed — every R-supplier also shipped an A that year) — "
     "EXISTS and NOT EXISTS against the same fact, which Catalyst "
     "decorrelates into one left-semi and one left-anti join over the "
     "filtered scan. Both probes push their returnflag+date predicates "
@@ -1615,7 +1617,7 @@ def subquery_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND NOT EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'A'
                             AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                            AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+                            AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00')
         """
     )
 
