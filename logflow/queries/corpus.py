@@ -812,3 +812,97 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fused_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram novelty scoring — the training-data "how much of this document
+# is new text" gate: the fraction of a doc's distinct word bigrams that
+# appear in NO other document (df == 1).  Sequence-level novelty, the
+# complement of the containment/Jaccard dedup family (which measures
+# overlap; this measures what overlap leaves behind).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_bigram_novelty",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2),
+posts AS (SELECT doc_id, unnest(bg) AS g FROM bg),
+df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM posts GROUP BY g),
+nov AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM posts p JOIN df ON df.g = p.g
+  GROUP BY p.doc_id)
+SELECT doc_id, n_bigrams, n_novel,
+       ROUND(CAST(n_novel AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS novelty
+FROM nov
+ORDER BY doc_id
+""",
+    doc="Per-document bigram novelty: the fraction of a doc's DISTINCT "
+    "word bigrams whose document frequency is exactly 1 (they appear "
+    "nowhere else in the corpus) — the sequence-level freshness score "
+    "a training-data pipeline uses to downweight boilerplate-heavy "
+    "documents (complement of the dedup family: dedup measures "
+    "overlap, novelty measures what overlap leaves behind). Bigrams "
+    "are built with the positional zip (each array evaluated once per "
+    "row — the O(len^2) transform trap is documented at "
+    "text_bigram_logprob); df and the novel-count are exact BIGINTs "
+    "via one posting join against the corpus-wide df table. At "
+    "100 TB: one bigram explode + one gram-keyed df shuffle + one "
+    "doc-keyed rollup; df could swap to a broadcast Bloom of the "
+    "df>1 grams — documented swap.",
+)
+def corpus_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # positional-zip bigrams (arrays_zip of two slices: each slice
+    # evaluates toks once per row; a transform(sequence(...)) form would
+    # re-inline toks into every element_at — the measured 10x trap)
+    bg = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(arrays_zip(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1)),"
+                " p -> concat(p['0'], ' ', p['1']))"
+            )
+        ).alias("bg"),
+    )
+    # explode_outer + output-side null filter, NOT plain explode: plain
+    # explode makes Catalyst synthesize a size(bg) > 0 filter and push it
+    # below the projection, re-inlining the whole tokenize+zip chain into
+    # the scan (the queries/corpus.py explode rule)
+    posts = track(
+        bg.select("doc_id", F.explode_outer("bg").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .persist()
+    )
+    posts.count()  # feeds the df build AND the novelty join
+    df = posts.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nov = (
+        posts.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return nov.select(
+        "doc_id",
+        "n_bigrams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_bigrams").cast("double"), 6
+        ).alias("novelty"),
+    ).orderBy("doc_id")

@@ -201,3 +201,42 @@ def test_rrf_fusion_laws(spark, sf_dir):
     bm = reg["bm25_search"].fn(spark, sf_dir).toPandas()
     top1 = bm[bm["rank"] == 1].doc_id.iloc[0]
     assert top1 in set(pdf.doc_id)
+
+
+def test_bigram_novelty_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "corpus_bigram_novelty", sf_dir)
+
+
+def test_bigram_novelty_ledger(spark, sf_dir):
+    """novelty in [0,1]; n_novel <= n_bigrams; the df=1 ledger balances:
+    sum over docs of n_novel equals the number of corpus bigram types
+    with document frequency exactly 1."""
+    from logflow.functions.text import tokenize
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["corpus_bigram_novelty"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf["novelty"] >= 0) & (pdf["novelty"] <= 1)).all()
+    assert (pdf["n_novel"] <= pdf["n_bigrams"]).all()
+    df1 = int(pdf["n_novel"].sum())
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", tokenize(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(arrays_zip(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1)), p -> concat(p['0'], ' ', p['1']))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.explode_outer("bg").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    n_df1 = toks.groupBy("g").count().filter(F.col("count") == 1).count()
+    assert df1 == n_df1

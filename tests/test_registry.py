@@ -53,6 +53,7 @@ ROTATED_IN_R11_FIRST_TIME: list[str] = [
     "multimodal_video_shot_detection",
     "ml_silhouette_ivf",
     "scan_bloom_skipping_audit",
+    "corpus_bigram_novelty",
 ]
 
 ROTATED_IN_R11_REATTEST = [
@@ -82,7 +83,7 @@ ROTATED_IN_R11_REATTEST = [
     "source_json_events",
     "subquery_exists_not_exists",
     "text_robust_zscore",
-    # last driver-attested round 4 (first 13 by name)
+    # last driver-attested round 4 (first 12 by name)
     "bm25_search",
     "bpe_merge_steps",
     "cdc_snapshot_diff",
@@ -95,7 +96,6 @@ ROTATED_IN_R11_REATTEST = [
     "diag_value_histogram",
     "dup_chunk_filter",
     "graph_pagerank_parts",
-    "graph_triangle_count",
 ]
 
 
