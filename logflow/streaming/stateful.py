@@ -512,3 +512,105 @@ def streaming_dependency_graph(spans: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Timeout-closed streaming sessions — the ONE stateful surface the other
+# operators here don't exercise: GroupStateTimeout.EventTimeTimeout.
+# Sessions accumulate per key and are EMITTED ONLY WHEN CLOSED, i.e. when
+# the watermark passes last_event + gap — the session_window(ts, gap)
+# semantics maintained with explicit state + timers.
+# --------------------------------------------------------------------------
+
+SESSION_GAP_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE = "start_us LONG, end_us LONG, n LONG"
+
+
+def _make_session_updater(gap_us: int):
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [end_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, end_us, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for pdf in batches:
+            for ts in sorted(int(x) for x in pdf["ts_us"]):
+                if start_us is None:
+                    start_us, end_us, n = ts, ts, 1
+                elif ts - end_us > gap_us:
+                    closed.append((start_us, end_us, n))
+                    start_us, end_us, n = ts, ts, 1
+                else:
+                    end_us, n = max(end_us, ts), n + 1
+        state.update((start_us, end_us, n))
+        # close the open session when the WATERMARK passes end + gap
+        state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return update
+
+
+def streaming_session_gap(
+    records: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based sessions with EVENT-TIME TIMEOUT closure: events extend
+    the open session while they arrive within ``gap_minutes`` of its end
+    (in event time); a session row is emitted exactly once — either when
+    a later event opens the NEXT session (gap jump inside a batch/key) or
+    when the watermark passes ``end + gap`` and the registered timer
+    fires (``GroupStateTimeout.EventTimeTimeout``). State is 3 longs per
+    ACTIVE key, removed at timeout — the bounded-forever shape; the
+    emitted (start, end, n_events) rows match the batch
+    ``sessionize_events`` lag+running-sum sessions over the same feed
+    (asserted in tests, including across a checkpoint restart).
+    """
+    from pyspark.sql import functions as F
+
+    keyed = records.select(
+        F.col(key_col).cast("string").alias("key"),
+        # watermarks accept TIMESTAMP only (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+        # _TYPE on ntz) — cast for the watermark, keep ts_us exact micros
+        F.col(ts_col).cast("timestamp").alias("__ts"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            f" CAST({ts_col} AS TIMESTAMP_NTZ))"
+        ).alias("ts_us"),
+    ).withWatermark("__ts", watermark)
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_session_updater(gap_minutes * 60 * 1_000_000),
+        outputStructType=SESSION_GAP_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

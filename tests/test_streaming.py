@@ -1753,3 +1753,93 @@ def test_streaming_dependency_graph_matches_batch(spark, tmp_path):
     want = {(r.service, r.remote): r.call_count for r in batch}
     assert final == want
     assert os.path.isdir(str(tmp_path / "dep_ckpt"))
+
+
+def test_streaming_session_gap_timeout_matches_batch(spark, tmp_path):
+    """EventTimeTimeout sessions: per-user 30-min-gap sessions accumulate
+    in state and are emitted exactly once — either by an in-stream gap
+    jump or by the watermark timer after a restart. The closed sessions
+    must reproduce the batch sessionize_events aggregates exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    from logflow.streaming.stateful import streaming_session_gap
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, "events", sf, parallelize=False)
+        .select("user_id", "ts")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # write micros, not pandas-default nanos: the session's nanosAsLong
+    # conf would read a NANOS column back as LONG (the round-1 trap)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    path = tmp_path / "sess_src"
+    path.mkdir()
+    half = len(ev) // 2
+    pq.write_table(pa.Table.from_pandas(ev.iloc[:half]), str(path / "a.parquet"))
+    pq.write_table(pa.Table.from_pandas(ev.iloc[half:]), str(path / "b.parquet"))
+
+    emitted: list[tuple] = []
+
+    def run():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp_ntz")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(path))
+        )
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                emitted.append(
+                    (r.key, r.session_start_us, r.session_end_us, r.n_events)
+                )
+
+        q = (
+            streaming_session_gap(stream, "user_id", "ts", gap_minutes=30)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    # sentinel far in the future advances the watermark past every real
+    # session's end + gap on RESTART, firing the timeout timers
+    sentinel = ev.iloc[[len(ev) - 1]].copy()
+    sentinel["user_id"] = -1
+    sentinel["ts"] = (
+        sentinel["ts"] + __import__("pandas").Timedelta(days=10)
+    ).astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(sentinel), str(path / "z.parquet"))
+    run()
+
+    import pandas as pd
+
+    got = pd.DataFrame(
+        [e for e in emitted if e[0] != "-1"],
+        columns=["key", "start_us", "end_us", "n"],
+    )
+    # exactly-once: no duplicate session rows
+    assert not got.duplicated().any()
+    agg = got.groupby("key").agg(
+        n_sessions=("n", "size"), n_events=("n", "sum"), max_ev=("n", "max")
+    )
+    want = (
+        load_all()["sessionize_events"]
+        .fn(spark, sf)
+        .toPandas()
+        .assign(key=lambda d: d["user_id"].astype(str))
+        .set_index("key")
+    )
+    assert len(agg) == len(want)
+    for k, row in agg.iterrows():
+        assert row["n_sessions"] == want.loc[k, "n_sessions"], k
+        assert row["n_events"] == want.loc[k, "n_events"], k
+        assert row["max_ev"] == want.loc[k, "max_session_events"], k
