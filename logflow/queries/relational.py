@@ -5412,7 +5412,11 @@ ORDER BY s_suppkey, rank
     f"join), exact BIGINT squared distances rank the top-{_GEO_K} "
     "per supplier. Semantics: neighbors are complete within one cell "
     f"width ({_GEO_CELL} units) of the query point by construction — "
-    "the standard radius-bounded grid-join contract; sqdist is exact "
+    "the standard radius-bounded grid-join contract. Returned rows "
+    f"whose dist exceeds {_GEO_CELL} are NEIGHBORHOOD-LOCAL, not "
+    "guaranteed globally nearest (a closer point in a non-adjacent "
+    "cell is invisible at that range — callers needing true global "
+    "kNN at unbounded radius iterate ring expansions); sqdist is exact "
     "so ranking never touches a float until the output sqrt. At "
     "100 TB: cells are uniform (md5), so the equi-join shuffles "
     "balanced partitions; finer grids trade fan-out for candidate "

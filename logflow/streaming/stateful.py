@@ -561,9 +561,15 @@ def _make_session_updater(gap_us: int):
                     start_us, end_us, n = ts, ts, 1
                 else:
                     end_us, n = max(end_us, ts), n + 1
+        if start_us is None:
+            # only empty frames and no prior state: nothing to track
+            return
         state.update((start_us, end_us, n))
-        # close the open session when the WATERMARK passes end + gap
-        state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+        # close the open session when the WATERMARK passes end + gap;
+        # clamp above the current watermark (Spark rejects timers <= wm,
+        # e.g. a key whose last event is already > gap behind it)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((end_us + gap_us) // 1000, wm_ms + 1))
         if closed:
             yield pd.DataFrame(
                 {

@@ -34,85 +34,92 @@ def test_driver_window_is_oracle_checked_except_documented():
     assert not missing, f"no-oracle queries waste driver window slots: {missing}"
 
 
-#: Round-11 rotation: after the r10 gate every oracle-backed query is
-#: driver-green ever, so window value = re-attestation freshness. Slots
-#: go to the round-11 crop (first-time attestations, grown in lockstep
-#: with the crop block in PRIORITY as operators land) and the OLDEST
-#: green cohort: the 25 queries last driver-attested in round 3 plus the
-#: first (50 - crop - 25) of the 50-query round-4 cohort by name.
-ROTATED_IN_R11_FIRST_TIME: list[str] = [
-    "seq_prefixspan",
-    "ts_dtw_dayofweek",
-    "dedup_srp_banded_pairs",
-    "graph_louvain_refine",
-    "ab_permutation_test",
-    "join_spatial_grid_knn",
-    "ts_theta_forecast",
-    "dedup_containment_pairs",
-    "diag_kendall_tau",
-    "multimodal_video_shot_detection",
-    "ml_silhouette_ivf",
-    "scan_bloom_skipping_audit",
-    "corpus_bigram_novelty",
-]
+#: Round-12 rotation: window value = re-attestation freshness. Slots go
+#: to the round-12 crop (first-time attestations, grown in lockstep with
+#: the crop block in PRIORITY as operators land) and the OLDEST green
+#: cohort as of the r11 gate: the 38 queries last driver-attested in
+#: round 4 (exactly 50 - 12 crop slots).
+#: Grown in lockstep with the crop block at the head of PRIORITY as
+#: operators land (kept green at every commit). Planned r12 crop:
+#: sketch_kll_quantile_verify, sketch_hll_distinct_verify,
+#: sketch_countmin_verify, ts_weighted_interval_sched,
+#: knn_ivfpq_residual, reco_als_rank1, text_rake_keywords,
+#: graph_adamic_adar, privacy_dp_noisy_histogram,
+#: source_csv_corrupt_records, join_asof_nearest_event,
+#: agg_argminmax_daily.
+ROTATED_IN_FIRST_TIME: list[str] = []
 
-ROTATED_IN_R11_REATTEST = [
-    # last driver-attested round 3 (all 25)
-    "knn_cosine_brute",
-    "knn_cosine_ivf",
-    "ks_click_purchase_drift",
-    "maintenance_compact_files",
-    "multimodal_frame_sample",
-    "multimodal_meta_summary",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_stats",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "retention_weekly_cohorts",
-    "scalar_codec_int_serde",
-    "scan_schema_evolution",
-    "scd2_customer_history",
-    "sessionize_events",
-    "source_csv_orders",
-    "source_custom_wirelog",
-    "source_json_events",
-    "subquery_exists_not_exists",
-    "text_robust_zscore",
-    # last driver-attested round 4 (first 12 by name)
-    "bm25_search",
-    "bpe_merge_steps",
-    "cdc_snapshot_diff",
-    "dedup_incremental_minhash",
-    "dedup_prefix_jaccard",
-    "diag_column_profile",
-    "diag_join_cardinality",
-    "diag_key_skew",
-    "diag_psi_value_drift",
-    "diag_value_histogram",
-    "dup_chunk_filter",
-    "graph_pagerank_parts",
+#: Last driver-green round of every re-attest slot (pinned at r12 open).
+STALEST_ROUND = 4
+
+ROTATED_IN_REATTEST = [
+    # the full last-driver-attested-round-4 cohort (38 queries)
+    "graph_triangle_count",
+    "graph_walks_recursive_cte",
+    "inverted_index_postings",
+    "logscan_grep",
+    "multimodal_image_resize",
+    "multimodal_video_frame_stats",
+    "multimodal_wav_roundtrip",
+    "pii_redaction",
+    "pipe_syntax_shipping_margin",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q20_promotion_suppliers",
+    "q22_dormant_balance",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "scalar_variant_extract",
+    "semdedup_prune",
+    "source_orc_lineitem",
+    "text_bigram_logprob",
+    "trace_baggage_propagation",
+    "trace_branch_law",
+    "trace_dependency_graph",
+    "trace_hash_sampling",
+    "trace_log_summary",
+    "trace_route_even",
+    "trace_route_odd",
+    "trace_search",
+    "trace_summary",
+    "trace_tree_edges",
+    "ts_gap_fill_forward",
+    "ts_markov_transitions",
+    "ts_max_concurrency_daily",
+    "udtf_sentence_explode",
 ]
 
 
-def test_round11_rotation_sits_in_driver_window():
+def test_rotation_sits_in_driver_window():
     from logflow.queries import load_all
 
     window = list(load_all())[:DRIVER_WINDOW]
     missing = [
         n
-        for n in ROTATED_IN_R11_FIRST_TIME + ROTATED_IN_R11_REATTEST
+        for n in ROTATED_IN_FIRST_TIME + ROTATED_IN_REATTEST
         if n not in window
     ]
     assert not missing, f"rotated-in queries fell out of the window: {missing}"
 
 
+#: The round whose window is currently pinned below. _green_history()
+#: excludes CORRECTNESS rounds >= this, so the guards assert what they
+#: mean — "the window was fresh WHEN PINNED" — and stay green after the
+#: gate for this round lands (the r11 guards globbed every artifact and
+#: self-invalidated the moment CORRECTNESS_r11.json appeared; VERDICT r11
+#: "What's wrong" item 1).
+WINDOW_ROUND = 12
+
+
 def _green_history():
-    """name -> last driver-green round, from every CORRECTNESS_r*.json."""
+    """name -> last driver-green round, from CORRECTNESS_r*.json history
+    STRICTLY BELOW the pinned window round (epoch discipline — the round
+    being gated must not see its own attestation)."""
     import glob
     import json
     import os
@@ -121,6 +128,8 @@ def _green_history():
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         r = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if r >= WINDOW_ROUND:
+            continue
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("rows_match") and row.get("err") is None:
@@ -128,19 +137,19 @@ def _green_history():
     return last
 
 
-def test_round11_first_time_is_first_time():
+def test_window_first_time_is_first_time():
     """Every first-time slot must be spent on a query with no prior
     driver-issued green row (the rotation's whole point)."""
     last = _green_history()
-    already = [n for n in ROTATED_IN_R11_FIRST_TIME if n in last]
+    already = [n for n in ROTATED_IN_FIRST_TIME if n in last]
     assert not already, f"window slots wasted on already-attested queries: {already}"
 
 
-def test_round11_reattest_is_the_stalest_cohort():
-    """Re-attest slots go to queries whose LAST green row is r3-r4 (the
-    post-r10 stalest cohort; derived from the full CORRECTNESS history)."""
+def test_window_reattest_is_the_stalest_cohort():
+    """Re-attest slots go to the stalest green cohort as of the pinned
+    window round (post-r11: the 38 queries last driver-attested r4)."""
     last = _green_history()
-    fresh = [n for n in ROTATED_IN_R11_REATTEST if last.get(n, 0) > 4]
+    fresh = [n for n in ROTATED_IN_REATTEST if last.get(n, 0) > STALEST_ROUND]
     assert not fresh, f"re-attest slots wasted on recently-attested queries: {fresh}"
 
 

@@ -26,6 +26,8 @@ def main() -> None:
             if "=" in a:
                 runs = int(a.split("=", 1)[1])
             else:
+                if i + 1 >= len(argv):
+                    sys.exit("usage: timequery.py SF_DIR name [...] [--runs N]")
                 runs = int(argv[i + 1])
                 i += 1
         elif not a.startswith("--"):
