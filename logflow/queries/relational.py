@@ -228,14 +228,26 @@ SELECT n_name,
        CAST(COUNT(*) AS BIGINT) AS n_dormant
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-07-01')
 GROUP BY n_name
 """,
-    doc="Left-anti join: customers with no orders, per nation",
+    doc="Left-anti join: customers DORMANT since 1998-07 (no order in the "
+    "trailing ~3y of the 1995-2001 order history), per nation. The anti "
+    "window is deliberately NARROWER than the full history: every customer "
+    "has some order ever, so an unwindowed anti join is degenerate-empty "
+    "(0 rows at sf0.01, r11 verdict item 2 / the CLAUDE.md anti-vs-exists "
+    "rule); the 1998-07 cutoff is non-degenerate at sf0.001/0.01/0.1 "
+    "(4/10/154 dormant customers probed). At 100 TB the dated predicate "
+    "pushes into the orders scan before the anti-join shuffle.",
 )
 def join_anti_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        # NTZ column: the literal must be TIMESTAMP_NTZ or coercion goes
+        # through the vanilla session's timezone (CLAUDE.md)
+        F.expr("o_orderdate >= TIMESTAMP_NTZ'1998-07-01 00:00:00'")
+    )
     nation = load_table(spark, "nation", sf_dir)
     dormant = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
     return (

@@ -500,11 +500,18 @@ WITH v AS (
 )
 SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
 FROM v
-WHERE val > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(6,4)) FROM v)
+WHERE CAST(val * 100 AS BIGINT) * (SELECT CAST(COUNT(*) AS BIGINT) FROM v)
+      > 2 * (SELECT CAST(SUM(val) * 100 AS BIGINT) FROM v)
 """,
     doc="TPC-H Q11 important stock: per-part value (sum of sale value from "
-    "suppliers in a 3-nation group) kept only where it exceeds 0.1% of "
-    "the GRAND total — a HAVING against an uncorrelated global scalar. "
+    "suppliers in a 3-nation group) kept only where it exceeds 2x the "
+    "MEAN per-part share — a HAVING against an uncorrelated global "
+    "scalar. The fraction is data-derived (2/n_parts), the TPC-H "
+    "0.0001/SF scaling done from the data itself: a fixed 0.1%-of-total "
+    "floor went degenerate-empty at sf0.1 as the part count grows with "
+    "SF (r11 verdict item 4; probed 14/125/1236 rows at the three SFs). "
+    "The comparison cross-multiplies in exact integer cents — no "
+    "division, so the boundary part is never engine-dependent. "
     "The per-part aggregate is computed once and persisted (parts-table "
     "sized, millions of rows at 100 TB, trivially cached); the grand "
     "total folds that frame to one row which re-enters as a broadcast — "
@@ -528,11 +535,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     track(per_part)
     threshold = per_part.agg(
-        (F.sum("val") * F.lit(0.001).cast("decimal(6,4)")).alias("thr")
+        (F.lit(2) * (F.sum("val") * 100).cast("long")).alias("thr2"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
     )
     return (
         per_part.join(F.broadcast(threshold))
-        .filter(F.col("val") > F.col("thr"))
+        .filter((F.col("val") * 100).cast("long") * F.col("n_parts") > F.col("thr2"))
         .select("l_partkey", F.round("val", 2).cast("double").alias("part_value"))
     )
 
