@@ -47,7 +47,11 @@ def test_driver_window_is_oracle_checked_except_documented():
 #: graph_adamic_adar, privacy_dp_noisy_histogram,
 #: source_csv_corrupt_records, join_asof_nearest_event,
 #: agg_argminmax_daily.
-ROTATED_IN_FIRST_TIME: list[str] = []
+ROTATED_IN_FIRST_TIME: list[str] = [
+    "sketch_kll_quantile_verify",
+    "sketch_hll_distinct_verify",
+    "sketch_countmin_verify",
+]
 
 #: Last driver-green round of every re-attest slot (pinned at r12 open).
 STALEST_ROUND = 4

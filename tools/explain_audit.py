@@ -69,6 +69,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "the supplier side — the grid-probe fan-out; the data-scale "
         "join is the (cx, cy) equi-join"
     },
+    # ------- round-12 crop -------
+    "sketch_countmin_verify": {
+        "bnlj": "crossJoin of the 1-row (n_total, n_keys) aggregate onto "
+        "the distinct-key estimate frame — the broadcast-the-model "
+        "threshold pattern, never a data-scale nested loop"
+    },
     # ------- round-8 crop: every BNLJ below is a crossJoin whose broadcast
     # side is a CONSTANT-SIZE frame (1-row moment/total aggregates, <=11-row
     # threshold grids, <=10-row bin tables) — the broadcast-the-model
