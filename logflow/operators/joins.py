@@ -74,6 +74,77 @@ def asof_join(
     return matched.filter(F.col("__side") == 1).select(*out_cols)
 
 
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Nearest as-of join: each left row gets the right row minimizing
+    ``|right_ts - left_ts|`` over the equi-keys; ties between the latest
+    prior (``right_ts <= left_ts``) and earliest later (``>``) candidate
+    go to the PRIOR row.  Left rows with no right rows at all get NULLs.
+
+    Same union+window machinery as :func:`asof_join` — ONE shuffle on
+    ``on``, both directions resolved in a single sorted pass (a backward
+    frame carrying the latest prior payload and a forward frame carrying
+    the earliest later payload), no range explosion.  Deterministic at
+    equal timestamps: prior winner = max payload struct, later winner =
+    min payload struct (mirror the ordering in any SQL oracle).
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in on and c != right_ts]
+    payload = F.struct(*[F.col(c) for c in right_cols], F.col(right_ts).alias(right_ts))
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    # Right rows at equal ts sort BEFORE left rows (side 0 < 1): the
+    # backward frame sees them (<= semantics) and the forward frame,
+    # which starts at the current row, does not (> semantics).
+    order = ["__ts", "__side", "__payload"]
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = (
+        merged.withColumn("__prev", F.last("__payload", ignorenulls=True).over(wb))
+        .withColumn("__next", F.first("__payload", ignorenulls=True).over(wf))
+        .withColumn("__pts", F.col("__prev")[right_ts])
+        .withColumn("__nts", F.col("__next")[right_ts])
+    )
+    # exact micros (timestamps are NTZ and carry sub-second parts; a
+    # cast-to-long would truncate to seconds)
+    gap_prev = F.expr("timestampdiff(MICROSECOND, __pts, __ts)")
+    gap_next = F.expr("timestampdiff(MICROSECOND, __ts, __nts)")
+    pick_prev = F.col("__next").isNull() | (
+        F.col("__prev").isNotNull() & (gap_prev <= gap_next)
+    )
+    matched = matched.withColumn(
+        "__match", F.when(pick_prev, F.col("__prev")).otherwise(F.col("__next"))
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [
+        F.col("__match")[c].alias(f"{c}{suffix}" if c in left.columns else c)
+        for c in right_cols
+    ]
+    out_cols.append(F.col("__match")[right_ts].alias(f"{right_ts}{suffix}"))
+    return matched.filter(F.col("__side") == 1).select(*out_cols)
+
+
 def broadcast_dim_join(
     fact: DataFrame, dim: DataFrame, on: list[str] | Column, how: str = "inner"
 ) -> DataFrame:

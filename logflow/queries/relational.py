@@ -5632,3 +5632,136 @@ def scan_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_files_scanned").cast("double") / _BLOOM_FILES, 4
         ).alias("scan_ratio"),
     ).orderBy("probe_key")
+
+
+# --------------------------------------------------------------------------
+# Nearest as-of join (r12): both-directions variant of the backward as-of.
+# --------------------------------------------------------------------------
+
+_NEAREST_ORACLE = """
+WITH m AS (
+  SELECT user_id, ts, 1 AS side, event_id, CAST(NULL AS BIGINT) AS cid
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
+         event_id AS cid
+  FROM events WHERE event_type = 'click'),
+w AS (
+  SELECT *,
+    last_value(cid IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, side, cid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_cid,
+    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, side, cid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+    first_value(cid IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, side, cid
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_cid,
+    first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, side, cid
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM m),
+pick AS (
+  SELECT event_id, ts,
+         CASE WHEN next_cid IS NULL
+                OR (prev_cid IS NOT NULL
+                    AND date_diff('microsecond', prev_ts, ts)
+                        <= date_diff('microsecond', ts, next_ts))
+              THEN prev_cid ELSE next_cid END AS click_event_id,
+         CASE WHEN next_cid IS NULL
+                OR (prev_cid IS NOT NULL
+                    AND date_diff('microsecond', prev_ts, ts)
+                        <= date_diff('microsecond', ts, next_ts))
+              THEN prev_ts ELSE next_ts END AS click_ts
+  FROM w WHERE side = 1)
+SELECT event_id, click_event_id,
+       date_diff('microsecond', ts, click_ts) AS gap_us
+FROM pick
+ORDER BY event_id
+"""
+
+
+@register(
+    "join_asof_nearest_event",
+    _NEAREST_ORACLE,
+    doc="Nearest as-of join: each purchase matched to the user's click "
+    "CLOSEST in time — either direction — with prior-click preference on "
+    "exact distance ties (gap_us signed: negative = click before the "
+    "purchase).  Implementation: operators/joins.py:asof_nearest_join — "
+    "the asof_join union+window trick extended with a forward frame, so "
+    "both directions resolve in ONE shuffle on user_id and one sorted "
+    "pass (no range explosion, no second join).  Deterministic at equal "
+    "timestamps via the payload-struct ordering rule; the oracle mirrors "
+    "it with IGNORE NULLS window functions over the identical (ts, side, "
+    "event_id) ordering.  At 100 TB: identical scale story to the "
+    "backward as-of — linear in |purchases|+|clicks| per key shard.",
+)
+def join_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.joins import asof_nearest_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_nearest_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        F.col("event_id_right").alias("click_event_id"),
+        F.expr("timestampdiff(MICROSECOND, ts, ts_right)").alias("gap_us"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# max_by / min_by aggregate surface (r12): per-day argmin/argmax picks.
+# --------------------------------------------------------------------------
+
+_ARGMM_ORACLE = """
+SELECT date_trunc('day', o_orderdate) AS day,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       arg_max(o_custkey, cents * 16777216 + o_orderkey) AS top_cust,
+       arg_min(o_custkey, cents * 16777216 + o_orderkey) AS bottom_cust,
+       arg_max(o_orderpriority, cents * 16777216 + o_orderkey) AS top_priority,
+       ROUND(CAST(max(cents) AS DOUBLE) / 100.0, 2) AS max_price
+FROM (SELECT *, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register(
+    "agg_argminmax_daily",
+    _ARGMM_ORACLE,
+    doc="max_by/min_by (arg_max/arg_min) aggregate surface: per order day, "
+    "the customer behind the largest and smallest order plus the winner's "
+    "priority class.  The ordering key is a collision-free BIGINT encoding "
+    "cents*2^24 + o_orderkey (cents <= ~5.6e7 and orderkey < 2^24 keep the "
+    "product far below the int64 sign bit) — neither engine's arg_max "
+    "takes a struct tiebreak key, and raw-price ties would otherwise pick "
+    "engine-dependent winners (the attribution_last_touch rule).  One "
+    "partial-aggregated hash agg, no window, no sort until the final "
+    "day-ordered output — the form that scales to 100 TB of orders.",
+)
+def agg_argminmax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "cents", F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    )
+    enc = F.col("cents") * F.lit(16777216) + F.col("o_orderkey")
+    o = orders.withColumn("enc", enc)
+    return (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr("max_by(o_custkey, enc)").alias("top_cust"),
+            F.expr("min_by(o_custkey, enc)").alias("bottom_cust"),
+            F.expr("max_by(o_orderpriority, enc)").alias("top_priority"),
+            F.round(F.max("cents").cast("double") / 100.0, 2).alias("max_price"),
+        )
+        .orderBy("day")
+    )

@@ -3565,3 +3565,131 @@ def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"({_th_sum('f1', acc)}) / 100.0"), 4).alias("forecast_1d"),
         F.round(F.expr(f"({_th_sum('f7', acc)}) / 100.0"), 4).alias("forecast_7d"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Weighted interval scheduling (r12): the classic DP on end-sorted jobs —
+# dp[i] = max(dp[i-1], w_i + dp[p(i)]) — run per key.  The reference's
+# stream-correlation model has no scheduling surface; this is the
+# training-pipeline "pick the max-value non-overlapping subset" primitive
+# (ad slots, GPU reservations, exclusive session windows).
+# --------------------------------------------------------------------------
+
+_WIS_ORACLE = """
+WITH RECURSIVE jobs AS (
+  SELECT user_id, event_id,
+         date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS start_us,
+         date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+           + CAST(ROUND(value * 60) AS BIGINT) * 1000000 AS end_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS w
+  FROM events
+  WHERE value IS NOT NULL
+    AND CAST(ROUND(value * 100) AS BIGINT) >= 1
+    AND CAST(ROUND(value * 60) AS BIGINT) >= 1),
+ord_jobs AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY end_us, start_us, event_id) AS rn
+  FROM jobs),
+pred AS (
+  SELECT o.user_id, o.rn, o.w,
+         (SELECT count(*) FROM ord_jobs o2
+          WHERE o2.user_id = o.user_id AND o2.end_us <= o.start_us) AS p
+  FROM ord_jobs o),
+arr AS (
+  SELECT user_id,
+         list(w ORDER BY rn) AS w_arr,
+         list(p ORDER BY rn) AS p_arr,
+         count(*) AS n
+  FROM pred GROUP BY user_id),
+dp AS (
+  SELECT user_id, 0 AS step, [CAST(0 AS BIGINT)] AS dps, w_arr, p_arr, n
+  FROM arr
+  UNION ALL
+  SELECT user_id, step + 1,
+         list_append(dps, greatest(dps[step + 1],
+                                   w_arr[step + 1] + dps[p_arr[step + 1] + 1])),
+         w_arr, p_arr, n
+  FROM dp WHERE step < n)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_jobs,
+       dps[n + 1] AS best_cents,
+       ROUND(CAST(dps[n + 1] AS DOUBLE) / 100.0, 2) AS best_value
+FROM dp WHERE step = n
+ORDER BY user_id
+"""
+
+
+@register(
+    "ts_weighted_interval_sched",
+    _WIS_ORACLE,
+    doc="Weighted interval scheduling per user: each event spawns a job "
+    "[ts, ts + 60*value seconds] worth round(value*100) cents; the answer "
+    "is the max-total-cents non-overlapping subset (touching endpoints "
+    "allowed: next.start >= prev.end).  All state is exact BIGINT micros "
+    "and cents — the subset-max is order-independent, so the result is "
+    "hash-stable cross-engine.  Spark sorts each user's jobs by end time "
+    "inside ONE applyInPandas and runs the O(n log n) searchsorted DP in "
+    "numpy int64; the oracle computes p(i) by correlated count (oracle-"
+    "scale quadratic is fine) and unrolls the same dp recurrence as a "
+    "DuckDB WITH RECURSIVE list-state fold (single self-reference, no "
+    "inlining blowup).  At 100 TB: one shuffle on the key; per-key work "
+    "is linear after the in-partition sort, and keys shard freely — the "
+    "degenerate giant-key risk is the same as any per-entity sessionize "
+    "and is bounded by events-per-entity, not corpus size.",
+)
+def ts_weighted_interval_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    jobs = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            ).alias("start_us"),
+            F.expr("CAST(ROUND(value * 60) AS BIGINT)").alias("dur_s"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("w"),
+        )
+        .filter((F.col("w") >= 1) & (F.col("dur_s") >= 1))
+        .select(
+            "user_id",
+            "event_id",
+            "start_us",
+            (F.col("start_us") + F.col("dur_s") * F.lit(1000000)).alias("end_us"),
+            "w",
+        )
+    )
+
+    import pandas as pd
+
+    def sched(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        o = np.lexsort(
+            (pdf["event_id"].to_numpy(), pdf["start_us"].to_numpy(),
+             pdf["end_us"].to_numpy())
+        )
+        ends = pdf["end_us"].to_numpy()[o]
+        starts = pdf["start_us"].to_numpy()[o]
+        w = pdf["w"].to_numpy()[o].astype(np.int64)
+        n = len(w)
+        # p[i] = #jobs with end <= start_i (ends sorted; ties all counted)
+        p = np.searchsorted(ends, starts, side="right")
+        dp = np.zeros(n + 1, dtype=np.int64)
+        for i in range(1, n + 1):
+            take = w[i - 1] + dp[p[i - 1]]
+            dp[i] = take if take > dp[i - 1] else dp[i - 1]
+        return pd.DataFrame(
+            {"user_id": [key[0]], "n_jobs": [n], "best_cents": [int(dp[n])]}
+        )
+
+    res = jobs.groupBy("user_id").applyInPandas(
+        sched, "user_id long, n_jobs long, best_cents long"
+    )
+    return res.select(
+        "user_id",
+        "n_jobs",
+        "best_cents",
+        F.round(F.col("best_cents").cast("double") / 100.0, 2).alias("best_value"),
+    ).orderBy("user_id")

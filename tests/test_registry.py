@@ -51,6 +51,9 @@ ROTATED_IN_FIRST_TIME: list[str] = [
     "sketch_kll_quantile_verify",
     "sketch_hll_distinct_verify",
     "sketch_countmin_verify",
+    "ts_weighted_interval_sched",
+    "join_asof_nearest_event",
+    "agg_argminmax_daily",
 ]
 
 #: Last driver-green round of every re-attest slot (pinned at r12 open).

@@ -1099,3 +1099,59 @@ def test_bloom_skipping_no_false_negatives(spark, sf_dir):
     )
     for r in pdf.itertuples():
         assert r.n_files_true == truth.get(r.probe_key, 0), r.probe_key
+
+
+def test_join_asof_nearest_event(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "join_asof_nearest_event", sf_dir)
+
+
+def test_join_asof_nearest_event_is_nearest(spark, sf_dir):
+    """Brute-force cross check: for every purchase the matched click is a
+    true minimum of |gap| among the user's clicks, prior wins ties."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    got = load_all()["join_asof_nearest_event"].fn(spark, sf_dir).toPandas()
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+        .toPandas()
+    )
+    purchases = ev[ev.event_type == "purchase"].set_index("event_id")
+    clicks = ev[ev.event_type == "click"]
+    by_user = dict(tuple(clicks.groupby("user_id")))
+    assert len(got) == len(purchases)
+    for r in got.itertuples():
+        p = purchases.loc[r.event_id]
+        cl = by_user.get(p["user_id"])
+        if cl is None or len(cl) == 0:
+            assert pd_isna(r.click_event_id)
+            continue
+        gaps = (cl["us"] - p["us"]).abs()
+        best = gaps.min()
+        assert abs(r.gap_us) == best, (r.event_id, r.gap_us, best)
+        if r.gap_us > 0:  # picked a later click: no prior click may tie
+            assert not ((cl["us"] - p["us"]) == -best).any()
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
+
+
+def test_agg_argminmax_daily(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "agg_argminmax_daily", sf_dir)

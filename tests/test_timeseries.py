@@ -1007,3 +1007,50 @@ def test_theta_matches_direct_recursion(spark, sf_dir):
             want = (0.5 * (a + b * (_TH_N - 1 + h)) + 0.5 * s) / 100.0
             assert abs(col - want) < 1e-3, (r.event_type, h, col, want)
         assert abs(r.slope - b / 100.0) < 1e-3
+
+
+def test_ts_weighted_interval_sched(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_weighted_interval_sched", sf_dir)
+
+
+def test_ts_weighted_interval_sched_bounds(spark, sf_dir):
+    """DP bounds: per user, best is at least the heaviest single job and
+    at most the sum of all job weights; a greedy chain (earliest-end
+    first) is a feasible schedule, so best >= greedy too."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ts_weighted_interval_sched"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    jobs = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            ).alias("s"),
+            F.expr("CAST(ROUND(value * 60) AS BIGINT)").alias("d"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("w"),
+        )
+        .filter((F.col("w") >= 1) & (F.col("d") >= 1))
+        .toPandas()
+    )
+    jobs["e"] = jobs["s"] + jobs["d"] * 1000000
+    got = pdf.set_index("user_id")
+    for uid, g in jobs.groupby("user_id"):
+        row = got.loc[uid]
+        assert row["n_jobs"] == len(g)
+        assert row["best_cents"] <= g["w"].sum()
+        assert row["best_cents"] >= g["w"].max()
+        greedy, t = 0, -(1 << 62)
+        for r in g.sort_values(["e", "s"]).itertuples():
+            if r.s >= t:
+                greedy += r.w
+                t = r.e
+        assert row["best_cents"] >= greedy, (uid, row["best_cents"], greedy)
