@@ -2495,3 +2495,105 @@ def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (r12): common-neighbor score with inverse-
+# log-degree weighting over the co-purchase graph.
+# --------------------------------------------------------------------------
+
+_AA_TOPK = 50
+_AA_WSCALE = 1_000_000_000_000  # fixed-point scale of 1/ln(deg)
+
+_AA_ORACLE = f"""
+WITH {_ORDERED_EDGE_CTES},
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (
+  SELECT u AS z, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+wz AS (
+  SELECT z, d,
+         {_AA_WSCALE} // CAST(ROUND(ln(CAST(d AS DOUBLE)) * 1000000, 0)
+                              AS BIGINT) AS w
+  FROM deg WHERE d >= 2),
+wed AS (
+  SELECT s1.v AS a, s2.v AS b, s1.u AS z
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v),
+pairs AS (
+  SELECT wed.a, wed.b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(SUM(wz.w) AS BIGINT) AS aa_fp
+  FROM wed JOIN wz ON wed.z = wz.z
+  GROUP BY wed.a, wed.b),
+nonadj AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN e ON e.u = p.a AND e.v = p.b
+  WHERE e.u IS NULL)
+SELECT a AS part_a, b AS part_b, n_common, aa_fp,
+       ROUND(CAST(aa_fp AS DOUBLE) / {_AA_WSCALE}, 4) AS aa_score, pos
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY aa_fp DESC, a, b) AS BIGINT)
+              AS pos
+  FROM nonadj)
+WHERE pos <= {_AA_TOPK}
+ORDER BY pos
+"""
+
+
+@register(
+    "graph_adamic_adar",
+    _AA_ORACLE,
+    doc="Adamic-Adar link prediction over the weight-floored co-purchase "
+    "graph: for every non-adjacent part pair sharing >= 1 common "
+    "neighbor, score = sum over common neighbors z of 1/ln(deg(z)) — "
+    "rare shared neighbors say more than popular ones. The per-node "
+    "weight is fixed-point: ln on the exact integer degree rounded to "
+    f"1e-6 immediately (the text_zipf_fit ln rule), then {_AA_WSCALE} "
+    "DIV that — so pair scores are exact integer sums and the top-"
+    f"{_AA_TOPK} ranking (score DESC, pair tiebreak) is hash-stable. "
+    "Spark: ONE wedge self-join of the persisted symmetric edge list "
+    "(shuffle on the hub node z), weight attached map-side via a "
+    "broadcast of the node-scale degree table, anti-join drops existing "
+    "edges. At 100 TB the wedge volume is sum(deg^2) — the known "
+    "skew-hazard shape; hub nodes are exactly the low-information ones, "
+    "so a production run caps deg (drop z above a ceiling, bounding "
+    "both skew and noise) — the w>=2 floor plays that role here.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN)
+    sym = e.select("u", "v").union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    wz = deg.filter(F.col("d") >= 2).select(
+        "z",
+        F.expr(
+            f"{_AA_WSCALE} DIV CAST(ROUND(ln(CAST(d AS DOUBLE)) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+    s1 = sym.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("z"), F.col("v").alias("b"))
+    wed = s1.join(s2, "z").filter(F.col("a") < F.col("b"))
+    pairs = (
+        wed.join(F.broadcast(wz), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w").cast("long").alias("aa_fp"),
+        )
+    )
+    nonadj = pairs.join(
+        e, (pairs.a == e.u) & (pairs.b == e.v), "left_anti"
+    )
+    w = Window.orderBy(F.desc("aa_fp"), "a", "b")
+    top = nonadj.orderBy(F.desc("aa_fp"), "a", "b").limit(_AA_TOPK)
+    return top.select(
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        "n_common",
+        "aa_fp",
+        F.round(F.col("aa_fp").cast("double") / _AA_WSCALE, 4).alias("aa_score"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    ).orderBy("pos")

@@ -4339,3 +4339,157 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ with residual encoding (r12): PQ on x - q1(x), the FAISS layout.
+# --------------------------------------------------------------------------
+
+_RESQ = """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000, 0) AS BIGINT) AS v
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, d, v AS cv FROM el WHERE vec_id < 8),
+don AS (SELECT * FROM el WHERE vec_id >= 8 AND vec_id < 16),
+corp AS (SELECT * FROM el WHERE vec_id >= 26),
+qel AS (SELECT * FROM el WHERE vec_id >= 16 AND vec_id < 26),
+dassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY SUM((x.v - c.cv) * (x.v - c.cv)),
+                                       c.cid) AS rn
+    FROM don x JOIN cent c ON x.d = c.d
+    GROUP BY x.vec_id, c.cid
+  ) WHERE rn = 1),
+cb AS (
+  SELECT x.vec_id - 8 AS cbid, (x.d - 1) // 8 AS s, (x.d - 1) % 8 AS pos,
+         x.v - c.cv AS bv
+  FROM don x
+  JOIN dassign a ON x.vec_id = a.vec_id
+  JOIN cent c ON c.cid = a.cid AND c.d = x.d),
+cassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY SUM((x.v - c.cv) * (x.v - c.cv)),
+                                       c.cid) AS rn
+    FROM corp x JOIN cent c ON x.d = c.d
+    GROUP BY x.vec_id, c.cid
+  ) WHERE rn = 1),
+cres AS (
+  SELECT x.vec_id, a.cid, (x.d - 1) // 8 AS s, (x.d - 1) % 8 AS pos,
+         x.v - c.cv AS rv
+  FROM corp x
+  JOIN cassign a ON x.vec_id = a.vec_id
+  JOIN cent c ON c.cid = a.cid AND c.d = x.d),
+codes AS (
+  SELECT vec_id, cid, s, cbid FROM (
+    SELECT r.vec_id, r.cid, r.s, b.cbid,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.s
+                              ORDER BY SUM((r.rv - b.bv) * (r.rv - b.bv)),
+                                       b.cbid) AS rn
+    FROM cres r JOIN cb b ON r.s = b.s AND r.pos = b.pos
+    GROUP BY r.vec_id, r.cid, r.s, b.cbid
+  ) WHERE rn = 1),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT x.vec_id AS qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY SUM((x.v - c.cv) * (x.v - c.cv)),
+                                       c.cid) AS rn
+    FROM qel x JOIN cent c ON x.d = c.d
+    GROUP BY x.vec_id, c.cid
+  ) WHERE rn <= 2),
+qres AS (
+  SELECT x.vec_id AS qid, p.cid, (x.d - 1) // 8 AS s, (x.d - 1) % 8 AS pos,
+         x.v - c.cv AS rv
+  FROM qel x
+  JOIN probes p ON p.qid = x.vec_id
+  JOIN cent c ON c.cid = p.cid AND c.d = x.d),
+lut AS (
+  SELECT q.qid, q.cid, q.s, b.cbid,
+         CAST(SUM((q.rv - b.bv) * (q.rv - b.bv)) AS BIGINT) AS dsub
+  FROM qres q JOIN cb b ON q.s = b.s AND q.pos = b.pos
+  GROUP BY q.qid, q.cid, q.s, b.cbid),
+adc AS (
+  SELECT l.qid, c.vec_id AS neighbor_id, CAST(SUM(l.dsub) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN lut l ON l.cid = c.cid AND l.s = c.s AND l.cbid = c.cbid
+  GROUP BY l.qid, c.vec_id)
+SELECT qid, neighbor_id, rank, adc_dist FROM (
+  SELECT qid, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
+@register(
+    "knn_ivfpq_residual",
+    _RESQ,
+    doc="IVF-PQ with RESIDUAL encoding (Jégou et al. 2011 §IV.A — the "
+    "production FAISS 'IVFx,PQy' layout): vectors are PQ-coded as "
+    "x - q1(x) against a shared residual codebook, and a query probing "
+    "cell c builds its ADC lookup table from ITS residual w.r.t. c's "
+    "centroid — residuals concentrate near the origin, cutting code "
+    "distortion vs the raw-vector PQ of knn_ivfpq_adc. All assignment/"
+    "encode/ADC arithmetic is exact int64 fixed point (round(x*1e4); "
+    "argmin with smallest-id tiebreaks), so the composed index is "
+    "hash-checkable against the long-form SQL oracle. Spark: coarse "
+    "centroids, donor codebook and queries are bounded driver frames; "
+    "ONE corpus mapInPandas assigns cells, encodes residual codes and "
+    "ADC-scores map-side (operators/similarity.py:ivfpq_residual_topk), "
+    "with only the per-query top-k window shuffling candidate rows. At "
+    "100 TB: per-query cost is |corpus|*nprobe/n_cells LUT adds and the "
+    "codes table is m bytes/vector — the layout that serves "
+    "trillion-vector indexes from RAM.",
+)
+def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from logflow.operators.similarity import ivfpq_residual_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent_pdf = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .toPandas()
+    )
+    don_pdf = (
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    queries_pdf = (
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 26))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+
+    # Donor residual codebook (bounded: 8 rows, driver-side): assign each
+    # donor to its nearest coarse centroid by the SAME exact-int L2 +
+    # smallest-cid rule, then hand residual/scale to the operator (whose
+    # to_int re-quantization round-trips integers exactly).
+    scale = 10_000
+
+    def to_int(a):
+        s = a.astype(np.float64) * scale
+        return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+
+    cent = to_int(np.stack(cent_pdf.sort_values("cid")["cvec"].to_numpy()))
+    don = to_int(np.stack(don_pdf.sort_values("vec_id")["embedding"].to_numpy()))
+    d2 = ((don[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    res = (don - cent[np.argmin(d2, axis=1)]).astype(np.float64) / scale
+    import pandas as pd
+
+    cb_pdf = pd.DataFrame({"cid": range(len(res)), "cvec": list(res)})
+
+    corpus = emb.filter(F.col("vec_id") >= 26)
+    return ivfpq_residual_topk(
+        corpus, cent_pdf, cb_pdf, queries_pdf, "vec_id", "embedding",
+        k=10, nprobe=2, m=8, scale=scale,
+    ).orderBy("qid", "rank")

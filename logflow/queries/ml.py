@@ -2467,3 +2467,111 @@ def ml_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-1 ALS (r12): alternating least squares on the customer x part count
+# matrix, run entirely in fixed-point BIGINT so the alternation is
+# bit-identical cross-engine (the graph.py PageRank contract applied to
+# matrix factorization).
+# --------------------------------------------------------------------------
+
+_ALS_S = 10_000  # fixed-point scale of the latent factors
+
+_ALS_ORACLE = f"""
+WITH r AS (
+  SELECT o_custkey AS i, l_partkey AS j, CAST(count(*) AS BIGINT) AS r
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2),
+v1 AS (
+  SELECT j,
+         ({_ALS_S} * SUM(r * {_ALS_S}))
+           // greatest(SUM(CAST({_ALS_S} AS BIGINT) * {_ALS_S}) // {_ALS_S}, 1)
+           AS v
+  FROM r GROUP BY j),
+u1 AS (
+  SELECT i,
+         ({_ALS_S} * SUM(r.r * v1.v))
+           // greatest(SUM(v1.v * v1.v) // {_ALS_S}, 1) AS u
+  FROM r JOIN v1 ON r.j = v1.j GROUP BY i),
+v2 AS (
+  SELECT j,
+         CAST(count(*) AS BIGINT) AS n_buyers,
+         ({_ALS_S} * SUM(r.r * u1.u))
+           // greatest(SUM(u1.u * u1.u) // {_ALS_S}, 1) AS v
+  FROM r JOIN u1 ON r.i = u1.i GROUP BY j)
+SELECT j AS p_partkey, n_buyers, v AS factor_fp,
+       ROUND(CAST(v AS DOUBLE) / {_ALS_S}, 4) AS factor
+FROM v2
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "reco_als_rank1",
+    _ALS_ORACLE,
+    doc="Rank-1 implicit-feedback ALS over the customer x part purchase-"
+    "count matrix: u0 = S, then two full alternations v = S*sum(r*u) DIV "
+    "max(sum(u^2) DIV S, 1) and back — every factor an exact scaled "
+    f"BIGINT (S = {_ALS_S}), every sum an exact integer sum, every "
+    "division a truncating DIV (Spark DIV == DuckDB //), so the whole "
+    "alternation is hash-checkable where float ALS drifts by summation "
+    "order (the PageRank fixed-point contract applied to MF). The "
+    "greatest(..., 1) guard keeps truncated-to-zero factors from "
+    "dividing by zero in later steps. Spark: the ratings frame is "
+    "persisted once (3 consumers) and each half-step is one partial-"
+    "agg'd shuffle join against the previous BROADCAST factor table "
+    "(factor tables are entity-scale, ratings corpus-scale). At 100 TB "
+    "the ratings shuffle is the only data-scale move per half-step — "
+    "the classic blocked-ALS layout with rank folded to 1.",
+)
+def reco_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    S = _ALS_S
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    # coalesced: the ratings frame is a few MB at these SFs, and every
+    # half-step otherwise pays 32-task scheduling overhead (A/B: 2.4 s
+    # vs 6.7 s at sf0.1); at production scale the partition count grows
+    # with the data (the _copurchase_edges contract).
+    r = track(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("i"), F.col("l_partkey").alias("j"))
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .coalesce(8)
+        .persist()
+    )
+    # every half-step via F.expr so division is the truncating DIV
+    # (Column "/" is float division)
+    v1 = r.groupBy("j").agg(
+        F.expr(
+            f"({S} * SUM(r * {S}))"
+            f" DIV greatest(SUM(CAST({S} AS BIGINT) * {S}) DIV {S}, 1)"
+        ).alias("v")
+    )
+    u1 = (
+        r.join(F.broadcast(v1), "j")
+        .groupBy("i")
+        .agg(
+            F.expr(
+                f"({S} * SUM(r * v)) DIV greatest(SUM(v * v) DIV {S}, 1)"
+            ).alias("u")
+        )
+    )
+    v2 = (
+        r.join(F.broadcast(u1), "i")
+        .groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buyers"),
+            F.expr(
+                f"({S} * SUM(r * u)) DIV greatest(SUM(u * u) DIV {S}, 1)"
+            ).alias("v"),
+        )
+    )
+    return v2.select(
+        F.col("j").alias("p_partkey"),
+        "n_buyers",
+        F.col("v").alias("factor_fp"),
+        F.round(F.col("v").cast("double") / S, 4).alias("factor"),
+    ).orderBy("p_partkey")

@@ -689,3 +689,37 @@ def test_louvain_refine_invariants(spark, sf_dir):
     if r.n_moves == 0:
         assert r.q4m2_before == r.q4m2_after
         assert r.n_comm_before == r.n_comm_after
+
+
+def test_graph_adamic_adar(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "graph_adamic_adar", sf_dir)
+
+
+def test_graph_adamic_adar_semantics(spark, sf_dir):
+    """Reported pairs are non-adjacent, share exactly n_common >= 1
+    neighbors, and the fixed-point score reproduces from a pure-Python
+    recomputation over the same weight-floored graph."""
+    import math
+
+    from logflow.queries import load_all
+    from logflow.queries.graph import _AA_WSCALE, _W_MIN, _copurchase_edges
+
+    pdf = load_all()["graph_adamic_adar"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    edges = _copurchase_edges(spark, sf_dir, ordered=True, w_min=_W_MIN).toPandas()
+    adj: dict[int, set[int]] = {}
+    for r in edges.itertuples():
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    eset = {(r.u, r.v) for r in edges.itertuples()}
+    for r in pdf.itertuples():
+        assert (r.part_a, r.part_b) not in eset
+        common = adj[r.part_a] & adj[r.part_b]
+        assert len(common) == r.n_common >= 1
+        want = sum(
+            _AA_WSCALE // int(round(math.log(len(adj[z])) * 1000000))
+            for z in common
+        )
+        assert r.aa_fp == want, (r.part_a, r.part_b, r.aa_fp, want)

@@ -1033,3 +1033,34 @@ def test_containment_pairs_exact_and_asymmetric(spark, sf_dir):
         assert abs(r.containment - want) < 1e-12
         jac = shared / len(a | b)
         assert r.containment >= jac - 1e-12
+
+
+def test_knn_ivfpq_residual(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "knn_ivfpq_residual", sf_dir)
+
+
+def test_knn_ivfpq_residual_beats_raw_pq_distortion(spark, sf_dir):
+    """The point of residual encoding: ADC distances approximate true
+    residual-space distances; sanity-gate shape (10 ranks per query,
+    ranks contiguous, dists sorted) and that every neighbor comes from
+    a probed cell's population (subset of corpus ids)."""
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["knn_ivfpq_residual"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    corpus_ids = set(
+        r.vec_id
+        for r in load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") >= 26)
+        .select("vec_id")
+        .collect()
+    )
+    for qid, g in pdf.groupby("qid"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g["adc_dist"].is_monotonic_increasing
+        assert set(g["neighbor_id"]).issubset(corpus_ids)

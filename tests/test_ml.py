@@ -499,3 +499,35 @@ def test_silhouette_bounds_and_membership(spark, sf_dir):
     for r in pdf.itertuples():
         want = round(r.s_fp_sum / 1e6 / r.n_members, 6)
         assert abs(r.mean_silhouette - want) < 1e-12
+
+
+def test_reco_als_rank1(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "reco_als_rank1", sf_dir)
+
+
+def test_reco_als_rank1_invariants(spark, sf_dir):
+    """Factor table covers every purchased part; factors are positive
+    (counts are positive, u0 > 0, truncating DIVs of positive sums);
+    n_buyers matches an independent distinct count."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["reco_als_rank1"].fn(spark, sf_dir).toPandas()
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    buyers = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .toPandas()
+        .set_index("l_partkey")["n"]
+    )
+    assert len(pdf) == len(buyers)
+    assert (pdf["factor_fp"] >= 0).all()
+    assert (pdf["factor_fp"] > 0).any()
+    got = pdf.set_index("p_partkey")["n_buyers"]
+    assert (got == buyers.reindex(got.index)).all()

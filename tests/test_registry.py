@@ -54,6 +54,9 @@ ROTATED_IN_FIRST_TIME: list[str] = [
     "ts_weighted_interval_sched",
     "join_asof_nearest_event",
     "agg_argminmax_daily",
+    "knn_ivfpq_residual",
+    "reco_als_rank1",
+    "graph_adamic_adar",
 ]
 
 #: Last driver-green round of every re-attest slot (pinned at r12 open).
