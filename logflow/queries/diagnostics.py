@@ -4906,3 +4906,112 @@ def diag_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private noisy histogram (r12): the two-sided-geometric
+# (discrete Laplace) mechanism with DETERMINISTIC noise — md5-uniform per
+# bucket through a literal integer inverse-CDF table, so the release is
+# reproducible, engine-identical, and still distributed exactly like the
+# real mechanism would be.
+# --------------------------------------------------------------------------
+
+_DP_EPS = 1.0  # epsilon; sensitivity of a disjoint-bucket count histogram = 1
+
+
+def _dp_noise_case(u32: str) -> str:
+    """CASE mapping a uniform 32-bit integer to two-sided-geometric noise.
+
+    P(Z = k) = (1-a)/(1+a) * a^|k|, a = exp(-eps): the discrete Laplace
+    mechanism (Ghosh-Roughgarden-Sundararajan 2009 — the universally
+    optimal mechanism for counts).  Thresholds are floor(F(k) * 2^32)
+    BIGINT literals computed here once (math.exp in Python only, never
+    in-engine), tails clamped to +-8 (P(|Z|>8) ~ 2e-4 at eps=1); the
+    comparison chain is pure integer — no engine float arithmetic at all.
+    """
+    import math
+
+    a = math.exp(-_DP_EPS)
+    p0 = (1 - a) / (1 + a)
+    ks = list(range(-8, 8))
+    cdf = []
+    acc = 0.0
+    for k in ks:
+        acc += p0 * a ** abs(k) if k != 0 else p0
+        # tail below -8 folded into the first bucket by construction of
+        # the running sum starting at k=-8 (F(-8) includes P(Z<=-8)).
+        cdf.append(acc)
+    # prepend the true lower tail: F(-8) = P(Z <= -8)
+    tail = sum(p0 * a ** abs(k) for k in range(-100, -8))
+    cdf = [c + tail for c in cdf]
+    whens = " ".join(
+        f"WHEN {u32} < {int(math.floor(c * 4294967296))} THEN {k}"
+        for k, c in zip(ks, cdf)
+    )
+    return f"CASE {whens} ELSE 8 END"
+
+
+_DP_U32_DUCK = (
+    "CAST(concat('0x', substr(md5(concat('dp:', event_type, ':', "
+    "CAST(dow AS VARCHAR))), 1, 8)) AS BIGINT)"
+)
+_DP_U32_SPARK = (
+    "CAST(conv(substring(md5(concat('dp:', event_type, ':', "
+    "CAST(dow AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+)
+
+_DP_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         (date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+          // 86400000000) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY 1, 2),
+n AS (
+  SELECT event_type, dow, true_cnt,
+         CAST({_dp_noise_case(_DP_U32_DUCK)} AS BIGINT) AS noise
+  FROM b)
+SELECT event_type, dow,
+       greatest(true_cnt + noise, 0) AS noisy_cnt,
+       CAST({_DP_EPS} AS DOUBLE) AS epsilon
+FROM n
+ORDER BY event_type, dow
+"""
+
+
+@register(
+    "privacy_dp_noisy_histogram",
+    _DP_ORACLE,
+    doc="Differentially-private release of the event_type x day-of-week "
+    "count histogram via the discrete-Laplace (two-sided geometric) "
+    "mechanism at eps=1: disjoint buckets have sensitivity 1, so "
+    "per-bucket noise gives eps-DP for the whole table. Noise is "
+    "DETERMINISTIC-for-testing: md5(bucket key) -> uniform 32-bit int -> "
+    "literal integer inverse-CDF thresholds (computed once in Python — "
+    "no engine float arithmetic, the Poisson-bootstrap literal-table "
+    "rule), so both engines release identical integers; swap the hash "
+    "input for a secret per-release salt and the mechanism is the real "
+    "one. True counts never leave the plan (output clamped at 0). At "
+    "100 TB: one partial-agg'd shuffle for the histogram; the noise map "
+    "is a per-row projection over bucket-scale rows.",
+)
+def privacy_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.select(
+        "event_type",
+        F.expr(
+            "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " DIV 86400000000) % 7"
+        ).alias("dow"),
+    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    n = b.withColumn(
+        "noise", F.expr(_dp_noise_case(_DP_U32_SPARK)).cast("long")
+    )
+    return n.select(
+        "event_type",
+        "dow",
+        F.greatest(F.col("true_cnt") + F.col("noise"), F.lit(0).cast("long")).alias(
+            "noisy_cnt"
+        ),
+        F.lit(_DP_EPS).cast("double").alias("epsilon"),
+    ).orderBy("event_type", "dow")

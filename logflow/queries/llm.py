@@ -4493,3 +4493,136 @@ def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, cent_pdf, cb_pdf, queries_pdf, "vec_id", "embedding",
         k=10, nprobe=2, m=8, scale=scale,
     ).orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (r12): Rapid Automatic Keyword Extraction
+# (Rose et al. 2010) with corpus-derived delimiters.
+# --------------------------------------------------------------------------
+
+_RAKE_NSTOP = 8  # delimiters = the corpus's top-N most frequent tokens
+_RAKE_TOPK = 50
+
+_RAKE_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        FROM t),
+stop AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY count(*) DESC, tok) AS rn
+    FROM tok GROUP BY tok
+  ) WHERE rn <= {_RAKE_NSTOP}),
+fl AS (
+  SELECT k.doc_id, k.pos, k.tok,
+         CASE WHEN s.tok IS NULL THEN 0 ELSE 1 END AS is_stop
+  FROM tok k LEFT JOIN stop s ON k.tok = s.tok),
+ph AS (
+  SELECT *, SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+  FROM fl),
+words AS (
+  SELECT doc_id, pid, pos, tok,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id, pid) AS BIGINT) AS n
+  FROM ph WHERE is_stop = 0),
+ws AS (
+  SELECT tok, CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS score_fp
+  FROM words GROUP BY tok),
+phr AS (
+  SELECT w.doc_id, w.pid,
+         string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+         CAST(SUM(ws.score_fp) AS BIGINT) AS p_fp,
+         CAST(max(w.n) AS BIGINT) AS n_words
+  FROM words w JOIN ws ON w.tok = ws.tok
+  GROUP BY w.doc_id, w.pid),
+agg AS (
+  SELECT phrase, max(n_words) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         max(p_fp) AS rake_fp
+  FROM phr GROUP BY phrase)
+SELECT phrase, n_words, n_occurrences, rake_fp,
+       ROUND(CAST(rake_fp AS DOUBLE) / 1000000, 4) AS rake, pos
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rake_fp DESC, phrase) AS BIGINT)
+              AS pos
+  FROM agg)
+WHERE pos <= {_RAKE_TOPK}
+ORDER BY pos
+"""
+
+
+@register(
+    "text_rake_keywords",
+    _RAKE_ORACLE,
+    doc="RAKE keyword extraction (Rose et al. 2010): candidate phrases "
+    "are maximal token runs between delimiters, word score = "
+    "degree/frequency over phrase co-occurrence (degree = sum of "
+    "containing-phrase lengths), phrase score = sum of member word "
+    f"scores; top-{_RAKE_TOPK} phrases by score. Delimiters are "
+    f"CORPUS-DERIVED — the top-{_RAKE_NSTOP} most frequent tokens by "
+    "exact count (tiebreak token) — instead of a hardcoded English "
+    "stoplist, so the op stays non-degenerate on the synthetic "
+    "closed-vocabulary corpus and is SF-robust (the r11 threshold "
+    "rule). Scores are exact fixed point: deg*1e6 DIV freq per word, "
+    "integer sums per phrase — hash-stable where float RAKE ties "
+    "drift. Spark: posexplode_outer + output-side filter (the explode "
+    "rule), running-stopword-count window builds phrase ids in one "
+    "per-doc pass, word scores broadcast back. At 100 TB: two shuffles "
+    "over token rows (doc window + word group) and a broadcast of the "
+    "vocabulary-scale score table.",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode_outer(tokenize(F.col("text"))).alias("pos0", "tok")
+    ).filter(F.col("tok").isNotNull()).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    stop = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_RAKE_NSTOP)
+        .select("tok", F.lit(1).alias("is_stop"))
+    )
+    fl = tok.join(F.broadcast(stop), "tok", "left").select(
+        "doc_id", "pos", "tok", F.coalesce("is_stop", F.lit(0)).alias("is_stop")
+    )
+    wph = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = fl.withColumn("pid", F.sum("is_stop").over(wph))
+    words = ph.filter(F.col("is_stop") == 0).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "pid")).cast("long")
+    )
+    ws = words.groupBy("tok").agg(
+        F.expr("CAST((SUM(n) * 1000000) DIV COUNT(*) AS BIGINT)").alias("score_fp")
+    )
+    phr = (
+        words.join(F.broadcast(ws), "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+                " x -> x.tok), ' ')"
+            ).alias("phrase"),
+            F.sum("score_fp").cast("long").alias("p_fp"),
+            F.max("n").cast("long").alias("n_words"),
+        )
+    )
+    agg = phr.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("p_fp").alias("rake_fp"),
+    )
+    w = Window.orderBy(F.desc("rake_fp"), "phrase")
+    top = agg.orderBy(F.desc("rake_fp"), "phrase").limit(_RAKE_TOPK)
+    return top.select(
+        "phrase",
+        "n_words",
+        "n_occurrences",
+        "rake_fp",
+        F.round(F.col("rake_fp").cast("double") / 1000000, 4).alias("rake"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    ).orderBy("pos")

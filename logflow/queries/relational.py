@@ -5765,3 +5765,72 @@ def agg_argminmax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Corrupt-record CSV ingest (r12): PERMISSIVE-mode quarantine surface.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_csv_corrupt_records",
+    """
+SELECT o_orderstatus,
+       CAST(COUNT(*) FILTER (o_orderkey % 97 <> 0) AS BIGINT) AS n_good,
+       CAST(COUNT(*) FILTER (o_orderkey % 97 = 0) AS BIGINT) AS n_corrupt,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                    FILTER (o_orderkey % 97 <> 0), 2) AS DOUBLE) AS good_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="PERMISSIVE-mode corrupt-record capture: a CSV landing zone is "
+    "built from orders with every 97th order key's totalprice written "
+    "as an unparseable token, then read back with an explicit schema + "
+    "columnNameOfCorruptRecord — bad rows keep their parseable fields "
+    "(status still groups), the malformed field nulls out, and the raw "
+    "line lands in the quarantine column. The aggregate MUST reference "
+    "the failing column: Spark's CSV parser only parses projected "
+    "columns, so a count over the corrupt column alone silently reports "
+    "zero corruption (probed; the good_price sum keeps o_totalprice in "
+    "the projection and the quarantine honest). Oracle reconstructs the "
+    "same split from parquet via the injection rule. At 100 TB: "
+    "landing-zone ingest is map-side; the quarantine pattern costs "
+    "nothing beyond the scan it already needed.",
+)
+def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.sources.derived import derived_cache
+
+    orders = load_table(spark, "orders", sf_dir, parallelize=False)
+
+    def writer(d: str) -> None:
+        line = F.expr(
+            "concat(CAST(o_orderkey AS STRING), ',', o_orderstatus, ',',"
+            " CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'"
+            " ELSE CAST(o_totalprice AS STRING) END)"
+        )
+        orders.select(line.alias("value")).write.mode("overwrite").text(d)
+
+    base = derived_cache(sf_dir, "csv_corrupt", ["orders"], writer)
+    cs = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double,"
+        " _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).csv(base)
+    return (
+        cs.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(F.col("_corrupt").isNull(), 1)).cast("long").alias("n_good"),
+            F.count("_corrupt").cast("long").alias("n_corrupt"),
+            _money(
+                F.sum(
+                    F.when(
+                        F.col("_corrupt").isNull(),
+                        F.col("o_totalprice").cast("decimal(14,2)"),
+                    )
+                )
+            ).alias("good_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1108,3 +1108,38 @@ def test_kendall_tau_matches_scipy_free_reference(spark, sf_dir):
     want = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
     assert abs(r.tau_b - round(want, 6)) < 1e-9
     assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_privacy_dp_noisy_histogram(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "privacy_dp_noisy_histogram", sf_dir)
+
+
+def test_privacy_dp_noise_bounds(spark, sf_dir):
+    """Noise is bounded by the clamped inverse-CDF table (|Z| <= 8) and
+    the release is non-negative; buckets cover every (type, dow) with
+    events."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["privacy_dp_noisy_histogram"].fn(spark, sf_dir).toPandas()
+    true = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.expr(
+                "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                " DIV 86400000000) % 7"
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .count()
+        .toPandas()
+    )
+    assert len(pdf) == len(true)
+    assert (pdf["noisy_cnt"] >= 0).all()
+    merged = pdf.merge(true, on=["event_type", "dow"])
+    assert ((merged["noisy_cnt"] - merged["count"]).abs() <= 8).all()

@@ -1064,3 +1064,49 @@ def test_knn_ivfpq_residual_beats_raw_pq_distortion(spark, sf_dir):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert g["adc_dist"].is_monotonic_increasing
         assert set(g["neighbor_id"]).issubset(corpus_ids)
+
+
+def test_text_rake_keywords(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "text_rake_keywords", sf_dir)
+
+
+def test_text_rake_keywords_semantics(spark, sf_dir):
+    """Pure-Python RAKE recompute: corpus-derived top-8 delimiters,
+    deg/freq word scores, phrase score = sum of member word scores."""
+    from collections import Counter, defaultdict
+
+    from logflow.queries import load_all
+    from logflow.queries.llm import _RAKE_NSTOP
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["text_rake_keywords"].fn(spark, sf_dir).toPandas()
+    assert 0 < len(pdf) <= 50
+    texts = [r.text for r in load_table(spark, "documents", sf_dir).select("text").collect()]
+    docs = [t.lower().split() for t in texts]
+    cnt = Counter(tok for d in docs for tok in d)
+    stop = set(
+        t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_RAKE_NSTOP]
+    )
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    phrases: Counter = Counter()
+    for d in docs:
+        run: list[str] = []
+        for tok in d + ["\x00stop"]:
+            if tok in stop or tok == "\x00stop":
+                if run:
+                    for w in run:
+                        freq[w] += 1
+                        deg[w] += len(run)
+                    phrases[" ".join(run)] += 1
+                run = []
+            else:
+                run.append(tok)
+    ws = {w: (deg[w] * 1000000) // freq[w] for w in freq}
+    for r in pdf.itertuples():
+        toks = r.phrase.split()
+        assert r.n_words == len(toks)
+        assert r.n_occurrences == phrases[r.phrase]
+        assert r.rake_fp == sum(ws[w] for w in toks), r.phrase

