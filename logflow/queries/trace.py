@@ -415,3 +415,93 @@ def branch_multiway_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("value").cast("long").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# State Data Source reader (r12): read a stateful checkpoint BACK as a
+# batch DataFrame — Spark 4's spark.read.format("statestore") surface.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_statestore_depgraph",
+    f"""
+WITH {RECORDS_CTE.strip()}, {SPANS_CTE.strip()}
+SELECT service,
+       remote_service || '/' || kafka_topic AS remote,
+       CAST(COUNT(*) AS BIGINT) AS call_count
+FROM spans
+WHERE remote_service IS NOT NULL
+GROUP BY 1, 2
+""",
+    doc="Spark 4 State Data Source: the r11 incremental dependency-graph "
+    "stream (streaming/stateful.py:streaming_dependency_graph) is run "
+    "once to completion (availableNow, noop sink) with its checkpoint "
+    "under a derived_cache dir, and the query then reads the RAW STATE "
+    "back via spark.read.format('statestore') — key struct + "
+    "value.groupState.n per (service, remote) edge. Because the state "
+    "after draining the bounded stream is exactly the running count per "
+    "edge, the read-back state equals the batch Q3 aggregate, making "
+    "this checkpoint-forensics surface fully ORACLE-CHECKABLE (the "
+    "same RECORDS/SPANS CTEs as trace_dependency_graph) — closing the "
+    "streaming-evidence loop batch-side: what the state store holds is "
+    "provably what the batch recompute says it should. Pay-once: the "
+    "stream runs only when the testdata fingerprint changes; reruns "
+    "read state directly. At 100 TB the statestore reader is the "
+    "operational debugger for stuck stateful jobs — O(|state|) scan, "
+    "no stream restart needed.",
+)
+def source_statestore_depgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from logflow.sources.derived import derived_cache
+    from logflow.streaming.stateful import streaming_dependency_graph
+
+    ev = load_table(spark, "events", sf_dir, parallelize=False)
+
+    def writer(d: str) -> None:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        spans = rewrite_remote_service(
+            spans_from_records(records_from_events(stream))
+        )
+        q = (
+            streaming_dependency_graph(spans)
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    base = derived_cache(sf_dir, "statestore_depgraph", ["events"], writer)
+    # The batch statestore reader resolves the session's
+    # StateStoreCoordinator RPC endpoint, which Spark only instantiates
+    # once a stateful streaming query has run — on a warm cache no stream
+    # runs in this session and the read dies with RpcEndpointNotFound.
+    # Touch the lazily-created coordinator up front (same call the first
+    # stateful StreamExecution makes); fall back to a no-op stateful
+    # stream if the internal accessor ever moves.
+    try:
+        spark._jsparkSession.sessionState().streamingQueryManager().stateStoreCoordinator()
+    except Exception:  # pragma: no cover - accessor moved; boot via stream
+        boot = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .dropDuplicates(["value"])
+            .writeStream.format("noop")
+            .option(
+                "checkpointLocation", os.path.join(base, "coordinator_boot")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        boot.awaitTermination(60)
+    st = spark.read.format("statestore").load(os.path.join(base, "ckpt"))
+    return st.select(
+        F.col("key.service").alias("service"),
+        F.col("key.remote").alias("remote"),
+        F.col("value.groupState.n").cast("long").alias("call_count"),
+    ).orderBy("service", "remote")

@@ -1843,3 +1843,20 @@ def test_streaming_session_gap_timeout_matches_batch(spark, tmp_path):
         assert row["n_sessions"] == want.loc[k, "n_sessions"], k
         assert row["n_events"] == want.loc[k, "n_events"], k
         assert row["max_ev"] == want.loc[k, "max_session_events"], k
+
+
+def test_source_statestore_depgraph_matches_batch(spark, duck, sf_dir):
+    """Spark 4 State Data Source: the dependency-graph checkpoint's raw
+    state, read back with spark.read.format('statestore'), equals the
+    batch Q3 aggregate (oracle parity) — and a second read hits the
+    fingerprint cache without re-running the stream (identical rows)."""
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "source_statestore_depgraph", sf_dir)
+    from logflow.queries import load_all
+
+    a = load_all()["source_statestore_depgraph"].fn(spark, sf_dir).collect()
+    b = load_all()["trace_dependency_graph"].fn(spark, sf_dir).collect()
+    assert sorted((r.service, r.remote, r.call_count) for r in a) == sorted(
+        (r.service, r.remote, r.call_count) for r in b
+    )
