@@ -183,3 +183,30 @@ def test_load_table_works_on_vanilla_session(spark, sf_dir):
         assert df.limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_parity_artifacts_have_no_degenerate_greens():
+    """r11 verdict item 4: a 0==0 hash match proves nothing. Every query
+    row in the committed full-parity artifacts (BOTH gate SFs) must be
+    non-empty — zero-row entries are degenerate greens and the query's
+    thresholds must be made SF-robust instead (the 42168d9 patterns:
+    rank floors, data-derived thresholds, explicit degenerate-group
+    rows). Entries missing from an artifact are queries added since the
+    last sweep — allowed here; the close-of-round regeneration covers
+    them."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(repo, "PARITY_FULL*.json")))
+    assert artifacts, "committed parity artifacts missing"
+    for path in artifacts:
+        with open(path) as fh:
+            data = json.load(fh)
+        zero = [
+            n
+            for n, r in data["results"].items()
+            if r["status"] in ("pass", "rows_only") and r["rows"] == 0
+        ]
+        assert not zero, f"{os.path.basename(path)} degenerate greens: {zero}"
