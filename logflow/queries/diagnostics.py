@@ -5015,3 +5015,101 @@ def privacy_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(_DP_EPS).cast("double").alias("epsilon"),
     ).orderBy("event_type", "dow")
+
+
+# --------------------------------------------------------------------------
+# Benford's-law conformance audit (r12): first-significant-digit
+# distribution of money amounts vs log10(1 + 1/d) — the classic fraud /
+# data-fabrication screen.
+# --------------------------------------------------------------------------
+
+
+def _benford_ppm() -> list[int]:
+    """round(log10(1 + 1/d) * 1e6) literals for d = 1..9 (Python math
+    only — the engines never touch a logarithm)."""
+    import math
+
+    return [int(round(math.log10(1.0 + 1.0 / d) * 1_000_000)) for d in range(1, 10)]
+
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {p})" for d, p in zip(range(1, 10), _benford_ppm())
+)
+
+_BENFORD_ORACLE = f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+exp_t(digit, ppm) AS (VALUES {_BENFORD_VALUES})
+SELECT e.digit,
+       COALESCE(o.n_obs, 0) AS n_obs,
+       CAST(e.ppm AS BIGINT) AS expected_ppm,
+       t.n AS n_total,
+       ROUND(CAST(1000000 * COALESCE(o.n_obs, 0) - t.n * e.ppm AS DOUBLE)
+             * CAST(1000000 * COALESCE(o.n_obs, 0) - t.n * e.ppm AS DOUBLE)
+             / CAST(1000000 * t.n * e.ppm AS DOUBLE), 6) AS chi2_term
+FROM exp_t e
+CROSS JOIN tot t
+LEFT JOIN obs o ON o.digit = e.digit
+ORDER BY e.digit
+"""
+
+
+@register(
+    "diag_benford_law",
+    _BENFORD_ORACLE,
+    doc="Benford's-law first-digit audit of order totals: observed "
+    "first-significant-digit counts (exact — the digit comes from the "
+    "integer cents' decimal string, never from a float log) against "
+    "round(log10(1+1/d)*1e6) literal expectations, with the per-digit "
+    "chi-square term (obs - n*p)^2 / (n*p) emitted PER ROW so no "
+    "cross-engine float summation exists: every term divides one "
+    "exactly-derived double by another (identical IEEE inputs -> "
+    "identical quotient, the module's division rule). Digits with zero "
+    "observations still emit (COALESCE row from the literal table). At "
+    "100 TB: one 9-bucket partial-agg'd count — the cheapest fraud "
+    "screen a pipeline can run.",
+)
+def diag_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    obs = (
+        orders.select(
+            F.expr(
+                "CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+                " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp_rows = ", ".join(f"({d}, {p})" for d, p in zip(range(1, 10), _benford_ppm()))
+    exp_t = spark.sql(
+        f"SELECT digit, ppm FROM (VALUES {exp_rows}) AS t(digit, ppm)"
+    ).select(F.col("digit").cast("long").alias("digit"), F.col("ppm").cast("long").alias("ppm"))
+    j = (
+        exp_t.crossJoin(F.broadcast(tot))
+        .join(obs, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs"),
+            F.col("ppm").alias("expected_ppm"),
+            F.col("n").alias("n_total"),
+            (F.lit(1000000) * F.coalesce("n_obs", F.lit(0).cast("long"))
+             - F.col("n") * F.col("ppm")).alias("num"),
+        )
+    )
+    return j.select(
+        "digit",
+        "n_obs",
+        "expected_ppm",
+        "n_total",
+        F.round(
+            F.col("num").cast("double") * F.col("num").cast("double")
+            / (F.lit(1000000) * F.col("n_total") * F.col("expected_ppm")).cast("double"),
+            6,
+        ).alias("chi2_term"),
+    ).orderBy("digit")

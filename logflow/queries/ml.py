@@ -2575,3 +2575,208 @@ def reco_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("factor_fp"),
         F.round(F.col("v").cast("double") / S, 4).alias("factor"),
     ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Gradient-boosted stumps (r12): 3 rounds of depth-1 regression trees on
+# the lineitem price signal — the boosting extension of ml_tree_depth2's
+# histogram split search, exact integer state end-to-end.
+# --------------------------------------------------------------------------
+
+_GBT_ROUNDS = 3
+
+
+def _gbt_round_ctes(m: int, prev: str) -> str:
+    """One boosting round as oracle CTEs: two per-feature histograms with
+    cumulative windows, candidate union, double-scored winner (inputs are
+    identical exact integers in both engines, so the raw IEEE score
+    comparison is deterministic), MATERIALIZED residual update (each
+    residual CTE is referenced by two histograms + the next round — the
+    r8 multi-reference inlining rule)."""
+    return f"""
+h{m} AS (
+  SELECT feat, thr, nl, sl, nt, st FROM (
+    SELECT 'quantity' AS feat, q AS thr,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY q) AS BIGINT) AS nl,
+           CAST(SUM(SUM(r)) OVER (ORDER BY q) AS BIGINT) AS sl,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nt,
+           CAST(SUM(SUM(r)) OVER () AS BIGINT) AS st
+    FROM {prev} GROUP BY q
+    UNION ALL
+    SELECT 'discount' AS feat, disc AS thr,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY disc) AS BIGINT),
+           CAST(SUM(SUM(r)) OVER (ORDER BY disc) AS BIGINT),
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT),
+           CAST(SUM(SUM(r)) OVER () AS BIGINT)
+    FROM {prev} GROUP BY disc
+  ) WHERE nl < nt),
+w{m} AS (
+  SELECT {m} AS round, feat, thr, nl AS n_l, nt - nl AS n_r,
+         sl // nl AS leaf_l, (st - sl) // (nt - nl) AS leaf_r
+  FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (
+             ORDER BY CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+                      + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                        / (nt - nl) DESC,
+                      feat, thr) AS rn
+    FROM h{m}
+  ) WHERE rn = 1),
+r{m} AS MATERIALIZED (
+  SELECT q, disc,
+         r - CASE WHEN (w{m}.feat = 'quantity' AND q <= w{m}.thr)
+                    OR (w{m}.feat = 'discount' AND disc <= w{m}.thr)
+                  THEN w{m}.leaf_l ELSE w{m}.leaf_r END AS r
+  FROM {prev} CROSS JOIN w{m})"""
+
+
+def _gbt_sql() -> str:
+    ctes = [
+        """rows_g AS MATERIALIZED (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem),
+t0 AS (SELECT CAST(SUM(y) AS BIGINT) // COUNT(*) AS f0 FROM rows_g),
+r0 AS MATERIALIZED (
+  SELECT q, disc, y - t0.f0 AS r FROM rows_g CROSS JOIN t0)"""
+    ]
+    for m in range(1, _GBT_ROUNDS + 1):
+        ctes.append(_gbt_round_ctes(m, f"r{m - 1}").strip())
+    selects = [
+        f"""SELECT w{m}.round, w{m}.feat, w{m}.thr, w{m}.n_l, w{m}.n_r,
+       w{m}.leaf_l, w{m}.leaf_r,
+       (SELECT CAST(ROUND(CAST(CAST(SUM(r * r) AS BIGINT) AS DOUBLE), 0)
+               AS DOUBLE) FROM r{m}) AS sse_after
+FROM w{m}"""
+        for m in range(1, _GBT_ROUNDS + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+@register(
+    "ml_gbt_stumps",
+    _gbt_sql(),
+    doc=f"Gradient-boosted regression stumps ({_GBT_ROUNDS} rounds, "
+    "squared loss, lr=1) predicting lineitem price dollars from quantity "
+    "and discount: each round's split search is the ml_tree_depth2 "
+    "histogram form — per-feature value-domain aggregates + cumulative "
+    "windows give (n_l, sum_l) for every threshold in one pass, never a "
+    "per-threshold scan — and the winning stump's leaf means update the "
+    "residuals exactly (integer dollars; sl DIV nl leaves; truncating "
+    "DIV matches // per the module contract). The variance-reduction "
+    "score is computed in doubles, but from IDENTICAL exact integers on "
+    "both engines, so the argmax (score DESC, feat, thr tiebreak) is "
+    "deterministic; every reported value (thr, leaf, per-round SSE) is "
+    "an exact integer. Oracle: unrolled CTE chain with MATERIALIZED "
+    "residual steps (each referenced by two histograms + the next round "
+    "— the r8 2^n inlining rule). Spark: the base rows persist once; "
+    "per round two value-domain shuffles + a 1-row eager-checkpointed "
+    "winner broadcast (two consumers — re-running the histogram lineage "
+    "per consumer is the r10 static-plan trap). At 100 TB: split search "
+    "cost is O(value domain), residual updates are map-side; the layout "
+    "XGBoost-style histogram boosting uses, rank folded to depth 1.",
+)
+def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.cache import track
+
+    li = load_table(spark, "lineitem", sf_dir)
+    # coalesced persists: the row/residual frames are a few MB at these
+    # SFs and every round's histogram + update stage otherwise pays the
+    # 32-task scheduling floor (the reco_als_rank1 A/B, same fix)
+    rows = track(
+        li.select(
+            F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("q"),
+            F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("disc"),
+            F.expr("CAST(ROUND(l_extendedprice) AS BIGINT)").alias("y"),
+        ).coalesce(8).persist()
+    )
+    f0 = rows.agg(
+        F.expr("CAST(SUM(y) AS BIGINT) DIV COUNT(*)").alias("f0")
+    )
+    resid = track(
+        rows.crossJoin(F.broadcast(f0))
+        .select("q", "disc", (F.col("y") - F.col("f0")).alias("r"))
+        .persist()
+    )
+    out_rows = []
+    for m in range(1, _GBT_ROUNDS + 1):
+        cands = []
+        for feat, col in (("quantity", "q"), ("discount", "disc")):
+            h = resid.groupBy(F.col(col).alias("thr")).agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("r").cast("long").alias("s"),
+            )
+            wcum = Window.orderBy("thr").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            wall = Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            cands.append(
+                h.select(
+                    F.lit(feat).alias("feat"),
+                    "thr",
+                    F.sum("cnt").over(wcum).cast("long").alias("nl"),
+                    F.sum("s").over(wcum).cast("long").alias("sl"),
+                    F.sum("cnt").over(wall).cast("long").alias("nt"),
+                    F.sum("s").over(wall).cast("long").alias("st"),
+                )
+            )
+        cand = cands[0].unionByName(cands[1]).filter(F.col("nl") < F.col("nt"))
+        score = (
+            F.col("sl").cast("double") * F.col("sl").cast("double") / F.col("nl")
+            + (F.col("st") - F.col("sl")).cast("double")
+            * (F.col("st") - F.col("sl")).cast("double")
+            / (F.col("nt") - F.col("nl"))
+        )
+        wr = Window.orderBy(score.desc(), "feat", "thr")
+        # 1-row winner feeds the residual update AND the output row:
+        # eager-checkpoint to truncate the histogram lineage (r10 rule)
+        w = (
+            cand.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit(m).cast("long").alias("round"),
+                "feat",
+                "thr",
+                F.col("nl").alias("n_l"),
+                (F.col("nt") - F.col("nl")).alias("n_r"),
+                F.expr("sl DIV nl").alias("leaf_l"),
+                F.expr("(st - sl) DIV (nt - nl)").alias("leaf_r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        resid = track(
+            resid.crossJoin(F.broadcast(w.select("feat", "thr", "leaf_l", "leaf_r")))
+            .select(
+                "q",
+                "disc",
+                (
+                    F.col("r")
+                    - F.when(
+                        ((F.col("feat") == "quantity") & (F.col("q") <= F.col("thr")))
+                        | ((F.col("feat") == "discount") & (F.col("disc") <= F.col("thr"))),
+                        F.col("leaf_l"),
+                    ).otherwise(F.col("leaf_r"))
+                ).alias("r"),
+            )
+            .coalesce(8)
+            .persist()
+        )
+        sse = resid.agg(
+            F.round(F.expr("CAST(CAST(SUM(r * r) AS BIGINT) AS DOUBLE)"), 0).alias(
+                "sse_after"
+            )
+        )
+        out_rows.append(w.crossJoin(F.broadcast(sse)))
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("round")

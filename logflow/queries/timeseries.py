@@ -3693,3 +3693,95 @@ def ts_weighted_interval_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_cents",
         F.round(F.col("best_cents").cast("double") / 100.0, 2).alias("best_value"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# SAX motif mining (r12): symbolic aggregate approximation over daily
+# activity, top recurring 3-day "words" per series.
+# --------------------------------------------------------------------------
+
+_SAX_CARD = 4  # alphabet cardinality (a-d)
+_SAX_W = 3  # word length in days
+_SAX_TOPK = 3
+
+_SAX_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))) * 100, 0) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, day,
+         NTILE({_SAX_CARD}) OVER (PARTITION BY event_type
+                                  ORDER BY cents, day) AS sym
+  FROM d),
+w AS (
+  SELECT event_type,
+         chr(CAST(96 + sym AS INTEGER))
+           || chr(CAST(96 + lead(sym, 1) OVER (PARTITION BY event_type ORDER BY day) AS INTEGER))
+           || chr(CAST(96 + lead(sym, 2) OVER (PARTITION BY event_type ORDER BY day) AS INTEGER))
+           AS word
+  FROM s),
+c AS (
+  SELECT event_type, word, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM w WHERE word IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type, word, n_occurrences, pos FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY n_occurrences DESC, word)
+                 AS BIGINT) AS pos
+  FROM c)
+WHERE pos <= {_SAX_TOPK}
+ORDER BY event_type, pos
+"""
+
+
+@register(
+    "ts_sax_motifs",
+    _SAX_ORACLE,
+    doc="SAX motif mining (Lin et al. 2003, rank-binned variant): each "
+    "event type's daily exact-decimal cent series is symbolized by "
+    f"NTILE({_SAX_CARD}) rank bins — the distribution-free stand-in for "
+    "the Gaussian-breakpoint z-normalization, exactly deterministic "
+    "because the ntile ordering carries a (cents, day) tiebreak where "
+    "float z-scores would tie-break engine-dependently — then every "
+    f"{_SAX_W}-day sliding word is counted and the top-{_SAX_TOPK} "
+    "recurring motifs per series reported (count DESC, word tiebreak). "
+    "At 100 TB: one partial-agg'd shuffle to daily grain (day-scale "
+    "rows thereafter); the per-series window sort is day-domain-sized, "
+    "and series shard freely across event types / entities.",
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))) * 100, 0) AS BIGINT)"
+        ).alias("cents")
+    )
+    s = d.withColumn(
+        "sym",
+        F.ntile(_SAX_CARD).over(
+            Window.partitionBy("event_type").orderBy("cents", "day")
+        ),
+    )
+    w = s.select(
+        "event_type",
+        F.concat(
+            F.expr("char(96 + sym)"),
+            F.expr("char(96 + lead(sym, 1) OVER (PARTITION BY event_type ORDER BY day))"),
+            F.expr("char(96 + lead(sym, 2) OVER (PARTITION BY event_type ORDER BY day))"),
+        ).alias("word"),
+    )
+    c = (
+        w.filter(F.col("word").isNotNull())
+        .groupBy("event_type", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("n_occurrences"), "word")
+    return (
+        c.withColumn("pos", F.row_number().over(wr).cast("long"))
+        .filter(F.col("pos") <= _SAX_TOPK)
+        .orderBy("event_type", "pos")
+    )

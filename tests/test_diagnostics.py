@@ -1143,3 +1143,27 @@ def test_privacy_dp_noise_bounds(spark, sf_dir):
     assert (pdf["noisy_cnt"] >= 0).all()
     merged = pdf.merge(true, on=["event_type", "dow"])
     assert ((merged["noisy_cnt"] - merged["count"]).abs() <= 8).all()
+
+
+def test_diag_benford_law(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "diag_benford_law", sf_dir)
+
+
+def test_diag_benford_law_semantics(spark, sf_dir):
+    """Digit counts sum to the order count, all nine digits emit, and
+    expectations are the Benford ppm literals."""
+    import math
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["diag_benford_law"].fn(spark, sf_dir).toPandas()
+    assert list(pdf["digit"]) == list(range(1, 10))
+    n_orders = load_table(spark, "orders", sf_dir).count()
+    assert pdf["n_obs"].sum() == n_orders
+    assert (pdf["n_total"] == n_orders).all()
+    for r in pdf.itertuples():
+        assert r.expected_ppm == int(round(math.log10(1 + 1 / r.digit) * 1e6))
+        assert r.chi2_term >= 0

@@ -531,3 +531,27 @@ def test_reco_als_rank1_invariants(spark, sf_dir):
     assert (pdf["factor_fp"] > 0).any()
     got = pdf.set_index("p_partkey")["n_buyers"]
     assert (got == buyers.reindex(got.index)).all()
+
+
+def test_ml_gbt_stumps(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_gbt_stumps", sf_dir)
+
+
+def test_ml_gbt_stumps_sse_decreases(spark, sf_dir):
+    """Boosting with exact leaf means can never increase training SSE
+    round-over-round (each stump is the SSE-minimizing depth-1 update
+    up to integer truncation of the leaf means); splits are real
+    (both sides populated) and leaves bounded by the residual range."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ml_gbt_stumps"].fn(spark, sf_dir).toPandas()
+    assert list(pdf["round"]) == [1, 2, 3]
+    assert (pdf["n_l"] > 0).all() and (pdf["n_r"] > 0).all()
+    sses = list(pdf["sse_after"])
+    # integer-truncated leaf means can miss the exact optimum by < 1
+    # dollar per row: allow that slack, the trend must still be down
+    n = int(pdf["n_l"].iloc[0] + pdf["n_r"].iloc[0])
+    assert all(a >= b - 2 * n for a, b in zip(sses, sses[1:])), sses
+    assert sses[-1] < sses[0]

@@ -1054,3 +1054,25 @@ def test_ts_weighted_interval_sched_bounds(spark, sf_dir):
                 greedy += r.w
                 t = r.e
         assert row["best_cents"] >= greedy, (uid, row["best_cents"], greedy)
+
+
+def test_ts_sax_motifs(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_sax_motifs", sf_dir)
+
+
+def test_ts_sax_motifs_shape(spark, sf_dir):
+    """Words are 3 chars over a-d, at most top-3 per type, counts
+    positive and non-increasing within a type."""
+    from logflow.queries import load_all
+
+    pdf = load_all()["ts_sax_motifs"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert pdf["word"].str.fullmatch("[a-d]{3}").all()
+    for _, g in pdf.groupby("event_type"):
+        g = g.sort_values("pos")
+        assert list(g["pos"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 3
+        assert (g["n_occurrences"] > 0).all()
+        assert g["n_occurrences"].is_monotonic_decreasing

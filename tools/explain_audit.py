@@ -31,6 +31,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: queries allowed to contain the listed smell, with the reason.
 WHITELIST: dict[str, dict[str, str]] = {
+    # ------- round-12 tail -------
+    "diag_benford_law": {
+        "bnlj": "crossJoin of the 1-row total-count aggregate onto the "
+        "9-row literal digit table — the broadcast-the-model pattern, "
+        "never a data-scale nested loop"
+    },
+    "ml_gbt_stumps": {
+        "bnlj": "crossJoins of 1-row frames only (global mean, per-round "
+        "eager-checkpointed winner stump, per-round SSE scalar) — the "
+        "broadcast-the-model pattern; residual updates are map-side"
+    },
     # ------- round-11 crop -------
     "seq_prefixspan": {
         "bnlj": "crossJoins of the 1-row n_users/minsup aggregate and the "
