@@ -2780,3 +2780,271 @@ def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out_rows[1:]:
         out = out.unionByName(o)
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# kNN label classifier (r12): supervised evaluation over the embedding
+# corpus's label column — majority vote of the 5 nearest train vectors.
+# --------------------------------------------------------------------------
+
+_KNN_CLS_K = 5
+_KNN_CLS_TEST = 50  # vec_id < 50 -> held-out queries; rest -> train
+
+
+def _knn_cls_sql() -> str:
+    from logflow.queries.llm import _dd_sim
+
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS true_label
+           FROM embeddings WHERE vec_id < {_KNN_CLS_TEST}),
+c AS (SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id >= {_KNN_CLS_TEST}),
+top AS (
+  SELECT qid, true_label, label FROM (
+    SELECT q.qid, q.true_label, c.label,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_dd_sim('c.embedding', 'q.qvec')} DESC,
+                                       c.vec_id) AS rn
+    FROM c, q
+  ) WHERE rn <= {_KNN_CLS_K}),
+votes AS (
+  SELECT qid, true_label, label, count(*) AS cnt
+  FROM top GROUP BY 1, 2, 3),
+pred AS (
+  SELECT qid, true_label, label AS pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cnt DESC, label) AS rn
+    FROM votes
+  ) WHERE rn = 1)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "ml_knn_label_classifier",
+    _knn_cls_sql(),
+    doc=f"kNN classification eval: each of the {_KNN_CLS_TEST} held-out "
+    f"embeddings is labeled by majority vote of its {_KNN_CLS_K} nearest "
+    "train vectors (rounded-cosine ranking with vec_id tiebreaks — the "
+    "knn_cosine_brute determinism contract — and count DESC, label ASC "
+    "vote tiebreaks), reported as the confusion matrix against the "
+    "corpus's true labels. This is the op that exercises the embedding "
+    "table's LABEL column end-to-end. Spark: cosine_topk broadcasts the "
+    "bounded query set so the train corpus never shuffles; votes and "
+    "confusion are two label-domain aggregates. At 100 TB: identical "
+    "shape to serving brute-force eval — swap cosine_topk for the IVF/"
+    "PQ operators in this module for the indexed path.",
+)
+def ml_knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logflow.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < _KNN_CLS_TEST).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(F.col("vec_id") >= _KNN_CLS_TEST)
+    top = cosine_topk(
+        train.select("vec_id", "embedding"),
+        q.select("qid", "qvec"),
+        "vec_id",
+        "embedding",
+        k=_KNN_CLS_K,
+    )
+    labeled = top.join(
+        train.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), "label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("pred_label"))
+    )
+    out = pred.join(F.broadcast(q.select("qid", "true_label")), "qid")
+    return (
+        out.groupBy(
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multinomial naive Bayes (r12): train-on-4/5, confusion matrix on 1/5 —
+# the classic bag-of-words text classifier, fixed-point ln weights.
+# --------------------------------------------------------------------------
+
+
+def _nb_sql() -> str:
+    from logflow.queries.llm import TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+tr AS (SELECT * FROM t WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+trtok AS (SELECT source, unnest(toks) AS tok FROM tr),
+cnts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM trtok GROUP BY 1, 2),
+tots AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM trtok),
+priors AS (
+  SELECT source,
+         CAST(ROUND(ln(CAST(nd AS DOUBLE) / ntot) * 1000000, 0) AS BIGINT)
+           AS prior
+  FROM (SELECT source, count(*) AS nd, SUM(count(*)) OVER () AS ntot
+        FROM tr GROUP BY source)),
+w AS (
+  SELECT c.source, c.tok,
+         CAST(ROUND(ln(CAST(c.cnt + 1 AS DOUBLE) / (t.tot + v.v)) * 1000000,
+                    0) AS BIGINT) AS w
+  FROM cnts c JOIN tots t USING (source) CROSS JOIN vocab v),
+defs AS (
+  SELECT t.source,
+         CAST(ROUND(ln(1.0 / (t.tot + v.v)) * 1000000, 0) AS BIGINT) AS dflt
+  FROM tots t CROSS JOIN vocab v),
+tetok AS (SELECT doc_id, unnest(toks) AS tok FROM te),
+ten AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tetok GROUP BY 1),
+m AS (
+  SELECT k.doc_id, w.source, CAST(SUM(w.w) AS BIGINT) AS msum,
+         CAST(count(*) AS BIGINT) AS mcnt
+  FROM tetok k JOIN w ON k.tok = w.tok GROUP BY 1, 2),
+scored AS (
+  SELECT te.doc_id, te.source AS true_source, p.source,
+         p.prior + COALESCE(m.msum, 0)
+           + (COALESCE(n.n, 0) - COALESCE(m.mcnt, 0)) * d.dflt AS score
+  FROM te
+  LEFT JOIN ten n ON n.doc_id = te.doc_id
+  CROSS JOIN priors p
+  JOIN defs d ON d.source = p.source
+  LEFT JOIN m ON m.doc_id = te.doc_id AND m.source = p.source),
+pred AS (
+  SELECT doc_id, true_source, source AS pred_source FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, source) AS rn
+    FROM scored
+  ) WHERE rn = 1)
+SELECT true_source, pred_source, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "ml_naive_bayes_text",
+    _nb_sql(),
+    doc="Multinomial naive Bayes with Laplace smoothing (alpha=1) "
+    "predicting each held-out document's SOURCE from its bag of words "
+    "(doc_id %% 5 == 0 held out): per-(source, token) ln weights are "
+    "fixed-point — ln of an exactly-derived double ratio, rounded to "
+    "1e-6 immediately (the module's ln rule, held every round) — so "
+    "document scores are exact BIGINT sums: prior + matched weights + "
+    "(n - matched) * unseen-token default, argmax with source tiebreak. "
+    "Output is the source confusion matrix. Spark: the weight table is "
+    "vocabulary x sources scale and BROADCASTS into the test-token "
+    "join; the 5-row prior/default model cross-joins per test doc (the "
+    "broadcast-the-model pattern). At 100 TB: training is one (source, "
+    "token) partial-agg'd count; scoring is map-side against the "
+    "broadcast model — the exact layout production NB scoring uses.",
+)
+def ml_naive_bayes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", tokenize(F.col("text")).alias("toks")
+    )
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    te = docs.filter(F.col("doc_id") % 5 == 0)
+    from logflow.operators.cache import track
+
+    # token frames feed two branches each (counts+vocab / doc-lengths+
+    # scoring join): persist once, coalesced per the 32-task-floor rule
+    trtok = track(
+        tr.select("source", F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .coalesce(8)
+        .persist()
+    )
+    cnts = trtok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tots = cnts.groupBy("source").agg(F.sum("cnt").cast("long").alias("tot"))
+    vocab = trtok.agg(F.countDistinct("tok").cast("long").alias("v"))
+    ndocs = tr.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    ntot = ndocs.agg(F.sum("nd").alias("ntot"))
+    priors = ndocs.crossJoin(F.broadcast(ntot)).select(
+        "source",
+        F.expr(
+            "CAST(ROUND(ln(CAST(nd AS DOUBLE) / ntot) * 1000000, 0) AS BIGINT)"
+        ).alias("prior"),
+    )
+    w = (
+        cnts.join(F.broadcast(tots), "source")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "tok",
+            F.expr(
+                "CAST(ROUND(ln(CAST(cnt + 1 AS DOUBLE) / (tot + v)) * 1000000, 0)"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    defs = tots.crossJoin(F.broadcast(vocab)).select(
+        "source",
+        F.expr("CAST(ROUND(ln(1.0 / (tot + v)) * 1000000, 0) AS BIGINT)").alias(
+            "dflt"
+        ),
+    )
+    tetok = track(
+        te.select("doc_id", F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .coalesce(8)
+        .persist()
+    )
+    ten = tetok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = (
+        tetok.join(F.broadcast(w), "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("w").cast("long").alias("msum"),
+            F.count(F.lit(1)).cast("long").alias("mcnt"),
+        )
+    )
+    model = priors.join(defs, "source")
+    scored = (
+        te.select("doc_id", F.col("source").alias("true_source"))
+        .join(ten, "doc_id", "left")
+        .crossJoin(F.broadcast(model))
+        .join(m, ["doc_id", "source"], "left")
+        .select(
+            "doc_id",
+            "true_source",
+            "source",
+            (
+                F.col("prior")
+                + F.coalesce("msum", F.lit(0).cast("long"))
+                + (
+                    F.coalesce("n", F.lit(0).cast("long"))
+                    - F.coalesce("mcnt", F.lit(0).cast("long"))
+                )
+                * F.col("dflt")
+            ).alias("score"),
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.desc("score"), "source")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_source", F.col("source").alias("pred_source"))
+    )
+    return (
+        pred.groupBy("true_source", "pred_source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_source", "pred_source")
+    )

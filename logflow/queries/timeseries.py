@@ -3785,3 +3785,133 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= _SAX_TOPK)
         .orderBy("event_type", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Periodogram / dominant-cycle detection (r12): DFT power at candidate
+# periods via literal trig weight vectors — the Holt-Winters/theta
+# literal-weights machinery applied to spectral analysis.
+# --------------------------------------------------------------------------
+
+_PG_N = 28  # analyze the last 28 observed days
+_PG_PERIODS = list(range(2, 15))  # candidate cycle lengths (days)
+
+
+def _pg_weights(p: int) -> tuple[list[float], list[float]]:
+    import math
+
+    cos_w = [math.cos(2 * math.pi * d / p) for d in range(_PG_N)]
+    sin_w = [math.sin(2 * math.pi * d / p) for d in range(_PG_N)]
+    return cos_w, sin_w
+
+
+def _pg_sum(ws: list[float], acc) -> str:
+    """Explicit left-associated weighted sum (bit-identical IEEE in both
+    engines — the theta/Holt-Winters contract)."""
+    terms = [f"({w!r} * CAST({acc(i)} AS DOUBLE))" for i, w in enumerate(ws)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _pg_power(p: int, acc) -> str:
+    cw, sw = _pg_weights(p)
+    return (
+        f"ROUND(({_pg_sum(cw, acc)}) * ({_pg_sum(cw, acc)})"
+        f" + ({_pg_sum(sw, acc)}) * ({_pg_sum(sw, acc)}), 3)"
+    )
+
+
+def _pg_sql() -> str:
+    acc = lambda i: f"ys[{i + 1}]"  # noqa: E731
+    rows = "\nUNION ALL\n".join(
+        f"SELECT event_type, n_days, CAST({p} AS BIGINT) AS period,"
+        f" {_pg_power(p, acc)} AS power FROM y"
+        for p in _PG_PERIODS
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         array_agg(cnt ORDER BY day) AS allv
+  FROM daily GROUP BY event_type HAVING COUNT(*) >= {_PG_N}),
+y AS MATERIALIZED (
+  SELECT event_type, n_days,
+         allv[len(allv) - {_PG_N - 1}:len(allv)] AS ys FROM s),
+p AS ({rows})
+SELECT event_type, n_days, period, power, pos FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY power DESC, period) AS BIGINT)
+              AS pos
+  FROM p)
+WHERE pos <= 3
+ORDER BY event_type, pos
+"""
+
+
+@register(
+    "ts_periodogram_weekly",
+    _pg_sql(),
+    doc="Periodogram / dominant-cycle detector: DFT power "
+    "|sum y_d e^(-2pi i d/p)|^2 of each event type's last "
+    f"{_PG_N}-day count series at candidate periods {_PG_PERIODS[0]}-"
+    f"{_PG_PERIODS[-1]} days, top-3 periods per series. The trig "
+    "weights are Python-computed repr literals and each projection is "
+    "one explicit left-associated weighted sum of exact BIGINT counts "
+    "— bit-identical IEEE in both engines (the theta/Holt-Winters "
+    "literal-weights machinery applied to spectral analysis); ranking "
+    "uses the ROUNDED power with a period tiebreak (the r8 rank rule). "
+    "At 100 TB: one map-side daily rollup + one type-keyed bounded "
+    "array agg; the 26 weighted sums are per-row codegen expressions — "
+    "no window, no iteration, no FFT infrastructure.",
+)
+def ts_periodogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    s = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, cnt))),"
+                " x -> x.cnt)"
+            ).alias("allv"),
+        )
+        .filter(F.col("n_days") >= _PG_N)
+    )
+    y = s.select(
+        "event_type",
+        "n_days",
+        F.expr(f"slice(allv, size(allv) - {_PG_N - 1}, {_PG_N})").alias("ys"),
+    )
+    acc = lambda i: f"element_at(ys, {i + 1})"  # noqa: E731
+    powers = y.select(
+        "event_type",
+        "n_days",
+        *[
+            F.expr(_pg_power(p, acc)).alias(f"pw{p}")
+            for p in _PG_PERIODS
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({p} AS BIGINT), pw{p}" for p in _PG_PERIODS
+    )
+    rows = powers.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            f"stack({len(_PG_PERIODS)}, {stack_args}) AS (period, power)"
+        ),
+    )
+    wp = Window.partitionBy("event_type").orderBy(F.desc("power"), "period")
+    return (
+        rows.withColumn("pos", F.row_number().over(wp).cast("long"))
+        .filter(F.col("pos") <= 3)
+        .orderBy("event_type", "pos")
+    )

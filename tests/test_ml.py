@@ -555,3 +555,51 @@ def test_ml_gbt_stumps_sse_decreases(spark, sf_dir):
     n = int(pdf["n_l"].iloc[0] + pdf["n_r"].iloc[0])
     assert all(a >= b - 2 * n for a, b in zip(sses, sses[1:])), sses
     assert sses[-1] < sses[0]
+
+
+def test_ml_knn_label_classifier(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_knn_label_classifier", sf_dir)
+
+
+def test_ml_knn_label_classifier_covers_all_queries(spark, sf_dir):
+    """Every held-out vector gets exactly one prediction; labels live in
+    the corpus label domain."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.queries.ml import _KNN_CLS_TEST
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ml_knn_label_classifier"].fn(spark, sf_dir).toPandas()
+    emb = load_table(spark, "embeddings", sf_dir)
+    n_test = emb.filter(F.col("vec_id") < _KNN_CLS_TEST).count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert pdf["n"].sum() == n_test
+    assert set(pdf["true_label"]) <= labels and set(pdf["pred_label"]) <= labels
+
+
+def test_ml_naive_bayes_text(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ml_naive_bayes_text", sf_dir)
+
+
+def test_ml_naive_bayes_covers_all_test_docs(spark, sf_dir):
+    """Confusion-matrix counts sum to the held-out doc count and every
+    source appears as a true label."""
+    from pyspark.sql import functions as F
+
+    from logflow.queries import load_all
+    from logflow.sources.tables import load_table
+
+    pdf = load_all()["ml_naive_bayes_text"].fn(spark, sf_dir).toPandas()
+    docs = load_table(spark, "documents", sf_dir)
+    n_test = docs.filter(F.col("doc_id") % 5 == 0).count()
+    assert pdf["n"].sum() == n_test
+    true_sources = {
+        r.source
+        for r in docs.filter(F.col("doc_id") % 5 == 0).select("source").distinct().collect()
+    }
+    assert set(pdf["true_source"]) == true_sources

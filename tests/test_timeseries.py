@@ -1076,3 +1076,40 @@ def test_ts_sax_motifs_shape(spark, sf_dir):
         assert len(g) <= 3
         assert (g["n_occurrences"] > 0).all()
         assert g["n_occurrences"].is_monotonic_decreasing
+
+
+def test_ts_periodogram_weekly(spark, duck, sf_dir):
+    from tests.oracle import check_query
+
+    check_query(spark, duck, "ts_periodogram_weekly", sf_dir)
+
+
+def test_ts_periodogram_numpy_recompute(spark, sf_dir):
+    """The reported powers match a numpy DFT over the same last-28-day
+    count series (weights identical by construction; sums associatively
+    reordered by numpy, so compare to 1e-3 of the rounded value)."""
+    import numpy as np
+
+    from logflow.queries import load_all
+    from logflow.queries.timeseries import _PG_N
+    from logflow.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = load_all()["ts_periodogram_weekly"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .toPandas()
+    )
+    for r in pdf.itertuples():
+        g = daily[daily.event_type == r.event_type].sort_values("day")
+        ys = g["count"].to_numpy()[-_PG_N:].astype(float)
+        d = np.arange(_PG_N)
+        cs = (ys * np.cos(2 * np.pi * d / r.period)).sum()
+        sn = (ys * np.sin(2 * np.pi * d / r.period)).sum()
+        want = cs * cs + sn * sn
+        assert abs(r.power - want) < max(1e-3, abs(want) * 1e-9), (
+            r.event_type, r.period, r.power, want,
+        )

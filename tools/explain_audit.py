@@ -32,6 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: queries allowed to contain the listed smell, with the reason.
 WHITELIST: dict[str, dict[str, str]] = {
     # ------- round-12 tail -------
+    "ml_knn_label_classifier": {
+        "bnlj": "cosine_topk's crossJoin broadcasts the BOUNDED held-out "
+        "query set onto the train corpus (the knn_cosine_brute "
+        "pattern) — the corpus never shuffles"
+    },
+    "ml_naive_bayes_text": {
+        "bnlj": "crossJoins of the source-domain model (priors/defaults, "
+        "|sources| rows) and the 1-row vocab scalar — the broadcast-"
+        "the-model pattern; token scoring is a broadcast equi-join"
+    },
     "diag_benford_law": {
         "bnlj": "crossJoin of the 1-row total-count aggregate onto the "
         "9-row literal digit table — the broadcast-the-model pattern, "
