@@ -58,7 +58,11 @@ def _leading_numeric(df: DataFrame, key: str) -> Column:
 
 
 def range_bucket_ids(
-    df: DataFrame, keys: list[str], out_col: str = "__pid", n_buckets: int | None = None
+    df: DataFrame,
+    keys: list[str],
+    out_col: str = "__pid",
+    n_buckets: int | None = None,
+    edges: list[float] | None = None,
 ) -> DataFrame:
     """Attach a deterministic range-bucket id: ``out_col`` is monotone
     nondecreasing in the lexicographic ``keys`` order, with edges taken
@@ -73,8 +77,15 @@ def range_bucket_ids(
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     lead = _leading_numeric(df, keys[0])
-    probes = [i / n_buckets for i in range(1, n_buckets)]
-    edges = df.select(lead.alias("__lead")).stat.approxQuantile("__lead", probes, 0.001)
+    if edges is None:
+        # callers ordering the SAME frame several ways can precompute all
+        # edge lists in ONE multi-column approxQuantile pass (see
+        # quantile_probes) and pass them in — one driver action instead
+        # of one per ordering
+        probes = quantile_probes(n_buckets)
+        edges = df.select(lead.alias("__lead")).stat.approxQuantile(
+            "__lead", probes, 0.001
+        )
     uniq: list[float] = []
     for e in edges:
         if not uniq or e > uniq[-1]:
@@ -83,6 +94,19 @@ def range_bucket_ids(
     for e in uniq:
         pid = pid + F.when(lead > F.lit(e), 1).otherwise(0)
     return df.withColumn(out_col, pid.cast("int"))
+
+
+def quantile_probes(n_buckets: int) -> list[float]:
+    """The probe fractions :func:`range_bucket_ids` uses for ``n_buckets``
+    — exposed so callers can run ONE multi-column ``approxQuantile`` for
+    several orderings of the same frame and pass each column's edges back
+    via the ``edges`` parameter."""
+    return [i / n_buckets for i in range(1, n_buckets)]
+
+
+def default_bucket_count(spark) -> int:
+    """The bucket count :func:`range_bucket_ids` defaults to."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
 def _offset_join(bucketed: DataFrame, value_col: Column) -> DataFrame:
@@ -170,7 +194,11 @@ def global_running_sums(
 
 
 def global_row_number(
-    df: DataFrame, keys: list[str], out_col: str = "rn", total_col: str | None = None
+    df: DataFrame,
+    keys: list[str],
+    out_col: str = "rn",
+    total_col: str | None = None,
+    edges: list[float] | None = None,
 ) -> DataFrame:
     """Global 1-indexed ``row_number()`` under ``ORDER BY keys`` without a
     single-partition sort — deterministic range buckets on the leading
@@ -183,7 +211,7 @@ def global_row_number(
     crossJoin needed by callers that, e.g., turn positions into ntile
     buckets).
     """
-    bucketed = range_bucket_ids(df, keys)
+    bucketed = range_bucket_ids(df, keys, edges=edges)
     local_w = Window.partitionBy("__pid").orderBy(*keys)
     local = bucketed.withColumn("__local", F.row_number().over(local_w))
     out = (
@@ -199,7 +227,11 @@ def global_row_number(
 
 
 def global_ntile(
-    df: DataFrame, keys: list[str], n_tiles: int, out_col: str = "tile"
+    df: DataFrame,
+    keys: list[str],
+    n_tiles: int,
+    out_col: str = "tile",
+    edges: list[float] | None = None,
 ) -> DataFrame:
     """Exact ``ntile(n_tiles) OVER (ORDER BY keys)`` without a
     single-partition sort: global positions from :func:`global_row_number`
@@ -208,7 +240,7 @@ def global_ntile(
     Spark and DuckDB ntile exactly).  ``keys`` must be a unique composite.
     """
     n = int(n_tiles)
-    g = global_row_number(df, keys, out_col="__rn", total_col="__n")
+    g = global_row_number(df, keys, out_col="__rn", total_col="__n", edges=edges)
     # CASE branches evaluate lazily, so the q=0 division is never reached
     # (p < r implies the first branch when q == 0).
     bucket = F.expr(

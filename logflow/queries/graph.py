@@ -912,12 +912,31 @@ def temporal_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
-    a = e.select(F.col("u").alias("su"), F.col("ts").alias("st"), "k")
+    # The contact join keyed on the page key ALONE explodes: k is a
+    # ~100-value domain here, so join(k) builds |per-key|² candidate pairs
+    # (~100M at sf0.1) only to filter them down to the 1-hour band
+    # (~139k survivors — measured 4.1 s for the build alone).  Standard
+    # interval-join bucketing fixes the key: dt ∈ (st, st+1h] pins
+    # floor(dt/1h) to floor(st/1h) or floor(st/1h)+1, so joining on
+    # (k, hour_bucket) with the source side exploded into its two
+    # reachable buckets is LOSSLESS (each dt lands in exactly one bucket —
+    # no dedup needed) while the join key domain grows to k × hours,
+    # killing both the quadratic blowup and the 100-key shuffle skew.
+    hour_us = 3600 * 1000 * 1000
+    st_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', st)"
+    )
+    dt_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', dt)"
+    )
+    a = e.select(F.col("u").alias("su"), F.col("ts").alias("st"), "k").withColumn(
+        "bkt", F.explode(F.array(st_us - st_us % hour_us, st_us - st_us % hour_us + hour_us))
+    )
     b = e.select(
         F.col("u").alias("du"), F.col("ts").alias("dt"), F.col("k").alias("k2")
-    )
+    ).withColumn("bkt2", dt_us - dt_us % hour_us)
     contacts = (
-        a.join(b, (F.col("k") == F.col("k2")))
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("bkt") == F.col("bkt2")))
         .filter(
             (F.col("dt") > F.col("st"))
             & (F.col("dt") <= F.col("st") + F.expr("INTERVAL 1 HOUR"))
@@ -925,28 +944,36 @@ def temporal_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("su", "st", "du", "dt")
     )
-    # iteration-invariant edge table feeding 3 frontier joins
-    contacts = track(contacts.persist())
+    # iteration-invariant edge table feeding 3 frontier joins — coalesced
+    # (contact-scale, a few MB at these SFs) so each round's scan doesn't
+    # pay the 32-task floor
+    contacts = track(contacts.coalesce(4).persist())
     contacts.count()
     s = (
         e.filter(F.col("event_type") == "error")
         .groupBy("u")
         .agg(F.min("ts").alias("arr"))
     )
-    # each round's state is user-scale (tiny) but feeds the next round's
-    # join, the min-merge union, AND its count branch — persist per the
-    # multi-consumer lineage rule
-    s = track(s.persist())
+    # each round's state is user-scale (bounded) and feeds the next
+    # round's join, the min-merge union, AND its count branch — eager
+    # localCheckpoint per the r10 bounded-frame rule (lazy persist left
+    # the static plan at 104 Exchange nodes; checkpoint truncates it)
+    s = s.coalesce(1).localCheckpoint(eager=True)
     states = [s]
     for _ in range(3):
+        # frontier state is user-scale: broadcast it into the persisted
+        # contact table so no round ever shuffles the contacts
         h = (
-            s.join(contacts, (s["u"] == contacts["su"]) & (contacts["st"] >= s["arr"]))
+            contacts.join(
+                F.broadcast(s),
+                (s["u"] == contacts["su"]) & (contacts["st"] >= s["arr"]),
+            )
             .groupBy("du")
             .agg(F.min("dt").alias("arr"))
             .select(F.col("du").alias("u"), "arr")
         )
         s = s.unionByName(h).groupBy("u").agg(F.min("arr").alias("arr"))
-        s = track(s.persist())
+        s = s.coalesce(1).localCheckpoint(eager=True)
         states.append(s)
     counts = None
     for hop, st in enumerate(states):

@@ -1157,7 +1157,6 @@ ORDER BY r_q, f_q
     "not 3× the fact scan.",
 )
 def rfm_quintile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logflow.operators.cache import track
     from logflow.operators.packing import global_ntile
 
     orders = load_table(spark, "orders", sf_dir)
@@ -1178,27 +1177,28 @@ def rfm_quintile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("frequency")).alias("neg_f"),
     )
     base = base.withColumn("neg_m", -F.col("m_cents"))
-    # consumers: three global_ntile passes + the final metric join
-    base = track(base.persist())
-    base.count()
-    rq = global_ntile(
-        base.select("o_custkey", "recency_days"),
-        ["recency_days", "o_custkey"],
-        5,
-        out_col="r_q",
-    ).select("o_custkey", "r_q")
-    fq = global_ntile(
-        base.select("o_custkey", "neg_f"), ["neg_f", "o_custkey"], 5, out_col="f_q"
-    ).select("o_custkey", "f_q")
-    mq = global_ntile(
-        base.select("o_custkey", "neg_m"), ["neg_m", "o_custkey"], 5, out_col="m_q"
-    ).select("o_custkey", "m_q")
-    joined = (
-        base.select("o_custkey", "recency_days", "frequency", "monetary")
-        .join(rq, "o_custkey")
-        .join(fq, "o_custkey")
-        .join(mq, "o_custkey")
+    # customer-scale and bounded -> eager localCheckpoint, not persist:
+    # the three ntile branches + metric join re-expanded the orders-agg
+    # lineage statically to 86 Exchange nodes under persist (the r10
+    # static-plan-bloat rule); checkpoint truncates it
+    base = base.coalesce(8).localCheckpoint(eager=True)
+    # ONE multi-column approxQuantile pass computes all three axes' range
+    # bucket edges (one driver action instead of three — each ntile pass
+    # otherwise runs its own single-column quantile job over base)
+    from logflow.operators.packing import default_bucket_count, quantile_probes
+
+    nb = default_bucket_count(spark)
+    e_r, e_f, e_m = base.stat.approxQuantile(
+        ["recency_days", "neg_f", "neg_m"], quantile_probes(nb), 0.001
     )
+    # each pass just ADDS its tile column, so chain them on the full frame
+    # instead of joining three projected outputs back on o_custkey (3
+    # customer-scale shuffle joins removed)
+    joined = global_ntile(
+        base, ["recency_days", "o_custkey"], 5, out_col="r_q", edges=e_r
+    )
+    joined = global_ntile(joined, ["neg_f", "o_custkey"], 5, out_col="f_q", edges=e_f)
+    joined = global_ntile(joined, ["neg_m", "o_custkey"], 5, out_col="m_q", edges=e_m)
     return (
         joined.groupBy("r_q", "f_q")
         .agg(

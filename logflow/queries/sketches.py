@@ -232,31 +232,56 @@ def sketch_countmin_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logflow.operators.cache import track
 
     li = track(load_table(spark, "lineitem", sf_dir).select("l_partkey").persist())
-    li.count()  # consumers: nd agg, 4 counter aggs, est probe, verify join
+    li.count()  # consumers: n agg, counter agg, keys distinct, verify join
     key = F.col("l_partkey").cast("string")
-    idx = [
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), key)), 1, 8), 16, 10)
-        .cast("long")
-        .__mod__(_CM_W)
-        .alias(f"idx{r}")
-        for r in range(_CM_D)
-    ]
-    base = li.select("l_partkey", *idx)
-    nd = li.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.countDistinct("l_partkey").cast("long").alias("d"),
-    )
-    est = base
-    for r in range(_CM_D):
-        counter = base.groupBy(F.col(f"idx{r}").alias("idx")).agg(
-            F.count(F.lit(1)).cast("long").alias(f"c{r}")
+
+    def _idx(r: int):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), key)), 1, 8), 16, 10)
+            .cast("long")
+            .__mod__(_CM_W)
         )
-        est = est.join(
-            F.broadcast(counter), est[f"idx{r}"] == counter["idx"]
-        ).drop("idx")
+
+    idx = [_idx(r).alias(f"idx{r}") for r in range(_CM_D)]
+    # ALL _CM_D counter rows in ONE shuffle: explode each row into its
+    # (hash_row, counter_idx) pairs and aggregate by the pair — map-side
+    # combine bounds the shuffle at _CM_D x _CM_W counters per task,
+    # where the previous form paid _CM_D separate groupBy exchanges over
+    # the full fact table (4 Exchange -> 1).
+    counters = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(r).alias("r"), _idx(r).alias("idx"))
+                        for r in range(_CM_D)
+                    ]
+                )
+            ).alias("ri")
+        )
+        .select("ri.r", "ri.idx")
+        .groupBy("r", "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    counters = track(counters.coalesce(1).persist())
+    # estimate per DISTINCT key, not per fact row: the sketch lookup is a
+    # pure function of the key, so derive the counter indexes on the
+    # key-domain-scale distinct frame and probe the (broadcast) counter
+    # table there — the old form joined counters onto every fact row and
+    # paid a distinct over the full (key, est) fact projection.
+    keys = track(li.distinct().persist())
+    nd = li.agg(F.count(F.lit(1)).cast("long").alias("n")).crossJoin(
+        F.broadcast(keys.agg(F.count(F.lit(1)).cast("long").alias("d")))
+    )
+    est = keys.select("l_partkey", *idx)
+    for r in range(_CM_D):
+        cr = counters.filter(F.col("r") == r).select(
+            F.col("idx"), F.col("c").alias(f"c{r}")
+        )
+        est = est.join(F.broadcast(cr), est[f"idx{r}"] == cr["idx"]).drop("idx")
     est = est.select(
         "l_partkey", F.least(*[F.col(f"c{r}") for r in range(_CM_D)]).alias("cm_est")
-    ).distinct()
+    )
     # eager localCheckpoint, not persist: the candidate frame is
     # threshold-bounded (heavy keys only) and feeds two plan branches —
     # checkpoint truncates the 4-join sketch lineage so neither branch
