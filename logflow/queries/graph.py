@@ -1406,17 +1406,22 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = None
 
     def half_round(scores: DataFrame, src: str, dst: str) -> DataFrame:
-        # persist the RAW pull/push aggregate, not the normalized
+        # checkpoint the RAW pull/push aggregate, not the normalized
         # projection: the raw frame feeds TWO consumers (the max-
-        # normalizer aggregate and the normalized scores), so persisting
-        # downstream of the fork would evaluate the join+agg twice
-        raw = track(
+        # normalizer aggregate and the normalized scores), so cutting
+        # downstream of the fork would evaluate the join+agg twice.
+        # EAGER localCheckpoint, not persist (the r10 bounded-frame rule):
+        # the frame is node-scale, and under lazy persist the static plan
+        # re-expanded the whole previous rounds' lineage per consumer —
+        # 844 Exchange nodes by the final window (measured r12; louvain
+        # hit the same wall in r11)
+        raw = (
             de.select(F.col(src).alias("j"), F.col(dst).alias("u"))
             .join(scores.select(F.col("u").alias("j"), "s"), "j")
             .groupBy("u")
             .agg(F.sum("s").cast("long").alias("raw"))
             .coalesce(1)
-            .persist()
+            .localCheckpoint(eager=True)
         )
         mx = raw.agg(F.max("raw").alias("m"))
         return raw.crossJoin(F.broadcast(mx)).select(
@@ -1523,10 +1528,13 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = nodes.join(pick, "id", "left").select(
             "id", F.coalesce("new_lab", F.col("id")).alias("lab")
         )
-    # labels feed THREE consumers (e_c join twice via aliases, d_c join,
-    # distinct-count) — persist per the multi-consumer rule
-    labels = track(labels.coalesce(_size_parts(base.count())).persist())
-    labels.count()
+        # node-scale and bounded — eager localCheckpoint per round (the
+        # r11 Louvain rule): un-truncated, the label lineage re-expanded
+        # every prior round's join+agg into each consumer branch (static
+        # plan measured 1260 Exchange nodes at _LPA_ITERS rounds)
+        labels = labels.coalesce(_size_parts(base.count())).localCheckpoint(
+            eager=True
+        )
     m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
     deg = bid.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")

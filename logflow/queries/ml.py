@@ -880,30 +880,39 @@ def ml_ndcg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logflow.operators.cache import track
 
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    tr = op.filter(F.col("o") % 2 == 0)
-    te = op.filter(F.col("o") % 2 == 1)
-    a = tr.select("o", F.col("p").alias("u"))
-    b = tr.select("o", F.col("p").alias("v"))
+    # ONE order-keyed shuffle replaces the old 600k-row (o,p) DISTINCT plus
+    # two two-sided self-joins on o: collect_set dedupes parts within each
+    # order (same effect as the distinct for per-order pair generation) and
+    # the pair fan-out is a map-side arrays explosion bounded by
+    # parts-per-order (the _copurchase_edges layout, graph.py)
+    ppo = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.collect_set("p").alias("ps"))
+    )
+    ppo = track(ppo.persist())
+    ppo.count()  # consumers: train pair agg, test pair probe
+
+    def _pairs(df):  # distinct per-order unordered pairs (u < v), map-side
+        return (
+            df.select(F.explode("ps").alias("u"), "ps")
+            .select("u", F.explode("ps").alias("v"))
+            .filter(F.col("u") < F.col("v"))
+        )
+
     e_tr = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
+        _pairs(ppo.filter(F.col("o") % 2 == 0))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _NDCG_W_MIN)
         .select("u", "v")
     )
-    adj = track(
-        e_tr.unionByName(
-            e_tr.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).persist()
-    )
-    adj.count()
-    ta = te.select("o", F.col("p").alias("u"))
-    tb = te.select("o", F.col("p").alias("v"))
-    e_te = ta.join(tb, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    # edge-scale and bounded by the weight floor — eager checkpoint
+    # truncates the fact-scan lineage feeding the three wedge/anti
+    # consumers (static plan was 70 Exchange nodes under lazy persist)
+    adj = e_tr.unionByName(
+        e_tr.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).coalesce(1).localCheckpoint(eager=True)
     cand = (
         adj.select(F.col("u").alias("q"), F.col("v").alias("mid"))
         .join(adj.select(F.col("u").alias("mid"), F.col("v").alias("c")), "mid")
@@ -915,20 +924,36 @@ def ml_ndcg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.select(F.col("u").alias("q"), F.col("v").alias("c")),
         ["q", "c"],
         "left_anti",
+    ).localCheckpoint(eager=True)
+    # the held-out pairs only matter where they hit a candidate: probe the
+    # map-side test-pair stream with the BROADCAST candidate set instead of
+    # materializing the full distinct test-pair table (a 600k-row shuffle
+    # whose output fed one semi-lookup); the inner join keeps <=|cand| rows
+    # so the dedup distinct is trivial
+    cand_keys = nonedge.select(
+        F.least("q", "c").alias("eu"),
+        F.greatest("q", "c").alias("ev"),
+        "q",
+        "c",
     )
-    rel_edges = e_te.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    hits = (
+        _pairs(ppo.filter(F.col("o") % 2 == 1))
+        .join(
+            F.broadcast(cand_keys),
+            (F.col("u") == F.col("eu")) & (F.col("v") == F.col("ev")),
+        )
+        .select("q", "c")
+        .distinct()
+        .withColumn("rel_hit", F.lit(1))
+    )
     w = Window.partitionBy("q").orderBy(F.desc("cn"), "c")
     scored = (
-        nonedge.join(
-            rel_edges,
-            (F.col("eu") == F.least("q", "c")) & (F.col("ev") == F.greatest("q", "c")),
-            "left_outer",
-        )
+        nonedge.join(hits, ["q", "c"], "left_outer")
         .select(
             "q",
             "c",
             "cn",
-            F.when(F.col("eu").isNotNull(), 1).otherwise(0).alias("rel"),
+            F.when(F.col("rel_hit").isNotNull(), 1).otherwise(0).alias("rel"),
         )
         .withColumn("rn", F.row_number().over(w))
     )
