@@ -1517,6 +1517,12 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = base.coalesce(_size_parts(base.count()))
     labels = nodes.select("id", F.col("id").alias("lab"))
     for _ in range(_LPA_ITERS):
+        # NO broadcast hints here, deliberately: interleaved A/Bs at
+        # sf0.1 (r12) measured the forced per-round broadcast neutral to
+        # slightly slower than letting AQE plan the tiny label-side
+        # shuffles on this w>=2-floored graph — unlike katz, whose
+        # unfloored 2.4M-edge join genuinely saves a shuffle per round;
+        # here the hint only adds a driver collect per iteration
         cand = (
             bid.join(labels.select(F.col("id").alias("v"), "lab"), "v")
             .groupBy(F.col("u").alias("id"), "lab")
@@ -1740,67 +1746,82 @@ LIMIT {_CLOSE_TOPK}
     "exact ints — hash-exact both engines. Oracle: unrolled frontier/"
     "visited CTE chain with AS MATERIALIZED on every step (each step "
     "is referenced twice; inlining would go exponential — the round-8 "
-    "cumulative-reachability lesson). Spark side: per hop, one "
-    "edges-to-frontier equi-join + distinct + left_anti against the "
-    "visited (s,u) set; frontiers localCheckpoint(eager) per round "
-    "(lineage otherwise doubles per hop), loop-frame partition counts "
-    "size-derived (_size_parts), edge list built once and persisted. "
+    "cumulative-reachability lesson). Spark side: the k waves live in "
+    "ONE node-scale bitmask frame (seed i = bit i of a BIGINT lane, "
+    "k << 32 so lanes stay below the sign bit) — per hop, one edges-"
+    "to-frontier equi-join whose bit_or aggregate dedups (seed, node) "
+    "pairs for free (the join fans out one row per edge, never per "
+    "edge x seed), newly-set bits accrue hop*bit_count into the exact "
+    "distance sum, and the (s,u) distinct + left_anti shuffles of the "
+    "pair formulation disappear outright; the state frame is eager-"
+    "localCheckpointed per round (bounded, the r10 rule). "
     "At 100 TB: Eppstein-Wang bounds the error of k-sample closeness "
     "at O(log n / eps^2) seeds; the frontier join is the standard BSP "
     "layout (edges bucketed by source node -> co-located supersteps), "
-    "and the k-fold frontier fan-out shards naturally because the key "
-    "is (seed, node), never node alone — no celebrity-seed hotspot.",
+    "and wider seed sets shard into ceil(k/32) bitmask lanes.",
 )
 def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir, ordered=False)
+    nodes = edges.select("u").distinct()
+    sw = Window.orderBy("u")
     seeds = (
-        # constant-bounded coalesce(1): <= _CLOSE_SEEDS rows by the LIMIT
-        edges.select("u").distinct().orderBy("u").limit(_CLOSE_SEEDS)
+        nodes.orderBy("u")
+        .limit(_CLOSE_SEEDS)
+        .withColumn("i", F.row_number().over(sw) - 1)
+        .select("u", F.expr("shiftleft(1L, CAST(i AS INT))").alias("bit"))
+    )
+    # state: per node, visited-seed bitmask, this round's frontier bits,
+    # and the exact BIGINT distance sum accrued so far
+    state = (
+        nodes.join(F.broadcast(seeds), "u", "left")
         .select(
-            F.col("u").alias("s"),
-            F.col("u").alias("u"),
-            F.lit(0).cast("long").alias("dist"),
+            "u",
+            F.coalesce("bit", F.lit(0)).cast("long").alias("vis"),
+            F.coalesce("bit", F.lit(0)).cast("long").alias("frt"),
+            F.lit(0).cast("long").alias("sd"),
         )
         .coalesce(1)
+        .localCheckpoint(eager=True)
     )
-    frontier = track(seeds.persist())
-    visited = frontier
-    n_visited = _CLOSE_SEEDS
     for hop in range(1, _CLOSE_HOPS + 1):
-        nxt = (
-            edges.join(frontier.select("s", "u"), "u")
-            .select("s", F.col("v").alias("u"))
-            .distinct()
-            .join(visited.select("s", "u"), ["s", "u"], "left_anti")
-            .select("s", "u", F.lit(hop).cast("long").alias("dist"))
-            # size-derived estimate, re-anchored by the exact count below
-            .coalesce(_size_parts(n_visited * 8))
+        reach = (
+            edges.join(
+                F.broadcast(state.filter(F.col("frt") != 0).select("u", "frt")),
+                "u",
+            )
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.bit_or("frt").alias("rmask"))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        n_new = nxt.count()
-        if n_new == 0:
-            break
-        n_visited += n_new
-        visited = track(
-            visited.union(nxt).coalesce(_size_parts(n_visited)).persist()
+        state = (
+            state.join(F.broadcast(reach), "u", "left")
+            .select(
+                "u",
+                "vis",
+                "sd",
+                F.expr("COALESCE(rmask, 0L) & ~vis").alias("new_bits"),
+            )
+            .select(
+                "u",
+                F.expr("vis | new_bits").cast("long").alias("vis"),
+                F.col("new_bits").cast("long").alias("frt"),
+                (F.col("sd") + hop * F.bit_count("new_bits"))
+                .cast("long")
+                .alias("sd"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
         )
-        frontier = nxt
     return (
-        visited.groupBy(F.col("u").alias("p_partkey"))
-        .agg(
-            F.count(F.lit(1)).alias("reached"),
-            F.sum("dist").cast("long").alias("sum_dist"),
-        )
-        .filter(F.col("reached") == _CLOSE_SEEDS)
+        state.filter(F.bit_count("vis") == _CLOSE_SEEDS)
         .select(
-            "p_partkey",
-            "sum_dist",
+            F.col("u").alias("p_partkey"),
+            F.col("sd").alias("sum_dist"),
             F.expr(
-                f"CAST(({_CLOSE_SEEDS - 1} * {_CLOSE_SCALE}) DIV sum_dist"
+                f"CAST(({_CLOSE_SEEDS - 1} * {_CLOSE_SCALE}) DIV sd"
                 " AS BIGINT)"
             ).alias("closeness_fp"),
             F.round(
-                F.lit(float(_CLOSE_SEEDS - 1)) / F.col("sum_dist").cast("double"),
+                F.lit(float(_CLOSE_SEEDS - 1)) / F.col("sd").cast("double"),
                 9,
             ).alias("closeness"),
         )
@@ -1874,14 +1895,21 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select("u").distinct()
     nodes = track(nodes.coalesce(_size_parts(nodes.count())).persist())
     x = nodes.select("u", F.lit(_KATZ_SCALE).cast("long").alias("x"))
+    # score and contribution frames are one row per node, small by
+    # construction — broadcast them into the edge join and the node
+    # realignment exactly like pagerank_fixed_point does (Catalyst can't
+    # infer the size through the join+agg lineage; the static plan ran
+    # both joins as SortMergeJoin with an edge-side shuffle per
+    # iteration). At node counts past broadcast size the bucketed-join
+    # layout in the module doc replaces the hint.
     for _ in range(_KATZ_ITERS):
         contrib = (
-            edges.join(x, "u")
+            edges.join(F.broadcast(x), "u")
             .select(F.col("v").alias("u"), F.expr(f"x DIV {_KATZ_ADEN}").alias("c"))
             .groupBy("u")
             .agg(F.sum("c").cast("long").alias("s"))
         )
-        x = nodes.join(contrib, "u", "left").select(
+        x = nodes.join(F.broadcast(contrib), "u", "left").select(
             "u",
             (F.lit(_KATZ_SCALE) + F.coalesce(F.col("s"), F.lit(0)))
             .cast("long")
@@ -2396,6 +2424,12 @@ def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = base_n.coalesce(_size_parts(base_n.count()))
     labels = nodes.select("id", F.col("id").alias("lab"))
     for _ in range(_LPA_ITERS):
+        # NO broadcast hints here, deliberately: interleaved A/Bs at
+        # sf0.1 (r12) measured the forced per-round broadcast neutral to
+        # slightly slower than letting AQE plan the tiny label-side
+        # shuffles on this w>=2-floored graph — unlike katz, whose
+        # unfloored 2.4M-edge join genuinely saves a shuffle per round;
+        # here the hint only adds a driver collect per iteration
         cand = (
             bid.join(labels.select(F.col("id").alias("v"), "lab"), "v")
             .groupBy(F.col("u").alias("id"), "lab")

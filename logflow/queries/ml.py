@@ -1708,7 +1708,6 @@ ORDER BY decile
     "bucketing that replaces the global sort.",
 )
 def ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logflow.operators.cache import track
     from logflow.operators.packing import global_ntile
 
     feat, w, p6_col = _lr_fit(spark, sf_dir)
@@ -1717,19 +1716,21 @@ def ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p6", p6_col())
         .select("vec_id", "y", "p6", (-F.col("p6")).alias("neg_p6"))
     )
-    # EAGER persist: scored feeds 3+ plan branches (the quantile-edge
-    # probe, the per-bucket offsets aggregate, and the main bucketed
-    # branch) — without this each branch re-runs the whole GD weight
-    # chain above it (measured 8.8 -> ~2 s at sf0.01, the HITS lesson)
-    scored = track(scored.coalesce(4).persist())
-    scored.count()
+    # EAGER localCheckpoint: scored feeds 3+ plan branches (the quantile-
+    # edge probe, the per-bucket offsets aggregate, and the main bucketed
+    # branch) — without a cut each branch re-runs the whole GD weight
+    # chain above it (measured 8.8 -> ~2 s at sf0.01, the HITS lesson).
+    # Checkpoint, not persist (the r10 bounded-frame rule): persist does
+    # not truncate the LOGICAL plan, so every ntile branch re-embedded the
+    # full GD lineage in the static plan (346 Exchange nodes measured r12)
+    scored = scored.coalesce(4).localCheckpoint(eager=True)
     tiled = global_ntile(scored, ["neg_p6", "vec_id"], _LIFT_TILES, "decile")
     d = tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("y").cast("long").alias("n_pos"),
     )
     # 10-row frame feeding both the totals aggregate and the main select
-    d = track(d.persist())
+    d = d.coalesce(1).localCheckpoint(eager=True)
     t = d.agg(
         F.sum("n_rows").cast("long").alias("tot_n"),
         F.sum("n_pos").cast("long").alias("tot_pos"),
