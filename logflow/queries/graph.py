@@ -1050,20 +1050,22 @@ def graph_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     und = _copurchase_edges(spark, sf_dir, ordered=False)
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    seed_o = (
-        op.groupBy("o")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .agg(F.min("o").alias("o"))
+    # ONE lineitem shuffle builds both the seed-order pick and its part
+    # set (the old op-distinct formulation referenced the 600k-row
+    # distinct twice — the static plan re-embedded the lineitem scan 46
+    # times across the iteration lineage). collect_set dedups parts
+    # within the order, so size(ps) is the distinct-part count the
+    # HAVING >= 2 filter needs; min_by picks the earliest such order.
+    ops = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") >= 2)
+        .agg(F.min_by("ps", "o").alias("ps"))
+        .select(F.explode("ps").alias("u"))
     )
-    seeds = (
-        op.join(F.broadcast(seed_o), "o").select(F.col("p").alias("u")).distinct()
-    )
-    seeds = track(seeds.persist())
-    seeds.count()
+    # a handful of rows (parts of one order) — checkpoint truncates the
+    # lineitem lineage out of every downstream reference
+    seeds = ops.coalesce(1).localCheckpoint(eager=True)
     r = pagerank_fixed_point(und, iters=_ITERS, assume_distinct=True, seeds=seeds)
     nonseed = r.join(seeds, "u", "left_anti")
     w = Window.orderBy(F.desc("r"), "u")

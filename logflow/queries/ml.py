@@ -524,10 +524,20 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr(f"CAST(SUM(v * wv) AS BIGINT) DIV {_PCA_XS}").alias("s"))
         )
         y = (
-            el.join(s, "vec_id")
+            # broadcast the per-vector projections (one row per vec_id,
+            # bounded by the embedding corpus) instead of shuffling the
+            # persisted element table on vec_id every iteration
+            el.join(F.broadcast(s), "vec_id")
             .groupBy("d")
             .agg(F.sum(F.col("s") * F.col("v")).cast("long").alias("y"))
         )
+        # y is referenced TWICE per iteration (the max-abs normalizer and
+        # the weight rebuild), so a lazy chain doubles the embedded plan
+        # per iteration — 201 static Exchanges measured at 3 iterations.
+        # y is 64 rows by construction: eager-checkpoint it (the r10
+        # bounded-frame rule), which also truncates the lineage the next
+        # iteration's broadcast re-expands.
+        y = y.coalesce(1).localCheckpoint(eager=True)
         m = y.agg(
             F.greatest(F.lit(1).cast("long"), F.expr(f"MAX(ABS(y)) DIV {_PCA_WS}")).alias("m")
         )
