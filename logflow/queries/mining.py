@@ -51,56 +51,49 @@ LIMIT 100
 """,
     doc="Market-basket association rules over order baskets (basket = the "
     "distinct parts of one order): frequent co-purchased pairs with "
-    "support / confidence / lift. Apriori monotonicity is applied for "
-    "real — items below the pair support floor are pruned BEFORE the "
-    "basket self-join (a pair can never out-count its rarest item), so "
-    "the quadratic-in-basket-size pair generation runs on the reduced "
-    "basket table. At 100 TB: baskets co-partition on the order key (one "
-    "shuffle, which the self-join reuses), per-item counts are "
-    "vocabulary-sized, the basket total is a 1-row broadcast, and pair "
-    "blow-up is bounded by basket width (TPC-H ≤ 7 lines/order) times "
-    "the post-pruning basket count — the standard distributed Apriori "
-    "first pass. Metrics are single IEEE divisions of exact BIGINTs, "
-    "identically parenthesized in both engines.",
+    "support / confidence / lift. Baskets are built with ONE order-key "
+    "shuffle (collect_set dedups parts within the order); pairs explode "
+    "MAP-SIDE from each basket's sorted array (pa < pb by construction), "
+    "so the pair count is partially aggregated before its shuffle. The "
+    "Apriori item floor is implied, not pre-joined: c_ab >= 2 forces "
+    "c_a, c_b >= 2, so pruning items first cannot change the output "
+    "(A/B-verified row-identical). At 100 TB: one fact-scale shuffle, "
+    "pair blow-up bounded by basket width (TPC-H ≤ 7 lines/order), "
+    "per-item counts are vocabulary-sized broadcasts, the basket total "
+    "is a 1-row broadcast. Metrics are single IEEE divisions of exact "
+    "BIGINTs, identically parenthesized in both engines.",
 )
 def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logflow.operators.cache import track
-
-    li = (
-        load_table(spark, "lineitem", sf_dir)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, "lineitem", sf_dir)
+    # one shuffle on the order key; sorted distinct parts per basket
+    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    # 4 consumers (item counts, both self-join sides via freq, basket
-    # total) — eager persist per the multi-branch lineage rule.
-    li = track(li.persist())
-    li.count()
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c_i"))
-    freq = li.join(item, "l_partkey").filter(F.col("c_i") >= 2)
-    n = li.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    # 3 consumers (basket total, item counts, pair explosion) — bounded
+    # at order-count scale; checkpoint truncates the lineitem lineage
+    baskets = baskets.localCheckpoint(eager=True)
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    item = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_i"))
     )
-    a = freq.select(
-        F.col("l_orderkey").alias("k"),
-        F.col("l_partkey").alias("pa"),
-        F.col("c_i").alias("ca_i"),
-    )
-    b = freq.select(
-        F.col("l_orderkey").alias("k"),
-        F.col("l_partkey").alias("pb"),
-        F.col("c_i").alias("cb_i"),
+    # ps is a materialized attribute (not an expression chain), so the
+    # nested transform references it without re-inlining work per element
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
     )
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(pair_expr).alias("pr"))
+        .select("pr.pa", "pr.pb")
         .groupBy("pa", "pb")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("c_ab"),
-            F.max("ca_i").alias("c_a"),
-            F.max("cb_i").alias("c_b"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
     )
+    ia = F.broadcast(item.select(F.col("p").alias("pa"), F.col("c_i").alias("c_a")))
+    ib = F.broadcast(item.select(F.col("p").alias("pb"), F.col("c_i").alias("c_b")))
+    pairs = pairs.join(ia, "pa").join(ib, "pb")
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     return (
         pairs.crossJoin(F.broadcast(n))

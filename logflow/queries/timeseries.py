@@ -3687,6 +3687,12 @@ def ts_weighted_interval_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = jobs.groupBy("user_id").applyInPandas(
         sched, "user_id long, n_jobs long, best_cents long"
     )
+    # the final orderBy's range-partition sampling job re-executes the
+    # whole applyInPandas stage (opaque Python child runs twice); res is
+    # one row per user — eager-checkpoint it so the sampling pass and the
+    # sort both read the materialized frame (interleaved A/B ~5.9 vs
+    # ~4.2 s; coalesce(1) instead serializes the DP into one task)
+    res = res.coalesce(8).localCheckpoint(eager=True)
     return res.select(
         "user_id",
         "n_jobs",
