@@ -1011,63 +1011,74 @@ LIMIT 100
     "degenerate-empty at sf0.1 as the co-purchase graph thins with SF, "
     "r11 verdict item 4). Rule metrics: support c_abc/n, confidence of {a,b}→c "
     "(c_abc/c_ab via a join back to the level-2 counts), and lift vs the "
-    "consequent's base rate. At 100 TB: all three self-join sides "
-    "co-partition on the basket key (one shuffle, reused), level counts "
-    "are vocabulary-scale, the basket total is a 1-row broadcast, and "
-    "triple blow-up is bounded by basket width (TPC-H ≤ 7 lines/order) "
-    "cubed over the post-pruning baskets only. All counts exact BIGINTs; "
-    "metrics are single IEEE divisions identically parenthesized; "
-    "deterministic LIMIT via the unique (pa,pb,pc) tiebreak.",
+    "consequent's base rate. At 100 TB: baskets are built with ONE "
+    "order-key shuffle (collect_set dedups within the order); pairs AND "
+    "triples explode MAP-SIDE from each basket's sorted array (strictly "
+    "increasing positions, so pa<pb<pc by construction) with partial "
+    "aggregation before their shuffles; the Apriori candidate "
+    "restriction applies as a broadcast array_intersect of each basket "
+    "with the frequent-pair item set (vocabulary-scale); level counts "
+    "are vocabulary-scale and the basket total a 1-row broadcast. "
+    "Triple blow-up is bounded by basket width (TPC-H ≤ 7 lines/order) "
+    "choose 3 over the intersected baskets only. All counts exact "
+    "BIGINTs; metrics are single IEEE divisions identically "
+    "parenthesized; deterministic LIMIT via the unique (pa,pb,pc) "
+    "tiebreak.",
 )
 def assoc_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logflow.operators.cache import track
-
-    li = (
-        load_table(spark, "lineitem", sf_dir)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, "lineitem", sf_dir)
+    # one shuffle on the order key; sorted distinct parts per basket.
+    # Consumers: basket total, item counts, pair explosion, b2 — bounded
+    # at order-count scale; checkpoint truncates the lineitem lineage.
+    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    # consumers: item counts, freq (→ p2 twice + b2), basket total
-    li = track(li.persist())
-    li.count()
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c_i"))
-    # freq feeds THREE consumers (both pair-join sides + b2's semi-join);
-    # unpersisted, each re-runs the item agg + join (r11 interleaved A/B:
-    # 6.2 vs 7.4 s at sf0.1)
-    freq = track(li.join(item, "l_partkey").filter(F.col("c_i") >= 2).persist())
-    freq.count()
-    n = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
-    a = freq.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = freq.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    baskets = baskets.localCheckpoint(eager=True)
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    item = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_i"))
+    )
+    # ps is a materialized attribute, so the nested transforms reference
+    # it without re-inlining work per element (the bigram O(len^2) trap
+    # does not apply); pa < pb by sorted-array position
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+    )
     p2 = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(pair_expr).alias("pr"))
+        .select("pr.pa", "pr.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
     )
-    # consumers: items2 (both columns), c_ab lookup join
-    p2 = track(p2.persist())
-    p2.count()
+    # consumers: items2 (both columns), c_ab lookup join — pair-scale
+    p2 = p2.localCheckpoint(eager=True)
+    # Apriori candidate restriction: keep only items appearing in some
+    # frequent pair, applied map-side via a 1-row broadcast item-set
+    # (array_intersect preserves the sorted order of ps)
     items2 = (
         p2.select(F.col("pa").alias("pk"))
         .unionByName(p2.select(F.col("pb").alias("pk")))
         .distinct()
+        .agg(F.collect_set("pk").alias("pks"))
     )
-    b2 = freq.join(items2, freq.l_partkey == items2.pk, "leftsemi").select(
-        F.col("l_orderkey").alias("k"), "l_partkey"
+    b2 = (
+        baskets.crossJoin(F.broadcast(items2))
+        .select(F.array_intersect("ps", "pks").alias("ps"))
+        .filter(F.size("ps") >= 3)
     )
-    # consumers: three self-join sides of the triple generation
-    b2 = track(b2.persist())
-    b2.count()
-    ta = b2.select("k", F.col("l_partkey").alias("pa"))
-    tb = b2.select("k", F.col("l_partkey").alias("pb"))
-    tc = b2.select("k", F.col("l_partkey").alias("pc"))
+    triple_expr = F.expr(
+        "flatten(flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), (y, j) -> "
+        "transform(slice(ps, i + j + 3, size(ps)), z -> "
+        "struct(x AS pa, y AS pb, z AS pc))))))"
+    )
     t = (
-        ta.join(tb, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .join(tc, "k")
-        .filter(F.col("pb") < F.col("pc"))
+        b2.select(F.explode(triple_expr).alias("tr"))
+        .select("tr.pa", "tr.pb", "tr.pc")
         .groupBy("pa", "pb", "pc")
         .agg(F.count(F.lit(1)).cast("long").alias("c_abc"))
     )
@@ -1075,7 +1086,7 @@ def assoc_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.join(p2, ["pa", "pb"])
         .join(
-            item.select(F.col("l_partkey").alias("pc"), F.col("c_i").alias("c_c")),
+            item.select(F.col("p").alias("pc"), F.col("c_i").alias("c_c")),
             "pc",
         )
         .crossJoin(F.broadcast(n))
