@@ -1057,17 +1057,20 @@ def assoc_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers: items2 (both columns), c_ab lookup join — pair-scale
     p2 = p2.localCheckpoint(eager=True)
     # Apriori candidate restriction: keep only items appearing in some
-    # frequent pair, applied map-side via a 1-row broadcast item-set
-    # (array_intersect preserves the sorted order of ps)
+    # frequent pair. Explode + broadcast SEMI-JOIN + regroup — NOT
+    # array_intersect against a 1-row broadcast array, which rebuilds
+    # its membership structure per row (probed 17.3 s for this one pass
+    # at sf0.1 with a ~6k-item set vs ~1 s for the join form)
     items2 = (
-        p2.select(F.col("pa").alias("pk"))
-        .unionByName(p2.select(F.col("pb").alias("pk")))
+        p2.select(F.col("pa").alias("p"))
+        .unionByName(p2.select(F.col("pb").alias("p")))
         .distinct()
-        .agg(F.collect_set("pk").alias("pks"))
     )
     b2 = (
-        baskets.crossJoin(F.broadcast(items2))
-        .select(F.array_intersect("ps", "pks").alias("ps"))
+        baskets.select("o", F.explode("ps").alias("p"))
+        .join(F.broadcast(items2), "p", "leftsemi")
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
         .filter(F.size("ps") >= 3)
     )
     triple_expr = F.expr(

@@ -378,6 +378,11 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("doc_id").alias("media_id")
     )
     feats = wav_frame_features(synthesize_wav(docs))
+    # the final orderBy's range-partition sampling job re-executes the
+    # whole synth+featurize Python chain (opaque child runs twice:
+    # probed 4.0 vs 2.2 s) — checkpoint so sampling and sort both read
+    # the materialized frame
+    feats = feats.localCheckpoint(eager=True)
     return feats.select(
         "media_id",
         "frame_idx",
