@@ -5058,15 +5058,20 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity", 0).cast("long").alias("w"),
     )
     d = v.groupBy("flag", "cents").agg(F.sum("w").cast("long").alias("w"))
-    t = d.groupBy("flag").agg(F.sum("w").cast("long").alias("tot"))
+    # per-flag total = max of the running sum over the SAME partitioning
+    # (guide §2.4: two operations keyed the same way share one exchange) —
+    # the former separate groupBy + join re-executed the fact rollup
+    # twice (d fed two unpersisted branches) and added a join shuffle
     wc = Window.partitionBy("flag").orderBy("cents")
-    r = d.select("flag", "cents", "w", F.sum("w").over(wc).cast("long").alias("cum"))
+    wall = Window.partitionBy("flag")
+    r = d.select(
+        "flag", "cents", "w", F.sum("w").over(wc).cast("long").alias("cum")
+    ).withColumn("tot", F.max("cum").over(wall).cast("long"))
     med = F.min(
         F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))
     ).cast("long")
     return (
-        r.join(t, "flag")
-        .groupBy("flag", "tot")
+        r.groupBy("flag", "tot")
         .agg(med.alias("median_cents"))
         .select(
             F.col("flag").alias("l_returnflag"),
