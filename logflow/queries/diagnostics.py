@@ -3764,6 +3764,10 @@ def diag_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("cents"),
     )
+    # 10-row frame feeding the totals agg AND the output branch: left
+    # lazy, both branches re-ran the ntile window + rollup over the
+    # persisted spend (interleaved A/B ~9.7 vs ~7.2 s)
+    d = d.coalesce(1).localCheckpoint(eager=True)
     t = d.agg(
         F.sum("n_customers").cast("long").alias("tot_n"),
         F.sum("cents").cast("long").alias("tot_cents"),
