@@ -165,6 +165,10 @@ def triangle_counts_degree_ordered(edges: DataFrame) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
+    # node-scale frame joined TWICE (du and dv sides): left lazy, the
+    # degree aggregate re-runs per reference inside the orientation job
+    # (interleaved A/B ~7.2 vs ~5.2 s at sf0.1)
+    deg = deg.coalesce(1).localCheckpoint(eager=True)
     ed = edges.join(
         deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
     ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
