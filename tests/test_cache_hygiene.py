@@ -26,7 +26,10 @@ PERSISTING_QUERIES = [
     "corpus_chunk_documents",
     "knn_ivf_kmeans",
     "knn_recall_eval",
-    "assoc_rules_copurchase",
+    # assoc_rules_copurchase/_triples moved to eager localCheckpoints in
+    # the r12 optimization round (no tracked persist left to release);
+    # seq_prefixspan keeps tracked persists and covers the mining family
+    "seq_prefixspan",
     "graph_link_prediction",
     "ml_logreg_gd",
     "ml_calibration_bins",
