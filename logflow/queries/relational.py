@@ -5570,7 +5570,8 @@ ORDER BY probe_key
     "on (file, bit) pairs: bitmap membership is a double semi-join on "
     "the bit table, truth an exact distinct join. At 100 TB: fbits is "
     f"bounded by files x {_BLOOM_BITS} bits; probes broadcast; only "
-    "the distinct-bit build touches data scale (one shuffle).",
+    "the (file, key) dedup touches data scale (ONE shuffle) — the bit "
+    "build and every downstream join run on the deduped bounded frame.",
 )
 def scan_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logflow.operators.cache import track
@@ -5579,23 +5580,35 @@ def scan_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = li.agg(
         (F.max("l_orderkey").cast("long") + 1).alias("mo")
     ).localCheckpoint(eager=True)
-    rows_ = li.crossJoin(F.broadcast(mx)).select(
-        F.expr(f"(l_orderkey * {_BLOOM_FILES}) DIV mo").alias("f"),
-        F.col("l_partkey").alias("k"),
+    # dedup (f, k) FIRST: the truth distinct is the only fact-scale
+    # shuffle; the bit table derives from the deduped frame, so the
+    # double md5 bit computation and the fbits distinct run over
+    # <= files x distinct-partkeys rows, never the raw fact, and no
+    # fact-scale frame is ever persisted (r12: guide §2.2 shuffle fewer
+    # bytes / §5 no data-scale cache; previously a persisted fact-scale
+    # rows_ frame fed both bit branches pre-dedup).
+    truth = (
+        li.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"(l_orderkey * {_BLOOM_FILES}) DIV mo").alias("f"),
+            F.col("l_partkey").alias("k"),
+        )
+        .distinct()
     )
-    rows_ = track(rows_.persist())
-    rows_.count()  # 3 consumers (two bit-union branches + truth)
+    # 3 consumers (two bit-union branches + the audit join): eager
+    # checkpoint — the duplicated subtree is the fact-scale distinct, and
+    # checkpoint also truncates it out of the static plan (r10 rule)
+    truth = truth.localCheckpoint(eager=True)
     fbits = (
-        rows_.select("f", F.expr(_bloom_bit("b1", "k", duck=False)).alias("b"))
+        truth.select("f", F.expr(_bloom_bit("b1", "k", duck=False)).alias("b"))
         .unionByName(
-            rows_.select("f", F.expr(_bloom_bit("b2", "k", duck=False)).alias("b"))
+            truth.select("f", F.expr(_bloom_bit("b2", "k", duck=False)).alias("b"))
         )
         .distinct()
     )
     # bounded: <= files x bits rows; eager — feeds the double semi-join
     fbits = track(fbits.persist())
     fbits.count()
-    truth = rows_.select("f", "k").distinct()
     part = load_table(spark, "part", sf_dir)
     probes = (
         part.filter(F.col("p_partkey") % _BLOOM_PROBE_MOD == 0)
