@@ -2536,7 +2536,7 @@ v2 AS (
          ({_ALS_S} * SUM(r.r * u1.u))
            // greatest(SUM(u1.u * u1.u) // {_ALS_S}, 1) AS v
   FROM r JOIN u1 ON r.i = u1.i GROUP BY j)
-SELECT j AS p_partkey, n_buyers, v AS factor_fp,
+SELECT j AS p_partkey, n_buyers, CAST(v AS BIGINT) AS factor_fp,
        ROUND(CAST(v AS DOUBLE) / {_ALS_S}, 4) AS factor
 FROM v2
 ORDER BY p_partkey

@@ -210,3 +210,31 @@ def test_parity_artifacts_have_no_degenerate_greens():
             if r["status"] in ("pass", "rows_only") and r["rows"] == 0
         ]
         assert not zero, f"{os.path.basename(path)} degenerate greens: {zero}"
+
+
+def test_oracle_output_types_fit_int64(duck):
+    """r12 driver gate lesson (reco_als_rank1, the round's one hash
+    failure): DuckDB SUM(BIGINT) returns HUGEINT, which pandas widens to
+    float64 — the driver's hash then sees `10311.0` vs Spark's int64
+    `10311` and fails while rows/schema match. Every oracle must CAST
+    sum-derived integer columns back to BIGINT. sample_hash_weighted's
+    DECIMAL(22,2) weight is whitelisted: Spark emits the same decimal
+    type there and the pair has been driver-attested green since r5."""
+    from logflow.queries import load_all
+
+    allowed_decimal = {"sample_hash_weighted"}
+    flagged = {}
+    for name, q in load_all().items():
+        if not q.oracle:
+            continue
+        rel = duck.sql(q.oracle)
+        types = [str(t) for t in rel.types]
+        bad = [
+            (c, t)
+            for c, t in zip(rel.columns, types)
+            if t in ("HUGEINT", "UHUGEINT")
+            or (t.startswith("DECIMAL") and name not in allowed_decimal)
+        ]
+        if bad:
+            flagged[name] = bad
+    assert not flagged, f"oracle columns wider than int64 (driver hash risk): {flagged}"
