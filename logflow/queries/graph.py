@@ -2153,10 +2153,15 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels: list[DataFrame] = [track(seeds.persist())]
     visited = levels[0].select("s", "u")
     for hop in range(1, _BC_HOPS + 1):
+        # frontier and visited are (seeds x frontier)-scale — broadcast
+        # both so the persisted edge table streams map-side (r13 A/B:
+        # wins every interleaved pair vs letting AQE shuffle-plan it; at
+        # node counts past broadcast size the module-doc bucketed layout
+        # replaces the hint, as for katz)
         nxt = (
-            edges.join(levels[-1].select("s", "u", "sigma"), "u")
+            edges.join(F.broadcast(levels[-1].select("s", "u", "sigma")), "u")
             .select("s", F.col("v").alias("u"), "sigma")
-            .join(visited, ["s", "u"], "left_anti")
+            .join(F.broadcast(visited), ["s", "u"], "left_anti")
             .groupBy("s", "u")
             .agg(F.sum("sigma").cast("long").alias("sigma"))
             # static fan-out estimate (seeds x 8^hop): the fixed unroll
@@ -2185,12 +2190,33 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sigma").alias("wsig"),
             F.col("delta").alias("wdelta"),
         )
-        nb = levels[h].join(edges.select("u", F.col("v").alias("w")), "u", "left")
+        # The old form (levels[h] LEFT JOIN edges LEFT JOIN succ) cannot
+        # broadcast its small left side, so every backward level shuffled
+        # the full 2.4M-row edge table (probed ~2.7-3.0 s per level at
+        # sf0.1). Equivalent restructure (guide §3.1/§2.3): stream the
+        # persisted edges through INNER broadcast joins against the tiny
+        # successor and level frames (sigma attaches map-side — the DIV
+        # is per-successor, so the term can't pre-aggregate without it),
+        # partial-agg the term before its only (tiny) shuffle, then
+        # left-join the sums back so no-successor rows keep delta = 0 —
+        # row-for-row the same values as the double left join.
         term = F.expr(f"(sigma * ({_BC_SCALE} + wdelta)) DIV wsig")
+        contrib = (
+            edges.select("u", F.col("v").alias("w"))
+            .join(F.broadcast(succ), "w")
+            .join(F.broadcast(levels[h].select("s", "u", "sigma")), ["s", "u"])
+            .groupBy("s", "u")
+            .agg(F.sum(term).cast("long").alias("dsum"))
+        )
         delta = (
-            nb.join(succ, ["s", "w"], "left")
-            .groupBy("s", "u", "sigma")
-            .agg(F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("delta"))
+            levels[h]
+            .join(F.broadcast(contrib), ["s", "u"], "left")
+            .select(
+                "s",
+                "u",
+                "sigma",
+                F.coalesce("dsum", F.lit(0)).cast("long").alias("delta"),
+            )
             .coalesce(_size_parts(_BC_SEEDS * 8**_BC_HOPS))
         )
         if h > 1:
