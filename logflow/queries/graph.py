@@ -83,7 +83,12 @@ def _copurchase_edges(
     Returned COALESCED (a few MB at these SFs — without it every
     downstream iteration stage pays 32-task scheduling overhead) and
     PERSISTED (the iteration-invariant table every consumer re-reads)."""
-    li = load_table(spark, "lineitem", sf_dir)
+    # parallelize=False: the collect_set groupBy right below provides the
+    # downstream parallelism, so load_table's round-robin repartition is a
+    # pure extra exchange here (r13 A/B: no-repartition wins every pair,
+    # ~2.1 vs ~1.7 s at sf0.1); on a real multi-file 100 TB table the
+    # rebalance is a no-op either way (scan splits >> cores).
+    li = load_table(spark, "lineitem", sf_dir, parallelize=False)
     ppo = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     cond = (F.col("u") < F.col("v")) if ordered else (F.col("u") != F.col("v"))
     e = (
