@@ -712,11 +712,16 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_frontier = n_visited = _BFS_SEEDS
     levels: list[tuple[int, DataFrame]] = [(0, frontier)]
     for hop in range(1, _BFS_HOPS + 1):
+        # broadcast the frontier/visited sets so the persisted edge table
+        # streams map-side instead of shuffling per hop (r13 A/B: wins
+        # every interleaved pair, ~3.9 -> ~3.3 s at sf0.1; the
+        # betweenness lesson). Past broadcast size the module-doc
+        # bucketed layout replaces the hint.
         nxt = (
-            edges.join(frontier, "u")
+            edges.join(F.broadcast(frontier), "u")
             .select(F.col("v").alias("u"))
             .distinct()
-            .join(visited, "u", "left_anti")
+            .join(F.broadcast(visited), "u", "left_anti")
             # size-derived (never a hardcoded 1): the next frontier is at
             # most the edges incident to the current one; estimate with a
             # fan-out factor of 8 over the (exactly counted) current size
