@@ -70,6 +70,7 @@ def _copurchase_edges(
     ordered: bool,
     w_min: int = 1,
     weighted: bool = False,
+    return_ppo: bool = False,
 ) -> DataFrame:
     """The shared co-purchase edge build (single source of the edge
     contract for PageRank / triangles / recursive walks): ONE shuffle of
@@ -90,6 +91,11 @@ def _copurchase_edges(
     # rebalance is a no-op either way (scan splits >> cores).
     li = load_table(spark, "lineitem", sf_dir, parallelize=False)
     ppo = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    if return_ppo:
+        # persist the per-order part sets so a caller needing order-level
+        # context (PPR's seed-order pick) reuses THIS shuffle instead of
+        # paying a second full lineitem pass (r13; ~0.9 s at sf0.1)
+        ppo = track(ppo.persist())
     cond = (F.col("u") < F.col("v")) if ordered else (F.col("u") != F.col("v"))
     e = (
         ppo.select(F.explode("ps").alias("u"), "ps")
@@ -101,7 +107,8 @@ def _copurchase_edges(
     if w_min > 1:
         e = e.filter(F.col("w") >= w_min)
     cols = ["u", "v", "w"] if weighted else ["u", "v"]
-    return track(e.select(*cols).coalesce(4).persist())
+    edges = track(e.select(*cols).coalesce(4).persist())
+    return (edges, ppo) if return_ppo else edges
 
 _EDGE_CTES = """
 op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -1058,19 +1065,17 @@ SELECT p_partkey, rank_fp, ppr, pos FROM (
 def graph_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logflow.operators.graph import pagerank_fixed_point
 
-    und = _copurchase_edges(spark, sf_dir, ordered=False)
-    li = load_table(spark, "lineitem", sf_dir)
-    # ONE lineitem shuffle builds both the seed-order pick and its part
-    # set (the old op-distinct formulation referenced the 600k-row
-    # distinct twice — the static plan re-embedded the lineitem scan 46
-    # times across the iteration lineage). collect_set dedups parts
-    # within the order, so size(ps) is the distinct-part count the
-    # HAVING >= 2 filter needs; min_by picks the earliest such order.
+    # return_ppo: the seed-order pick reuses the edge build's own
+    # per-order part-set shuffle instead of a second lineitem pass (r13;
+    # the old op-distinct formulation referenced the 600k-row distinct
+    # twice and an r12 fix folded it to one extra groupBy — this removes
+    # even that). collect_set dedups parts within the order, so size(ps)
+    # is the distinct-part count the HAVING >= 2 filter needs; min_by
+    # picks the earliest such order.
+    und, ppo = _copurchase_edges(spark, sf_dir, ordered=False, return_ppo=True)
     ops = (
-        li.groupBy(F.col("l_orderkey").alias("o"))
-        .agg(F.collect_set("l_partkey").alias("ps"))
-        .filter(F.size("ps") >= 2)
-        .agg(F.min_by("ps", "o").alias("ps"))
+        ppo.filter(F.size("ps") >= 2)
+        .agg(F.min_by("ps", "l_orderkey").alias("ps"))
         .select(F.explode("ps").alias("u"))
     )
     # a handful of rows (parts of one order) — checkpoint truncates the
