@@ -2491,15 +2491,33 @@ def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exchange nodes (the ml_class_prf1_report lesson). All checkpointed
     # frames are node/community-scale, i.e. bounded.
     labels = labels.coalesce(_size_parts(base_n.count())).localCheckpoint(eager=True)
-    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m")).localCheckpoint(
-        eager=True
-    )
-    deg = (
-        bid.groupBy(F.col("u").alias("id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
+    # m and deg are independent given the persisted edges: submit both
+    # eager checkpoints from a small thread pool so the second job
+    # back-fills the first one's straggler tail instead of queuing
+    # behind it (guide §2.6 overlap; r13 A/B wins every pair). Results
+    # are deterministic — concurrency only changes job scheduling.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fm = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: edges.agg(
+                    F.count(F.lit(1)).cast("long").alias("m")
+                ).localCheckpoint(eager=True)
+            )
+        )
+        fdeg = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: bid.groupBy(F.col("u").alias("id"))
+                .agg(F.count(F.lit(1)).cast("long").alias("d"))
+                .coalesce(1)
+                .localCheckpoint(eager=True)
+            )
+        )
+        m = fm.result()
+        deg = fdeg.result()
     tot = (
         deg.join(labels, "id")
         .groupBy("lab")
@@ -2578,8 +2596,22 @@ def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot2 = deg.join(after.select("id", "lab"), "id").groupBy("lab").agg(
         F.sum("d").cast("long").alias("t")
     )
-    qb = _q4m2(labels, tot).localCheckpoint(eager=True)
-    qa = _q4m2(after.select("id", "lab"), tot2).localCheckpoint(eager=True)
+    # qb and qa are independent of each other — same §2.6 overlap
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fqb = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: _q4m2(labels, tot).localCheckpoint(eager=True)
+            )
+        )
+        fqa = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: _q4m2(after.select("id", "lab"), tot2).localCheckpoint(
+                    eager=True
+                )
+            )
+        )
+        qb = fqb.result()
+        qa = fqa.result()
     ncb = labels.agg(F.countDistinct("lab").cast("long").alias("n_comm_before"))
     nca = after.agg(F.countDistinct("lab").cast("long").alias("n_comm_after"))
     nmv = after.filter(F.col("lab") != F.col("old_lab")).agg(
