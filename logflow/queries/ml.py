@@ -889,7 +889,9 @@ FROM nd
 def ml_ndcg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logflow.operators.cache import track
 
-    li = load_table(spark, "lineitem", sf_dir)
+    # parallelize=False: the groupBy right below supplies the downstream
+    # parallelism (the _copurchase_edges r13 rule)
+    li = load_table(spark, "lineitem", sf_dir, parallelize=False)
     # ONE order-keyed shuffle replaces the old 600k-row (o,p) DISTINCT plus
     # two two-sided self-joins on o: collect_set dedupes parts within each
     # order (same effect as the distinct for per-order pair generation) and
