@@ -64,7 +64,9 @@ LIMIT 100
     "BIGINTs, identically parenthesized in both engines.",
 )
 def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
+    # parallelize=False: the first shuffle right below supplies the
+    # downstream parallelism (the _copurchase_edges r13 rule)
+    li = load_table(spark, "lineitem", sf_dir, parallelize=False)
     # one shuffle on the order key; sorted distinct parts per basket
     baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
@@ -1026,7 +1028,9 @@ LIMIT 100
     "tiebreak.",
 )
 def assoc_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
+    # parallelize=False: the first shuffle right below supplies the
+    # downstream parallelism (the _copurchase_edges r13 rule)
+    li = load_table(spark, "lineitem", sf_dir, parallelize=False)
     # one shuffle on the order key; sorted distinct parts per basket.
     # Consumers: basket total, item counts, pair explosion, b2 — bounded
     # at order-count scale; checkpoint truncates the lineitem lineage.
@@ -1697,7 +1701,9 @@ LIMIT {_IIJ_TOPK}
     "sorts row-scale data (takeOrdered semantics under LIMIT).",
 )
 def reco_item_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
+    # parallelize=False: the first shuffle right below supplies the
+    # downstream parallelism (the _copurchase_edges r13 rule)
+    li = load_table(spark, "lineitem", sf_dir, parallelize=False)
     op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     freq = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     ppo = op.groupBy("o").agg(F.collect_set("p").alias("ps"))
@@ -1960,7 +1966,9 @@ ORDER BY length, support DESC, pattern
 def seq_prefixspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logflow.operators.cache import track
 
-    ev = load_table(spark, "events", sf_dir).select(
+    # parallelize=False: the explicit user_id repartition below is the
+    # frame's real layout — the scan rebalance was a redundant exchange
+    ev = load_table(spark, "events", sf_dir, parallelize=False).select(
         "user_id",
         F.col("event_type").alias("t"),
         F.expr(
