@@ -104,7 +104,12 @@ def _trained_centroids(spark: "SparkSession", sf_dir: str):
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     corpus = track(emb.filter(F.col("vec_id") >= 10).persist())
-    corpus.count()
+    # no separate corpus.count(): the training chain's first action (the
+    # iteration-1 assignment pass inside kmeans_iterate's cent.count())
+    # scans every partition and populates the cache itself — the
+    # explicit count was one redundant job (r13 A/B: dropping it wins
+    # every interleaved pair). The persist still sits ABOVE every
+    # consumer fork (the HITS rule); later consumers hit the cache.
     return corpus, kmeans_iterate(
         corpus, seeds, "vec_id", "embedding", iters=_KMEANS_ITERS
     )
